@@ -1,0 +1,102 @@
+"""Engine facade: the reference's `SchemaAnalyser` surface
+(mongo_analyser/core/analyser.py) as driver-side artifacts computed by
+Spark jobs. Returns the reference-shaped dict artifacts (flat schema,
+hierarchical schema, per-field stats) so behavior is directly comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from mongo_analyser_spark.operators.field_stats import (
+    field_stats,
+    top_values,
+    type_histogram,
+)
+from mongo_analyser_spark.types import ref_type_label, schema_to_hierarchical
+
+
+class Engine:
+    """`Engine(spark)` — analysis entry points over any DataFrame."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # -- schema inference (reference infer_schema_and_field_stats) --------
+
+    def infer_schema(
+        self, df: DataFrame, json_cols: dict[str, T.StructType] | None = None
+    ) -> dict[str, dict]:
+        """Flat {dotted_path: {"type": label}} schema, sorted by path
+        (analyser.py:320-321). On the typed substrate this is static; JSON
+        document columns contribute their parsed leaves."""
+        out: dict[str, dict] = {}
+
+        def walk(prefix: str, dtype: T.DataType) -> None:
+            out[prefix] = {"type": ref_type_label(dtype)}
+            if isinstance(dtype, T.StructType):
+                for f in dtype.fields:
+                    walk(f"{prefix}.{f.name}", f.dataType)
+
+        json_cols = json_cols or {}
+        for f in df.schema.fields:
+            if f.name in json_cols:
+                out[f.name] = {"type": "dict"}
+                for sub in json_cols[f.name].fields:
+                    walk(f"{f.name}.{sub.name}", sub.dataType)
+            else:
+                walk(f.name, f.dataType)
+        return dict(sorted(out.items()))
+
+    def infer_hierarchical_schema(
+        self, df: DataFrame, json_cols: dict[str, T.StructType] | None = None
+    ) -> dict:
+        return schema_to_hierarchical(self.infer_schema(df, json_cols))
+
+    # -- field stats (reference finalize, analyser.py:269-322) ------------
+
+    def analyze(
+        self,
+        df: DataFrame,
+        json_cols: dict[str, T.StructType] | None = None,
+        sample_size: int | None = None,
+        approx: bool = False,
+        top_k: int = 5,
+    ) -> dict[str, dict]:
+        """Reference-shaped per-field stats dict. ``sample_size`` mirrors
+        the reference's sampled inference (analyser.py:254-257) via
+        df.limit; None = full scan (sample_size=-1 in the reference)."""
+        if sample_size is not None and sample_size > 0:
+            df = df.limit(sample_size)
+        stats_rows = field_stats(df, json_cols, approx=approx).collect()
+        hist_rows = type_histogram(df, json_cols).collect()
+        top_rows = top_values(df, json_cols, k=top_k).collect()
+
+        hist: dict[str, dict[str, int]] = {}
+        for r in hist_rows:
+            hist.setdefault(r["field"], {})[r["type_tag"]] = r["cnt"]
+        tops: dict[str, dict[str, int]] = {}
+        for r in top_rows:
+            tops.setdefault(r["field"], {})[r["value"]] = r["cnt"]
+
+        out: dict[str, dict] = {}
+        for r in stats_rows:
+            d: dict = {
+                "count": r["cnt"],
+                "missing_percentage": r["missing_pct"],
+                "cardinality": r["distinct_cnt"],
+                "type_distribution": dict(
+                    sorted(
+                        hist.get(r["field"], {}).items(), key=lambda kv: (-kv[1], kv[0])
+                    )[:5]
+                ),
+            }
+            if r["min_num"] is not None:
+                d["min"], d["max"] = r["min_num"], r["max_num"]
+            if r["min_ts"] is not None:
+                d["min_date"], d["max_date"] = r["min_ts"], r["max_ts"]
+            if r["field"] in tops:
+                d["top_values"] = tops[r["field"]]
+            out[r["field"]] = d
+        return dict(sorted(out.items()))

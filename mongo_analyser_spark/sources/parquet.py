@@ -1,0 +1,54 @@
+"""Parquet 'collection' catalog over the driver testdata layout
+(one parquet file/dir per table — TESTDATA.md).
+
+Reference analogs: list_collection_names (core/analyser.py:227-240),
+full/sampled collection scans (core/analyser.py:251-257).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# events.props is a JSON-string document column; this is its parsed shape
+# (the dynamic-schema path the reference exists for).
+EVENTS_PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
+
+
+# columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long
+# (spark.sql.legacy.parquet.nanosAsLong) and we convert to microsecond
+# timestamps here (verified lossless: all values are whole microseconds).
+NANO_TS_COLS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in NANO_TS_COLS.get(name, []):
+        if dict(df.dtypes).get(c) == "bigint":
+            # integer `div`, NOT `/`: double division loses ulp at e15 scale
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def list_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted collection names (analyser.py:237 `sorted(...)`)."""
+    names = sorted(
+        f[: -len(".parquet")] for f in os.listdir(sf_dir) if f.endswith(".parquet")
+    )
+    return spark.createDataFrame([(n,) for n in names], "name string").orderBy("name")

@@ -1,0 +1,94 @@
+"""Field-stats engine vs the reference's sampling contract
+(shape of /root/reference tests/core/test_analyser.py:192-256 and
+FIXTURES.md §1.4): 3 documents → cardinality, missing%, top values,
+min/max, type distribution."""
+
+import pytest
+
+from pyspark.sql import types as T
+
+from mongo_analyser_spark.engine import Engine
+from mongo_analyser_spark.operators.field_stats import (
+    array_element_stats,
+    field_stats,
+    top_values,
+    type_histogram,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("value", T.LongType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField(
+            "info", T.StructType([T.StructField("valid", T.BooleanType())])
+        ),
+    ]
+)
+
+DOCS = [
+    ("A", 10, ["x"], None),
+    ("B", 20, None, (True,)),
+    ("A", 15, ["x", "y"], None),
+]
+
+
+@pytest.fixture(scope="module")
+def sample_df(spark):
+    return spark.createDataFrame(DOCS, SCHEMA)
+
+
+def test_field_stats_sampling_contract(spark, sample_df):
+    rows = {r["field"]: r for r in field_stats(sample_df).collect()}
+    assert rows["name"]["cnt"] == 3
+    assert rows["name"]["distinct_cnt"] == 2
+    assert rows["name"]["missing_pct"] == 0.0
+    assert rows["value"]["min_num"] == 10.0
+    assert rows["value"]["max_num"] == 20.0
+    assert rows["tags"]["cnt"] == 2
+    assert rows["tags"]["missing_pct"] == pytest.approx(100 / 3, abs=1e-3)
+    assert rows["info.valid"]["cnt"] == 1
+
+
+def test_top_values(spark, sample_df):
+    tv = {(r["field"], r["value"]): r["cnt"] for r in top_values(sample_df).collect()}
+    assert tv[("name", "A")] == 2
+    assert tv[("name", "B")] == 1
+    # ints must NOT enter value frequencies (reference
+    # tests/core/test_analyser.py:124-125 behavior)
+    assert not any(f == "value" for f, _ in tv)
+
+
+def test_type_histogram(spark, sample_df):
+    hist = {(r["field"], r["type_tag"]): r["cnt"] for r in type_histogram(sample_df).collect()}
+    assert hist[("name", "str")] == 3
+    assert hist[("info.valid", "bool")] == 1
+    assert hist[("info.valid", "null")] == 2
+    assert hist[("tags", "array<str>")] == 2
+
+
+def test_array_element_stats(spark, sample_df):
+    r = array_element_stats(sample_df, "tags").collect()[0]
+    assert r["field"] == "tags[]"
+    assert r["cnt"] == 3  # all elements, both docs
+    assert r["distinct_cnt"] == 2
+
+
+def test_engine_analyze_shapes(spark, sample_df):
+    out = Engine(spark).analyze(sample_df)
+    assert out["name"]["count"] == 3
+    assert out["name"]["cardinality"] == 2
+    assert out["name"]["top_values"] == {"A": 2, "B": 1}
+    assert out["value"]["min"] == 10.0
+    assert out["value"]["max"] == 20.0
+    assert out["info.valid"]["type_distribution"] == {"null": 2, "bool": 1}
+    assert list(out) == sorted(out)
+
+
+def test_engine_infer_schema(spark, sample_df):
+    sch = Engine(spark).infer_schema(sample_df)
+    assert sch["name"] == {"type": "str"}
+    assert sch["value"] == {"type": "int64"}
+    assert sch["tags"] == {"type": "array<str>"}
+    assert sch["info"] == {"type": "dict"}
+    assert sch["info.valid"] == {"type": "bool"}

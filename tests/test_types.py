@@ -1,0 +1,83 @@
+"""Reference type-inference truth tables (shapes from
+/root/reference tests/core/test_extractor.py:30-58 and
+tests/core/test_analyser.py — re-asserted, not copied)."""
+
+import datetime as dt
+
+import pytest
+
+from mongo_analyser_spark.types import (
+    flatten_document,
+    infer_value_type,
+    ref_type_label,
+    schema_to_hierarchical,
+)
+from pyspark.sql import types as T
+
+
+@pytest.mark.parametrize(
+    "value,expected",
+    [
+        (True, "bool"),  # bool BEFORE int (Python bool ⊂ int)
+        (False, "bool"),
+        (30, "int32"),
+        (1234567890123, "int64"),
+        (4.5, "double"),
+        ("test", "str"),
+        (None, "null"),
+        (dt.datetime(2023, 1, 1, 12), "datetime"),
+        (b"\x01\x02\x03", "binary<generic>"),
+        ({"a": 1}, "dict"),
+        ([], "array<empty>"),
+        ([10, 20, 10], "array<int32>"),
+        ([1, "a", True], "array<mixed>"),
+        ([{"id": 1}, {"id": 2}], "array<dict>"),
+        ([1, None], "array<int32>"),  # election ignores nulls
+        ([None, None], "array<null>"),
+        ([1] * 10 + ["tail-ignored"], "array<int32>"),  # first-10 election
+    ],
+)
+def test_infer_value_type(value, expected):
+    assert infer_value_type(value) == expected
+
+
+@pytest.mark.parametrize(
+    "dtype,expected",
+    [
+        (T.BooleanType(), "bool"),
+        (T.IntegerType(), "int32"),
+        (T.LongType(), "int64"),
+        (T.DoubleType(), "double"),
+        (T.FloatType(), "double"),
+        (T.StringType(), "str"),
+        (T.TimestampType(), "datetime"),
+        (T.DecimalType(38, 2), "decimal128"),
+        (T.BinaryType(), "binary<generic>"),
+        (T.ArrayType(T.LongType()), "array<int64>"),
+        (T.StructType([]), "dict"),
+        (T.MapType(T.StringType(), T.StringType()), "dict"),
+    ],
+)
+def test_ref_type_label(dtype, expected):
+    assert ref_type_label(dtype) == expected
+
+
+def test_flatten_document():
+    doc = {"user": {"name": "tester", "details": {"age": 25}}, "x": 1}
+    assert flatten_document(doc) == {
+        "user.name": "tester",
+        "user.details.age": 25,
+        "x": 1,
+    }
+
+
+def test_schema_to_hierarchical_roundtrip():
+    flat = {
+        "user.name": {"type": "str"},
+        "user.details.age": {"type": "int32"},
+        "x": {"type": "int32"},
+    }
+    assert schema_to_hierarchical(flat) == {
+        "user": {"name": {"type": "str"}, "details": {"age": {"type": "int32"}}},
+        "x": {"type": "int32"},
+    }

@@ -1,0 +1,92 @@
+"""Local replica of the driver's correctness gate: run each registered
+Spark query and its DuckDB oracle twin side-by-side, compare row count,
+column names, and an order-insensitive value multiset.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def multiset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = {}
+    for row in rows:
+        key = tuple(norm(row[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def main() -> int:
+    from mongo_analyser_spark import get_spark
+    from mongo_analyser_spark.queries import ORACLES, QUERIES
+
+    spark = get_spark(cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, fn in QUERIES.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, SF_DIR)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in ORACLES:
+            print(f"  {name}: rows={len(srows)} (rows-only, no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            if len(srows) == 0:
+                failures.append((name, "0 rows"))
+            continue
+        ores = con.execute(ORACLES[name])
+        ocols = [d[0] for d in ores.description]
+        orows = [tuple(r) for r in ores.fetchall()]
+
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={scols} duck={ocols}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if not problems:
+            ms, mo = multiset(srows, scols), multiset(orows, ocols)
+            if ms != mo:
+                only_s = [k for k in ms if ms[k] != mo.get(k, 0)][:3]
+                only_o = [k for k in mo if mo[k] != ms.get(k, 0)][:3]
+                problems.append(f"values: spark-only={only_s} duck-only={only_o}")
+        status = "OK " if not problems else "FAIL"
+        print(f"  {name}: {status} rows={len(srows)} [{time.time()-t0:.1f}s]")
+        for p in problems:
+            print(f"      {p}")
+            failures.append((name, p))
+    print(f"\n{len(QUERIES) - len(set(f[0] for f in failures))}/{len(QUERIES)} OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
