@@ -1,0 +1,76 @@
+"""Relational operators [EXT] (SURVEY.md §2.3 J2-J5, §2.5 W4, §2.6):
+thin, scale-aware wrappers over Spark built-ins plus the composite
+patterns Spark lacks as primitives (as-of join, top-k per group).
+
+Scale notes baked into each helper's plan shape:
+* dimension sides of star joins go through ``F.broadcast`` — at 100 TB the
+  fact table never shuffles for a 25-row nation table;
+* top-k per group is window row_number (one shuffle on the partition key),
+  never a global sort;
+* the as-of join is the union+window pattern (SURVEY J5): one shuffle on
+  (key), no range explosion, no per-row lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame, partition_by: list[str], order_by: list[Column], k: int
+) -> DataFrame:
+    """row_number() <= k with a caller-supplied TOTAL order (ties must be
+    broken — Counter.most_common insertion order is not reproducible
+    distributed, SURVEY §7.3)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value: str,
+    out_col: str,
+) -> DataFrame:
+    """As-of join: attach to each left row the most recent right row with
+    right_ts <= left_ts for the same key (SURVEY §2.3 J5).
+
+    Implementation: tag + union + `last(ignorenulls)` over an ordered
+    window, then keep left rows. One shuffle on (key); state per key is a
+    single running value — safe for arbitrarily long histories. Right rows
+    sort before left rows at equal timestamps so an exactly-simultaneous
+    right row IS visible to the left row (inclusive as-of).
+    """
+    lcols = [F.col(c) for c in left.columns]
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right.schema[right_value].dataType).alias("__rv"),
+        F.struct(*lcols).alias("__payload"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(right_value).alias("__rv"),
+        F.lit(None).cast(l_tagged.schema["__payload"].dataType).alias("__payload"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    return (
+        unioned.withColumn(out_col, F.last("__rv", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .select("__payload.*", out_col)
+    )

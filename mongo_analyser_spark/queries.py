@@ -15,9 +15,15 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mongo_analyser_spark.functions.conversion import (
+    display_safe,
+    humanize_bytes,
+    local_timestamp,
+    truncate_with_ellipsis,
+)
 from mongo_analyser_spark.operators.field_stats import (
     TS_FMT,
     array_element_stats,
@@ -25,6 +31,7 @@ from mongo_analyser_spark.operators.field_stats import (
     top_values,
     type_histogram,
 )
+from mongo_analyser_spark.operators.relational import top_k_per_group
 from mongo_analyser_spark.sources.parquet import (
     EVENTS_PROPS_SCHEMA,
     list_collections,
@@ -231,3 +238,519 @@ def q_describe_collection_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("props")).cast("double") / F.count(F.lit(1)), 4
         ).alias("avg_props_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Conversion / export / display (reference §2.2 P2-P4, §2.8 F1-F9)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "convert_export_events",
+    f"""
+SELECT event_id,
+  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS ts_utc,
+  strftime((CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/Oslo',
+           '%Y-%m-%dT%H:%M:%S') AS ts_oslo,
+  event_type,
+  CAST(props->>'$.k' AS BIGINT) AS props_k
+FROM events
+""",
+)
+def q_convert_export_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-directed export conversion (reference extractor.py:91-246):
+    naive-UTC timestamps to ISO strings incl. the Europe/Oslo tz-convert
+    case the reference tests (tests/core/test_extractor.py:75-76), JSON
+    leaves surfaced typed."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        local_timestamp("ts", "UTC").alias("ts_utc"),
+        local_timestamp("ts", "Europe/Oslo").alias("ts_oslo"),
+        "event_type",
+        F.from_json("props", EVENTS_PROPS_SCHEMA).getField("k").alias("props_k"),
+    )
+
+
+@register(
+    "display_truncation_documents",
+    """
+SELECT doc_id,
+  CASE WHEN length(text) > 500 THEN 'str(too large to display inline)'
+       WHEN length(text) > 100 THEN substr(text, 1, 100) || '...'
+       ELSE text END AS display_text
+FROM documents
+""",
+)
+def q_display_truncation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Display-safe conversion (reference extractor.py:396-451): >500-char
+    serialized values collapse to '<type>(too large to display inline)',
+    shorter ones are ellipsis-truncated to the UI cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    # guard FIRST (checks the original length), then ellipsis-truncate —
+    # the placeholder itself is short, so truncation no-ops on it
+    return docs.select(
+        "doc_id",
+        truncate_with_ellipsis(display_safe(F.col("text"), "str"), 100).alias(
+            "display_text"
+        ),
+    )
+
+
+@register(
+    "bytes_human_documents",
+    """
+SELECT doc_id,
+  CAST(ROUND(n_chars / POWER(1024.0, CASE WHEN n_chars <= 0 THEN 0
+        ELSE LEAST(CAST(FLOOR(LOG(n_chars) / LOG(1024.0)) AS INTEGER), 6) END), 2)
+       AS VARCHAR)
+  || ' ' ||
+  (['B','KB','MB','GB','TB','PB','EB'])[CASE WHEN n_chars <= 0 THEN 0
+        ELSE LEAST(CAST(FLOOR(LOG(n_chars) / LOG(1024.0)) AS INTEGER), 6) END + 1]
+  AS size_human
+FROM documents
+""",
+)
+def q_bytes_human_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte humanization (reference _format_bytes_tui,
+    views/db_connection_view.py:676-699) as a pure expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", humanize_bytes("n_chars").alias("size_human"))
+
+
+# --------------------------------------------------------------------------
+# Relational family [EXT] (SURVEY §2.3/2.4/2.5/2.6/2.7): star-schema
+# queries over the TPC-H-ish testdata. Determinism: all money math in
+# decimal, doubles only at the output boundary.
+# --------------------------------------------------------------------------
+
+
+def _dec(c: str):
+    return F.col(c).cast("decimal(18,2)")
+
+
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape over the synthetic lineitem: grouped multi-aggregate
+    with decimal-exact money math (one scan, partial aggs map-side; the
+    classic 100 TB-safe reduction)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp")
+    )
+    disc_price = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = (disc_price * (F.lit(1) + _dec("l_tax"))).cast("decimal(18,6)")
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / cnt, 4).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / cnt, 4).alias(
+                "avg_price"
+            ),
+            F.round(F.sum(_dec("l_discount")).cast("double") / cnt, 4).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+SELECT l_orderkey,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30'
+  AND l_shipdate > TIMESTAMP '1998-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+)
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: star join (customer dim BROADCAST — the fact side
+    never shuffles for the dim), grouped revenue, global top-10 planned as
+    TakeOrderedAndProject."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-30").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-30").cast("timestamp")
+    )
+    disc_price = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+SELECT n_name,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join chain; every dimension broadcast so
+    the only shuffle is the final small groupBy."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc_price = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (SURVEY J3)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+ORDER BY c_custkey
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (SURVEY J3) — the reference's blocklist-filter shape
+    (llm_chat/wrapper.py:66-81) generalized: customers with no pending
+    orders (plain 'no orders' is empty in this data)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "P"
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_range_part_lineitem",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity BETWEEN p_size - 2 AND p_size + 2
+""",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+range predicate join (SURVEY J4): the range rides on the hash
+    join as a post-filter — no nested-loop explosion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            (F.col("l_quantity") >= F.col("p_size") - 2)
+            & (F.col("l_quantity") <= F.col("p_size") + 2)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "asof_join_events_signup",
+    f"""
+SELECT event_id,
+  strftime(last_signup_ts, '{DUCK_TS_FMT}') AS last_signup
+FROM (
+  SELECT event_id, event_type,
+    last_value(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+  FROM events
+)
+ORDER BY event_id
+""",
+)
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of semantics (SURVEY J5): each event sees the most recent signup
+    at-or-before its timestamp for the same user. Window-based: one
+    shuffle on user_id, O(1) state per key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "last_signup_ts",
+            F.last(
+                F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+            ).over(w),
+        )
+        .select(
+            "event_id", F.date_format("last_signup_ts", TS_FMT).alias("last_signup")
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "window_top3_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3 ORDER BY o_custkey, rnk
+""",
+)
+def q_window_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (reference W1 Counter.most_common(5) generalized)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        top_k_per_group(
+            orders,
+            ["o_custkey"],
+            [F.desc("o_totalprice"), F.asc("o_orderkey")],
+            3,
+        )
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+@register(
+    "window_user_running_value",
+    f"""
+SELECT event_id, user_id,
+  ROUND(SUM(value) OVER w, 4) AS running_value,
+  LAG(event_id) OVER w AS prev_event_id,
+  LEAD(event_id) OVER w AS next_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+ORDER BY event_id
+""",
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions [EXT W4]: running sum + lag/lead per user
+    in event-time order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum("value").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            4,
+        ).alias("running_value"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    ).orderBy("event_id")
+
+
+@register(
+    "rollup_orders_priority_status",
+    """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY priority, status
+""",
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup [EXT A12]."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+@register(
+    "cube_lineitem_flags",
+    """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""",
+)
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube [EXT A12]."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register(
+    "pivot_event_counts_by_user",
+    """
+SELECT user_id,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot [EXT]: explicit value list so the plan is a single pass
+    (no value-discovery job) — required practice at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "setops_nation_coverage",
+    """
+SELECT 'both' AS tag, n FROM (
+  SELECT c_nationkey AS n FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'customer_only', n FROM (
+  SELECT c_nationkey AS n FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'supplier_only', n FROM (
+  SELECT s_nationkey AS n FROM supplier EXCEPT SELECT c_nationkey FROM customer)
+ORDER BY tag, n
+""",
+)
+def q_setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra [EXT §2.7]: intersect / except over dimension keys."""
+    cn = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n")
+    )
+    sn = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n")
+    )
+    # intersect/subtract are SQL INTERSECT/EXCEPT (set-distinct) semantics;
+    # exceptAll would be multiset subtraction and leaves duplicates behind
+    both = cn.intersect(sn).select(F.lit("both").alias("tag"), "n")
+    c_only = cn.subtract(sn).select(F.lit("customer_only").alias("tag"), "n")
+    s_only = sn.subtract(cn).select(F.lit("supplier_only").alias("tag"), "n")
+    return both.unionByName(c_only).unionByName(s_only).orderBy("tag", "n")
+
+
+@register(
+    "distinct_event_types",
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+)
+def q_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-sorted list (reference A11 sorted(set(models)))."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_type").distinct().orderBy("event_type")
