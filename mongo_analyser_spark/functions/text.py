@@ -1,0 +1,96 @@
+"""Text-analysis expression library [EXT — BASELINE.json north star]:
+token statistics, quality scoring, n-gram shingles, language-ID heuristic,
+document fingerprinting. All pure Column expressions over `documents.text`
+— portable (md5-based hashing matches any SQL engine) and UDF-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small fixed stopword tables for the n-gram/stopword language heuristic;
+# deterministic and replicable in plain SQL for the oracle twin
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "es": ["el", "la", "de", "que", "y", "los", "un"],
+    "fr": ["le", "la", "les", "des", "et", "un", "une"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (single-space split — the BPE-ish regex
+    variant is `tokens_regex`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def tokens_regex(col: Column | str) -> Column:
+    """BPE-ish tokenization: words, numbers, or single punctuation marks."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def unique_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (the dedup unit for
+    minhash / fingerprinting). Docs shorter than n words yield their
+    full text as the single shingle."""
+    toks = tokens(col)
+    joined = F.array_join(toks, " ")
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda j: F.concat_ws(
+            " ", *[F.element_at(toks, (j + i + 1).cast("int")) for i in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, gram).otherwise(F.array(joined))
+
+
+def quality_score(col: Column | str, target_tokens: int = 50) -> Column:
+    """Length × lexical-diversity quality heuristic in [0,1]:
+    min(1, n_tokens/target) * (unique_tokens / n_tokens), rounded to 4."""
+    nt = token_count(col).cast("double")
+    uq = unique_token_count(col).cast("double")
+    return F.round(F.least(F.lit(1.0), nt / target_tokens) * (uq / nt), 4)
+
+
+def lang_detect(col: Column | str) -> Column:
+    """Stopword-count language heuristic: argmax over per-language stopword
+    hit counts (with multiplicity), tie-break by language code ascending,
+    'unknown' when no stopword matches."""
+    toks = tokens(col)
+
+    def contains(sw: list[str]):
+        # NOTE: a `lambda x, sw=sw:` default arg would make PySpark treat
+        # the lambda as binary and bind the ELEMENT INDEX to sw
+        return lambda x: x.isin(sw)
+
+    scores = {
+        lang: F.size(F.filter(toks, contains(sw))) for lang, sw in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    # CASE evaluated in ascending language order: the alphabetically first
+    # language hitting the max wins ties
+    result = None
+    for lang in sorted(scores):
+        cond = (scores[lang] > 0) & (scores[lang] >= best)
+        result = F.when(cond, F.lit(lang)) if result is None else result.when(
+            cond, F.lit(lang)
+        )
+    return result.otherwise(F.lit("unknown"))
+
+
+def fingerprint(col: Column | str, n: int = 3) -> Column:
+    """Document fingerprint: minimum md5 over word n-gram shingles — the
+    hash-rolling fingerprint family (min-sampling of shingle hashes),
+    portable to any engine with md5."""
+    return F.array_min(F.transform(shingles(col, n), F.md5))

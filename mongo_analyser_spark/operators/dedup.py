@@ -1,0 +1,164 @@
+"""Deduplication operators [EXT — BASELINE.json north star]: exact,
+vocabulary-key, MinHash+LSH, SimHash. Designed for 100 TB:
+
+* exact / key dedup — one hash-partition shuffle on the key;
+* MinHash — signatures are a single groupBy(doc) pass (k min-aggregates,
+  map-side partial); LSH banding turns the O(n²) pair space into an
+  equi-join on (band, band_hash), which Spark executes as a shuffled hash
+  join keyed on the band hash — candidates only, never the cross product;
+* SimHash — 64 conditional-sum aggregates in ONE pass over exploded
+  tokens (no per-bit jobs).
+
+All hashing is md5-based so a SQL oracle can reproduce the exact same
+candidates and signatures (engine-native hash functions differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mongo_analyser_spark.functions.text import shingles, tokens
+
+
+def exact_dedup(df: DataFrame, key: Column, id_col: str) -> DataFrame:
+    """Exact dedup by hash-groupBy on ``key``: one row per group with the
+    minimum id as keeper and the group size."""
+    return (
+        df.select(key.alias("dedup_key"), F.col(id_col))
+        .groupBy("dedup_key")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def vocab_key(col: Column | str) -> Column:
+    """Order-insensitive content key: md5 of the sorted distinct word set.
+    Groups bag-of-words near-duplicates that exact text hashing misses."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signatures: for hash i, min over shingles of
+    md5('<i>:' || shingle). Output long form (id, hash_idx int, minhash).
+
+    One explode + one groupBy(id) with k min-aggregates — a single
+    shuffle; signature state is k strings per document regardless of
+    document length. Lexicographic min over md5 hex == min over the
+    128-bit integer, so string ordering is portable."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    wide = sh.groupBy(id_col).agg(*aggs)
+    stack_args = ", ".join(f"{i}, m{i}" for i in range(num_hashes))
+    return wide.select(
+        F.col(id_col),
+        F.expr(f"stack({num_hashes}, {stack_args})").alias("hash_idx", "minhash"),
+    ).select(id_col, F.col("hash_idx").cast("int").alias("hash_idx"), "minhash")
+
+
+def lsh_band_hashes(
+    sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Group signature rows into bands; band hash = md5 of the
+    '|'-joined minhashes in hash_idx order. (id, band_id int, band_hash)."""
+    banded = sig_df.withColumn(
+        "band_id", (F.col("hash_idx") / rows_per_band).cast("int")
+    )
+    return banded.groupBy(id_col, "band_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("hash_idx", "minhash"))
+                    ),
+                    lambda s: s.getField("minhash"),
+                ),
+                "|",
+            )
+        ).alias("band_hash")
+    )
+
+
+def lsh_candidate_pairs(band_df: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one band bucket —
+    the equi-join that replaces the cross product at scale."""
+    a = band_df.select(
+        F.col(id_col).alias("doc_a"), "band_id", "band_hash"
+    )
+    b = band_df.select(
+        F.col(id_col).alias("doc_b"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Verify candidates with the exact shingle-set Jaccard (integer set
+    sizes → one division → deterministic). Output
+    (doc_a, doc_b, jaccard double)."""
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh_set"),
+    )
+    joined = (
+        pairs.join(sets.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh_set", "set_a"), "doc_a")
+        .join(sets.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh_set", "set_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = (F.size("set_a") + F.size("set_b")).cast("double") - inter
+    jac = F.round(inter / union, 6)
+    return (
+        joined.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def simhash_bits(
+    df: DataFrame, id_col: str, text_col: str, num_bits: int = 64
+) -> DataFrame:
+    """SimHash over tokens (with multiplicity): bit b of a token's hash is
+    bit (3 - b%4) of hex digit b//4 of md5(token); documents sum ±1 votes
+    per bit; the fingerprint is the 'majority > 0' bitstring.
+
+    Single explode + one groupBy with num_bits conditional sums —
+    one shuffle, fixed-width state. Output (id, simhash string of '0'/'1').
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    aggs = []
+    for b in range(num_bits):
+        digit_pos = b // 4 + 1  # 1-based position in the hex string
+        shift = 3 - b % 4
+        bit = F.expr(
+            f"(CAST(conv(substring(h, {digit_pos}, 1), 16, 10) AS INT) >> {shift}) & 1"
+        )
+        aggs.append(F.sum(bit * 2 - 1).alias(f"b{b}"))
+    wide = tok.groupBy(id_col).agg(*aggs)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for b in range(num_bits)
+        ]
+    )
+    return wide.select(F.col(id_col), bits.alias("simhash"))

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns [EXT — BASELINE.json north
+star]: brute-force cosine top-k as the exact baseline, sign-random-
+projection (SRP/LSH) bucketing as the scale path.
+
+Determinism across engines: dot products and norms are LEFT-ASSOCIATIVE
+sequential folds over the array order (F.aggregate), which a SQL oracle
+reproduces with an explicit `e[1]*q[1] + e[2]*q[2] + ...` chain — same
+operation sequence, bit-identical doubles. Projection hyperplanes are
+md5-derived constants computed driver-side and embedded as literals in
+both engines.
+
+Scale notes:
+* brute-force is (#queries × N) with the query side broadcast — exact,
+  and the right baseline to verify the ANN path against;
+* SRP bucket join is an equi-join on the bucket signature: candidate set
+  shrinks ~2^planes; at 100 TB add multi-probe or plane rotation per
+  shard.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left fold of element products (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
+    return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (tiny) query side against the full
+    corpus, rank per query with a total tie-break (cos DESC, id ASC)."""
+    from pyspark.sql import Window
+
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    pairs = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vvec")).join(
+        F.broadcast(queries), F.col("vid") != F.col("qid")
+    )
+    scored = pairs.select(
+        "qid", "vid", cosine(F.col("qvec"), F.col("vvec")).alias("cos_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vid", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("qid", "rnk")
+    )
+
+
+def srp_planes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5]^dim derived
+    from md5 — computed driver-side, embedded as literals in any engine."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}_{d}".encode()).hexdigest()
+            row.append(int(h[:4], 16) / 65535.0 - 0.5)
+        planes.append(row)
+    return planes
+
+
+def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """SRP bucket signature: one bit per plane = sign of <vec, plane>,
+    computed as a left-associative literal chain (oracle-portable)."""
+    bits = []
+    for row in planes:
+        s = F.element_at(vec, 1).cast("double") * F.lit(row[0])
+        for d in range(1, len(row)):
+            s = s + F.element_at(vec, d + 1).cast("double") * F.lit(row[d])
+        bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def ann_srp_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    num_planes: int,
+    dim: int,
+    k: int = 3,
+) -> DataFrame:
+    """ANN via SRP-LSH: candidates = same bucket as the query (equi-join on
+    the bit signature), then exact cosine rank within candidates."""
+    from pyspark.sql import Window
+
+    planes = srp_planes(num_planes, dim)
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    queries = bucketed.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), "bucket"
+    )
+    cands = bucketed.join(F.broadcast(queries), "bucket").filter(
+        F.col(id_col) != F.col("qid")
+    )
+    scored = cands.select(
+        "qid",
+        F.col(id_col).alias("vid"),
+        cosine(F.col("qvec"), F.col(vec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vid", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("qid", "rnk")
+    )

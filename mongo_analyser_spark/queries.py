@@ -754,3 +754,8 @@ def q_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-sorted list (reference A11 sorted(set(models)))."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select("event_type").distinct().orderBy("event_type")
+
+
+# pipeline [EXT] registrations (dedup / similarity / text / multimodal) —
+# imported last so they append to the same registry
+from mongo_analyser_spark import queries_pipeline  # noqa: E402,F401

@@ -1,0 +1,414 @@
+"""LLM-data-pipeline query registrations [EXT — BASELINE.json north star]:
+dedup (exact / vocab / minhash-LSH / simhash / embedding), similarity
+search (brute-force + SRP-LSH), text analysis, multimodal metadata.
+
+Oracle strategy: everything hashes through md5 and folds floats in
+explicit left-associative order, so the DuckDB twins are generated from
+the same Python constants and reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_analyser_spark.functions.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    lang_detect,
+    quality_score,
+    tokens,
+)
+from mongo_analyser_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    lsh_band_hashes,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_bits,
+    vocab_key,
+)
+from mongo_analyser_spark.operators.similarity import (
+    ann_srp_topk,
+    brute_force_topk,
+    cosine,
+    srp_planes,
+)
+from mongo_analyser_spark.queries import register
+from mongo_analyser_spark.sources.parquet import load_table
+
+EMB_DIM = 64
+NUM_MINHASH = 8
+LSH_BANDS = 4
+LSH_ROWS = 2
+SRP_PLANES = 6
+ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+
+# --- SQL generators (shared constants with the Spark side) ---------------
+
+
+def _dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE)*CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+    )
+
+
+def _norm_sql(a: str, dim: int = EMB_DIM) -> str:
+    return f"sqrt({_dot_sql(a, a, dim)})"
+
+
+def _plane_dot_sql(vec: str, row: list[float]) -> str:
+    return " + ".join(
+        f"CAST({vec}[{d + 1}] AS DOUBLE)*{row[d]!r}" for d in range(len(row))
+    )
+
+
+_SHINGLES_SQL = (
+    "CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t)-2), "
+    "j -> t[j]||' '||t[j+1]||' '||t[j+2]) ELSE [array_to_string(t, ' ')] END"
+)
+
+_TOKS_CTE = "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"
+_SH_CTE = f"sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM toks)"
+_MINS_CTE = (
+    "mins AS (SELECT doc_id, "
+    + ", ".join(f"min(md5('{i}:'||sh)) AS m{i}" for i in range(NUM_MINHASH))
+    + " FROM sh GROUP BY doc_id)"
+)
+_BANDS_CTE = "bands AS (" + " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, md5(m{b * LSH_ROWS}||'|'||m{b * LSH_ROWS + 1}) AS bh FROM mins"
+    for b in range(LSH_BANDS)
+) + ")"
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_stats_documents",
+    """
+SELECT doc_id,
+  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_text,
+  ROUND(CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+        / CAST(len(string_split(text,' ')) AS DOUBLE), 4) AS avg_token_len,
+  ROUND(LEAST(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0)
+        * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+           / CAST(len(string_split(text,' ')) AS DOUBLE)), 4) AS quality
+FROM documents ORDER BY doc_id
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (north-star text analysis): all
+    derived in one projection, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    nt = F.size(toks)
+    uq = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        nt.cast("long").alias("n_tokens"),
+        uq.cast("long").alias("n_uniq_tokens"),
+        F.length("text").cast("long").alias("n_chars_text"),
+        F.round(
+            (F.length("text") - nt + 1).cast("double") / nt.cast("double"), 4
+        ).alias("avg_token_len"),
+        quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "lang_histogram_documents",
+    """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  ROUND(CAST(SUM(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+)
+def q_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language histogram (reference A4-style type histogram transplanted
+    to the lang dimension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_chars"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _lang_detect_sql() -> str:
+    score = {
+        lang: (
+            "len(list_filter(string_split(text,' '), x -> x IN ("
+            + ", ".join(f"'{w}'" for w in sw)
+            + ")))"
+        )
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    greatest = "GREATEST(" + ", ".join(score.values()) + ")"
+    cases = " ".join(
+        f"WHEN {score[lang]} > 0 AND {score[lang]} >= {greatest} THEN '{lang}'"
+        for lang in sorted(score)
+    )
+    return f"""
+SELECT doc_id, lang, CASE {cases} ELSE 'unknown' END AS pred_lang
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("lang_detect_documents", _lang_detect_sql())
+def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-count language-ID heuristic (north-star language-ID),
+    emitted next to the labeled lang column for accuracy inspection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_detect("text").alias("pred_lang")).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "fingerprint_documents",
+    f"""
+WITH {_TOKS_CTE}, {_SH_CTE}
+SELECT doc_id, min(md5(sh)) AS fp FROM sh GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-sampled shingle hash (north-star
+    fingerprinting; rolling-hash family, md5-portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_documents",
+    """
+SELECT md5(text) AS dedup_key, min(doc_id) AS keeper,
+  CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY keeper
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash — one shuffle keyed on
+    the digest, which also fixes key skew (uniform distribution)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, F.md5("text"), "doc_id").orderBy("keeper")
+
+
+@register(
+    "dedup_vocab_documents",
+    """
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS dedup_key,
+  min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1 ORDER BY keeper
+""",
+)
+def q_dedup_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words dedup: order-insensitive vocabulary key groups
+    shuffled near-duplicates that exact hashing misses."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, vocab_key("text"), "doc_id").orderBy("keeper")
+
+
+@register(
+    "minhash_signatures_documents",
+    f"""
+WITH {_TOKS_CTE}, {_SH_CTE}, {_MINS_CTE}
+"""
+    + " UNION ALL ".join(
+        f"SELECT doc_id, CAST({i} AS INTEGER) AS hash_idx, m{i} AS minhash FROM mins"
+        for i in range(NUM_MINHASH)
+    )
+    + " ORDER BY doc_id, hash_idx",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (north-star MinHash dedup, stage 1): k min-
+    aggregates in one pass over exploded shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text", NUM_MINHASH).orderBy(
+        "doc_id", "hash_idx"
+    )
+
+
+@register(
+    "dedup_minhash_pairs_documents",
+    f"""
+WITH {_TOKS_CTE}, {_SH_CTE}, {_MINS_CTE}, {_BANDS_CTE},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s FROM toks)
+SELECT doc_a, doc_b,
+  ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / (CAST(len(sa.s) + len(sb.s) AS DOUBLE)
+           - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)), 6) AS jaccard
+FROM pairs JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
+ORDER BY doc_a, doc_b
+""",
+)
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline (north-star, stages 2+3): band
+    bucketing → candidate equi-join → exact Jaccard verification. The
+    cross product never materializes; candidates only."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", NUM_MINHASH)
+    bands = lsh_band_hashes(sigs, "doc_id", LSH_BANDS, LSH_ROWS)
+    pairs = lsh_candidate_pairs(bands, "doc_id")
+    return jaccard_verify(docs, pairs, "doc_id", "text").orderBy("doc_a", "doc_b")
+
+
+def _simhash_sql(num_bits: int = 64) -> str:
+    sums = []
+    for b in range(num_bits):
+        pos, shift = b // 4 + 1, 3 - b % 4
+        bit = f"(((strpos('0123456789abcdef', substring(h, {pos}, 1)) - 1) >> {shift}) & 1)"
+        sums.append(f"SUM({bit}*2 - 1) AS b{b}")
+    bits = " || ".join(
+        f"(CASE WHEN b{b} > 0 THEN '1' ELSE '0' END)" for b in range(num_bits)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+hs AS (SELECT doc_id, md5(t) AS h FROM tok),
+agg AS (SELECT doc_id, {", ".join(sums)} FROM hs GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM agg ORDER BY doc_id
+"""
+
+
+@register("simhash_documents", _simhash_sql())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (north-star SimHash dedup): 64 conditional
+    sums in one grouped pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_bits(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+WITH e AS (SELECT vec_id, embedding, label FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ROUND(({_dot_sql('a.embedding', 'b.embedding')})
+        / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 6) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(({_dot_sql('a.embedding', 'b.embedding')})
+        / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 6) >= 0.3
+ORDER BY vec_a, vec_b
+""",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (north-star): IVF-style blocking — pairs
+    compared only within the same coarse partition (label stands in for
+    the cluster assignment), threshold on exact cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "label"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "label"
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk_embeddings",
+    f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT qid, e.vec_id AS vid,
+    ROUND(({_dot_sql('q.qv', 'e.embedding')})
+          / ({_norm_sql('q.qv')} * {_norm_sql('e.embedding')}), 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+SELECT qid, vid, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rnk
+  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk
+""",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (north-star similarity baseline): query
+    side broadcast, corpus scanned once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, "vec_id", "embedding", ANN_QUERY_IDS, k=5)
+
+
+def _ann_srp_sql() -> str:
+    planes = srp_planes(SRP_PLANES, EMB_DIM)
+    bucket = " || ".join(
+        f"(CASE WHEN ({_plane_dot_sql('embedding', row)}) >= 0 THEN '1' ELSE '0' END)"
+        for row in planes
+    )
+    return f"""
+WITH bucketed AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM bucketed WHERE vec_id < 8),
+scored AS (
+  SELECT qid, b.vec_id AS vid,
+    ROUND(({_dot_sql('q.qv', 'b.embedding')})
+          / ({_norm_sql('q.qv')} * {_norm_sql('b.embedding')}), 6) AS cos_sim
+  FROM bucketed b JOIN q USING (bucket) WHERE b.vec_id <> q.qid)
+SELECT qid, vid, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rnk
+  FROM scored) WHERE rnk <= 3 ORDER BY qid, rnk
+"""
+
+
+@register("ann_srp_topk_embeddings", _ann_srp_sql())
+def q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path (north-star): SRP-LSH bucket equi-join shrinks the
+    candidate set ~2^planes before exact re-ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_srp_topk(
+        emb, "vec_id", "embedding", ANN_QUERY_IDS, SRP_PLANES, EMB_DIM, k=3
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal metadata (binary payload plumbing; decode is stubbed —
+# see operators/multimodal.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata_documents",
+    """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS media_len,
+  md5(text) AS media_md5, 'text/plain' AS mime
+FROM documents ORDER BY doc_id
+""",
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing (north-star): opaque binary payload +
+    typed metadata struct; here the payload is the utf-8 encoding of the
+    text column (the container ships no codecs — decode itself is the
+    stubbed stage, operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("media_len"),
+        F.md5(payload).alias("media_md5"),
+        F.lit("text/plain").alias("mime"),
+    ).orderBy("doc_id")

@@ -1,0 +1,70 @@
+"""Dedup operators: exact, vocab-key, minhash-LSH pipeline, simhash."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mongo_analyser_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    lsh_band_hashes,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_bits,
+    vocab_key,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+    (4, "completely different words entirely unrelated content here now"),
+    (5, "dog lazy the over jumps fox brown quick the"),  # same vocab as 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["keeper"]: r["n_copies"] for r in exact_dedup(docs, F.md5("text"), "doc_id").collect()}
+    assert out[1] == 2  # docs 1+2 collapse
+    assert out[3] == 1
+    assert 2 not in out
+
+
+def test_vocab_dedup_groups_shuffled_docs(spark, docs):
+    out = {r["keeper"]: r["n_copies"] for r in exact_dedup(docs, vocab_key("text"), "doc_id").collect()}
+    assert out[1] == 3  # 1, 2 and the word-shuffled 5
+
+
+def test_minhash_lsh_pipeline(spark, docs):
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    assert sigs.count() == 5 * 8
+    # identical docs → identical signatures
+    s1 = {r["hash_idx"]: r["minhash"] for r in sigs.filter("doc_id = 1").collect()}
+    s2 = {r["hash_idx"]: r["minhash"] for r in sigs.filter("doc_id = 2").collect()}
+    assert s1 == s2
+
+    bands = lsh_band_hashes(sigs, "doc_id", bands=4, rows_per_band=2)
+    pairs = lsh_candidate_pairs(bands, "doc_id")
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dups always collide
+    assert (1, 4) not in got  # unrelated docs don't
+
+    verified = jaccard_verify(docs, pairs, "doc_id", "text")
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in verified.collect()}
+    assert jac[(1, 2)] == 1.0
+    if (1, 3) in jac:
+        assert 0.4 < jac[(1, 3)] < 1.0
+
+
+def test_simhash(spark, docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash_bits(docs, "doc_id", "text").collect()}
+    assert len(out[1]) == 64 and set(out[1]) <= {"0", "1"}
+    assert out[1] == out[2]  # identical text → identical simhash
+    ham_near = sum(a != b for a, b in zip(out[1], out[3]))
+    ham_far = sum(a != b for a, b in zip(out[1], out[4]))
+    assert ham_near < ham_far  # near-dup closer than unrelated

@@ -1,0 +1,54 @@
+"""Text analysis: tokenization, quality, language heuristic, fingerprint."""
+
+from pyspark.sql import functions as F
+
+from mongo_analyser_spark.functions.text import (
+    fingerprint,
+    lang_detect,
+    quality_score,
+    shingles,
+    token_count,
+    tokens_regex,
+)
+
+
+def col_of(spark, text, expr):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(expr.alias("out")).collect()[0]["out"]
+
+
+def test_token_count(spark):
+    assert col_of(spark, "a b c", token_count("text")) == 3
+
+
+def test_tokens_regex_bpe_ish(spark):
+    out = col_of(spark, "hello, world 42!", tokens_regex("text"))
+    assert out == ["hello", ",", "world", "42", "!"]
+
+
+def test_shingles(spark):
+    out = col_of(spark, "a b c d", shingles("text", 3))
+    assert out == ["a b c", "b c d"]
+    assert col_of(spark, "a b", shingles("text", 3)) == ["a b"]
+
+
+def test_quality_score_bounds(spark):
+    hi = col_of(spark, " ".join(f"w{i}" for i in range(60)), quality_score("text"))
+    lo = col_of(spark, "x x x x", quality_score("text"))
+    assert hi == 1.0  # 60 unique tokens ≥ target, all distinct
+    assert lo < 0.1
+
+
+def test_lang_detect(spark):
+    assert col_of(spark, "the cat is on the mat and happy", lang_detect("text")) == "en"
+    assert col_of(spark, "der hund und die katze ist da", lang_detect("text")) == "de"
+    assert col_of(spark, "zzz qqq www", lang_detect("text")) == "unknown"
+
+
+def test_fingerprint_stability(spark):
+    a = col_of(spark, "one two three four five", fingerprint("text"))
+    b = col_of(spark, "one two three four five", fingerprint("text"))
+    c = col_of(spark, "six seven eight nine ten", fingerprint("text"))
+    assert a == b
+    assert a != c
+    assert len(a) == 32  # md5 hex
