@@ -56,17 +56,28 @@ def brute_force_topk(
     k: int = 5,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (tiny) query side against the full
-    corpus, rank per query with a total tie-break (cos DESC, id ASC)."""
+    corpus, rank per query with a total tie-break (cos DESC, id ASC).
+    Norms are computed once per vector BEFORE the join (at N queries the
+    naive form recomputes each corpus norm N times)."""
     from pyspark.sql import Window
 
     queries = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
     )
-    pairs = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vvec")).join(
-        F.broadcast(queries), F.col("vid") != F.col("qid")
+    corpus = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vvec"),
+        norm(F.col(vec_col)).alias("vnorm"),
     )
+    pairs = corpus.join(F.broadcast(queries), F.col("vid") != F.col("qid"))
     scored = pairs.select(
-        "qid", "vid", cosine(F.col("qvec"), F.col("vvec")).alias("cos_sim")
+        "qid",
+        "vid",
+        F.round(
+            dot(F.col("qvec"), F.col("vvec")) / (F.col("qnorm") * F.col("vnorm")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vid"))
     return (
@@ -117,10 +128,16 @@ def ann_srp_topk(
 
     planes = srp_planes(num_planes, dim)
     bucketed = emb.select(
-        F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("vnorm"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     queries = bucketed.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), "bucket"
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+        "bucket",
     )
     cands = bucketed.join(F.broadcast(queries), "bucket").filter(
         F.col(id_col) != F.col("qid")
@@ -128,7 +145,9 @@ def ann_srp_topk(
     scored = cands.select(
         "qid",
         F.col(id_col).alias("vid"),
-        cosine(F.col("qvec"), F.col(vec_col)).alias("cos_sim"),
+        F.round(
+            dot(F.col("qvec"), F.col(vec_col)) / (F.col("qnorm") * F.col("vnorm")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vid"))
     return (

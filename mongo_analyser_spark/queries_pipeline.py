@@ -31,7 +31,6 @@ from mongo_analyser_spark.operators.dedup import (
 from mongo_analyser_spark.operators.similarity import (
     ann_srp_topk,
     brute_force_topk,
-    cosine,
     srp_planes,
 )
 from mongo_analyser_spark.queries import register
@@ -313,17 +312,34 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (north-star): IVF-style blocking — pairs
     compared only within the same coarse partition (label stands in for
     the cluster assignment), threshold on exact cosine."""
+    from mongo_analyser_spark.operators.similarity import dot, norm
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "label"
+    # norms once per vector BEFORE the pair join — the naive per-pair form
+    # recomputes each norm (group_size - 1) times
+    base = emb.select("vec_id", "embedding", "label", norm(F.col("embedding")).alias("nrm"))
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+        "label",
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "label"
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "label",
     )
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6).alias(
+                "cos_sim"
+            ),
+        )
         .filter(F.col("cos_sim") >= 0.3)
         .orderBy("vec_a", "vec_b")
     )
