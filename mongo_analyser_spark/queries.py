@@ -759,3 +759,4 @@ def q_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline [EXT] registrations (dedup / similarity / text / multimodal) —
 # imported last so they append to the same registry
 from mongo_analyser_spark import queries_pipeline  # noqa: E402,F401
+from mongo_analyser_spark import queries_streaming  # noqa: E402,F401

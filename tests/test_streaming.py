@@ -1,0 +1,115 @@
+"""Streaming operators: batch/stream parity on the same files.
+
+The windowing builders are checked three ways:
+* the DuckDB oracle hash-checks the batch twins (driver gate);
+* here, a real Structured Streaming run (readStream → memory sink,
+  availableNow trigger) must converge to the batch answer;
+* stateful dedup keeps exactly one row per key.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_analyser_spark.sources.parquet import load_table
+from mongo_analyser_spark.streaming.windows import (
+    dedup_first_per_key,
+    session_stats,
+    sliding_counts,
+    stream_events,
+    streaming_dedup,
+    tumbling_counts,
+    with_late_data_policy,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_stream_to_memory(sdf, name: str, output_mode: str = "complete"):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_stream_matches_batch(spark):
+    ev = load_table(spark, SF, "events")
+    batch = {
+        (r["window_start"], r["n_events"], r["sum_value"])
+        for r in tumbling_counts(ev, "ts", "1 hour", value_col="value").collect()
+    }
+    sdf = tumbling_counts(stream_events(spark, SF), "ts", "1 hour", value_col="value")
+    assert sdf.isStreaming
+    _run_stream_to_memory(sdf, "t_tumbling")
+    got = {
+        (r["window_start"], r["n_events"], r["sum_value"])
+        for r in spark.table("t_tumbling").collect()
+    }
+    assert got == batch and len(got) > 0
+
+
+def test_session_stream_matches_batch(spark):
+    ev = load_table(spark, SF, "events")
+    batch = {
+        tuple(r) for r in session_stats(ev, "ts", "30 minutes", ["user_id"]).collect()
+    }
+    sdf = session_stats(
+        stream_events(spark, SF).withWatermark("ts", "1 hour"),
+        "ts",
+        "30 minutes",
+        ["user_id"],
+    )
+    assert sdf.isStreaming
+    _run_stream_to_memory(sdf, "t_session")
+    got = {tuple(r) for r in spark.table("t_session").collect()}
+    assert got == batch and len(got) > 0
+
+
+def test_sliding_each_event_in_two_windows(spark):
+    ev = load_table(spark, SF, "events")
+    total = ev.count()
+    windows = sliding_counts(ev, "ts", "1 hour", "30 minutes")
+    assert windows.agg(F.sum("n_events")).collect()[0][0] == 2 * total
+
+
+def test_streaming_dedup_bounded_state(spark):
+    sdf = streaming_dedup(
+        stream_events(spark, SF), ["user_id", "event_type"], "ts", "1 hour"
+    )
+    assert sdf.isStreaming
+    _run_stream_to_memory(sdf, "t_dedup", output_mode="append")
+    out = spark.table("t_dedup")
+    n_keys = out.select("user_id", "event_type").distinct().count()
+    assert out.count() == n_keys > 0
+
+
+def test_dedup_first_per_key_deterministic(spark):
+    ev = load_table(spark, SF, "events")
+    first = dedup_first_per_key(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    keys = ev.select("user_id", "event_type").distinct().count()
+    assert first.count() == keys
+    # re-run is bit-identical (total order)
+    again = dedup_first_per_key(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    assert {tuple(r) for r in first.collect()} == {tuple(r) for r in again.collect()}
+
+
+def test_late_data_policy_batch_twin(spark):
+    ev = load_table(spark, SF, "events")
+    kept = with_late_data_policy(ev, "ts", "1 day")
+    hwm = ev.agg(F.max("ts")).collect()[0][0]
+    mn = kept.agg(F.min("ts")).collect()[0][0]
+    import datetime
+
+    assert mn >= hwm - datetime.timedelta(days=1)
+    assert 0 < kept.count() < ev.count()
+
+
+def test_late_data_policy_streaming_is_watermark(spark):
+    sdf = with_late_data_policy(stream_events(spark, SF), "ts", "1 day")
+    assert sdf.isStreaming  # watermark path, no filter-join
