@@ -1,0 +1,21 @@
+from mongo_analyser_spark.plans.inspect import (
+    formatted_plan,
+    has_broadcast_hash_join,
+    has_sort_merge_join,
+    num_exchanges,
+    num_wholestage_codegen,
+    plan_report,
+    pushed_filters,
+    read_schemas,
+)
+
+__all__ = [
+    "formatted_plan",
+    "pushed_filters",
+    "read_schemas",
+    "has_broadcast_hash_join",
+    "has_sort_merge_join",
+    "num_exchanges",
+    "num_wholestage_codegen",
+    "plan_report",
+]

@@ -1,0 +1,76 @@
+"""Physical-plan pins: the 100-TB-safety properties of headline queries,
+asserted so a de-optimizing regression fails here instead of on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo_analyser_spark.plans import (
+    formatted_plan,
+    num_exchanges,
+    num_wholestage_codegen,
+    plan_report,
+    pushed_filters,
+    read_schemas,
+)
+from mongo_analyser_spark.queries import QUERIES
+from mongo_analyser_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    ev = load_table(spark, SF, "events")
+    q = ev.filter(F.col("value") > 100).select("event_id", "value")
+    filters = pushed_filters(q)
+    assert "GreaterThan(value,100.0)" in filters
+    # scan reads exactly the two projected columns, not all six
+    [schema] = read_schemas(q)
+    assert schema == "struct<event_id:bigint,value:double>"
+
+
+def test_q5_broadcasts_all_dimensions(spark):
+    """Star-schema join: every dimension must broadcast — a sort-merge
+    join here would shuffle the lineitem fact table five times."""
+    q5 = QUERIES["q5_local_supplier_volume"](spark, SF)
+    r = plan_report(q5)
+    assert r["broadcast_hash_join"] and not r["sort_merge_join"]
+    # only the final agg + ordering shuffle the (already aggregated) rows
+    assert r["exchanges"] <= 2
+
+
+def test_field_stats_shuffle_budget(spark):
+    """The flagship melt + grouped aggregate. Exact count_distinct plans
+    as two shrinking shuffles (partial on (field,key), regroup on field)
+    + the tiny output sort = 3; each stage's input is strictly smaller.
+    The HLL (approx) variant for 100-TB runs must drop the distinct
+    cascade to a single agg shuffle + sort."""
+    from mongo_analyser_spark.operators.field_stats import field_stats
+    from mongo_analyser_spark.sources.parquet import EVENTS_PROPS_SCHEMA
+
+    fs = QUERIES["field_stats_events"](spark, SF)
+    assert num_exchanges(fs) <= 3
+    ev = load_table(spark, SF, "events")
+    approx = field_stats(ev, {"props": EVENTS_PROPS_SCHEMA}, approx=True)
+    assert num_exchanges(approx) <= 2
+
+
+def test_field_stats_fully_codegen(spark):
+    """Melt -> project -> partial agg fuses into whole-stage codegen; a
+    zero here would mean the hot path fell out of codegen entirely."""
+    fs = QUERIES["field_stats_events"](spark, SF)
+    assert num_wholestage_codegen(fs) >= 1
+
+
+def test_q1_pushes_date_filter(spark):
+    q1 = QUERIES["q1_pricing_summary"](spark, SF)
+    assert any("l_shipdate" in f for f in pushed_filters(q1))
+
+
+def test_topk_join_is_broadcast(spark):
+    """similarity top-k broadcasts the tiny query side — a shuffle join
+    would repartition the whole corpus per lookup batch."""
+    q = QUERIES["similarity_topk_embeddings"](spark, SF)
+    plan = formatted_plan(q)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
