@@ -1,0 +1,95 @@
+"""Export sinks (SURVEY §2.1 S5-S8).
+
+The reference streams converted documents into ONE gzip-compressed JSON
+array with `[\\n doc,\\n doc \\n]\\n` framing
+(mongo_analyser/core/extractor.py:248-359, write loop :307-335) and dumps
+schema/stats artifacts as JSON/CSV
+(views/schema_analysis_view.py:448-479,517-546).
+
+Two export tiers, because the reference's single-array framing is
+inherently single-writer:
+
+* `export_json` — the 100-TB path: parallel `df.write.json` (JSON Lines,
+  one shard per task, optional gzip). This is the default.
+* `export_json_array_gz` — reference-parity framing: rows stream through
+  the driver via `toLocalIterator` (one partition in flight, bounded
+  memory — NOT a collect) into a single gzip member. Use only when a
+  downstream consumer requires the exact one-array file.
+"""
+
+from __future__ import annotations
+
+import csv
+import gzip
+import io
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def export_json(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """Scalable JSON-lines export: one shard per task, gzip by default.
+    Column pruning/pushdown still apply to the upstream plan."""
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def export_json_array_gz(
+    df: DataFrame, path: str, batch_size: int = 1000
+) -> int:
+    """Reference-framed single-file export: gzip JSON array opening with
+    '[\\n', rows ',\\n'-separated, closing '\\n]\\n'
+    (extractor.py:307-335; framing asserted by the reference's own test
+    tests/core/test_extractor.py:136-179). Returns rows written.
+
+    Rows are serialized to JSON strings BY EXECUTORS (`to_json` runs
+    JVM-side); the driver only concatenates framing bytes around an
+    iterator that holds one partition at a time.
+    """
+    it = df.select(F.to_json(F.struct(*df.columns)).alias("j")).toLocalIterator()
+    n = 0
+    with gzip.open(path, "wt", encoding="utf-8") as fh:
+        fh.write("[\n")
+        for row in it:
+            if n:
+                fh.write(",\n")
+            fh.write(row["j"])
+            n += 1
+        fh.write("\n]\n")
+    return n
+
+
+def export_csv(df: DataFrame, path: str, quote_all: bool = True) -> None:
+    """Stats-table CSV sink with the reference's QUOTE_ALL framing
+    (schema_analysis_view.py:517-546 csv.QUOTE_ALL)."""
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", str(quote_all).lower())
+        .csv(path)
+    )
+
+
+def csv_string(rows: list[dict]) -> str:
+    """Driver-side QUOTE_ALL CSV string — the reference's clipboard
+    payload (schema_analysis_view.py:517-546) for small artifact tables."""
+    if not rows:
+        return ""
+    buf = io.StringIO()
+    w = csv.DictWriter(buf, fieldnames=list(rows[0].keys()), quoting=csv.QUOTE_ALL)
+    w.writeheader()
+    w.writerows(rows)
+    return buf.getvalue()
+
+
+def write_schema_json(artifact: dict, path: str) -> None:
+    """Schema/stats artifact sink: `json.dump(..., indent=2, default=str)`
+    exactly as the reference persists analysis results
+    (schema_analysis_view.py:448-479, data_explorer_view.py:412-443)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(artifact, fh, indent=2, default=str)

@@ -1,0 +1,124 @@
+"""Live MongoDB source via the MongoDB Spark connector (SURVEY §2.1 S12,
+§7.2 M8). Optional: the connector jar isn't bundled in this environment,
+so everything here except `MongoSource.load` is pure option/URI plumbing
+that works (and is tested) without it; `load` raises a clear error when
+the connector is absent.
+
+Reference behavior being reproduced (not code): connection-profile
+handling (mongo_analyser/core/db.py:20-187), URI construction/redaction
+(core/shared.py:17-52), and the reference's server-side pushdowns —
+`$sample` sampling (core/analyser.py:254-257) and sort+limit newest-N
+(core/extractor.py:292-298,386-393) — shipped to the connector as an
+`aggregation.pipeline` read option so MongoDB, not Spark, executes them.
+"""
+
+from __future__ import annotations
+
+import json
+from urllib.parse import quote_plus, urlsplit
+
+from pyspark.sql import DataFrame, SparkSession
+
+MONGO_FORMAT = "mongodb"
+
+
+def build_mongo_uri(
+    host: str,
+    port: int | str,
+    username: str | None = None,
+    password: str | None = None,
+    params: str | None = None,
+) -> str:
+    """mongodb:// URI with quote_plus-escaped credentials — same contract
+    as the reference (core/shared.py:17-32; truth table in
+    tests/core/test_shared.py)."""
+    auth = ""
+    if username:
+        auth = quote_plus(username)
+        if password:
+            auth += f":{quote_plus(password)}"
+        auth += "@"
+    query = f"?{params}" if params else ""
+    return f"mongodb://{auth}{host}:{port}/{query}"
+
+
+def redact_uri_password(uri: str) -> str:
+    """Mask the password component for logs/UI (core/shared.py:35-52).
+    Returns the input unchanged when there is no user:pass@ section."""
+    try:
+        parts = urlsplit(uri)
+        if not parts.password:
+            return uri
+        userinfo, host = parts.netloc.rsplit("@", 1)
+        user = userinfo.split(":", 1)[0]
+        return uri.replace(parts.netloc, f"{user}:********@{host}", 1)
+    except ValueError:
+        return uri
+
+
+class MongoSource:
+    """Builder for a connector read with reference-style pushdowns.
+
+    The aggregation pipeline is executed BY THE MONGODB SERVER before
+    rows reach Spark — the scale contract for live mode: sampling and
+    newest-N never transfer the full collection. Filters/projections on
+    the resulting DataFrame additionally push down via the connector's
+    own $match/$project translation.
+    """
+
+    def __init__(self, uri: str, database: str, collection: str):
+        self.uri = uri
+        self.database = database
+        self.collection = collection
+        self.pipeline: list[dict] = []
+
+    # -- pushdown stages (reference-issued query shapes) ------------------
+
+    def sample(self, n: int) -> "MongoSource":
+        """Server-side uniform sample — the reference's schema-inference
+        scan (`$sample`, analyser.py:254-257)."""
+        self.pipeline.append({"$sample": {"size": int(n)}})
+        return self
+
+    def newest(self, n: int | None, by: str = "_id") -> "MongoSource":
+        """Sort newest-first (+ optional limit) — the reference's export
+        and explorer scans (extractor.py:292-298,386-393)."""
+        self.pipeline.append({"$sort": {by: -1}})
+        if n is not None:
+            self.pipeline.append({"$limit": int(n)})
+        return self
+
+    def match(self, predicate: dict) -> "MongoSource":
+        self.pipeline.append({"$match": predicate})
+        return self
+
+    # -- materialization ---------------------------------------------------
+
+    def options(self) -> dict[str, str]:
+        opts = {
+            "connection.uri": self.uri,
+            "database": self.database,
+            "collection": self.collection,
+        }
+        if self.pipeline:
+            opts["aggregation.pipeline"] = json.dumps(self.pipeline)
+        return opts
+
+    def load(self, spark: SparkSession, schema=None) -> DataFrame:
+        reader = spark.read.format(MONGO_FORMAT).options(**self.options())
+        if schema is not None:
+            reader = reader.schema(schema)
+        try:
+            return reader.load()
+        except Exception as e:  # connector jar absent in this environment
+            raise RuntimeError(
+                "MongoDB Spark connector not available — add "
+                "org.mongodb.spark:mongo-spark-connector to spark.jars.packages "
+                f"(underlying error: {e})"
+            ) from e
+
+    def __repr__(self) -> str:  # never leak credentials into logs
+        return (
+            f"MongoSource({redact_uri_password(self.uri)}, "
+            f"{self.database}.{self.collection}, stages={len(self.pipeline)})"
+        )

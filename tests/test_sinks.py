@@ -1,0 +1,76 @@
+"""Export sinks: reference framing parity (extractor.py:307-335, asserted
+the same way the reference's own test does — tests/core/test_extractor.py:
+136-179) plus the scalable JSON-lines path round-trip."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+
+from pyspark.sql import functions as F
+
+from mongo_analyser_spark.sinks import (
+    export_csv,
+    export_json,
+    export_json_array_gz,
+    write_schema_json,
+)
+from mongo_analyser_spark.sinks.export import csv_string
+from mongo_analyser_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_json_array_gz_framing(spark, tmp_path):
+    ev = load_table(spark, SF, "events").orderBy("event_id").limit(5)
+    out = str(tmp_path / "export.json.gz")
+    n = export_json_array_gz(ev.select("event_id", "event_type"), out)
+    assert n == 5
+    raw = gzip.open(out, "rt", encoding="utf-8").read()
+    # reference framing: opens '[\n', rows ',\n'-separated, closes '\n]\n'
+    assert raw.startswith("[\n") and raw.endswith("\n]\n")
+    assert raw.count(",\n") == 4
+    docs = json.loads(raw)
+    assert [d["event_id"] for d in docs] == [0, 1, 2, 3, 4]
+
+
+def test_json_array_gz_empty(spark, tmp_path):
+    ev = load_table(spark, SF, "events").filter(F.lit(False))
+    out = str(tmp_path / "empty.json.gz")
+    assert export_json_array_gz(ev, out) == 0
+    assert json.loads(gzip.open(out, "rt").read()) == []
+
+
+def test_json_lines_roundtrip(spark, tmp_path):
+    ev = load_table(spark, SF, "events").select("event_id", "value")
+    out = str(tmp_path / "jl")
+    export_json(ev, out)
+    parts = glob.glob(out + "/part-*.json.gz")
+    assert parts, "expected gzip json shards"
+    back = spark.read.json(out)
+    assert back.count() == ev.count()
+
+
+def test_csv_quote_all(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "name string, n int")
+    out = str(tmp_path / "csv")
+    export_csv(df.coalesce(1), out)
+    [part] = glob.glob(out + "/part-*.csv")
+    lines = open(part).read().strip().split("\n")
+    assert lines[0] == '"name","n"'
+    assert '"a","1"' in lines
+
+
+def test_csv_string_clipboard():
+    s = csv_string([{"field": "a.b", "type": "str"}, {"field": "c", "type": "int64"}])
+    assert s.splitlines()[0] == '"field","type"'
+    assert '"a.b","str"' in s
+
+
+def test_schema_json_sink(tmp_path):
+    p = str(tmp_path / "artifacts" / "schema.json")
+    write_schema_json({"a": {"type": "str"}, "when": __import__("datetime").datetime(2024, 1, 1)}, p)
+    data = json.load(open(p))
+    assert data["a"]["type"] == "str"
+    assert data["when"].startswith("2024-01-01")  # default=str fallback
