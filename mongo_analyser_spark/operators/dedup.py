@@ -133,6 +133,35 @@ def jaccard_verify(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """n-gram Jaccard near-dup with min-shingle blocking: candidates are
+    documents sharing their MINIMUM shingle hash (one md5 per shingle,
+    array_min per doc — no extra shuffle beyond the block-key equi-join),
+    then exact shingle-set Jaccard verification. Min-hash blocking is the
+    1-band/1-row degenerate of LSH: two docs with Jaccard j collide with
+    probability j, so high-j pairs are found while the pair space stays
+    the block join, never the cross product."""
+    from mongo_analyser_spark.functions.text import fingerprint
+
+    fp = df.select(
+        F.col(id_col), fingerprint(F.col(text_col), shingle_n).alias("block_key")
+    )
+    pairs = (
+        fp.select(F.col(id_col).alias("doc_a"), "block_key")
+        .join(fp.select(F.col(id_col).alias("doc_b"), "block_key"), "block_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_verify(df, pairs, id_col, text_col, shingle_n, min_jaccard)
+
+
 def simhash_bits(
     df: DataFrame, id_col: str, text_col: str, num_bits: int = 64
 ) -> DataFrame:

@@ -756,6 +756,33 @@ def q_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_type").distinct().orderBy("event_type")
 
 
+@register(
+    "schema_documents",
+    """
+SELECT column_name AS field,
+  CASE data_type
+    WHEN 'BIGINT' THEN 'int64'
+    WHEN 'INTEGER' THEN 'int32'
+    WHEN 'VARCHAR' THEN 'str'
+    WHEN 'DOUBLE' THEN 'double'
+    WHEN 'BOOLEAN' THEN 'bool'
+    WHEN 'TIMESTAMP' THEN 'datetime'
+  END AS type
+FROM information_schema.columns WHERE table_name = 'documents'
+ORDER BY column_name
+""",
+)
+def q_schema_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema inference artifact as a queryable table: dotted field paths
+    with reference type labels (analyser.py:320-321 sorted flat schema),
+    cross-checked against the engine-independent catalog view."""
+    from mongo_analyser_spark.engine import Engine
+
+    schema = Engine(spark).infer_schema(load_table(spark, sf_dir, "documents"))
+    rows = [(k, v["type"]) for k, v in schema.items()]
+    return spark.createDataFrame(rows, "field string, type string").orderBy("field")
+
+
 # pipeline [EXT] registrations (dedup / similarity / text / multimodal) —
 # imported last so they append to the same registry
 from mongo_analyser_spark import queries_pipeline  # noqa: E402,F401

@@ -25,6 +25,7 @@ from mongo_analyser_spark.operators.dedup import (
     lsh_band_hashes,
     lsh_candidate_pairs,
     minhash_signatures,
+    ngram_jaccard_pairs,
     simhash_bits,
     vocab_key,
 )
@@ -268,6 +269,33 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = lsh_band_hashes(sigs, "doc_id", LSH_BANDS, LSH_ROWS)
     pairs = lsh_candidate_pairs(bands, "doc_id")
     return jaccard_verify(docs, pairs, "doc_id", "text").orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_jaccard_pairs_documents",
+    f"""
+WITH {_TOKS_CTE}, {_SH_CTE},
+fps AS (SELECT doc_id, min(md5(sh)) AS fp FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fps a JOIN fps b ON a.fp = b.fp WHERE a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s FROM toks)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+    ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (CAST(len(sa.s) + len(sb.s) AS DOUBLE)
+             - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)), 6) AS jaccard
+  FROM pairs JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
+) WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b
+""",
+)
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup (north-star): min-shingle-hash blocking
+    (the 1-band degenerate of LSH) + exact shingle-set Jaccard ≥ 0.1."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.1).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def _simhash_sql(num_bits: int = 64) -> str:

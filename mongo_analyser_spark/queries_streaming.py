@@ -125,6 +125,34 @@ def q_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_totals_events",
+    f"""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS total_value,
+       strftime(MAX(ts), '{DUCK_TS_FMT}') AS last_ts
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState per-user profile operator
+    (streaming/stateful.py) — what the stream converges to."""
+    from mongo_analyser_spark.streaming.stateful import user_totals_batch
+    from mongo_analyser_spark.streaming.windows import TS_FMT
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        user_totals_batch(ev)
+        .select(
+            "user_id",
+            "n_events",
+            "total_value",
+            F.date_format("last_ts", TS_FMT).alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "dedup_first_event_per_user_type",
     f"""
 SELECT user_id, event_type, event_id, strftime(ts, '{DUCK_TS_FMT}') AS first_ts

@@ -113,3 +113,34 @@ def test_late_data_policy_batch_twin(spark):
 def test_late_data_policy_streaming_is_watermark(spark):
     sdf = with_late_data_policy(stream_events(spark, SF), "ts", "1 day")
     assert sdf.isStreaming  # watermark path, no filter-join
+
+
+def test_custom_stateful_running_totals(spark):
+    """applyInPandasWithState per-user profile converges to the batch
+    twin after one availableNow pass over the same files."""
+    from mongo_analyser_spark.streaming.stateful import (
+        running_user_totals,
+        user_totals_batch,
+    )
+
+    ev = load_table(spark, SF, "events")
+    expected = {
+        (r["user_id"], r["n_events"], r["total_value"], r["last_ts"])
+        for r in user_totals_batch(ev).collect()
+    }
+    sdf = running_user_totals(stream_events(spark, SF))
+    assert sdf.isStreaming
+    _run_stream_to_memory(sdf, "t_state", output_mode="update")
+    # keep only each user's LAST emitted row (one row per micro-batch)
+    out = spark.table("t_state")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        out.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    got = {
+        (r["user_id"], r["n_events"], r["total_value"], r["last_ts"])
+        for r in final.collect()
+    }
+    assert got == expected and len(got) > 0
