@@ -91,3 +91,65 @@ def extract_media_features(
             yield out
 
     return narrowed.mapInPandas(run, out_schema)
+
+
+def sample_frame_indices(n_frames: Column, k: int = 4) -> Column:
+    """Uniform deterministic frame sampling: k indices spread over
+    [0, n_frames-1] (floor(i*(n-1)/(k-1))), deduplicated and ordered —
+    pure Column expression, no UDF, so the planner can fuse it with the
+    feature-extract stage. Clips that have fewer than k frames yield all
+    their frames."""
+    n = n_frames.cast("long")
+    idx = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.floor(i.cast("double") * (n - 1) / (k - 1)).cast("int"),
+    )
+    return F.array_sort(F.array_distinct(idx))
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str,
+    media_col: str,
+    width: int,
+    height: int,
+    resizer: str | Callable[[bytes, int, int], bytes] = "fake",
+) -> DataFrame:
+    """Resize stage: mapInPandas over the payload, emitting a transformed
+    binary plus the new dimensions. ``"fake"`` passes the payload through
+    (tagged with the target dims) so the batching/schema plumbing is
+    exercised; ``"real"`` raises where the PIL call would go."""
+    if resizer == "fake":
+        def do_resize(payload: bytes, w: int, h: int) -> bytes:
+            return payload
+    elif resizer == "real":
+        def do_resize(payload: bytes, w: int, h: int) -> bytes:
+            raise NotImplementedError(
+                "real resize requires an image codec (PIL) not present in "
+                "this container; pass resizer=<callable> where one exists"
+            )
+    else:
+        do_resize = resizer
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("data", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    narrowed = df.select(id_col, F.col(media_col).getField("data").alias("__data"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "data": [do_resize(bytes(p), width, height) for p in pdf["__data"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return narrowed.mapInPandas(run, out_schema)

@@ -53,3 +53,33 @@ def test_custom_decoder_pluggable(spark, media_df):
 
     rows = extract_media_features(media_df, "id", "media", decoder=decoder).collect()
     assert all(r["width"] == 1 and r["n_frames"] == 3 for r in rows)
+
+def test_frame_sampling_expression(spark, media_df):
+    from mongo_analyser_spark.operators.multimodal import (
+        extract_media_features,
+        sample_frame_indices,
+    )
+
+    feats = extract_media_features(media_df, "id", "media")
+    out = feats.select(
+        "id", "n_frames", sample_frame_indices(F.col("n_frames"), k=4).alias("frames")
+    ).collect()
+    for r in out:
+        assert r["frames"] == sorted(set(r["frames"]))
+        assert len(r["frames"]) == min(4, r["n_frames"])
+        assert r["frames"][0] == 0 and r["frames"][-1] == r["n_frames"] - 1
+
+
+def test_resize_fake_plumbing(spark, media_df):
+    from mongo_analyser_spark.operators.multimodal import resize_media
+
+    out = {r["id"]: r for r in resize_media(media_df, "id", "media", 224, 224).collect()}
+    assert bytes(out[1]["data"]) == b"hello world"  # passthrough stub
+    assert out[1]["width"] == out[1]["height"] == 224
+
+
+def test_resize_real_is_explicit_stub(spark, media_df):
+    from mongo_analyser_spark.operators.multimodal import resize_media
+
+    with pytest.raises(Exception, match="NotImplementedError|real resize"):
+        resize_media(media_df, "id", "media", 10, 10, resizer="real").collect()
