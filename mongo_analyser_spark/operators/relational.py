@@ -30,6 +30,38 @@ def top_k_per_group(
     )
 
 
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    buckets: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-resistant equi-join: split each hot key of the large side
+    across ``buckets`` random salt values and replicate the small side's
+    matching rows into every bucket, so one pathological key spreads over
+    ``buckets`` tasks instead of stalling a single reducer.
+
+    AQE's skew-join handles most cases at runtime; this is the explicit
+    form for when the small side is too big to broadcast AND a key is hot
+    enough to need pre-planned spreading (e.g. the null-key / default-key
+    pileups common in 100 TB log joins). Result is identical to
+    ``large.join(small, key, how)`` — salt never leaves the operator.
+
+    Only inner/left are valid: the replicated small side would duplicate
+    unmatched rows under right/full semantics."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_large = large.withColumn(
+        "__salt", F.floor(F.rand(seed) * buckets).cast("int")
+    )
+    replicated_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return salted_large.join(replicated_small, [key, "__salt"], how).drop("__salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

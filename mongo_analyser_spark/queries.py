@@ -757,6 +757,34 @@ def q_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_percentiles_events",
+    """
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+  ROUND(quantile_cont(value, 0.9), 4) AS p90,
+  ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (SURVEY §2.4 [EXT] —
+    distribution stats beyond min/max). `percentile` is exact
+    (quantile_cont semantics, matching the oracle); the 100 TB variant is
+    `approx_percentile(value, p, accuracy)` — same plan shape, bounded
+    t-digest state instead of a per-group value sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "schema_documents",
     """
 SELECT column_name AS field,

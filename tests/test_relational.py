@@ -38,3 +38,40 @@ def test_top_k_per_group_ties_deterministic(spark):
     assert got[("g", 1)] == "a"  # tie broken by value ASC
     assert got[("g", 2)] == "b"
     assert got[("h", 1)] == "z"
+
+
+def test_salted_join_matches_plain_join(spark):
+    from mongo_analyser_spark.operators.relational import salted_join
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer")
+    plain = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_name"
+    )
+    salted = salted_join(
+        orders.withColumnRenamed("o_custkey", "k"),
+        cust.withColumnRenamed("c_custkey", "k"),
+        "k",
+        buckets=8,
+    ).select("o_orderkey", "c_name")
+    assert salted.count() == plain.count()
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from mongo_analyser_spark.operators.relational import salted_join
+
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (99, "zz")], "k int, v string")
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k int, w string")
+    out = salted_join(big, dim, "k", buckets=4, how="left").collect()
+    assert len(out) == 3
+    assert {r["k"]: r["w"] for r in out} == {1: "x", 2: "y", 99: None}
+
+
+def test_salted_join_rejects_right():
+    import pytest as _pytest
+    from mongo_analyser_spark.operators.relational import salted_join
+
+    with _pytest.raises(ValueError):
+        salted_join(None, None, "k", how="right")
