@@ -22,9 +22,13 @@ def main() -> None:
 
     spark = get_spark("mongo_analyser_spark_bench", cpus=cpus)
 
-    # warm the JVM/codegen once so per-query numbers measure the plan,
-    # not first-run classloading
-    next(iter(QUERIES.values()))(spark, sf_dir).collect()
+    # warm-up pass: run every query once un-timed so the timed pass
+    # measures steady-state execution (the plan), not JIT/codegen
+    # compilation and classloading — higher-order-function and Pandas-UDF
+    # codepaths each have their own first-run cost a single warmup query
+    # doesn't touch
+    for fn in QUERIES.values():
+        fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

@@ -811,6 +811,64 @@ def q_schema_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "field string, type string").orderBy("field")
 
 
+_DOCS_MELT_SQL = """
+WITH melt AS (
+  SELECT 'doc_id' AS field, doc_id IS NOT NULL AS present,
+         CAST(doc_id AS VARCHAR) AS v_str, CAST(doc_id AS DOUBLE) AS v_num FROM documents
+  UNION ALL
+  SELECT 'text', text IS NOT NULL, text, NULL FROM documents
+  UNION ALL
+  SELECT 'lang', lang IS NOT NULL, lang, NULL FROM documents
+  UNION ALL
+  SELECT 'source', source IS NOT NULL, source, NULL FROM documents
+  UNION ALL
+  SELECT 'n_chars', n_chars IS NOT NULL, CAST(n_chars AS VARCHAR),
+         CAST(n_chars AS DOUBLE) FROM documents
+)
+"""
+
+
+@register(
+    "schema_with_stats_documents",
+    _DOCS_MELT_SQL
+    + """, stats AS (
+  SELECT field,
+    CAST(count(*) FILTER (WHERE present) AS BIGINT) AS cnt,
+    ROUND((count(*) - count(*) FILTER (WHERE present)) * 100.0 / count(*), 4) AS missing_pct,
+    CAST(count(DISTINCT v_str) AS BIGINT) AS distinct_cnt,
+    MIN(v_num) AS min_num, MAX(v_num) AS max_num
+  FROM melt GROUP BY field
+), sch AS (
+  SELECT column_name AS field,
+    CASE data_type WHEN 'BIGINT' THEN 'int64' WHEN 'INTEGER' THEN 'int32'
+      WHEN 'VARCHAR' THEN 'str' WHEN 'DOUBLE' THEN 'double'
+      WHEN 'BOOLEAN' THEN 'bool' WHEN 'TIMESTAMP' THEN 'datetime' END AS type
+  FROM information_schema.columns WHERE table_name = 'documents'
+)
+SELECT sch.field, sch.type, s.cnt, s.missing_pct, s.distinct_cnt, s.min_num, s.max_num
+FROM sch JOIN stats s USING (field) ORDER BY field
+""",
+)
+def q_schema_with_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 J1 — the reference correlates the schema dict with the
+    stats dict by field path (views/schema_analysis_view.py:385-410, a
+    driver-side hash lookup); here it's an explicit broadcast hash join of
+    the two artifact DataFrames on field_path (both sides tiny)."""
+    from mongo_analyser_spark.engine import Engine
+
+    docs = load_table(spark, sf_dir, "documents")
+    schema = Engine(spark).infer_schema(docs)
+    schema_df = spark.createDataFrame(
+        [(k, v["type"]) for k, v in schema.items()], "field string, type string"
+    )
+    stats_df = field_stats(docs).drop("min_ts", "max_ts")
+    return (
+        stats_df.join(F.broadcast(schema_df), "field")
+        .select("field", "type", "cnt", "missing_pct", "distinct_cnt", "min_num", "max_num")
+        .orderBy("field")
+    )
+
+
 # pipeline [EXT] registrations (dedup / similarity / text / multimodal) —
 # imported last so they append to the same registry
 from mongo_analyser_spark import queries_pipeline  # noqa: E402,F401

@@ -52,3 +52,37 @@ def list_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
         f[: -len(".parquet")] for f in os.listdir(sf_dir) if f.endswith(".parquet")
     )
     return spark.createDataFrame([(n,) for n in names], "name string").orderBy("name")
+
+
+def describe_indexes(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The reference's index listing (list_indexes,
+    views/db_connection_view.py:495-609) mapped to the storage layer's
+    actual index structures: parquet per-row-group column statistics
+    (zone maps), which drive predicate pushdown / row-group skipping the
+    way Mongo indexes drive query plans. One footer read, driver-side —
+    no data scan. Columns: (column, row_group, num_rows, min, max,
+    null_count); min/max stringified, None when the writer kept no stats."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata
+    rows = []
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            st = col.statistics
+            has = st is not None and st.has_min_max
+            rows.append(
+                (
+                    col.path_in_schema,
+                    rg,
+                    group.num_rows,
+                    str(st.min) if has else None,
+                    str(st.max) if has else None,
+                    int(st.null_count) if st is not None and st.null_count is not None else None,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "column string, row_group int, num_rows long, min string, max string, null_count long",
+    ).orderBy("column", "row_group")

@@ -1,0 +1,61 @@
+"""Index-analog listing (parquet zone maps, SURVEY S11) cross-checked
+against DuckDB's parquet_metadata, and the L5 blocklist combinator."""
+
+from __future__ import annotations
+
+import duckdb
+
+from mongo_analyser_spark.llm.blocklist import filter_blocklisted
+from mongo_analyser_spark.sources.parquet import describe_indexes
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_describe_indexes_matches_parquet_metadata(spark):
+    idx = describe_indexes(spark, SF, "documents")
+    rows = {(r["column"], r["row_group"]): r for r in idx.collect()}
+    assert rows, "no zone-map entries"
+    duck = duckdb.sql(
+        f"""SELECT path_in_schema, row_group_id, row_group_num_rows,
+                   stats_min_value, stats_max_value, stats_null_count
+            FROM parquet_metadata('{SF}/documents.parquet')"""
+    ).fetchall()
+    assert len(duck) == len(rows)
+    for col, rg, nrows, dmin, dmax, dnull in duck:
+        r = rows[(col, rg)]
+        assert r["num_rows"] == nrows
+        assert r["null_count"] == dnull
+        # numeric column stats agree exactly (strings may be truncated
+        # differently by the two readers)
+        if col in ("doc_id", "n_chars"):
+            assert r["min"] == str(dmin) and r["max"] == str(dmax)
+
+
+def test_describe_indexes_covers_all_columns(spark):
+    idx = describe_indexes(spark, SF, "events")
+    cols = {r["column"] for r in idx.collect()}
+    assert {"event_id", "ts", "user_id", "event_type", "value", "props"} <= cols
+
+
+def test_blocklist_exact_and_patterns(spark):
+    models = spark.createDataFrame(
+        [("gpt-4",), ("text-davinci-003",), ("o1-preview",), ("llama3",), ("ada",)],
+        "name string",
+    )
+    out = filter_blocklisted(
+        models,
+        exact=["ada"],
+        patterns=[r"davinci", r"^o1-"],
+    )
+    assert {r["name"] for r in out.collect()} == {"gpt-4", "llama3"}
+
+
+def test_blocklist_case_insensitive(spark):
+    models = spark.createDataFrame([("GPT-4-Turbo",), ("claude-3",)], "name string")
+    out = filter_blocklisted(models, patterns=[r"gpt"])
+    assert {r["name"] for r in out.collect()} == {"claude-3"}
+
+
+def test_blocklist_noop_without_lists(spark):
+    models = spark.createDataFrame([("a",), ("b",)], "name string")
+    assert filter_blocklisted(models).count() == 2

@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) over the pure-Python inference and
+flatten/unflatten layer — the reference ships only example-based truth
+tables (SURVEY §5); these pin the invariants for arbitrary JSON shapes.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mongo_analyser_spark.types import (
+    flatten_document,
+    infer_value_type,
+    schema_to_hierarchical,
+)
+
+json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=20),
+)
+
+json_values = st.recursive(
+    json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=6),
+        st.dictionaries(st.text(min_size=1, max_size=8), children, max_size=4),
+    ),
+    max_leaves=20,
+)
+
+
+@given(json_values)
+@settings(max_examples=300)
+def test_infer_type_total_and_deterministic(v):
+    """Every JSON value gets exactly one label, stable across calls."""
+    label = infer_value_type(v)
+    assert isinstance(label, str) and label
+    assert infer_value_type(v) == label
+    assert infer_value_type(json.loads(json.dumps(v))) == label
+
+
+@given(st.lists(json_scalars, max_size=12))
+@settings(max_examples=300)
+def test_array_election_rules(arr):
+    """Array labels obey the reference's election contract
+    (analyser.py:90-129, extractor.py:60-81)."""
+    label = infer_value_type(arr)
+    non_null = [x for x in arr[:10] if x is not None]
+    if not arr:
+        assert label == "array<empty>"
+    elif not non_null:
+        assert label == "array<null>"
+    else:
+        elem_labels = {infer_value_type(x) for x in non_null}
+        if len(elem_labels) == 1:
+            assert label == f"array<{elem_labels.pop()}>"
+        else:
+            assert label == "array<mixed>"
+    # bool-before-int: a bool element never relabels as int
+    if arr and all(isinstance(x, bool) for x in arr):
+        assert label == "array<bool>"
+
+
+# dotted-path round-trip needs keys without '.' and non-dict leaves
+path_safe_keys = st.text(
+    alphabet=st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=6
+)
+leaf_values = st.one_of(st.booleans(), st.integers(), st.text(max_size=8))
+nested_docs = st.recursive(
+    st.dictionaries(path_safe_keys, leaf_values, min_size=1, max_size=4),
+    lambda children: st.dictionaries(
+        path_safe_keys, st.one_of(leaf_values, children), min_size=1, max_size=4
+    ),
+    max_leaves=15,
+)
+
+
+@given(nested_docs)
+@settings(max_examples=300)
+def test_flatten_hierarchical_roundtrip(doc):
+    """flatten (analyser.py:44-45) and schema_to_hierarchical
+    (analyser.py:324-333) are inverse on dot-free keys — as long as no
+    scalar sits where a sub-document also exists (path prefix collision),
+    which flatten resolves in favor of the sub-document."""
+    flat = flatten_document(doc)
+    # skip the documented collision case: a key that is both leaf and prefix
+    paths = set(flat)
+    if any(p != q and q.startswith(p + ".") for p in paths for q in paths):
+        return
+    # wrapper key must not collide with generated doc keys (lowercase only)
+    rebuilt = schema_to_hierarchical({k: {"__LEAF__": v} for k, v in flat.items()})
+
+    def strip(node):
+        if isinstance(node, dict) and set(node) == {"__LEAF__"}:
+            return node["__LEAF__"]
+        return {k: strip(x) for k, x in node.items()}
+
+    assert strip(rebuilt) == doc
