@@ -84,6 +84,70 @@ def display_safe(col: Column | str, type_name: str = "str", max_serialized: int 
     ).otherwise(c)
 
 
+def export_expr(
+    dtype,
+    col: Column,
+    tz: str = "UTC",
+    path: str = "",
+    type_overrides: dict[str, str] | None = None,
+) -> Column:
+    """Recursive type-directed conversion expression — the generic form of
+    the reference's `_convert_single_value`/`convert_to_json_compatible`
+    walk (extractor.py:91-246): timestamps → tz-converted ISO strings,
+    binary → hex (or canonical UUID when the schema artifact says
+    `binary<UUID>`), decimals → strings, arrays/structs recursed.
+
+    ``type_overrides`` maps dotted paths to reference type labels, letting
+    an inferred-schema artifact direct conversions the physical type can't
+    express (exactly how the reference passes schema-for-level down)."""
+    from pyspark.sql import types as T
+
+    overrides = type_overrides or {}
+    label = overrides.get(path)
+    if isinstance(dtype, T.TimestampType):
+        return iso_timestamp(col, tz)
+    if isinstance(dtype, T.BinaryType):
+        if label in ("binary<UUID>", "binary<UUID (legacy)>"):
+            return uuid_canonical(col)
+        return binary_hex(col)
+    if isinstance(dtype, T.DecimalType):
+        return col.cast("string")
+    if isinstance(dtype, T.ArrayType):
+        sub = f"{path}[]" if path else "[]"
+        return F.transform(
+            col, lambda x: export_expr(dtype.elementType, x, tz, sub, overrides)
+        )
+    if isinstance(dtype, T.StructType):
+        return F.struct(
+            *[
+                export_expr(
+                    f.dataType,
+                    col.getField(f.name),
+                    tz,
+                    f"{path}.{f.name}" if path else f.name,
+                    overrides,
+                ).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+    return col
+
+
+def export_select(
+    df, tz: str = "UTC", type_overrides: dict[str, str] | None = None
+):
+    """Apply `export_expr` to every column — the whole-document export
+    projection (extractor.py:210-246), one select, fully codegen."""
+    return df.select(
+        *[
+            export_expr(f.dataType, F.col(f.name), tz, f.name, type_overrides).alias(
+                f.name
+            )
+            for f in df.schema.fields
+        ]
+    )
+
+
 def humanize_bytes(col: Column | str) -> Column:
     """log-1024 bucketing into B..EB with 2-decimal rounding
     (views/db_connection_view.py:676-699)."""

@@ -811,6 +811,75 @@ def q_schema_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "field string, type string").orderBy("field")
 
 
+@register(
+    "q4_priority_with_returns",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q_q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (TPC-H Q4 shape) run through the pure
+    SQL surface: Catalyst decorrelates the subquery into a left-semi join
+    on l_orderkey (SURVEY §4.2 'subquery decorrelation — built-in');
+    verify with plans.formatted_plan — no per-row subquery execution."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+)
+def q_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue top-20 customers from returned items.
+    customer/nation broadcast; lineitem⋈orders is the only big join; the
+    decimal-sum keeps the aggregate order-insensitive (IEEE double sums
+    are not)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 _DOCS_MELT_SQL = """
 WITH melt AS (
   SELECT 'doc_id' AS field, doc_id IS NOT NULL AS present,

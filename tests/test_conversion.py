@@ -61,3 +61,64 @@ def test_humanize_bytes(spark):
     assert one(spark, 1024, humanize_bytes(F.col("v")), "v long") == "1.0 KB"
     assert one(spark, 1536, humanize_bytes(F.col("v")), "v long") == "1.5 KB"
     assert one(spark, 5 * 1024**3, humanize_bytes(F.col("v")), "v long") == "5.0 GB"
+
+
+def test_export_select_recursive(spark):
+    """Generic schema-directed export (extractor.py:91-246): timestamps,
+    binary, decimal, arrays and nested structs all converted in one
+    projection."""
+    import datetime
+    import uuid as uuid_mod
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from mongo_analyser_spark.functions.conversion import export_select
+
+    u = uuid_mod.UUID("12345678-1234-5678-1234-567812345678")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("when", T.TimestampType()),
+            T.StructField("blob", T.BinaryType()),
+            T.StructField("uid", T.BinaryType()),
+            T.StructField("amount", T.DecimalType(10, 2)),
+            T.StructField("times", T.ArrayType(T.TimestampType())),
+            T.StructField(
+                "nested",
+                T.StructType([T.StructField("inner_blob", T.BinaryType())]),
+            ),
+        ]
+    )
+    ts = datetime.datetime(2023, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(1, ts, b"\xde\xad\xbe\xef", u.bytes, Decimal("50.25"), [ts], (b"\x01",))],
+        schema,
+    )
+    row = export_select(
+        df, tz="Europe/Oslo", type_overrides={"uid": "binary<UUID>"}
+    ).collect()[0]
+    assert row["when"] == "2023-01-01T13:00:00+01:00"  # the reference's Oslo case
+    assert row["blob"] == "deadbeef"
+    assert row["uid"] == str(u)
+    assert row["amount"] == "50.25"
+    assert row["times"] == ["2023-01-01T13:00:00+01:00"]
+    assert row["nested"]["inner_blob"] == "01"
+
+
+def test_export_select_then_gz_roundtrip(spark, tmp_path):
+    """Full reference export pipeline: schema-directed conversion ->
+    gzip JSON-array sink -> parse back."""
+    import gzip
+    import json
+
+    from mongo_analyser_spark.functions.conversion import export_select
+    from mongo_analyser_spark.sinks import export_json_array_gz
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(3)
+    out = str(tmp_path / "events.json.gz")
+    n = export_json_array_gz(export_select(ev, tz="UTC").orderBy("event_id"), out)
+    docs = json.loads(gzip.open(out, "rt").read())
+    assert len(docs) == n == 3
+    assert docs[0]["ts"].endswith("+00:00")

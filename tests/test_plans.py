@@ -74,3 +74,12 @@ def test_topk_join_is_broadcast(spark):
     q = QUERIES["similarity_topk_embeddings"](spark, SF)
     plan = formatted_plan(q)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark):
+    """Catalyst must rewrite the correlated EXISTS into a left-semi join
+    — per-row subquery execution would be quadratic at scale."""
+    q4 = QUERIES["q4_priority_with_returns"](spark, SF)
+    plan = formatted_plan(q4)
+    assert "LeftSemi" in plan
+    assert "Subquery" not in plan
