@@ -81,3 +81,13 @@ def test_schema_to_hierarchical_roundtrip():
         "user": {"name": {"type": "str"}, "details": {"age": {"type": "int32"}}},
         "x": {"type": "int32"},
     }
+
+
+def test_registry_every_query_has_oracle():
+    """Driver-contract meta-check: every queries() entry ships a DuckDB
+    oracle twin (entries without one only get the weaker rows-only
+    check — we keep the registry at 100% oracle coverage)."""
+    from mongo_analyser_spark.queries import ORACLES, QUERIES
+
+    assert set(ORACLES) == set(QUERIES)
+    assert len(QUERIES) >= 50
