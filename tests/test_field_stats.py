@@ -92,3 +92,28 @@ def test_engine_infer_schema(spark, sample_df):
     assert sch["tags"] == {"type": "array<str>"}
     assert sch["info"] == {"type": "dict"}
     assert sch["info.valid"] == {"type": "bool"}
+
+
+def test_field_stats_all_null_column(spark):
+    from mongo_analyser_spark.operators.field_stats import field_stats
+
+    df = spark.createDataFrame([(1, None), (2, None)], "a int, b string")
+    rows = {r["field"]: r for r in field_stats(df).collect()}
+    assert rows["b"]["cnt"] == 0
+    assert rows["b"]["missing_pct"] == 100.0
+    assert rows["b"]["distinct_cnt"] == 0
+    assert rows["a"]["missing_pct"] == 0.0
+
+
+def test_field_stats_empty_input(spark):
+    from mongo_analyser_spark.operators.field_stats import field_stats
+
+    df = spark.createDataFrame([], "a int, b string")
+    assert field_stats(df).collect() == []
+
+
+def test_engine_analyze_empty_is_empty(spark):
+    from mongo_analyser_spark.engine import Engine
+
+    df = spark.createDataFrame([], "a int")
+    assert Engine(spark).analyze(df) == {}
