@@ -340,9 +340,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (north-star): IVF-style blocking — pairs
     compared only within the same coarse partition (label stands in for
     the cluster assignment), threshold on exact cosine."""
-    from mongo_analyser_spark.operators.similarity import dot, norm
+    from mongo_analyser_spark.operators.similarity import as_double_vec, dot, norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", as_double_vec("embedding")
+    )
     # norms once per vector BEFORE the pair join — the naive per-pair form
     # recomputes each norm (group_size - 1) times
     base = emb.select("vec_id", "embedding", "label", norm(F.col("embedding")).alias("nrm"))
