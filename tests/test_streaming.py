@@ -144,3 +144,32 @@ def test_custom_stateful_running_totals(spark):
         for r in final.collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_file_sink_checkpoint_exactly_once(spark, tmp_path):
+    """writeStream to parquet with a checkpoint: restarting the query
+    against the same checkpoint must not duplicate rows (file-source
+    offsets are committed per micro-batch)."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    agg_src = stream_events(spark, SF).select("event_id", "user_id")
+
+    def run_once():
+        q = (
+            agg_src.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_events = load_table(spark, SF, "events").count()
+    first = spark.read.parquet(out).count()
+    assert first == n_events
+    # restart on the same checkpoint: no new input -> no duplicates
+    run_once()
+    assert spark.read.parquet(out).count() == n_events
+    assert spark.read.parquet(out).select("event_id").distinct().count() == n_events
