@@ -880,6 +880,72 @@ def q_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q6_forecast_revenue",
+    """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+         * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.08
+  AND l_quantity < 25
+""",
+)
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate. Every predicate
+    reaches the parquet scan (PushedFilters), the scan reads 4 columns of
+    11 (ReadSchema), and the single-row result needs one SinglePartition
+    exchange — the minimal possible plan for a 100 TB fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_discount").cast("decimal(18,2)")
+    ).cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount").between(0.02, 0.08))
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q12_priority_by_status",
+    """
+SELECT l_linestatus,
+  CAST(count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+  CAST(count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'N'
+GROUP BY l_linestatus ORDER BY l_linestatus
+""",
+)
+def q_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact⋈fact join + conditional aggregation
+    (count FILTER). orders⋈lineitem shuffles on the join key once; the
+    conditional counts are map-side partial aggregates."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "N")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
 _DOCS_MELT_SQL = """
 WITH melt AS (
   SELECT 'doc_id' AS field, doc_id IS NOT NULL AS present,

@@ -83,3 +83,19 @@ def test_q4_exists_decorrelates_to_semi_join(spark):
     plan = formatted_plan(q4)
     assert "LeftSemi" in plan
     assert "Subquery" not in plan
+
+
+def test_q6_minimal_scan(spark):
+    """Q6: all four predicates pushed to the scan, only the four touched
+    columns read."""
+    q6 = QUERIES["q6_forecast_revenue"](spark, SF)
+    filters = pushed_filters(q6)
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(c in f for f in filters), f"{c} not pushed: {filters}"
+    [schema] = read_schemas(q6)
+    assert set(schema[len("struct<"):-1].split(",")) == {
+        "l_quantity:double",
+        "l_extendedprice:double",
+        "l_discount:double",
+        "l_shipdate:timestamp_ntz",
+    }
