@@ -9,11 +9,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from mongo_analyser_spark.operators.field_stats import (
-    field_stats,
-    top_values,
-    type_histogram,
-)
 from mongo_analyser_spark.types import ref_type_label, schema_to_hierarchical
 
 
@@ -63,15 +58,39 @@ class Engine:
         sample_size: int | None = None,
         approx: bool = False,
         top_k: int = 5,
+        persist: bool = True,
     ) -> dict[str, dict]:
         """Reference-shaped per-field stats dict. ``sample_size`` mirrors
         the reference's sampled inference (analyser.py:254-257) via
-        df.limit; None = full scan (sample_size=-1 in the reference)."""
+        df.limit; None = full scan (sample_size=-1 in the reference).
+
+        The three aggregations (stats / type histogram / top-k values)
+        share ONE melted DataFrame persisted MEMORY_AND_DISK for the
+        duration of the call — one source scan instead of three; the
+        melted form is skinny (6 columns) and spills rather than OOMs at
+        scale. Set ``persist=False`` to trade two extra scans for zero
+        executor storage."""
+        from pyspark import StorageLevel
+
+        from mongo_analyser_spark.operators.field_stats import (
+            _histogram_agg,
+            _stats_agg,
+            _top_values_agg,
+        )
+        from mongo_analyser_spark.operators.melt import melt
+
         if sample_size is not None and sample_size > 0:
             df = df.limit(sample_size)
-        stats_rows = field_stats(df, json_cols, approx=approx).collect()
-        hist_rows = type_histogram(df, json_cols).collect()
-        top_rows = top_values(df, json_cols, k=top_k).collect()
+        melted = melt(df, json_cols)
+        if persist:
+            melted = melted.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            stats_rows = _stats_agg(melted, approx=approx).collect()
+            hist_rows = _histogram_agg(melted).collect()
+            top_rows = _top_values_agg(melted, k=top_k).collect()
+        finally:
+            if persist:
+                melted.unpersist()
 
         hist: dict[str, dict[str, int]] = {}
         for r in hist_rows:

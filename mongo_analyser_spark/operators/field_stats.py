@@ -75,6 +75,14 @@ def field_stats(
     return _stats_agg(melt(df, json_cols), approx=approx)
 
 
+def _histogram_agg(melted: DataFrame) -> DataFrame:
+    return (
+        melted.groupBy("field", "type_tag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("field", "type_tag")
+    )
+
+
 def type_histogram(
     df: DataFrame, json_cols: dict[str, T.StructType] | None = None
 ) -> DataFrame:
@@ -82,12 +90,7 @@ def type_histogram(
     type names per path, analyser.py:51,192,286). On a typed substrate the
     per-row variation is null vs non-null; dynamic JSON columns surface
     their parsed leaf types."""
-    melted = melt(df, json_cols)
-    return (
-        melted.groupBy("field", "type_tag")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("field", "type_tag")
-    )
+    return _histogram_agg(melt(df, json_cols))
 
 
 def top_values(
@@ -101,7 +104,10 @@ def top_values(
     Only string-typed values enter the frequency map, matching the subtle
     reference behavior that ints do NOT appear in value_frequencies
     (tests/core/test_analyser.py:124-125)."""
-    melted = melt(df, json_cols)
+    return _top_values_agg(melt(df, json_cols), k=k, max_len=max_len)
+
+
+def _top_values_agg(melted: DataFrame, k: int = 5, max_len: int = 256) -> DataFrame:
     counted = (
         melted.filter(
             F.col("present") & (F.col("type_tag") == "str") & (F.length("v_str") < max_len)
