@@ -946,6 +946,37 @@ def q_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "trailing_window_range_events",
+    """
+SELECT event_id, user_id,
+  CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+  ROUND(SUM(value) OVER w, 2) AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+)
+def q_trailing_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (SURVEY W4, the frame spec rows-frames can't
+    express): per user, count + value sum over the trailing hour of
+    EVENT TIME — the frame is value-based (microseconds), so sparse and
+    dense users get the same time horizon. One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_trailing_1h"),
+    ).orderBy("event_id")
+
+
 _DOCS_MELT_SQL = """
 WITH melt AS (
   SELECT 'doc_id' AS field, doc_id IS NOT NULL AS present,
