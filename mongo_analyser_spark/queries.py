@@ -977,6 +977,38 @@ def q_trailing_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@register(
+    "grouping_sets_orders",
+    """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+  CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SURVEY A12 — the general form of
+    rollup/cube, both also registered): detail, per-status subtotal, and
+    grand total in ONE pass — Spark's Expand operator replicates each row
+    per set before a single aggregation shuffle, instead of three jobs."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+          count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY g_status, g_priority,
+                 o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
 _DOCS_MELT_SQL = """
 WITH melt AS (
   SELECT 'doc_id' AS field, doc_id IS NOT NULL AS present,
