@@ -1009,6 +1009,62 @@ def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "observed_type_histogram_events",
+    """
+WITH mixed AS (
+  SELECT event_id,
+    CASE event_id % 4
+      WHEN 0 THEN props->>'$.k'
+      WHEN 1 THEN '"' || event_type || '"'
+      WHEN 2 THEN '[' || (props->>'$.k') || ',' || (props->>'$.k') || ']'
+      ELSE 'null' END AS v
+  FROM events)
+SELECT CASE json_type(v::JSON)
+         WHEN 'UBIGINT' THEN 'int32' WHEN 'BIGINT' THEN 'int32'
+         WHEN 'VARCHAR' THEN 'str' WHEN 'ARRAY' THEN 'array<int32>'
+         WHEN 'NULL' THEN 'null' ELSE 'unknown' END AS type_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM mixed GROUP BY 1 ORDER BY 1
+""",
+)
+def q_observed_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOCUMENT observed-type histogram over a genuinely mixed-type
+    JSON value — the reference's core dynamic-schema capability (A4 type
+    Counter, analyser.py:51,192): the same path holds an int in some
+    documents, a string/array/null in others. Implemented with Spark 4
+    VariantType (`parse_json` + `schema_of_variant`) so typing happens
+    engine-side per row — no Python, no sampled schema. The mixed value
+    is derived deterministically from events so both engines see
+    identical data."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", EVENTS_PROPS_SCHEMA).getField("k").cast("string")
+    mixed = ev.select(
+        F.when(F.col("event_id") % 4 == 0, k)
+        .when(
+            F.col("event_id") % 4 == 1,
+            F.concat(F.lit('"'), F.col("event_type"), F.lit('"')),
+        )
+        .when(F.col("event_id") % 4 == 2, F.concat(F.lit("["), k, F.lit(","), k, F.lit("]")))
+        .otherwise(F.lit("null"))
+        .alias("v")
+    )
+    spark_label = F.schema_of_variant(F.parse_json("v"))
+    label = (
+        F.when(spark_label == "BIGINT", "int32")
+        .when(spark_label == "STRING", "str")
+        .when(spark_label.startswith("ARRAY"), "array<int32>")
+        .when(spark_label == "VOID", "null")
+        .otherwise("unknown")
+    )
+    return (
+        mixed.select(label.alias("type_label"))
+        .groupBy("type_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("type_label")
+    )
+
+
 _DOCS_MELT_SQL = """
 WITH melt AS (
   SELECT 'doc_id' AS field, doc_id IS NOT NULL AS present,
