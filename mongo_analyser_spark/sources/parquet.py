@@ -38,7 +38,17 @@ NANO_TS_COLS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        available = sorted(
+            f[: -len(".parquet")]
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        ) if os.path.isdir(sf_dir) else []
+        raise FileNotFoundError(
+            f"no table {name!r} under {sf_dir} (available: {available})"
+        )
+    df = spark.read.parquet(path)
     for c in NANO_TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":
             # integer `div`, NOT `/`: double division loses ulp at e15 scale

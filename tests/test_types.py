@@ -91,3 +91,12 @@ def test_registry_every_query_has_oracle():
 
     assert set(ORACLES) == set(QUERIES)
     assert len(QUERIES) >= 50
+
+
+def test_load_table_missing_is_friendly(spark):
+    import pytest as _pytest
+
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    with _pytest.raises(FileNotFoundError, match="available.*events"):
+        load_table(spark, "/root/testdata/sf0.001", "nope")
