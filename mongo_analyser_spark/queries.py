@@ -1065,6 +1065,48 @@ def q_observed_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dynamic_schema_histogram_events",
+    """
+WITH expected AS (
+  SELECT 'k' AS path, 'int32' AS type_tag,
+         CAST(count(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n FROM events
+  UNION ALL
+  SELECT 'k', 'str', CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT) FROM events
+  UNION ALL SELECT 'n', 'dict', CAST(count(*) AS BIGINT) FROM events
+  UNION ALL SELECT 'n.u', 'int32', CAST(count(*) AS BIGINT) FROM events
+  UNION ALL SELECT 't', 'str', CAST(count(*) AS BIGINT) FROM events
+)
+SELECT * FROM expected WHERE n > 0 ORDER BY path, type_tag
+""",
+)
+def q_dynamic_schema_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema discovery over JSON documents with NO predeclared schema
+    (operators/melt_variant.py — parse_json + iterated variant_explode,
+    all engine-side): dotted paths and per-document observed types,
+    including a path whose type differs across documents. The documents
+    are derived deterministically from events so the oracle can state the
+    expected histogram from first principles."""
+    from mongo_analyser_spark.operators.melt_variant import melt_variant
+
+    ev = load_table(spark, sf_dir, "events")
+    k_json = F.from_json("props", EVENTS_PROPS_SCHEMA).getField("k").cast("string")
+    doc = F.concat(
+        F.lit('{"t":"'), F.col("event_type"), F.lit('","k":'),
+        F.when(F.col("event_id") % 2 == 0, k_json).otherwise(
+            F.concat(F.lit('"'), F.col("event_type"), F.lit('"'))
+        ),
+        F.lit(',"n":{"u":'), F.col("user_id").cast("string"), F.lit("}}"),
+    )
+    docs = ev.select(doc.alias("doc"))
+    return (
+        melt_variant(docs, "doc")
+        .groupBy("path", "type_tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("path", "type_tag")
+    )
+
+
 _DOCS_MELT_SQL = """
 WITH melt AS (
   SELECT 'doc_id' AS field, doc_id IS NOT NULL AS present,

@@ -1,0 +1,75 @@
+"""Dynamic-document melt (variant_explode): schema discovery over JSON
+with NO predeclared schema — paths, per-document observed types, nested
+recursion, array non-recursion, mixed-type election."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo_analyser_spark.operators.melt_variant import (
+    infer_schema_variant,
+    melt_variant,
+)
+
+DOCS = [
+    (1, '{"a": 1, "b": {"c": "x", "d": [1, 2]}, "e": null}'),
+    (2, '{"a": "now a string", "b": {"c": 2.5}}'),
+    (3, '{"a": 2, "b": {"c": "y", "d": [3]}, "f": true}'),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "id long, doc string")
+
+
+def test_melt_variant_paths_and_types(spark):
+    rows = {
+        (r["id"], r["path"]): r["type_tag"]
+        for r in melt_variant(_df(spark), "doc", id_col="id").collect()
+    }
+    assert rows[(1, "a")] == "int32"
+    assert rows[(2, "a")] == "str"  # same path, different type per doc
+    assert rows[(1, "b")] == "dict"
+    assert rows[(1, "b.c")] == "str"
+    assert rows[(2, "b.c")] == "double"
+    assert rows[(1, "b.d")] == "array<int32>"  # arrays do not recurse
+    assert rows[(1, "e")] == "null"
+    assert rows[(3, "f")] == "bool"
+    assert (1, "b.d.0") not in rows  # no array-element paths
+
+
+def test_melt_variant_depth_bound(spark):
+    deep = spark.createDataFrame(
+        [(1, '{"l1": {"l2": {"l3": {"l4": 7}}}}')], "id long, doc string"
+    )
+    paths2 = {r["path"] for r in melt_variant(deep, "doc", max_depth=2).collect()}
+    assert "l1.l2" in paths2 and "l1.l2.l3" not in paths2
+    paths4 = {r["path"] for r in melt_variant(deep, "doc", max_depth=4).collect()}
+    assert "l1.l2.l3.l4" in paths4
+
+
+def test_infer_schema_variant_election_and_histogram(spark):
+    schema = {r["path"]: r for r in infer_schema_variant(_df(spark), "doc").collect()}
+    # 'a' is int32 in docs 1,3 and str in doc 2 -> int32 elected, both observed
+    assert schema["a"]["type"] == "int32"
+    assert schema["a"]["type_distribution"] == {"int32": 2, "str": 1}
+    assert schema["a"]["n_docs"] == 3
+    assert schema["b"]["type"] == "dict"
+    assert schema["b.c"]["type_distribution"] == {"double": 1, "str": 2}
+    assert schema["b.d"]["type"] == "array<int32>"
+    # tie-break: equal counts elect the alphabetically first label
+    tied = spark.createDataFrame(
+        [(1, '{"x": 1}'), (2, '{"x": "s"}')], "id long, doc string"
+    )
+    t = {r["path"]: r["type"] for r in infer_schema_variant(tied, "doc").collect()}
+    assert t["x"] == "int32"
+
+
+def test_melt_variant_no_python_udfs(spark):
+    """The dynamic melt must stay engine-side — no BatchEvalPython /
+    ArrowEvalPython stages in the plan."""
+    from mongo_analyser_spark.plans import formatted_plan
+
+    plan = formatted_plan(melt_variant(_df(spark), "doc"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan  # variant_explode runs as a JVM generator
