@@ -49,6 +49,27 @@ class Engine:
     ) -> dict:
         return schema_to_hierarchical(self.infer_schema(df, json_cols))
 
+    def infer_schema_dynamic(
+        self, df: DataFrame, doc_col: str, max_depth: int = 4
+    ) -> dict[str, dict]:
+        """Schema inference over a JSON document column with NO
+        predeclared schema (the reference's true dynamic mode,
+        analyser.py:242-322): dotted paths discovered engine-side via
+        variant_explode, elected type = most common per path, full
+        observed-type histogram included. Returns the same flat
+        {path: {"type", "count", "type_distribution"}} artifact shape."""
+        from mongo_analyser_spark.operators.melt_variant import infer_schema_variant
+
+        rows = infer_schema_variant(df, doc_col, max_depth=max_depth).collect()
+        return {
+            r["path"]: {
+                "type": r["type"],
+                "count": r["n_docs"],
+                "type_distribution": dict(r["type_distribution"]),
+            }
+            for r in rows
+        }
+
     # -- field stats (reference finalize, analyser.py:269-322) ------------
 
     def analyze(

@@ -73,3 +73,13 @@ def test_melt_variant_no_python_udfs(spark):
     plan = formatted_plan(melt_variant(_df(spark), "doc"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Generate" in plan  # variant_explode runs as a JVM generator
+
+
+def test_engine_infer_schema_dynamic(spark):
+    from mongo_analyser_spark.engine import Engine
+
+    out = Engine(spark).infer_schema_dynamic(_df(spark), "doc")
+    assert out["a"]["type"] == "int32"
+    assert out["a"]["type_distribution"] == {"int32": 2, "str": 1}
+    assert out["b.c"]["count"] == 3
+    assert list(out) == sorted(out)  # sorted by path like the reference
