@@ -1107,6 +1107,36 @@ def q_dynamic_schema_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scalar_subquery_customers",
+    """
+SELECT c_custkey, c_name,
+  ROUND(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c_acctbal > (
+  SELECT AVG(c2.c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey)
+ORDER BY c_custkey
+""",
+)
+def q_scalar_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery (the other decorrelation shape next to
+    q4's EXISTS): customers above their nation's average balance.
+    Catalyst rewrites it to a per-nation aggregate + join — one pass over
+    customer, no per-row subquery."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+          SELECT AVG(c2.c_acctbal) FROM customer c2
+          WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey
+        """
+    )
+
+
 _DOCS_MELT_SQL = """
 WITH melt AS (
   SELECT 'doc_id' AS field, doc_id IS NOT NULL AS present,
