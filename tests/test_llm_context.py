@@ -177,3 +177,31 @@ def test_mongo_source_load_fails_cleanly(spark):
     src = MongoSource("mongodb://localhost:27017/", "db", "c")
     with pytest.raises(RuntimeError, match="connector not available"):
         src.load(spark)
+
+
+# -- provider ABC (L4) ------------------------------------------------------
+
+
+def test_normalize_roles():
+    from mongo_analyser_spark.llm.provider import format_history, normalize_role
+
+    assert normalize_role("ai") == "assistant"
+    assert normalize_role("assistant", "google") == "model"
+    assert normalize_role("ai", "google") == "model"
+    assert normalize_role("user", "google") == "user"
+    hist = format_history(
+        [{"role": "ai", "content": "x"}, {"role": "user", "content": "y"}], "google"
+    )
+    assert [m["role"] for m in hist] == ["model", "user"]
+
+
+def test_echo_provider_pipeline():
+    from mongo_analyser_spark.llm import build_context_block
+    from mongo_analyser_spark.llm.provider import EchoProvider
+
+    block = build_context_block("events", schema={"a": {"type": "str"}})
+    p = EchoProvider()
+    out = p.send_message(block + "describe the schema")
+    assert out.startswith("echo: --- START APP-PROVIDED CONTEXT ---")
+    assert "".join(p.stream_message("a b")) == "echo:ab"
+    assert p.list_models() == ["echo-1"]
