@@ -38,6 +38,11 @@ NANO_TS_COLS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Runtime-settable and idempotent: the testdata's events.parquet stores
+    # ts as TIMESTAMP(NANOS), which Spark rejects unless read as long. Set it
+    # here (not only in session.py's builder) so load_table works under ANY
+    # SparkSession, including harnesses that construct their own.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
         available = sorted(

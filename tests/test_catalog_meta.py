@@ -59,3 +59,16 @@ def test_blocklist_case_insensitive(spark):
 def test_blocklist_noop_without_lists(spark):
     models = spark.createDataFrame([("a",), ("b",)], "name string")
     assert filter_blocklisted(models).count() == 2
+
+
+def test_load_table_sets_nanos_conf_for_foreign_sessions(spark):
+    """Regression: the round-1 driver harness built its own SparkSession
+    (without spark.sql.legacy.parquet.nanosAsLong) and every events read
+    died with PARQUET_TYPE_ILLEGAL. load_table must set the conf itself."""
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.count() == 1000
