@@ -2,6 +2,7 @@ from mongo_analyser_spark.plans.inspect import (
     formatted_plan,
     has_broadcast_hash_join,
     has_sort_merge_join,
+    num_broadcast_hints,
     num_exchanges,
     num_wholestage_codegen,
     plan_report,
@@ -15,6 +16,7 @@ __all__ = [
     "read_schemas",
     "has_broadcast_hash_join",
     "has_sort_merge_join",
+    "num_broadcast_hints",
     "num_exchanges",
     "num_wholestage_codegen",
     "plan_report",

@@ -82,6 +82,16 @@ def num_wholestage_codegen(df: DataFrame) -> int:
     return int(m.group(1)) if m else 0
 
 
+def num_broadcast_hints(df: DataFrame) -> int:
+    """Count of EXPLICIT broadcast hints (F.broadcast / /*+ BROADCAST */)
+    in the analyzed logical plan. Hints on sf-proportional tables are a
+    100-TB hazard: AQE can demote an oversized auto-broadcast, but an
+    explicit hint is obeyed until the executor OOMs. Plan pins assert the
+    hint count so only fixed-size dims (nation/region) carry hints."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", analyzed))
+
+
 def plan_report(df: DataFrame) -> dict:
     """One-call summary used by tests and by humans iterating on a plan."""
     return {

@@ -394,9 +394,11 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 """,
 )
 def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: star join (customer dim BROADCAST — the fact side
-    never shuffles for the dim), grouped revenue, global top-10 planned as
-    TakeOrderedAndProject."""
+    """TPC-H Q3 shape: star join, grouped revenue, global top-10 planned as
+    TakeOrderedAndProject. customer and orders grow linearly with scale
+    factor (150k / 1.5M rows per sf), so NO explicit broadcast hints —
+    AQE picks broadcast at small sf and shuffle-hash at 100 TB, where a
+    forced broadcast would OOM the executors."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -411,7 +413,7 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))),
+            orders.join(cust, F.col("c_custkey") == F.col("o_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -444,8 +446,11 @@ ORDER BY n_name
 """,
 )
 def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: snowflake join chain; every dimension broadcast so
-    the only shuffle is the final small groupBy."""
+    """TPC-H Q5 shape: snowflake join chain. Only the FIXED-size dims
+    (nation=25 rows, region=5 rows, sf-invariant) get explicit broadcast
+    hints; orders/customer/supplier scale with sf and must be allowed to
+    shuffle — AQE still broadcasts them at small sf, but a forced hint
+    would OOM a 100 TB run."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -456,10 +461,10 @@ def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,4)"
     )
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -858,9 +863,9 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 )
 def q_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: lost-revenue top-20 customers from returned items.
-    customer/nation broadcast; lineitem⋈orders is the only big join; the
-    decimal-sum keeps the aggregate order-insensitive (IEEE double sums
-    are not)."""
+    Only sf-invariant nation (25 rows) is broadcast-hinted; customer scales
+    with sf so AQE decides its join strategy. The decimal-sum keeps the
+    aggregate order-insensitive (IEEE double sums are not)."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -871,7 +876,7 @@ def q_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(18,4)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
