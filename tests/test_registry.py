@@ -1,0 +1,44 @@
+"""Registry-order pins: the external harness oracle-checks only the FIRST
+50 registry entries, so every query family must have a representative
+inside that window (round-1 verdict Next-round #4)."""
+
+from mongo_analyser_spark.queries import ORACLES, QUERIES
+
+CHECK_WINDOW = 50
+
+# one representative per family that previously fell outside the window
+MUST_BE_CHECKED = [
+    "tumbling_hourly_events",
+    "sliding_window_events",
+    "session_window_users",
+    "late_data_drop_events",
+    "user_totals_events",
+    "dedup_first_event_per_user_type",
+    "multimodal_metadata_documents",
+    "field_stats_events",
+    "q1_pricing_summary",
+    "dedup_minhash_pairs_documents",
+    "ann_srp_topk_embeddings",
+]
+
+
+def test_every_family_inside_driver_check_window():
+    first = set(list(QUERIES)[:CHECK_WINDOW])
+    missing = [q for q in MUST_BE_CHECKED if q not in first]
+    assert not missing, f"outside the driver's first-{CHECK_WINDOW}: {missing}"
+
+
+def test_every_query_has_an_oracle():
+    assert set(QUERIES) == set(ORACLES)
+
+
+def test_tail_queries_are_still_registered():
+    """Moved-to-tail near-duplicates stay registered (local oracle gate +
+    pytest still exercise them)."""
+    names = list(QUERIES)
+    for q in (
+        "rollup_orders_priority_status",
+        "cube_lineitem_flags",
+        "q12_priority_by_status",
+    ):
+        assert q in names[CHECK_WINDOW:]
