@@ -70,6 +70,35 @@ class Engine:
             for r in rows
         }
 
+    # -- random sampling (reference $sample, analyser.py:254-257) ---------
+
+    @staticmethod
+    def sample(df: DataFrame, n: int, seed: int | None = None) -> DataFrame:
+        """Uniform random exact-N sample — the reference's `$sample` stage.
+
+        ``orderBy(rand(seed)).limit(n)`` plans as TakeOrderedAndProject:
+        each partition keeps its local top-n by the random key and only
+        those n-row heads merge on the driver — no global sort, no
+        shuffle of the full table, safe at 100 TB for driver-sized n.
+        Seeded = reproducible; the engine's oracle-checkable sample stays
+        the deterministic modulo query (queries.py sample_events_*) since
+        rand() streams differ across engines by construction."""
+        from pyspark.sql import functions as F
+
+        r = F.rand(seed) if seed is not None else F.rand()
+        return df.orderBy(r).limit(n)
+
+    @staticmethod
+    def sample_fraction(
+        df: DataFrame, fraction: float, seed: int | None = None
+    ) -> DataFrame:
+        """Per-row Bernoulli sample (approximate count n*fraction): zero
+        shuffle, zero ordering — the cheapest possible scan-time sample,
+        preferred at scale when exact N is not required."""
+        return df.sample(fraction=fraction, seed=seed) if seed is not None else df.sample(
+            fraction=fraction
+        )
+
     # -- field stats (reference finalize, analyser.py:269-322) ------------
 
     def analyze(

@@ -117,3 +117,35 @@ def test_engine_analyze_empty_is_empty(spark):
 
     df = spark.createDataFrame([], "a int")
     assert Engine(spark).analyze(df) == {}
+
+
+def test_engine_sample_exact_n_seeded(spark):
+    """Engine.sample: exact-N uniform random ($sample parity,
+    analyser.py:254-257). Seeded runs are reproducible; the plan is
+    TakeOrderedAndProject (per-partition top-n, no global sort)."""
+    from mongo_analyser_spark.engine import Engine
+    from mongo_analyser_spark.plans import formatted_plan
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    s1 = Engine.sample(ev, 37, seed=7)
+    assert s1.count() == 37
+    assert "TakeOrderedAndProject" in formatted_plan(s1)
+    ids1 = sorted(r.event_id for r in s1.collect())
+    ids2 = sorted(r.event_id for r in Engine.sample(ev, 37, seed=7).collect())
+    assert ids1 == ids2
+    # a different seed draws a different sample (overwhelmingly likely:
+    # P(identical 37-of-1000 draw) < 1e-50)
+    ids3 = sorted(r.event_id for r in Engine.sample(ev, 37, seed=8).collect())
+    assert ids1 != ids3
+
+
+def test_engine_sample_fraction_binomial_bounds(spark):
+    """df.sample(fraction): count within generous binomial bounds
+    (n=1000, p=0.2 → mean 200, sd ~12.6; ±6 sd)."""
+    from mongo_analyser_spark.engine import Engine
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    cnt = Engine.sample_fraction(ev, 0.2, seed=42).count()
+    assert 124 <= cnt <= 276, cnt
