@@ -56,12 +56,14 @@ def uuid_canonical(col: Column | str) -> Column:
     (extractor.py:131-170, standard subtype-4 layout)."""
     c = F.col(col) if isinstance(col, str) else col
     h = F.lower(F.hex(c))
-    return F.concat_ws(
-        "-",
-        F.substring(h, 1, 8),
-        F.substring(h, 9, 4),
-        F.substring(h, 13, 4),
-        F.substring(h, 17, 4),
+    # F.concat (not concat_ws): concat_ws silently drops null arguments,
+    # turning a NULL input into '' instead of NULL
+    dash = F.lit("-")
+    return F.concat(
+        F.substring(h, 1, 8), dash,
+        F.substring(h, 9, 4), dash,
+        F.substring(h, 13, 4), dash,
+        F.substring(h, 17, 4), dash,
         F.substring(h, 21, 12),
     )
 
@@ -134,13 +136,24 @@ def export_expr(
 
 
 def export_select(
-    df, tz: str = "UTC", type_overrides: dict[str, str] | None = None
+    df, tz: str = "UTC", type_overrides: dict[str, str] | None = None,
+    schema_artifact: dict[str, dict] | None = None,
 ):
     """Apply `export_expr` to every column — the whole-document export
-    projection (extractor.py:210-246), one select, fully codegen."""
+    projection (extractor.py:210-246), one select, fully codegen.
+
+    ``schema_artifact`` accepts an inferred flat schema straight from
+    ``Engine.infer_schema``/``infer_schema_dynamic`` ({path: {"type":
+    label}}), so a `binary<UUID>` elected by inference converts to a
+    canonical UUID string without the caller hand-writing overrides —
+    the reference's schema-directed export wiring (extractor.py:210-246
+    passes the inferred schema down as schema-for-level)."""
+    overrides = dict(type_overrides or {})
+    for path, meta in (schema_artifact or {}).items():
+        overrides.setdefault(path, meta.get("type") if isinstance(meta, dict) else meta)
     return df.select(
         *[
-            export_expr(f.dataType, F.col(f.name), tz, f.name, type_overrides).alias(
+            export_expr(f.dataType, F.col(f.name), tz, f.name, overrides).alias(
                 f.name
             )
             for f in df.schema.fields

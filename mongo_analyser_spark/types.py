@@ -21,9 +21,35 @@ for schema-parity APIs but use LongType physically (SURVEY §1.2).
 from __future__ import annotations
 
 import datetime as _dt
+import uuid as _uuid
 from typing import Any
 
 from pyspark.sql import types as T
+
+# --- BSON binary-subtype lattice (core/shared.py:8-14) ---------------------
+# Subtype 4 (standard UUID) is handled by extractor.py:54-58 before the map
+# lookup in the reference; folded into the table here since the table IS the
+# observable contract.
+
+BINARY_TYPE_MAP = {
+    0: "binary<generic>",
+    1: "binary<function>",
+    3: "binary<UUID (legacy)>",
+    4: "binary<UUID>",
+    5: "binary<MD5>",
+}
+
+
+class BsonBinary(bytes):
+    """Plain-bytes stand-in for BSON Binary-with-subtype (this container
+    has no bson package): ``BsonBinary(b"...", subtype=4)``. Any foreign
+    object carrying bytes plus an int ``subtype`` attribute (e.g. a real
+    ``bson.Binary``) is duck-typed identically by ``infer_value_type``."""
+
+    def __new__(cls, data: bytes = b"", subtype: int = 0):
+        obj = super().__new__(cls, data)
+        obj.subtype = subtype
+        return obj
 
 # --- static Spark-type → reference-label mapping ---------------------------
 
@@ -85,13 +111,29 @@ def infer_value_type(value: Any) -> str:
         return "str"
     if isinstance(value, (_dt.datetime, _dt.date)):
         return "datetime"
+    if isinstance(value, _uuid.UUID):
+        return "UUID"
     if isinstance(value, (bytes, bytearray)):
+        # BSON Binary carries a subtype (duck-typed: works for BsonBinary
+        # here and for a real bson.Binary when one is around) →
+        # binary<UUID> / binary<MD5> / ... per the subtype lattice
+        # (extractor.py:53-58 + shared.py:8-14); plain bytes are subtype 0.
+        subtype = getattr(value, "subtype", 0)
+        if isinstance(subtype, int):
+            return BINARY_TYPE_MAP.get(subtype, f"binary<subtype {subtype}>")
         return "binary<generic>"
     if isinstance(value, dict):
         return "dict"
     if isinstance(value, (list, tuple)):
         return _infer_array_type(list(value))
-    return f"unknown<{type(value).__name__}>"
+    # bson-specific classes matched by name so real BSON values label
+    # correctly without a bson import (extractor.py:49-52, 84-85)
+    tname = type(value).__name__
+    if tname == "ObjectId":
+        return "ObjectId"
+    if tname == "Decimal128":
+        return "decimal128"
+    return f"unknown<{tname}>"
 
 
 def _infer_array_type(arr: list[Any]) -> str:
