@@ -78,7 +78,10 @@ def asof_join(
     window, then keep left rows. One shuffle on (key); state per key is a
     single running value — safe for arbitrarily long histories. Right rows
     sort before left rows at equal timestamps so an exactly-simultaneous
-    right row IS visible to the left row (inclusive as-of).
+    right row IS visible to the left row (inclusive as-of). The window
+    order ends with __rv so several right rows sharing (key, right_ts)
+    fold deterministically (the max value wins) instead of depending on
+    partition-internal row order.
     """
     lcols = [F.col(c) for c in left.columns]
     l_tagged = left.select(
@@ -97,7 +100,7 @@ def asof_join(
     )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", F.col("__rv").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = l_tagged.unionByName(r_tagged)

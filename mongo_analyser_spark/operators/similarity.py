@@ -13,8 +13,9 @@ Scale notes:
 * brute-force is (#queries × N) with the query side broadcast — exact,
   and the right baseline to verify the ANN path against;
 * SRP bucket join is an equi-join on the bucket signature: candidate set
-  shrinks ~2^planes; at 100 TB add multi-probe or plane rotation per
-  shard.
+  shrinks ~2^planes; ``probe_radius=1`` multi-probes all Hamming-1
+  neighbor buckets (query-side-only expansion) so recall holds as the
+  plane count grows.
 """
 
 from __future__ import annotations
@@ -139,6 +140,31 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.array_join(bits, "")
 
 
+def probe_buckets(bucket: Column, num_planes: int, radius: int = 1) -> Column:
+    """Multi-probe bucket set: the original signature plus every
+    Hamming-distance-1 neighbor (each single bit flipped). Radius 0 =
+    exact-bucket only. The neighbor set is generated on the QUERY side
+    (tiny, broadcast) — the corpus keeps exactly one bucket per vector,
+    so probing costs num_planes+1 probe rows per query, not a bigger
+    corpus; the standard multi-probe LSH trade (probe more buckets
+    instead of maintaining more tables)."""
+    if radius <= 0:
+        return F.array(bucket)
+    probes = [bucket]
+    for i in range(num_planes):
+        flipped = F.when(
+            F.substring(bucket, i + 1, 1) == "1", F.lit("0")
+        ).otherwise(F.lit("1"))
+        probes.append(
+            F.concat(
+                F.substring(bucket, 1, i),
+                flipped,
+                F.substring(bucket, i + 2, num_planes - i - 1),
+            )
+        )
+    return F.array(*probes)
+
+
 def ann_srp_topk(
     emb: DataFrame,
     id_col: str,
@@ -147,9 +173,16 @@ def ann_srp_topk(
     num_planes: int,
     dim: int,
     k: int = 3,
+    probe_radius: int = 0,
 ) -> DataFrame:
     """ANN via SRP-LSH: candidates = same bucket as the query (equi-join on
-    the bit signature), then exact cosine rank within candidates."""
+    the bit signature), then exact cosine rank within candidates.
+
+    ``probe_radius=1`` additionally probes every Hamming-1 neighbor
+    bucket, recovering the recall that a larger plane count costs (with p
+    planes an ε-near neighbor flips each sign with prob ~θ/π; at 8+
+    planes the chance that NO bit differs collapses, so exact-bucket
+    recall decays — one-bit probing covers the dominant failure mode)."""
     from pyspark.sql import Window
 
     planes = srp_planes(num_planes, dim)
@@ -160,11 +193,16 @@ def ann_srp_topk(
         norm(F.col(vec_col)).alias("vnorm"),
         srp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    queries = bucketed.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qvec"),
-        F.col("vnorm").alias("qnorm"),
-        "bucket",
+    queries = (
+        bucketed.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qvec"),
+            F.col("vnorm").alias("qnorm"),
+            F.explode(
+                probe_buckets(F.col("bucket"), num_planes, probe_radius)
+            ).alias("bucket"),
+        )
     )
     cands = bucketed.join(F.broadcast(queries), "bucket").filter(
         F.col(id_col) != F.col("qid")

@@ -1112,34 +1112,32 @@ def q_dynamic_schema_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "scalar_subquery_customers",
-    """
+_SCALAR_SUBQUERY_SQL = """
 SELECT c_custkey, c_name,
   ROUND(c_acctbal, 2) AS acctbal
 FROM customer c
-WHERE c_acctbal > (
-  SELECT AVG(c2.c_acctbal) FROM customer c2
-  WHERE c2.c_nationkey = c.c_nationkey)
+WHERE CAST(c_acctbal AS DECIMAL(18,2))
+      * (SELECT COUNT(*) FROM customer c2
+         WHERE c2.c_nationkey = c.c_nationkey)
+      > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) FROM customer c2
+         WHERE c2.c_nationkey = c.c_nationkey)
 ORDER BY c_custkey
-""",
-)
+"""
+
+
+@register("scalar_subquery_customers", _SCALAR_SUBQUERY_SQL)
 def q_scalar_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated SCALAR subquery (the other decorrelation shape next to
     q4's EXISTS): customers above their nation's average balance.
-    Catalyst rewrites it to a per-nation aggregate + join — one pass over
-    customer, no per-row subquery."""
+    Catalyst rewrites it to per-nation aggregates + joins — one pass over
+    customer, no per-row subquery.
+
+    'Above average' is evaluated division-free: acctbal × n > Σ acctbal in
+    exact DECIMAL arithmetic, identical in both engines — an AVG-based
+    predicate on doubles could flip for a customer within 1 ulp of the
+    nation mean (this file's determinism rules)."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(
-        """
-        SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
-        FROM customer c
-        WHERE c_acctbal > (
-          SELECT AVG(c2.c_acctbal) FROM customer c2
-          WHERE c2.c_nationkey = c.c_nationkey)
-        ORDER BY c_custkey
-        """
-    )
+    return spark.sql(_SCALAR_SUBQUERY_SQL)
 
 
 _DOCS_MELT_SQL = """

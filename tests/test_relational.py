@@ -75,3 +75,19 @@ def test_salted_join_rejects_right():
 
     with _pytest.raises(ValueError):
         salted_join(None, None, "k", how="right")
+
+
+def test_asof_join_equal_ts_tiebreak_deterministic(spark):
+    """Several right rows sharing (key, right_ts): the window's trailing
+    __rv order makes the MAX value win, independent of partition-internal
+    row order (ADVICE round-1: nondeterministic fold)."""
+    from mongo_analyser_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, lts long")
+    for attempt in range(2):
+        rows = [(1, 5, 100.0), (1, 5, 300.0), (1, 5, 200.0)]
+        if attempt:  # insertion order must not matter
+            rows = rows[::-1]
+        right = spark.createDataFrame(rows, "k long, rts long, val double")
+        out = asof_join(left, right, "k", "lts", "rts", "val", "asof_val").collect()
+        assert [r.asof_val for r in out] == [300.0]
