@@ -1105,7 +1105,9 @@ def q_dynamic_schema_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = ev.select(doc.alias("doc"))
     return (
-        melt_variant(docs, "doc")
+        # adaptive: these docs bottom out at depth 2, so the level stack
+        # stops there instead of scanning two dead levels (bench was 2.8×)
+        melt_variant(docs, "doc", adaptive=True)
         .groupBy("path", "type_tag")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("path", "type_tag")
@@ -1181,19 +1183,25 @@ FROM sch JOIN stats s USING (field) ORDER BY field
 def q_schema_with_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.3 J1 — the reference correlates the schema dict with the
     stats dict by field path (views/schema_analysis_view.py:385-410, a
-    driver-side hash lookup); here it's an explicit broadcast hash join of
-    the two artifact DataFrames on field_path (both sides tiny)."""
+    driver-side hash lookup). The schema artifact is pure metadata
+    (Engine.infer_schema walks df.schema, no job), so it rides into the
+    stats aggregate as a literal map lookup — ONE job, no join stage, no
+    second DataFrame (round-1 bench flagged the join form 3.9× baseline)."""
     from mongo_analyser_spark.engine import Engine
 
     docs = load_table(spark, sf_dir, "documents")
     schema = Engine(spark).infer_schema(docs)
-    schema_df = spark.createDataFrame(
-        [(k, v["type"]) for k, v in schema.items()], "field string, type string"
+    type_map = F.create_map(
+        *[F.lit(x) for kv in schema.items() for x in (kv[0], kv[1]["type"])]
     )
-    stats_df = field_stats(docs).drop("min_ts", "max_ts")
     return (
-        stats_df.join(F.broadcast(schema_df), "field")
-        .select("field", "type", "cnt", "missing_pct", "distinct_cnt", "min_num", "max_num")
+        field_stats(docs)
+        .drop("min_ts", "max_ts")
+        .select(
+            "field",
+            F.element_at(type_map, F.col("field")).alias("type"),
+            "cnt", "missing_pct", "distinct_cnt", "min_num", "max_num",
+        )
         .orderBy("field")
     )
 

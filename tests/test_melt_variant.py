@@ -83,3 +83,23 @@ def test_engine_infer_schema_dynamic(spark):
     assert out["a"]["type_distribution"] == {"int32": 2, "str": 1}
     assert out["b.c"]["count"] == 3
     assert list(out) == sorted(out)  # sorted by path like the reference
+
+
+def test_melt_variant_adaptive_stops_at_actual_depth(spark):
+    """adaptive=True: a depth-1 corpus under max_depth=4 plans one level
+    (no dead re-scans); results identical to the static stack."""
+    flat = spark.createDataFrame(
+        [(1, '{"a": 1, "b": "x"}'), (2, '{"a": 2}')], "id long, doc string"
+    )
+    static = melt_variant(flat, "doc", id_col="id", max_depth=4)
+    adapt = melt_variant(flat, "doc", id_col="id", max_depth=4, adaptive=True)
+    assert sorted(map(tuple, adapt.collect())) == sorted(map(tuple, static.collect()))
+    # the adaptive plan contains exactly one generator; the static stack
+    # pays 1+2+3+4 = 10 (each union branch re-derives its explode chain),
+    # which is why dead levels are worth pruning
+    import re
+
+    from mongo_analyser_spark.plans import formatted_plan
+
+    assert len(re.findall(r"\(\d+\) Generate", formatted_plan(adapt))) == 1
+    assert len(re.findall(r"\(\d+\) Generate", formatted_plan(static))) == 10
