@@ -140,6 +140,111 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.array_join(bits, "")
 
 
+def ivf_centroids(num_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic unit-norm pseudo-random centroids (md5-derived like
+    srp_planes) — the fixed coarse quantizer of an IVF index. A real
+    deployment would k-means these on a sample; a FIXED quantizer keeps
+    the oracle twin exact and the assignment embarrassingly parallel."""
+    import math
+
+    cells = []
+    for c in range(num_cells):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"ivf_{c}_{d}".encode()).hexdigest()
+            row.append(int(h[:4], 16) / 65535.0 - 0.5)
+        n = math.sqrt(sum(x * x for x in row))
+        cells.append([x / n for x in row])
+    return cells
+
+
+def ivf_cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of <vec, ĉ_i> scores (centroids pre-normalized driver-side,
+    embedded as literals; left-fold dots — same order as an unrolled SQL
+    chain, bit-identical doubles)."""
+    cent_arr = F.array(*[F.array(*[F.lit(v) for v in row]) for row in centroids])
+    return F.transform(
+        cent_arr,
+        lambda row: F.aggregate(
+            F.zip_with(vec, row, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+
+
+def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id (1-based; ties → lowest index, matching
+    DuckDB's list_position-of-list_max)."""
+    scores = ivf_cell_scores(vec, centroids)
+    return F.array_position(scores, F.array_max(scores)).cast("int")
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    num_cells: int,
+    dim: int,
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """ANN via IVF coarse quantization: every vector is assigned to its
+    nearest centroid cell (one pass, no shuffle), candidates = corpus
+    rows sharing a probed cell with the query (equi-join on cell id),
+    then exact cosine re-rank. The other classic ANN shape next to
+    SRP-LSH: cells partition the space geometrically instead of by
+    random-hyperplane signs, so recall degrades gracefully via
+    ``nprobe`` (probe the n best cells per query — query-side-only
+    expansion, corpus untouched, same trade as SRP multi-probe)."""
+    from pyspark.sql import Window
+
+    centroids = ivf_centroids(num_cells, dim)
+    emb = emb.withColumn(vec_col, as_double_vec(vec_col))
+    assigned = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("vnorm"),
+        ivf_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    if nprobe <= 1:
+        q_cells = F.array(F.col("cell"))
+    else:
+        # top-nprobe cells by score: sort (−score, idx) structs ascending
+        scores = ivf_cell_scores(F.col(vec_col), centroids)
+        ranked = F.array_sort(
+            F.transform(
+                scores,
+                lambda s, i: F.struct((-s).alias("neg"), (i + 1).cast("int").alias("idx")),
+            )
+        )
+        q_cells = F.transform(F.slice(ranked, 1, nprobe), lambda s: s.getField("idx"))
+    queries = assigned.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+        F.explode(q_cells).alias("cell"),
+    )
+    cands = assigned.join(F.broadcast(queries), "cell").filter(
+        F.col(id_col) != F.col("qid")
+    )
+    scored = cands.select(
+        "qid",
+        F.col(id_col).alias("vid"),
+        F.round(
+            dot(F.col("qvec"), F.col(vec_col)) / (F.col("qnorm") * F.col("vnorm")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vid", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("qid", "rnk")
+    )
+
+
 def probe_buckets(bucket: Column, num_planes: int, radius: int = 1) -> Column:
     """Multi-probe bucket set: the original signature plus every
     Hamming-distance-1 neighbor (each single bit flipped). Radius 0 =

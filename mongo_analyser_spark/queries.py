@@ -298,6 +298,36 @@ def q_display_truncation_documents(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "binary_conversion_documents",
+    """
+SELECT doc_id,
+  lower(hex(encode(substr(text, 1, 12)))) AS text_hex,
+  substr(md5(text), 1, 8) || '-' || substr(md5(text), 9, 4) || '-' ||
+  substr(md5(text), 13, 4) || '-' || substr(md5(text), 17, 4) || '-' ||
+  substr(md5(text), 21, 12) AS content_uuid,
+  CAST(CAST(n_chars AS DECIMAL(18,2)) AS VARCHAR) AS n_chars_decimal
+FROM documents
+""",
+)
+def q_binary_conversion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/decimal export conversions (SURVEY F2/F3/F4) made
+    oracle-checkable: the testdata has no binary column, so bytes are
+    derived in-query — UTF-8-encoded text prefix → lowercase hex
+    (extractor.py:154,199-200), the text's md5 digest bytes → canonical
+    8-4-4-4-12 UUID string (extractor.py:131-170), and a decimal cast
+    rendered as string (extractor.py:202-208)."""
+    from mongo_analyser_spark.functions.conversion import binary_hex, uuid_canonical
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        binary_hex(F.encode(F.substring("text", 1, 12), "UTF-8")).alias("text_hex"),
+        uuid_canonical(F.unhex(F.md5("text"))).alias("content_uuid"),
+        F.col("n_chars").cast("decimal(18,2)").cast("string").alias("n_chars_decimal"),
+    )
+
+
+@register(
     "bytes_human_documents",
     """
 SELECT doc_id,
@@ -1222,6 +1252,7 @@ from mongo_analyser_spark import queries_streaming  # noqa: E402,F401
 #   dedup_vocab            — exact-dedup variant of dedup_exact
 #   minhash_signatures     — exercised transitively by dedup_minhash_pairs
 #   q12                    — J2 equi-join + conditional agg, covered by q3/q10
+#   trailing_window_range  — W4 frame variant, window_user_running_value stays
 for _name in (
     "rollup_orders_priority_status",
     "cube_lineitem_flags",
@@ -1230,5 +1261,8 @@ for _name in (
     "dedup_vocab_documents",
     "minhash_signatures_documents",
     "q12_priority_by_status",
+    "trailing_window_range_events",
+    # similarity family keeps brute-force + SRP in-window; IVF rides tail
+    "ann_ivf_topk_embeddings",
 ):
     QUERIES[_name] = QUERIES.pop(_name)

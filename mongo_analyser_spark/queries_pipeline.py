@@ -431,6 +431,46 @@ def q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 4
+
+
+def _ann_ivf_sql() -> str:
+    from mongo_analyser_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(IVF_CELLS, EMB_DIM)
+    scores = ", ".join(f"({_plane_dot_sql('embedding', row)})" for row in cents)
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding,
+    list_position([{scores}], list_max([{scores}])) AS cell
+  FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qv, cell FROM assigned WHERE vec_id < 8),
+scored AS (
+  SELECT qid, a.vec_id AS vid,
+    ROUND(({_dot_sql('q.qv', 'a.embedding')})
+          / ({_norm_sql('q.qv')} * {_norm_sql('a.embedding')}), 6) AS cos_sim
+  FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> q.qid)
+SELECT qid, vid, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rnk
+  FROM scored) WHERE rnk <= 3 ORDER BY qid, rnk
+"""
+
+
+@register("ann_ivf_topk_embeddings", _ann_ivf_sql())
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER classic ANN shape (north-star): IVF coarse quantization —
+    nearest-centroid cell assignment (one scan, no shuffle), candidates
+    by cell equi-join, exact re-rank. nprobe=1 here so the oracle twin is
+    a pure argmax; operators/similarity.ivf_topk supports nprobe>1 for
+    recall (query-side-only expansion, pytest-verified)."""
+    from mongo_analyser_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, "vec_id", "embedding", ANN_QUERY_IDS, IVF_CELLS, EMB_DIM, k=3
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal metadata (binary payload plumbing; decode is stubbed —
 # see operators/multimodal.py)

@@ -19,6 +19,7 @@ MUST_BE_CHECKED = [
     "q1_pricing_summary",
     "dedup_minhash_pairs_documents",
     "ann_srp_topk_embeddings",
+    "binary_conversion_documents",
 ]
 
 

@@ -115,3 +115,52 @@ def test_ann_multiprobe_recall_at_8_planes(spark):
     assert 200 in probed
     # recall@3 against exact must clear 2/3 with one-bit probing
     assert len(probed & exact) >= 2, (probed, exact)
+
+
+def test_ivf_cell_assignment_deterministic(spark, emb):
+    from mongo_analyser_spark.operators.similarity import ivf_cell, ivf_centroids
+
+    cents = ivf_centroids(4, 4)
+    rows = emb.select(
+        "vec_id", ivf_cell(F.col("embedding"), cents).alias("cell")
+    ).collect()
+    cells = {r.vec_id: r.cell for r in rows}
+    assert all(1 <= c <= 4 for c in cells.values())
+    # opposite vectors land in different cells (argmax of negated scores)
+    assert cells[0] != cells[3]
+
+
+def test_ivf_topk_nprobe_recovers_recall(spark):
+    """nprobe widens the probed cell set query-side only; at nprobe=
+    num_cells IVF degenerates to brute force (every cell probed), so its
+    top-k must equal the exact answer."""
+    import math
+    import random
+
+    from mongo_analyser_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(5)
+    dim = 8
+    data = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        data.append((i, [x / n for x in v]))
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+
+    exact = [
+        (r.qid, r.vid)
+        for r in brute_force_topk(df, "vec_id", "embedding", [0], k=3).collect()
+    ]
+    full_probe = [
+        (r.qid, r.vid)
+        for r in ivf_topk(
+            df, "vec_id", "embedding", [0], num_cells=4, dim=dim, k=3, nprobe=4
+        ).collect()
+    ]
+    assert full_probe == exact
+    # single-probe result is a subset of candidates, never better than exact
+    single = ivf_topk(
+        df, "vec_id", "embedding", [0], num_cells=4, dim=dim, k=3, nprobe=1
+    ).collect()
+    assert all(r.qid == 0 and r.vid != 0 for r in single)
