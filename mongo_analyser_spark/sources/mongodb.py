@@ -56,6 +56,83 @@ def redact_uri_password(uri: str) -> str:
         return uri
 
 
+#: reference type labels accepted by read_mongoexport_json
+_EXT_JSON_LABELS = (
+    "ObjectId", "str", "bool", "int32", "int64", "double", "datetime",
+    "decimal128", "UUID", "binary<generic>", "binary<UUID>", "dict", "array",
+)
+
+
+def _ext_json_expr(v, field: str, label: str):
+    """Column expression extracting ``field`` from a parse_json variant of
+    one Extended-JSON-v2 document, honoring the BSON type wrapper for
+    ``label`` and falling back to the plain-JSON form (mongoexport emits
+    either depending on --jsonFormat). Same type vocabulary as
+    types.infer_value_type; conversions match the reference's export rules
+    (core/extractor.py:91-246: ObjectId→hex str, datetime→timestamp,
+    Decimal128→decimal string, binary UUID→canonical string)."""
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.functions.conversion import uuid_canonical
+
+    def vg(path, t="string"):
+        return F.try_variant_get(v, path, t)
+
+    f = f"$.{field}"
+    if label == "ObjectId":
+        return F.coalesce(vg(f"{f}.$oid"), vg(f))
+    if label == "str":
+        return vg(f)
+    if label == "bool":
+        return vg(f, "boolean")
+    if label == "int32":
+        return F.coalesce(vg(f"{f}.$numberInt").cast("int"), vg(f, "int"))
+    if label == "int64":
+        return F.coalesce(vg(f"{f}.$numberLong").cast("long"), vg(f, "bigint"))
+    if label == "double":
+        return F.coalesce(vg(f"{f}.$numberDouble").cast("double"), vg(f, "double"))
+    if label == "datetime":
+        # try_cast: under ANSI mode a plain cast would throw on the
+        # OTHER wrapper form (the coalesce probes both)
+        return F.coalesce(
+            vg(f"{f}.$date").try_cast("timestamp"),  # ISO-8601 form
+            F.timestamp_millis(vg(f"{f}.$date.$numberLong").try_cast("long")),
+            vg(f).try_cast("timestamp"),
+        )
+    if label == "decimal128":
+        return F.coalesce(vg(f"{f}.$numberDecimal"), vg(f)).try_cast("decimal(38,10)")
+    if label == "UUID":
+        return vg(f"{f}.$uuid")
+    if label == "binary<UUID>":
+        return uuid_canonical(F.unbase64(vg(f"{f}.$binary.base64")))
+    if label.startswith("binary"):
+        return F.unbase64(F.coalesce(vg(f"{f}.$binary.base64"), vg(f"{f}.$binary")))
+    if label in ("dict", "array") or label.startswith("array<"):
+        return F.to_json(vg(f, "variant"))
+    raise ValueError(f"unsupported Extended JSON label {label!r} for {field!r}")
+
+
+def read_mongoexport_json(
+    spark: SparkSession, path: str, fields: dict[str, str]
+) -> DataFrame:
+    """Offline Mongo ingestion WITHOUT the connector jar: read a
+    mongoexport / mongodump Extended-JSON (v2) ndjson dump into typed
+    columns (SURVEY §2.1 S12 — the dump-file complement to the live
+    `MongoSource`; at 100 TB bulk dumps land on object storage and this
+    path is how they enter Spark).
+
+    ``fields`` maps column name → reference type label (the §1.2
+    vocabulary). Engine-side throughout: one text scan, parse_json to
+    VariantType, per-field try_variant_get projections — no Python in
+    the row path, splittable input, whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    v = F.parse_json(F.col("value"))
+    return spark.read.text(path).select(
+        *[_ext_json_expr(v, name, label).alias(name) for name, label in fields.items()]
+    )
+
+
 class MongoSource:
     """Builder for a connector read with reference-style pushdowns.
 
