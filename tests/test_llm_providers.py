@@ -263,3 +263,88 @@ def test_google_list_models_filters_and_sorts():
     )
     p = GoogleProvider("gemini-x", api_key="k", transport=t)
     assert p.list_models() == ["models/a-model", "models/gemini-2.0-pro"]
+
+
+# ---------------------------------------------------------------- factory
+
+
+def test_guess_provider_truth_table():
+    from mongo_analyser_spark.llm.factory import guess_provider
+
+    assert guess_provider("gpt-4o") == "openai"
+    assert guess_provider("openai/gpt-4.1") == "openai"
+    assert guess_provider("gemini-2.0-flash") == "google"
+    assert guess_provider("models/gemini-2.0-pro") == "google"
+    assert guess_provider("ollama/llama3") == "ollama"
+    assert guess_provider("claude-sonnet") == "anthropic"
+    assert guess_provider("anthropic/claude") == "anthropic"
+    assert guess_provider("mistral/mixtral-8x7b") == "mistral"
+    assert guess_provider("open-mistral-7b") == "mistral"
+    # bare 'mixtral' lacks the 'mistral' substring the gate requires —
+    # unresolvable in the reference too (wrapper.py:115-121)
+    assert guess_provider("mixtral-8x7b") is None
+    assert guess_provider("azure/my-deployment") == "azure"
+    # 'gpt-4' wins before the azure/ check — reference quirk preserved
+    # (wrapper.py:107 runs before :122)
+    assert guess_provider("azure/gpt-4") == "openai"
+    assert guess_provider("some-local-model") is None
+
+
+def test_qualify_model_name():
+    from mongo_analyser_spark.llm.factory import qualify_model_name
+
+    assert qualify_model_name("llama3", "ollama") == "ollama/llama3"
+    assert qualify_model_name("ollama/llama3", "ollama") == "ollama/llama3"
+    assert qualify_model_name("gemini-2.0-flash", "google") == "gemini/gemini-2.0-flash"
+    assert qualify_model_name("models/gemini-x", "google") == "models/gemini-x"
+    assert qualify_model_name("gpt-4o", "openai") == "gpt-4o"
+
+
+def test_is_model_blocked_tolerates_invalid_regex(caplog):
+    from mongo_analyser_spark.llm.factory import is_model_blocked, valid_patterns
+
+    # the openai list ships one invalid pattern ('*-embedding-.*'):
+    # matching must not raise and valid patterns still apply
+    assert is_model_blocked("whisper-1", "openai") is True
+    assert is_model_blocked("gpt-4o", "openai") is False
+    assert is_model_blocked("nomic-embed-text", "ollama") is True
+    assert is_model_blocked("anything", None) is False
+    assert "*-embedding-.*" not in valid_patterns("openai")
+    assert r"tts-.*" in valid_patterns("openai")
+
+
+def test_valid_patterns_safe_for_engine_filter(spark):
+    """The sanitized pattern list must run through the DataFrame-side
+    blocklist filter without throwing."""
+    from mongo_analyser_spark.llm.blocklist import filter_blocklisted
+    from mongo_analyser_spark.llm.factory import valid_patterns
+
+    df = spark.createDataFrame(
+        [("gpt-4o",), ("whisper-1",), ("text-embedding-3-small",)], "name string"
+    )
+    out = filter_blocklisted(df, patterns=valid_patterns("openai"))
+    assert [r.name for r in out.collect()] == ["gpt-4o"]
+
+
+def test_make_provider_from_config(tmp_path):
+    from mongo_analyser_spark.config import ConfigManager
+    from mongo_analyser_spark.llm.factory import make_provider
+    from mongo_analyser_spark.llm.provider import EchoProvider
+    from mongo_analyser_spark.llm.providers import OllamaProvider, OpenAIProvider
+
+    cm = ConfigManager(base_app_data_dir_override=tmp_path / "app")
+    assert isinstance(make_provider(cm, transport=FakeTransport()), OllamaProvider)
+
+    cm.update_setting("llm_default_provider", "openai")
+    p = make_provider(cm, transport=FakeTransport(), api_key="k")
+    assert isinstance(p, OpenAIProvider)
+    assert p.model_name == "gpt-4.1-nano"  # config default model
+    assert p.completion_kwargs["temperature"] == 0.7
+
+    cm.update_setting("llm_default_provider", "echo")
+    assert isinstance(make_provider(cm), EchoProvider)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_provider(cm, provider="not-real")
