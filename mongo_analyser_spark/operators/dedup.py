@@ -200,3 +200,84 @@ def simhash_bits(
         ]
     )
     return wide.select(F.col(id_col), bits.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "a",
+    right: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over candidate pairs → (id, cluster) with
+    cluster = the component's minimum id. The last stage of a dedup
+    pipeline: LSH/Jaccard emits PAIRS, the training set needs GROUPS
+    (keep one representative per component, even when a≈b≈c forms a
+    chain no single pair expresses).
+
+    Min-label propagation: every vertex starts labeled with itself; each
+    round sets label[v] = min(label[v], min label of v's neighbors);
+    fixpoint when a round changes nothing. Rounds needed ≈ component
+    diameter — near-dup clusters are small and dense, so 2-4 rounds in
+    practice (``max_iter`` bounds adversarial chains). Scale shape: each
+    round is one equi-join on the edge list + one groupBy(vertex) —
+    shuffle volume O(E), never materializing components driver-side;
+    ``localCheckpoint`` truncates the growing lineage each round (the
+    standard iterative-Spark requirement), and convergence is detected
+    on the engine with a LIMIT-1 anti-check, not a full count.
+    """
+    edges = (
+        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+        .union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("cluster").alias("nbr_cluster"))
+            )
+            updated = (
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster"), F.coalesce("nbr_cluster", "cluster")
+                    ).alias("cluster"),
+                    (F.col("nbr_cluster") < F.col("cluster")).alias("__changed"),
+                )
+                .localCheckpoint()
+            )
+            converged = updated.filter(F.col("__changed")).limit(1).isEmpty()
+            labels = updated.drop("__changed")
+            if converged:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def dedup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str,
+    left: str = "a", right: str = "b", max_iter: int = 20,
+) -> DataFrame:
+    """(id, cluster, is_keeper) for EVERY row of ``df``: rows in no pair
+    form singleton clusters; the keeper is the component's minimum id —
+    filter ``is_keeper`` for the deduplicated corpus."""
+    comp = connected_components(pairs, left, right, max_iter)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce("cluster", "id").alias("cluster"),
+        )
+        .withColumn("is_keeper", F.col("id") == F.col("cluster"))
+    )

@@ -1264,5 +1264,7 @@ for _name in (
     "trailing_window_range_events",
     # similarity family keeps brute-force + SRP in-window; IVF rides tail
     "ann_ivf_topk_embeddings",
+    # dedup family keeps exact/minhash/jaccard in-window; clusters ride tail
+    "dedup_clusters_documents",
 ):
     QUERIES[_name] = QUERIES.pop(_name)

@@ -298,6 +298,53 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters_documents",
+    f"""
+WITH RECURSIVE {_TOKS_CTE}, {_SH_CTE},
+fps AS (SELECT doc_id, min(md5(sh)) AS fp FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fps a JOIN fps b ON a.fp = b.fp WHERE a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s FROM toks),
+jp AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+      ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+            / (CAST(len(sa.s) + len(sb.s) AS DOUBLE)
+               - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)), 6) AS jaccard
+    FROM cand JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
+  ) WHERE jaccard >= 0.1),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+reach(v, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v),
+comp AS (SELECT v AS id, MIN(r) AS cluster FROM reach GROUP BY v)
+SELECT d.doc_id AS id, COALESCE(c.cluster, d.doc_id) AS cluster,
+       d.doc_id = COALESCE(c.cluster, d.doc_id) AS is_keeper
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+ORDER BY id
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → GROUPS (north-star dedup last stage): connected components
+    over the verified Jaccard pairs by min-label propagation (iterative
+    equi-joins, engine-side convergence check), keeper = component min.
+    The DuckDB twin derives the same components with a recursive CTE —
+    transitive chains a≈b≈c collapse to one cluster in both engines."""
+    from mongo_analyser_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.1).select(
+        "doc_a", "doc_b"
+    )
+    return dedup_clusters(
+        docs, pairs, "doc_id", left="doc_a", right="doc_b"
+    ).orderBy("id")
+
+
 def _simhash_sql(num_bits: int = 64) -> str:
     sums = []
     for b in range(num_bits):

@@ -68,3 +68,37 @@ def test_simhash(spark, docs):
     ham_near = sum(a != b for a, b in zip(out[1], out[3]))
     ham_far = sum(a != b for a, b in zip(out[1], out[4]))
     assert ham_near < ham_far  # near-dup closer than unrelated
+
+
+def test_connected_components_transitive_chain(spark):
+    """a-b, b-c, and a separate d-e: {a,b,c} collapse to min label even
+    though (a,c) is never a pair; singletons keep themselves."""
+    from mongo_analyser_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4)], "a long, b long"
+    )
+    comp = {r.id: r.cluster for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    out = dedup_clusters(docs, pairs, "doc_id").orderBy("id").collect()
+    assert [(r.id, r.cluster, r.is_keeper) for r in out] == [
+        (1, 1, True), (2, 1, False), (3, 1, False),
+        (4, 4, True), (5, 4, False), (6, 6, True), (7, 7, True),
+    ]
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 12-vertex path needs multiple propagation rounds — exercises the
+    iteration + localCheckpoint loop, not just one round."""
+    from mongo_analyser_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "a long, b long"
+    )
+    comp = {r.id: r.cluster for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {1} and len(comp) == 12
