@@ -1266,5 +1266,7 @@ for _name in (
     "ann_ivf_topk_embeddings",
     # dedup family keeps exact/minhash/jaccard in-window; clusters ride tail
     "dedup_clusters_documents",
+    # sampling family's in-window rep is sample_events_deterministic
+    "stratified_sample_documents",
 ):
     QUERIES[_name] = QUERIES.pop(_name)

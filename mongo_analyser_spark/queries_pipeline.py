@@ -345,6 +345,39 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+STRATA_QUOTAS = {"en": 40, "de": 25, "fr": 15, "es": 10}
+
+
+@register(
+    "stratified_sample_documents",
+    f"""
+SELECT id, lang FROM (
+  SELECT doc_id AS id, lang,
+    row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= CASE lang {"".join(f"WHEN '{k}' THEN {v} " for k, v in STRATA_QUOTAS.items())}ELSE 0 END
+ORDER BY id
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified training mix (north-star): fixed
+    per-language quotas, md5-ranked draw — reproducible in any engine,
+    one window shuffle on (lang). The Bernoulli form
+    (operators/sampling.stratified_sample) is the no-shuffle 100 TB
+    path, pytest-bounded instead of oracle-checked."""
+    from mongo_analyser_spark.operators.sampling import stratified_take
+
+    docs = load_table(spark, sf_dir, "documents")
+    order = F.struct(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        stratified_take(docs, "lang", STRATA_QUOTAS, order)
+        .select(F.col("doc_id").alias("id"), "lang")
+        .orderBy("id")
+    )
+
+
 def _simhash_sql(num_bits: int = 64) -> str:
     sums = []
     for b in range(num_bits):

@@ -102,3 +102,35 @@ def test_connected_components_long_path_converges(spark):
     )
     comp = {r.id: r.cluster for r in connected_components(pairs).collect()}
     assert set(comp.values()) == {1} and len(comp) == 12
+
+
+def test_stratified_take_quotas_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.operators.sampling import stratified_take
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    order = F.struct(F.md5(F.col("id").cast("string")), F.col("id"))
+    out = stratified_take(df, "lang", {"en": 5, "de": 3}, order)
+    counts = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == {"en": 5, "de": 3}
+    # deterministic: the same draw twice
+    again = stratified_take(df, "lang", {"en": 5, "de": 3}, order)
+    assert sorted(r.id for r in out.collect()) == sorted(r.id for r in again.collect())
+    # strata without a quota drop entirely (default_quota=0)
+    assert out.filter(~F.col("lang").isin("en", "de")).count() == 0
+
+
+def test_stratified_sample_bernoulli_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 2 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = stratified_sample(df, "lang", {"en": 0.5, "de": 0.1}, seed=7)
+    counts = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    # n=1000 per stratum; ±6 sd bounds (sd≈15.8 at p=.5, ≈9.5 at p=.1)
+    assert 405 <= counts["en"] <= 595, counts
+    assert 43 <= counts.get("de", 0) <= 157, counts
