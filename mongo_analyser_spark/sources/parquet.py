@@ -41,8 +41,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Runtime-settable and idempotent: the testdata's events.parquet stores
     # ts as TIMESTAMP(NANOS), which Spark rejects unless read as long. Set it
     # here (not only in session.py's builder) so load_table works under ANY
-    # SparkSession, including harnesses that construct their own.
+    # SparkSession, including harnesses that construct their own (the
+    # round-1 driver harness crashed on exactly this). Session timezone is
+    # pinned UTC for the same reason: timestamp→string queries would
+    # silently render in a foreign session's local zone and hash-mismatch
+    # the oracle (extractor.py:179-186 naive-datetime-is-UTC rule).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
         available = sorted(
