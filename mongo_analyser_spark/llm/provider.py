@@ -29,10 +29,13 @@ def normalize_role(role: str, provider_style: str = "default") -> str:
 def format_history(
     history: list[dict], provider_style: str = "default"
 ) -> list[dict]:
-    """Provider-ready history: roles normalized, only role+content kept."""
+    """Provider-ready history: roles normalized, only role+content kept.
+    Malformed messages (missing/empty role or content) are SKIPPED, not
+    forwarded — base.py:35-47 logs and drops them."""
     return [
-        {"role": normalize_role(m.get("role", "user"), provider_style), "content": m.get("content", "")}
+        {"role": normalize_role(m["role"], provider_style), "content": m["content"]}
         for m in history
+        if m.get("role") and m.get("content")
     ]
 
 

@@ -32,6 +32,11 @@ def _default_client_factory(uri: str, **options):
             "pymongo is not installed — pass client_factory=MongoClient-like "
             "callable to ConnectionRegistry for live use"
         ) from e
+    version = options.pop("server_api_version", None)
+    if version is not None:
+        from pymongo.server_api import ServerApi
+
+        options["server_api"] = ServerApi(version)
     return MongoClient(uri, **options)
 
 
@@ -110,6 +115,11 @@ class ConnectionRegistry:
         self.disconnect()
         try:
             logger.info("connecting to %s (db=%s)", redacted, db_name)
+            if uri.startswith("mongodb+srv://"):
+                # db.py:85-87: SRV URIs get the stable server API pinned;
+                # passed as a plain marker the factory translates (the
+                # default pymongo factory builds ServerApi("1") from it)
+                options.setdefault("server_api_version", "1")
             client = self._factory(
                 uri, serverSelectionTimeoutMS=server_timeout_ms, **options
             )

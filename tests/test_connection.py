@@ -141,3 +141,14 @@ def test_default_factory_gives_actionable_error_without_pymongo():
     assert ok is False
     msg, _ = reg.last_connection_error()
     assert "pymongo" in msg
+
+
+def test_srv_uri_pins_server_api_marker():
+    f = Factory()
+    reg = ConnectionRegistry(client_factory=f)
+    assert reg.connection_active("mongodb+srv://cluster.example/", "mydb") is True
+    assert f.created[0].options["server_api_version"] == "1"
+    # non-SRV URIs don't get it
+    reg2 = ConnectionRegistry(client_factory=f)
+    reg2.connection_active("mongodb://h:27017/", "mydb")
+    assert "server_api_version" not in f.created[1].options

@@ -205,3 +205,21 @@ def test_echo_provider_pipeline():
     assert out.startswith("echo: --- START APP-PROVIDED CONTEXT ---")
     assert "".join(p.stream_message("a b")) == "echo:ab"
     assert p.list_models() == ["echo-1"]
+
+
+def test_format_history_skips_malformed():
+    """base.py:35-47: messages missing role or content are dropped, not
+    forwarded (port of tests/llm_chat/test_base.py:21-35)."""
+    from mongo_analyser_spark.llm.provider import format_history
+
+    hist = [
+        {"role": "user", "content": "hi"},
+        {"role": "", "content": "no role"},
+        {"content": "role missing"},
+        {"role": "assistant"},
+        {"role": "ai", "content": "kept and canonicalized"},
+    ]
+    assert format_history(hist) == [
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "kept and canonicalized"},
+    ]
