@@ -38,6 +38,28 @@ def export_json(df: DataFrame, path: str, compression: str | None = "gzip") -> N
     writer.json(path)
 
 
+def export_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    files_per_partition: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Training-corpus sink [EXT]: columnar parquet, optionally
+    hive-partitioned (e.g. ``partition_by=["lang"]`` so downstream
+    training jobs prune by language at the SCAN). At 100 TB the failure
+    mode is small-files explosion — one output file per task per
+    partition value — so ``files_per_partition`` repartitions on the
+    partition keys first: each partition value lands in that many files
+    regardless of upstream task count."""
+    if partition_by and files_per_partition:
+        df = df.repartition(files_per_partition, *[F.col(c) for c in partition_by])
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
 def export_json_array_gz(
     df: DataFrame, path: str, batch_size: int = 1000
 ) -> int:

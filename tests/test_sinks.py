@@ -74,3 +74,28 @@ def test_schema_json_sink(tmp_path):
     data = json.load(open(p))
     assert data["a"]["type"] == "str"
     assert data["when"].startswith("2024-01-01")  # default=str fallback
+
+
+def test_export_parquet_partitioned_roundtrip(spark, tmp_path):
+    import os
+
+    from mongo_analyser_spark.sinks.export import export_parquet
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", f"t{i}") for i in range(40)],
+        "id long, lang string, text string",
+    )
+    out = str(tmp_path / "corpus")
+    export_parquet(df, out, partition_by=["lang"], files_per_partition=2)
+    # hive layout: one directory per lang value
+    assert sorted(d for d in os.listdir(out) if d.startswith("lang=")) == [
+        "lang=de", "lang=en",
+    ]
+    back = spark.read.parquet(out)
+    assert back.count() == 40
+    # partition pruning reaches the scan: only one dir read for lang=en
+    assert back.filter("lang = 'en'").count() == 20
+    # small-files control: ≤2 data files per partition value
+    for d in ("lang=de", "lang=en"):
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert 1 <= len(files) <= 2, files
