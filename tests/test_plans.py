@@ -110,3 +110,30 @@ def test_q6_minimal_scan(spark):
         "l_discount:double",
         "l_shipdate:timestamp_ntz",
     }
+
+
+def test_stratified_take_single_window_shuffle(spark):
+    """Deterministic stratified draw: exactly one data shuffle (the
+    window partition on the stratum key) + the output sort — same budget
+    as any top-k-per-group."""
+    q = QUERIES["stratified_sample_documents"](spark, SF)
+    assert num_exchanges(q) <= 2
+
+
+def test_ivf_topk_broadcasts_query_side(spark):
+    """IVF candidate join: the probed-queries side is broadcast — a
+    shuffle join would repartition the whole corpus per lookup batch."""
+    q = QUERIES["ann_ivf_topk_embeddings"](spark, SF)
+    plan = formatted_plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_binary_conversion_is_pure_projection(spark):
+    """Conversions are scan + project only: zero shuffles, and the scan
+    reads exactly the three touched columns."""
+    q = QUERIES["binary_conversion_documents"](spark, SF)
+    assert num_exchanges(q) == 0
+    [schema] = read_schemas(q)
+    cols = {c.split(":")[0] for c in schema[len("struct<"):-1].split(",")}
+    assert cols == {"doc_id", "text", "n_chars"}
