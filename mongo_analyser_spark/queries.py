@@ -953,6 +953,145 @@ def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q14_promo_revenue",
+    """
+SELECT
+  CAST(ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+        ELSE CAST(0 AS DECIMAL(18,4)) END)
+    / SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))), 6) AS DOUBLE)
+  AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-06-01'
+""",
+)
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate over a fact⋈dim join — the
+    promo revenue share. Date predicates push to the lineitem scan; part
+    is a broadcastable dim (sf-bounded per the ADVICE rule: part-sized is
+    fine, fact-sized is not); the division happens once on two exact
+    decimal sums, then rounds — deterministic in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-06-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                / F.sum(rev),
+                6,
+            )
+            .cast("double")
+            .alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS totalprice,
+  CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM orders JOIN (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+) big ON o_orderkey = big.l_orderkey
+ORDER BY totalprice DESC, o_orderkey LIMIT 20
+""",
+)
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-then-filter (HAVING on a grouped sum) join
+    back to the parent — large-quantity orders. The aggregate SHRINKS
+    lineitem to per-order rows before the join, so the join input is
+    orders-sized, not lineitem-sized; top-20 plans as
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).cast("double").alias("totalprice"),
+            F.col("sum_qty").cast("double"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 5 AND 25)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 15 AND 40)
+   OR (p_type = 'PROMO' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 20)
+""",
+)
+def q_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted to this dataset's columns): OR-of-ANDs
+    predicate spanning both join sides. Catalyst factors the
+    single-side conjuncts out of the disjunction so each scan still gets
+    a pushed filter (l_quantity ranges to lineitem, brand/size/type to
+    part) — the textbook disjunctive-pushdown test. The residual mixed
+    predicate rides the hash join as a post-filter, never a
+    nested-loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(5, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(15, 40)
+        )
+        | (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
     "q12_priority_by_status",
     """
 SELECT l_linestatus,
@@ -1268,5 +1407,9 @@ for _name in (
     "dedup_clusters_documents",
     # sampling family's in-window rep is sample_events_deterministic
     "stratified_sample_documents",
+    # TPC-H family keeps q1/q3/q4/q5/q6/q10 in-window; extras ride tail
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
 ):
     QUERIES[_name] = QUERIES.pop(_name)

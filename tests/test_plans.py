@@ -137,3 +137,21 @@ def test_binary_conversion_is_pure_projection(spark):
     [schema] = read_schemas(q)
     cols = {c.split(":")[0] for c in schema[len("struct<"):-1].split(",")}
     assert cols == {"doc_id", "text", "n_chars"}
+
+
+def test_q19_disjunction_factored_to_both_scans(spark):
+    """OR-of-ANDs spanning both join sides: Catalyst must factor
+    single-side conjuncts out of the disjunction so BOTH scans receive
+    pushed filters — without it one side reads everything."""
+    q = QUERIES["q19_disjunctive_predicates"](spark, SF)
+    filters = pushed_filters(q)
+    assert any("l_quantity" in f for f in filters), filters
+    assert any("p_size" in f or "p_brand" in f for f in filters), filters
+
+
+def test_q18_aggregates_before_join(spark):
+    """HAVING-filtered group join: the lineitem aggregate must sit BELOW
+    the join (join input is per-order rows, not raw lineitem)."""
+    q = QUERIES["q18_large_orders"](spark, SF)
+    plan = formatted_plan(q)
+    assert "TakeOrderedAndProject" in plan
