@@ -1092,6 +1092,111 @@ def q_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q7_nation_volume_shipping",
+    """
+SELECT supp_nation, cust_nation, l_year,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+    l_extendedprice, l_discount
+  FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year —
+    nation joins twice under different roles (self-join of a dim), a
+    cross-side disjunction, and a year-extraction group key. Both nation
+    sides broadcast (25 rows); supplier/customer/orders stay AQE-ruled."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+WITH srev AS (
+  SELECT l_suppkey,
+    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+FROM supplier JOIN srev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM srev)
+ORDER BY s_suppkey
+""",
+)
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate → scalar max over the aggregate →
+    equality join back (the 'view + max' pattern). The revenue aggregate
+    is computed ONCE into a shared subplan; the max is a scalar subquery
+    over per-supplier rows (supplier-sized, tiny), never a second
+    lineitem scan in SQL terms. Exact decimal revenue keeps the max
+    equality deterministic — a double max could miss by 1 ulp."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    srev = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    srev.createOrReplaceTempView("srev_q15")
+    best = srev.agg(F.max("total_rev").alias("m"))
+    return (
+        supp.join(srev, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(best), F.col("total_rev") == F.col("m"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
     "q12_priority_by_status",
     """
 SELECT l_linestatus,
@@ -1411,5 +1516,7 @@ for _name in (
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_disjunctive_predicates",
+    "q7_nation_volume_shipping",
+    "q15_top_supplier",
 ):
     QUERIES[_name] = QUERIES.pop(_name)
