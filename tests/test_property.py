@@ -101,3 +101,84 @@ def test_flatten_hierarchical_roundtrip(doc):
         return {k: strip(x) for k, x in node.items()}
 
     assert strip(rebuilt) == doc
+
+
+# --- round-2 pure helpers -------------------------------------------------
+
+
+@given(st.integers(min_value=1, max_value=64), st.integers(min_value=1, max_value=32))
+@settings(max_examples=50)
+def test_ivf_centroids_unit_norm_and_deterministic(cells, dim):
+    import math
+
+    from mongo_analyser_spark.operators.similarity import ivf_centroids
+
+    a = ivf_centroids(cells, dim)
+    b = ivf_centroids(cells, dim)
+    assert a == b  # md5-derived: same every call
+    for row in a:
+        assert len(row) == dim
+        assert abs(math.sqrt(sum(x * x for x in row)) - 1.0) < 1e-9
+
+
+@given(st.integers(min_value=1, max_value=32), st.integers(min_value=2, max_value=16))
+@settings(max_examples=50)
+def test_srp_planes_deterministic_and_bounded(planes, dim):
+    from mongo_analyser_spark.operators.similarity import srp_planes
+
+    a = srp_planes(planes, dim)
+    assert a == srp_planes(planes, dim)
+    assert all(-0.5 <= v <= 0.5 for row in a for v in row)
+
+
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {},
+            optional={
+                "role": st.sampled_from(["user", "ai", "assistant", "system", ""]),
+                "content": st.text(max_size=10),
+                "junk": st.integers(),
+            },
+        ),
+        max_size=8,
+    )
+)
+@settings(max_examples=200)
+def test_format_history_output_always_wellformed(history):
+    """Whatever garbage goes in: every output message has a non-empty
+    canonical role and non-empty content, order preserved."""
+    from mongo_analyser_spark.llm.provider import format_history
+
+    out = format_history(history)
+    assert len(out) <= len(history)
+    for m in out:
+        assert set(m) == {"role", "content"}
+        assert m["role"] in ("user", "assistant", "system") and m["content"]
+
+
+@given(st.text(alphabet="01", min_size=1, max_size=16))
+@settings(max_examples=20, deadline=None)  # each example is a Spark job
+def test_probe_buckets_covers_exactly_hamming_ball(bucket):
+    """probe set == the full Hamming-≤1 ball: original + n flips, all
+    distinct, each differing in exactly one position."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.operators.similarity import probe_buckets
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:  # property runs without the session fixture
+        return
+    n = len(bucket)
+    [row] = (
+        spark.createDataFrame([(bucket,)], "b string")
+        .select(probe_buckets(F.col("b"), n, radius=1).alias("p"))
+        .collect()
+    )
+    probes = row.p
+    assert probes[0] == bucket and len(probes) == n + 1
+    assert len(set(probes)) == n + 1
+    for i, p in enumerate(probes[1:]):
+        assert sum(a != b for a, b in zip(p, bucket)) == 1
+        assert p[i] != bucket[i]
