@@ -1186,7 +1186,6 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,4)"
     )
     srev = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
-    srev.createOrReplaceTempView("srev_q15")
     best = srev.agg(F.max("total_rev").alias("m"))
     return (
         supp.join(srev, F.col("s_suppkey") == F.col("l_suppkey"))
