@@ -107,7 +107,20 @@ def _ext_json_expr(v, field: str, label: str):
         return uuid_canonical(F.unbase64(vg(f"{f}.$binary.base64")))
     if label.startswith("binary"):
         return F.unbase64(F.coalesce(vg(f"{f}.$binary.base64"), vg(f"{f}.$binary")))
-    if label in ("dict", "array") or label.startswith("array<"):
+    if label.startswith("array<"):
+        # scalar element types extract as TYPED arrays; anything else
+        # (array<dict>, array<mixed>) surfaces as a JSON string
+        ddl = {
+            "int32": "array<int>",
+            "int64": "array<bigint>",
+            "double": "array<double>",
+            "bool": "array<boolean>",
+            "str": "array<string>",
+        }.get(label[len("array<"):-1])
+        if ddl:
+            return vg(f, ddl)
+        return F.to_json(vg(f, "variant"))
+    if label in ("dict", "array"):
         return F.to_json(vg(f, "variant"))
     raise ValueError(f"unsupported Extended JSON label {label!r} for {field!r}")
 

@@ -81,3 +81,12 @@ def test_mongoexport_no_python_in_row_path(spark, dump):
 def test_mongoexport_rejects_unknown_label(spark, dump):
     with pytest.raises(ValueError):
         read_mongoexport_json(spark, dump, {"s": "not-a-label"})
+
+
+def test_mongoexport_typed_arrays(spark, dump):
+    fields = {"_id": "ObjectId", "tags": "array<str>", "meta": "dict"}
+    df = read_mongoexport_json(spark, dump, fields)
+    assert dict(df.dtypes)["tags"] == "array<string>"
+    rows = {r._id: r for r in df.collect()}
+    assert rows["507f1f77bcf86cd799439011"].tags == ["a", "b"]
+    assert rows["plain-id-2"].tags == []
