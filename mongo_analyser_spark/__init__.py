@@ -17,8 +17,9 @@ Design stance (SURVEY.md §7.0):
     join selection, and AQE owns runtime re-planning.
 """
 
+from mongo_analyser_spark.config import ConfigManager
 from mongo_analyser_spark.engine import Engine
 from mongo_analyser_spark.session import get_spark
 
-__all__ = ["Engine", "get_spark"]
-__version__ = "0.1.0"
+__all__ = ["ConfigManager", "Engine", "get_spark"]
+__version__ = "0.2.0"
