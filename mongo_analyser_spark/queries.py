@@ -1517,5 +1517,6 @@ for _name in (
     "q19_disjunctive_predicates",
     "q7_nation_volume_shipping",
     "q15_top_supplier",
+    "corpus_build_documents",
 ):
     QUERIES[_name] = QUERIES.pop(_name)

@@ -345,6 +345,52 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+@register(
+    "corpus_build_documents",
+    """
+WITH scored AS (
+  SELECT doc_id, lang, text,
+    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+    ROUND(LEAST(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0)
+          * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+             / CAST(len(string_split(text,' ')) AS DOUBLE)), 4) AS quality,
+    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank
+  FROM documents)
+SELECT doc_id, lang, n_tokens, quality
+FROM scored
+WHERE dup_rank = 1 AND quality >= 0.5 AND lang IN ('en', 'de', 'fr')
+ORDER BY doc_id
+""",
+)
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-construction pipeline (north star composed):
+    exact-dedup keepers (first doc per content hash) → quality gate →
+    language allowlist → token accounting, in ONE plan: a single window
+    shuffle on the content hash, every scalar stage fused into the same
+    projection. At 100 TB this is one shuffle over the corpus — the
+    minimum any content-exact dedup pays — and the quality/lang filters
+    run before anything else materializes."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("dup_rank", F.row_number().over(w))
+        .filter(
+            (F.col("dup_rank") == 1)
+            & (quality_score(F.col("text")) >= 0.5)
+            & F.col("lang").isin("en", "de", "fr")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 STRATA_QUOTAS = {"en": 40, "de": 25, "fr": 15, "es": 10}
 
 
