@@ -13,10 +13,19 @@ from mongo_analyser_spark.types import ref_type_label, schema_to_hierarchical
 
 
 class Engine:
-    """`Engine(spark)` — analysis entry points over any DataFrame."""
+    """`Engine(spark)` — analysis entry points over any DataFrame.
 
-    def __init__(self, spark: SparkSession):
+    An optional ``config`` (ConfigManager or anything with .get_setting)
+    supplies the reference's configured defaults: with one attached,
+    ``analyze`` samples ``schema_analysis_default_sample_size`` docs like
+    the reference's default-1000 inference (config_manager.py:30,
+    analyser.py:254-257); without one, analysis is a full scan (the
+    reference's sample_size=-1), which is the honest default for an
+    engine whose aggregates are distributed anyway."""
+
+    def __init__(self, spark: SparkSession, config=None):
         self.spark = spark
+        self.config = config
 
     # -- schema inference (reference infer_schema_and_field_stats) --------
 
@@ -129,6 +138,8 @@ class Engine:
         )
         from mongo_analyser_spark.operators.melt import melt
 
+        if sample_size is None and self.config is not None:
+            sample_size = self.config.get_setting("schema_analysis_default_sample_size")
         if sample_size is not None and sample_size > 0:
             df = df.limit(sample_size)
         melted = melt(df, json_cols)

@@ -149,3 +149,21 @@ def test_engine_sample_fraction_binomial_bounds(spark):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     cnt = Engine.sample_fraction(ev, 0.2, seed=42).count()
     assert 124 <= cnt <= 276, cnt
+
+
+def test_engine_honors_config_sample_size(spark, tmp_path):
+    """With a ConfigManager attached, analyze defaults to the configured
+    sample size (reference config_manager.py:30 default-1000 behavior);
+    without one, full scan."""
+    from mongo_analyser_spark.config import ConfigManager
+    from mongo_analyser_spark.engine import Engine
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    cm = ConfigManager(base_app_data_dir_override=tmp_path / "app")
+    cm.update_setting("schema_analysis_default_sample_size", 100)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select("event_id")
+    stats = Engine(spark, config=cm).analyze(ev)
+    assert stats["event_id"]["count"] == 100
+    assert Engine(spark).analyze(ev)["event_id"]["count"] == 1000
+    # explicit arg still wins over config
+    assert Engine(spark, config=cm).analyze(ev, sample_size=7)["event_id"]["count"] == 7
