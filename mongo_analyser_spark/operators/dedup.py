@@ -225,12 +225,16 @@ def connected_components(
     standard iterative-Spark requirement), and convergence is detected
     on the engine with a LIMIT-1 anti-check, not a full count.
     """
-    edges = (
-        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
-        .union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
-        .distinct()
-        .persist()
+    # symmetrize via explode, NOT union-of-two-selects: a union would run
+    # the (expensive) upstream candidate-pair pipeline once per branch,
+    # while one explode emits both orientations from a single pass
+    both = F.explode(
+        F.array(
+            F.struct(F.col(left).alias("src"), F.col(right).alias("dst")),
+            F.struct(F.col(right).alias("src"), F.col(left).alias("dst")),
+        )
     )
+    edges = pairs.select(both.alias("e")).select("e.src", "e.dst").distinct().persist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
