@@ -202,6 +202,71 @@ def simhash_bits(
     return wide.select(F.col(id_col), bits.alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_bits: int = 64,
+    num_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup PAIRS: banded Hamming blocking + exact verify.
+
+    Pigeonhole: two fingerprints within Hamming distance < num_bands must
+    agree exactly on at least one of num_bands equal-width bands, so
+    candidates = equi-join per band on the band substring (never an
+    all-pairs comparison; same scale shape as MinHash-LSH banding). Each
+    candidate pair is then verified by the exact bit-count
+    ``hamming <= max_hamming`` — a zip-free char comparison fold over the
+    two bitstrings. Set ``max_hamming <= num_bands - 1`` for exact recall
+    (the pigeonhole guarantee); larger values trade recall for fewer
+    bands. Output: (id_a, id_b, hamming), id_a < id_b, deduped across
+    bands.
+    """
+    band_len = num_bits // num_bands
+    sim = simhash_bits(df, id_col, text_col, num_bits)
+    banded = sim.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("simhash", i * band_len + 1, band_len).alias("key"),
+                    )
+                    for i in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.key")
+    a = banded.select(
+        F.col("band"), F.col("key"),
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
+    )
+    b = banded.select(
+        F.col("band"), F.col("key"),
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"),
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split(F.col("sim_a"), ""),
+            F.split(F.col("sim_b"), ""),
+            lambda x, y: (x != y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()  # a close pair can collide in several bands
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     left: str = "a",

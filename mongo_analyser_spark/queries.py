@@ -1518,5 +1518,6 @@ for _name in (
     "q7_nation_volume_shipping",
     "q15_top_supplier",
     "corpus_build_documents",
+    "simhash_pairs_documents",
 ):
     QUERIES[_name] = QUERIES.pop(_name)

@@ -441,6 +441,45 @@ SELECT doc_id, {bits} AS simhash FROM agg ORDER BY doc_id
 """
 
 
+def _simhash_pairs_sql(num_bits: int = 64, num_bands: int = 4, max_hamming: int = 3) -> str:
+    body = _simhash_sql(num_bits)
+    band_len = num_bits // num_bands
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band, substring(simhash, {i*band_len+1}, {band_len}) AS key FROM sims"
+        for i in range(num_bands)
+    )
+    return f"""
+WITH sims AS ({body}),
+banded AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+  CAST(len(list_filter(generate_series(1, {num_bits}),
+       i -> substring(sim_a, i, 1) != substring(sim_b, i, 1))) AS INTEGER) AS hamming
+FROM cand
+WHERE len(list_filter(generate_series(1, {num_bits}),
+      i -> substring(sim_a, i, 1) != substring(sim_b, i, 1))) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+@register("simhash_pairs_documents", _simhash_pairs_sql())
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup end-to-end (north-star): banded Hamming blocking
+    (pigeonhole: distance <4 ⇒ one of 4 bands identical) + exact
+    bit-count verify ≤3 — candidates by band equi-join, never all-pairs."""
+    from mongo_analyser_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = simhash_pairs(docs, "doc_id", "text")
+    return out.select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming").cast("int")
+    )
+
+
 @register("simhash_documents", _simhash_sql())
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (north-star SimHash dedup): 64 conditional

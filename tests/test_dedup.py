@@ -134,3 +134,31 @@ def test_stratified_sample_bernoulli_bounds(spark):
     # n=1000 per stratum; ±6 sd bounds (sd≈15.8 at p=.5, ≈9.5 at p=.1)
     assert 405 <= counts["en"] <= 595, counts
     assert 43 <= counts.get("de", 0) <= 157, counts
+
+
+def test_simhash_pairs_blocking_matches_exhaustive(spark):
+    """Banded blocking + verify must equal the exhaustive all-pairs
+    Hamming computation for distance <= bands-1 (pigeonhole recall)."""
+    from itertools import combinations
+
+    from mongo_analyser_spark.operators.dedup import simhash_bits, simhash_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # identical → hamming 0
+        (3, "alpha beta gamma delta epsilon eta"),   # near
+        (4, "totally different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sims = {r.doc_id: r.simhash for r in simhash_bits(df, "doc_id", "text").collect()}
+    expect = sorted(
+        (a, b, sum(x != y for x, y in zip(sims[a], sims[b])))
+        for a, b in combinations(sorted(sims), 2)
+        if sum(x != y for x, y in zip(sims[a], sims[b])) <= 3
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(df, "doc_id", "text").collect()
+    )
+    assert got == expect
+    assert (1, 2, 0) in got  # the identical pair is found
