@@ -1196,6 +1196,51 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_rollup_events",
+    """
+SELECT
+  CASE WHEN GROUPING(CAST(ts AS DATE)) = 0
+       THEN strftime(CAST(ts AS DATE), '%Y-%m-%d') END AS day,
+  CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+       THEN strftime(date_trunc('hour', ts), '%H') END AS hour,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS (
+  (CAST(ts AS DATE), date_trunc('hour', ts)),
+  (CAST(ts AS DATE)),
+  ())
+ORDER BY day NULLS FIRST, hour NULLS FIRST
+""",
+)
+def q_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the SAME scan feeds
+    hourly, daily, and grand-total grains via time-dimension GROUPING
+    SETS — one shuffle for all granularities (Spark plans an Expand +
+    single hash aggregate), where naive per-grain queries would scan the
+    fact table once per grain. The streaming twin of the hourly grain is
+    tumbling_hourly_events."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT
+          CASE WHEN grouping(to_date(ts)) = 0
+               THEN date_format(to_date(ts), 'yyyy-MM-dd') END AS day,
+          CASE WHEN grouping(date_trunc('hour', ts)) = 0
+               THEN date_format(date_trunc('hour', ts), 'HH') END AS hour,
+          count(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS (
+          (to_date(ts), date_trunc('hour', ts)),
+          (to_date(ts)),
+          ())
+        ORDER BY day NULLS FIRST, hour NULLS FIRST
+        """
+    )
+
+
+@register(
     "q12_priority_by_status",
     """
 SELECT l_linestatus,
@@ -1519,5 +1564,7 @@ for _name in (
     "q15_top_supplier",
     "corpus_build_documents",
     "simhash_pairs_documents",
+    # A12 family rep in-window is grouping_sets_orders
+    "time_rollup_events",
 ):
     QUERIES[_name] = QUERIES.pop(_name)
