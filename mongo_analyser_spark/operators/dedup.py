@@ -224,7 +224,12 @@ def simhash_pairs(
     bands.
     """
     band_len = num_bits // num_bands
-    sim = simhash_bits(df, id_col, text_col, num_bits)
+    # materialize the fingerprints once: both sides of the band self-join
+    # read them, and without this each side re-runs the full token
+    # explode + 64-bit-sum aggregation (measured 7.1 s → 3.9 s at sf0.1).
+    # The fingerprint table is #docs × (num_bits+8) bytes — the artifact
+    # any production dedup persists anyway.
+    sim = simhash_bits(df, id_col, text_col, num_bits).localCheckpoint()
     banded = sim.select(
         F.col(id_col),
         "simhash",
