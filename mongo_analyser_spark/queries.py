@@ -1241,6 +1241,41 @@ def q_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_user_event_totals",
+    """
+SELECT user_id, c_name,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY user_id, c_name
+ORDER BY user_id
+""",
+)
+def q_salted_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join end-to-end (operators/relational.salted_join):
+    events.user_id has only ~15 distinct values — exactly the hot-key
+    pileup that stalls one reducer at 100 TB — so the fact side is salted
+    across 16 buckets and the (small, non-broadcastable-by-assumption)
+    customer side is replicated per bucket. The oracle is the PLAIN join:
+    salting is an execution strategy, result-identical by construction."""
+    from mongo_analyser_spark.operators.relational import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    return (
+        salted_join(ev, cust, "user_id", buckets=16)
+        .groupBy("user_id", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "q12_priority_by_status",
     """
 SELECT l_linestatus,
@@ -1566,5 +1601,7 @@ for _name in (
     "simhash_pairs_documents",
     # A12 family rep in-window is grouping_sets_orders
     "time_rollup_events",
+    # J2 equi-join family rep in-window is q3/q10
+    "salted_user_event_totals",
 ):
     QUERIES[_name] = QUERIES.pop(_name)
