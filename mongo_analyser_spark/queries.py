@@ -819,6 +819,43 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sketch variants (rows-only: approximate answers are not SQL-oracle
+# reproducible by design; the driver contract records a weaker rows-only
+# check for them, and pytest bounds their error vs the exact twins) -----
+
+
+@register("field_stats_events_hll")
+def q_field_stats_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship per-field stats with HLL approximate distinct — the
+    100 TB variant of field_stats_events: same single melt + one
+    groupBy(field) plan, but cardinality comes from approx_count_distinct
+    (fixed-width HLL sketch state) instead of the exact two-level
+    distinct cascade. Plan pinned ≤2 exchanges in tests/test_plans.py."""
+    from mongo_analyser_spark.operators.field_stats import field_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return field_stats(ev, {"props": EVENTS_PROPS_SCHEMA}, approx=True)
+
+
+@register("value_percentiles_events_approx")
+def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile twin of value_percentiles_events: bounded
+    sketch state per group instead of a per-group value sort — the shape
+    that survives a 100 TB group-by. Accuracy 10000 ≈ 0.01% rank error;
+    pytest asserts agreement with the exact percentiles within
+    tolerance."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 4).alias("p50"),
+            F.round(F.expr("approx_percentile(value, 0.9, 10000)"), 4).alias("p90"),
+            F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "schema_documents",
     """
@@ -1603,5 +1640,8 @@ for _name in (
     "time_rollup_events",
     # J2 equi-join family rep in-window is q3/q10
     "salted_user_event_totals",
+    # sketch variants: rows-only by design, exact twins are in-window
+    "field_stats_events_hll",
+    "value_percentiles_events_approx",
 ):
     QUERIES[_name] = QUERIES.pop(_name)

@@ -167,3 +167,43 @@ def test_engine_honors_config_sample_size(spark, tmp_path):
     assert Engine(spark).analyze(ev)["event_id"]["count"] == 1000
     # explicit arg still wins over config
     assert Engine(spark, config=cm).analyze(ev, sample_size=7)["event_id"]["count"] == 7
+
+
+def test_sketch_variants_agree_with_exact_twins(spark):
+    """Rows-only sketch queries: HLL cardinality within 5% of exact,
+    approx_percentile within 1% of exact — the accuracy contract that
+    replaces their missing SQL oracle."""
+    from mongo_analyser_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact_fs = {r["field"]: r for r in QUERIES["field_stats_events"](spark, sf).collect()}
+    hll_fs = {r["field"]: r for r in QUERIES["field_stats_events_hll"](spark, sf).collect()}
+    assert set(exact_fs) == set(hll_fs)
+    for f in exact_fs:
+        e, a = exact_fs[f]["distinct_cnt"], hll_fs[f]["distinct_cnt"]
+        assert abs(a - e) <= max(2, 0.05 * e), (f, e, a)
+
+    # approx_percentile returns DISCRETE order statistics (no
+    # interpolation), so the right exact reference is approx_percentile
+    # at effectively-infinite accuracy, not the interpolating percentile()
+    from mongo_analyser_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf, "events")
+    disc = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            *[
+                F.round(F.expr(f"approx_percentile(value, {p}, 100000000)"), 4).alias(c)
+                for p, c in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+            ]
+        )
+        .collect()
+    }
+    approx_p = {r.event_type: r for r in QUERIES["value_percentiles_events_approx"](spark, sf).collect()}
+    for t in disc:
+        for col in ("p50", "p90", "p99"):
+            e, a = disc[t][col], approx_p[t][col]
+            # accuracy 10000 on n≈250/group ⇒ rank error ~0: exact match
+            assert a == e, (t, col, e, a)
