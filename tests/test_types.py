@@ -86,11 +86,14 @@ def test_schema_to_hierarchical_roundtrip():
 
 def test_registry_every_query_has_oracle():
     """Driver-contract meta-check: every queries() entry ships a DuckDB
-    oracle twin (entries without one only get the weaker rows-only
-    check — we keep the registry at 100% oracle coverage)."""
+    oracle twin EXCEPT the declared approximate-sketch variants, whose
+    answers are not SQL-reproducible by design (they get the weaker
+    rows-only check plus pytest accuracy bounds vs their exact twins —
+    the full policy lives in tests/test_registry.py)."""
     from mongo_analyser_spark.queries import ORACLES, QUERIES
+    from tests.test_registry import ROWS_ONLY
 
-    assert set(ORACLES) == set(QUERIES)
+    assert set(QUERIES) - set(ORACLES) == ROWS_ONLY
     assert len(QUERIES) >= 50
 
 
