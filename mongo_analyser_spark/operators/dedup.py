@@ -90,7 +90,10 @@ def lsh_band_hashes(
 
 def lsh_candidate_pairs(band_df: DataFrame, id_col: str) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one band bucket —
-    the equi-join that replaces the cross product at scale."""
+    the equi-join that replaces the cross product at scale. The band
+    table (num_bands fixed-width rows per doc) is materialized once so
+    the self-join doesn't re-run the signature aggregation per side."""
+    band_df = band_df.localCheckpoint()
     a = band_df.select(
         F.col(id_col).alias("doc_a"), "band_id", "band_hash"
     )
@@ -115,7 +118,13 @@ def jaccard_verify(
 ) -> DataFrame:
     """Verify candidates with the exact shingle-set Jaccard (integer set
     sizes → one division → deterministic). Output
-    (doc_a, doc_b, jaccard double)."""
+    (doc_a, doc_b, jaccard double).
+
+    The shingle-set frame is deliberately NOT materialized even though
+    both join sides derive from it: shingle sets are corpus-sized
+    (every n-gram of every doc), so at 100 TB recomputing the cheap
+    projection twice beats storing it once — the opposite call from the
+    fixed-width fingerprint/band tables above."""
     sets = df.select(
         F.col(id_col),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh_set"),
@@ -149,9 +158,12 @@ def ngram_jaccard_pairs(
     the block join, never the cross product."""
     from mongo_analyser_spark.functions.text import fingerprint
 
+    # materialized once (id + 32-char key per doc): both sides of the
+    # block self-join read it, and without this each side re-runs the
+    # md5-per-shingle fingerprint pass
     fp = df.select(
         F.col(id_col), fingerprint(F.col(text_col), shingle_n).alias("block_key")
-    )
+    ).localCheckpoint()
     pairs = (
         fp.select(F.col(id_col).alias("doc_a"), "block_key")
         .join(fp.select(F.col(id_col).alias("doc_b"), "block_key"), "block_key")
