@@ -47,6 +47,32 @@ def stratified_take(
     )
 
 
+def split_assign(
+    id_col: str | Column,
+    boundaries: list[tuple[str, str | None]] = (
+        ("train", "cd"),  # md5 first byte < 0xcd → 205/256 ≈ 80.1%
+        ("val", "e6"),    # < 0xe6 → next 25/256 ≈ 9.8%
+        ("test", None),   # remainder ≈ 10.2%
+    ),
+) -> Column:
+    """Reproducible dataset-split label from the id's md5: the first hex
+    byte lands in [00, ff]; each split takes the ids below its hex
+    threshold (lowercase fixed-width hex compares lexicographically ==
+    numerically, so the same split is computable in ANY engine as a
+    string comparison — no bit twiddling, no engine hash functions).
+    Deterministic across runs/engines and stable under corpus growth:
+    adding documents never moves an existing id between splits — the
+    property random assignment lacks and every training pipeline needs.
+    Pure projection: zero shuffle."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    byte = F.substring(F.md5(c.cast("string")), 1, 2)
+    expr = None
+    for name, upper in boundaries:
+        cond = F.lit(True) if upper is None else (byte < F.lit(upper))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return expr
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

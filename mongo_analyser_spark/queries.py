@@ -1643,5 +1643,7 @@ for _name in (
     # sketch variants: rows-only by design, exact twins are in-window
     "field_stats_events_hll",
     "value_percentiles_events_approx",
+    # sampling family rep in-window is sample_events_deterministic
+    "dataset_split_documents",
 ):
     QUERIES[_name] = QUERIES.pop(_name)

@@ -391,6 +391,34 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dataset_split_documents",
+    """
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT lang,
+    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents)
+GROUP BY split, lang ORDER BY split, lang
+""",
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test split by id-hash threshold
+    (north-star): engine-agnostic (hex-string comparison), stable under
+    corpus growth, zero shuffle for the assignment itself."""
+    from mongo_analyser_spark.operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(split_assign("doc_id").alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
 STRATA_QUOTAS = {"en": 40, "de": 25, "fr": 15, "es": 10}
 
 

@@ -162,3 +162,26 @@ def test_simhash_pairs_blocking_matches_exhaustive(spark):
     )
     assert got == expect
     assert (1, 2, 0) in got  # the identical pair is found
+
+
+def test_split_assign_stable_and_proportional(spark):
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "id long")
+    out = df.select("id", split_assign("id").alias("split"))
+    counts = {r.split: r.cnt for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    # expected ≈ 80.1 / 9.8 / 10.2 of 5000; generous ±4 sd bounds
+    assert 3850 <= counts["train"] <= 4150, counts
+    assert 350 <= counts["val"] <= 640, counts
+    assert 370 <= counts["test"] <= 660, counts
+    # growth stability: the same ids keep their split when the corpus doubles
+    bigger = spark.createDataFrame([(i,) for i in range(10000)], "id long")
+    before = {r.id: r.split for r in out.collect()}
+    after = {
+        r.id: r.split
+        for r in bigger.select("id", split_assign("id").alias("split")).collect()
+        if r.id < 5000
+    }
+    assert before == after
