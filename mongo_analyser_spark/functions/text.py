@@ -100,3 +100,24 @@ def fingerprint(col: Column | str, n: int = 3) -> Column:
     hash-rolling fingerprint family (min-sampling of shingle hashes),
     portable to any engine with md5."""
     return F.array_min(F.transform(shingles(col, n), F.md5))
+
+
+#: PII patterns (applied in order; each is a plain POSIX-ish regex both
+#: Spark's and DuckDB's engines interpret identically — no lookarounds)
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Training-corpus PII scrub: emails, URLs, then phone-like digit
+    runs replaced with typed placeholders — chained regexp_replace, all
+    inside whole-stage codegen (order matters: URLs can contain @, so
+    emails go first; placeholders contain no digits so the phone pass
+    can't re-match them)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, repl)
+    return c

@@ -1645,5 +1645,7 @@ for _name in (
     "value_percentiles_events_approx",
     # sampling family rep in-window is sample_events_deterministic
     "dataset_split_documents",
+    # text-analysis family rep in-window is text_stats/fingerprint
+    "pii_scrub_documents",
 ):
     QUERIES[_name] = QUERIES.pop(_name)

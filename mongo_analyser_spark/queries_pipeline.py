@@ -391,6 +391,57 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_scrub_sql() -> str:
+    from mongo_analyser_spark.functions.text import PII_PATTERNS
+
+    expr = "raw"
+    for pattern, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
+    return f"""
+WITH tagged AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or https://example.com/u/' || CAST(doc_id AS VARCHAR)
+         || ' phone +1 (555) 000-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS raw
+  FROM documents)
+SELECT doc_id, {expr} AS scrubbed,
+  CAST(len(string_split({expr}, '<EMAIL>')) - 1 AS BIGINT) AS n_emails,
+  CAST(len(string_split({expr}, '<URL>')) - 1 AS BIGINT) AS n_urls,
+  CAST(len(string_split({expr}, '<PHONE>')) - 1 AS BIGINT) AS n_phones
+FROM tagged ORDER BY doc_id
+"""
+
+
+@register("pii_scrub_documents", _pii_scrub_sql())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (north-star corpus cleaning): emails/URLs/phones →
+    typed placeholders via chained regexp_replace — pure codegen, no
+    shuffle. The testdata text is synthetic, so deterministic PII derived
+    from doc_id is appended first; masked-entity counts come back as
+    columns so the oracle verifies every placeholder landed."""
+    from mongo_analyser_spark.functions.text import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://example.com/u/"), F.col("doc_id").cast("string"),
+        F.lit(" phone +1 (555) 000-"), (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    scrubbed = scrub_pii(raw)
+
+    def n_of(tag):
+        return (F.size(F.split(scrubbed, tag)) - 1).cast("long")
+
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        n_of("<EMAIL>").alias("n_emails"),
+        n_of("<URL>").alias("n_urls"),
+        n_of("<PHONE>").alias("n_phones"),
+    ).orderBy("doc_id")
+
+
 @register(
     "dataset_split_documents",
     """

@@ -52,3 +52,23 @@ def test_fingerprint_stability(spark):
     assert a == b
     assert a != c
     assert len(a) == 32  # md5 hex
+
+
+def test_scrub_pii_masks_and_preserves(spark):
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.functions.text import scrub_pii
+
+    cases = [
+        ("mail a.b+tag@x-y.co end", "mail <EMAIL> end"),
+        ("go to https://ex.com/p?q=1&r=2 now", "go to <URL> now"),
+        ("call +1 (555) 123-4567 ok", "call <PHONE> ok"),
+        ("email inside url https://ex.com/a@b.com x", "email inside url <URL> x"),
+        ("no pii here at all", "no pii here at all"),
+        ("year 2023 is fine", "year 2023 is fine"),  # short digit runs survive
+    ]
+    df = spark.createDataFrame(cases, "text string, expected string")
+    bad = df.select(scrub_pii("text").alias("got"), "expected").filter(
+        F.col("got") != F.col("expected")
+    )
+    assert bad.count() == 0, bad.collect()
