@@ -60,6 +60,29 @@ def export_parquet(
     writer.parquet(path)
 
 
+def export_parquet_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet export: repartitionByRange +
+    sortWithinPartitions on ``sort_col`` so every output file (and every
+    row group inside it) covers a DISJOINT value range. The parquet
+    footer's per-row-group min/max stats (the zone maps
+    `sources/parquet.describe_indexes` surfaces) then let any reader skip
+    whole row groups on ``sort_col`` predicates — the storage-layout half
+    of predicate pushdown, and the single cheapest read-amplification
+    win for a 100 TB corpus that is usually filtered by time or id."""
+    (
+        df.repartitionByRange(num_files, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def export_json_array_gz(
     df: DataFrame, path: str, batch_size: int = 1000
 ) -> int:

@@ -99,3 +99,39 @@ def test_export_parquet_partitioned_roundtrip(spark, tmp_path):
     for d in ("lang=de", "lang=en"):
         files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
         assert 1 <= len(files) <= 2, files
+
+
+def test_export_parquet_sorted_produces_disjoint_zone_maps(spark, tmp_path):
+    """Range-clustered export: per-file value ranges must be disjoint so
+    parquet zone maps (describe_indexes) can skip row groups on a
+    sort_col predicate; an unsorted write interleaves ranges and defeats
+    skipping."""
+    import os
+
+    from mongo_analyser_spark.sinks.export import export_parquet_sorted
+
+    df = spark.range(0, 10000).selectExpr("id", "id % 97 AS payload")
+    out = str(tmp_path / "sorted")
+    export_parquet_sorted(df, out, "id", num_files=4)
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(out, f)).metadata
+        for rg in range(meta.num_row_groups):
+            col = next(
+                meta.row_group(rg).column(ci)
+                for ci in range(meta.row_group(rg).num_columns)
+                if meta.row_group(rg).column(ci).path_in_schema == "id"
+            )
+            ranges.append((col.statistics.min, col.statistics.max))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping zone maps: {(lo1, hi1)} vs {(lo2, _hi2)}"
+    # and the reader actually prunes: a narrow id predicate reads back right
+    back = spark.read.parquet(out).filter("id BETWEEN 100 AND 110")
+    assert back.count() == 11
