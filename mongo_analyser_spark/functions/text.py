@@ -121,3 +121,16 @@ def scrub_pii(col: Column | str) -> Column:
     for pattern, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pattern, repl)
     return c
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for dedup keys and quality stats: lowercase,
+    punctuation stripped to spaces, whitespace runs collapsed, trimmed —
+    the normalization pass that makes exact/vocab dedup robust to
+    formatting noise. Pure codegen; identical regex semantics in any
+    POSIX-class engine (no lookarounds)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)

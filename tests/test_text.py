@@ -72,3 +72,21 @@ def test_scrub_pii_masks_and_preserves(spark):
         F.col("got") != F.col("expected")
     )
     assert bad.count() == 0, bad.collect()
+
+
+def test_normalize_text(spark):
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.functions.text import normalize_text
+
+    cases = [
+        ("  Hello,   WORLD!! ", "hello world"),
+        ("a-b_c.d", "a b c d"),
+        ("already clean", "already clean"),
+        ("123 Numbers stay", "123 numbers stay"),
+    ]
+    df = spark.createDataFrame(cases, "text string, expected string")
+    bad = df.select(normalize_text("text").alias("got"), "expected").filter(
+        F.col("got") != F.col("expected")
+    )
+    assert bad.count() == 0, bad.collect()
