@@ -819,6 +819,44 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "numeric_profile_documents",
+    """
+SELECT 'n_chars' AS field,
+  CAST(count(n_chars) AS BIGINT) AS n,
+  ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(n_chars), 4) AS mean,
+  ROUND(sqrt((CAST(SUM(CAST(n_chars AS DECIMAL(18,2)) * CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+       - CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+         * CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(n_chars))
+      / (count(n_chars) - 1)), 4) AS stddev,
+  CAST(MIN(n_chars) AS DOUBLE) AS min_v,
+  CAST(MAX(n_chars) AS DOUBLE) AS max_v
+FROM documents
+""",
+)
+def q_numeric_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric column profile beyond min/max (profiling-engine staple):
+    mean + sample stddev computed from EXACT decimal sum / sum-of-squares
+    (sqrt((Σx² − (Σx)²/n)/(n−1))) — the builtin stddev_samp folds doubles
+    in partition order, which hash-flaps against any oracle; decimal
+    moments make the answer order-free, then one double division/sqrt at
+    the end. Same single-pass shape (two sums + count + min/max in one
+    partial-aggregate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("decimal(18,2)")
+    n = F.count("n_chars")
+    sum_x = F.sum(x).cast("double")
+    sum_x2 = F.sum(x * x).cast("double")
+    return docs.agg(
+        F.lit("n_chars").alias("field"),
+        n.alias("n"),
+        F.round(sum_x / n, 4).alias("mean"),
+        F.round(F.sqrt((sum_x2 - sum_x * sum_x / n) / (n - F.lit(1))), 4).alias("stddev"),
+        F.min("n_chars").cast("double").alias("min_v"),
+        F.max("n_chars").cast("double").alias("max_v"),
+    )
+
+
 # --- sketch variants (rows-only: approximate answers are not SQL-oracle
 # reproducible by design; the driver contract records a weaker rows-only
 # check for them, and pytest bounds their error vs the exact twins) -----
@@ -1647,5 +1685,7 @@ for _name in (
     "dataset_split_documents",
     # text-analysis family rep in-window is text_stats/fingerprint
     "pii_scrub_documents",
+    # A5/A6 family rep in-window is field_stats/array_stats
+    "numeric_profile_documents",
 ):
     QUERIES[_name] = QUERIES.pop(_name)
