@@ -521,7 +521,6 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
     )
 
 
@@ -545,7 +544,6 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
     )
 
 
@@ -611,7 +609,6 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id", F.date_format("last_signup_ts", TS_FMT).alias("last_signup")
         )
-        .orderBy("event_id")
     )
 
 
@@ -668,7 +665,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("running_value"),
         F.lag("event_id").over(w).alias("prev_event_id"),
         F.lead("event_id").over(w).alias("next_event_id"),
-    ).orderBy("event_id")
+    )
 
 
 @register(
@@ -747,7 +744,6 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
         .agg(F.count(F.lit(1)))
         .na.fill(0)
-        .orderBy("user_id")
     )
 
 
@@ -1346,7 +1342,6 @@ def q_salted_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -1407,7 +1402,7 @@ def q_trailing_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
         F.round(F.sum("value").over(w), 2).alias("sum_trailing_1h"),
-    ).orderBy("event_id")
+    )
 
 
 @register(

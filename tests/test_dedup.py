@@ -185,3 +185,56 @@ def test_split_assign_stable_and_proportional(spark):
         if r.id < 5000
     }
     assert before == after
+
+
+def test_cosine_near_dup_precision_and_recall(spark):
+    """Banded SRP near-dup vs the exhaustive within-block pair set on the
+    real sf0.001 embeddings: precision must be exact (the cosine verify
+    re-checks every candidate) and recall ≥0.9 at the adversarial 0.3
+    threshold (measured 0.97; ≈1 for true near-dups — see
+    cosine_near_dup_pairs docstring for the LSH math)."""
+    from mongo_analyser_spark.operators.dedup import cosine_near_dup_pairs
+    from mongo_analyser_spark.operators.similarity import as_double_vec, dot, norm
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(
+            emb, "vec_id", "embedding", 64, threshold=0.3, block_col="label"
+        ).collect()
+    }
+    base = emb.select(
+        "vec_id", as_double_vec("embedding").alias("v"), "label"
+    ).select("vec_id", "v", norm(F.col("v")).alias("n"), "label")
+    a = base.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), "label"
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "label"
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+        .collect()
+    }
+    assert banded <= exact  # precision 1.0: every emitted pair truly passes
+    assert len(banded) / len(exact) >= 0.9
+
+
+def test_srp_band_params_scale_with_corpus():
+    """Band width grows log2 with the corpus — the property that keeps
+    per-bucket pair work bounded at 100×."""
+    from mongo_analyser_spark.operators.dedup import srp_band_params
+
+    assert srp_band_params(500) == (2, 6)
+    assert srp_band_params(2_000) == (4, 12)
+    assert srp_band_params(2_000_000) == (14, 42)
+    r_small, _ = srp_band_params(100)
+    assert r_small == 2  # floor: never degenerate to 1-bit bands

@@ -29,6 +29,7 @@ HEADLINE = [
     "simhash_documents",
     "similarity_topk_embeddings",
     "ann_srp_topk_embeddings",
+    "embedding_near_dup_pairs",
     "dynamic_schema_histogram_events",
     "corpus_build_documents",
     "window_top3_orders_per_customer",
