@@ -20,6 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 from pyspark.sql import Column, DataFrame
@@ -158,6 +159,64 @@ def ivf_centroids(num_cells: int, dim: int) -> list[list[float]]:
     return cells
 
 
+def kmeans_centroids(
+    vectors: list[list[float]], num_cells: int, iters: int = 8
+) -> list[list[float]]:
+    """Deterministic spherical k-means (Lloyd) on the unit sphere — the
+    data-adaptive coarse quantizer a real IVF index trains. Driver-side
+    numpy over a bounded sample; the resulting centroids are embedded as
+    LITERALS in both engines (the same oracle trick as the fixed
+    ``ivf_centroids``), so cross-engine determinism only needs this one
+    Python computation to be stable: stride init over the id-sorted
+    sample (no RNG), argmax assignment (ties → lowest cell index),
+    fixed iteration count."""
+    import numpy as np
+
+    v = np.asarray(vectors, dtype=np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    n = len(v)
+    cents = v[[round(i * n / num_cells) for i in range(num_cells)]].copy()
+    for _ in range(iters):
+        assign = (v @ cents.T).argmax(axis=1)
+        for c in range(num_cells):
+            members = v[assign == c]
+            if len(members):
+                s = members.sum(axis=0)
+                nrm = np.linalg.norm(s)
+                if nrm > 0:
+                    cents[c] = s / nrm
+    return [[float(x) for x in row] for row in cents]
+
+
+@functools.lru_cache(maxsize=8)
+def adaptive_ivf_params(
+    sf_dir: str, max_sample: int = 4096
+) -> tuple[tuple[tuple[float, ...], ...], int]:
+    """(centroids, num_cells) trained on the embeddings table of
+    ``sf_dir``: cell count scales with the corpus (√n — the standard IVF
+    sizing so per-cell scan work and cell-probe work balance), centroids
+    from deterministic stride-sampled spherical k-means. Cached per
+    (sf_dir, max_sample); read via pyarrow driver-side — the sample is
+    bounded, never the corpus (at 100 TB pass a pre-drawn sample path or
+    lift the same k-means onto a df.sample(..).collect())."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .sort_by("vec_id")
+        .to_pydict()
+    )
+    vecs = t["embedding"]
+    n = len(vecs)
+    stride = max(1, n // max_sample)
+    sample = vecs[::stride][:max_sample]
+    num_cells = max(4, round(math.sqrt(n)))
+    cents = kmeans_centroids(sample, num_cells)
+    return tuple(tuple(row) for row in cents), num_cells
+
+
 def ivf_cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
     """Array of <vec, ĉ_i> scores (centroids pre-normalized driver-side,
     embedded as literals; left-fold dots — same order as an unrolled SQL
@@ -189,6 +248,7 @@ def ivf_topk(
     dim: int,
     k: int = 3,
     nprobe: int = 1,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """ANN via IVF coarse quantization: every vector is assigned to its
     nearest centroid cell (one pass, no shuffle), candidates = corpus
@@ -197,10 +257,16 @@ def ivf_topk(
     SRP-LSH: cells partition the space geometrically instead of by
     random-hyperplane signs, so recall degrades gracefully via
     ``nprobe`` (probe the n best cells per query — query-side-only
-    expansion, corpus untouched, same trade as SRP multi-probe)."""
+    expansion, corpus untouched, same trade as SRP multi-probe).
+    Pass ``centroids`` (e.g. from ``adaptive_ivf_params``) to swap the
+    fixed md5 quantizer for a data-trained one behind the same plan."""
     from pyspark.sql import Window
 
-    centroids = ivf_centroids(num_cells, dim)
+    if centroids is None:
+        centroids = ivf_centroids(num_cells, dim)
+    else:
+        centroids = [list(row) for row in centroids]
+        num_cells = len(centroids)
     emb = emb.withColumn(vec_col, as_double_vec(vec_col))
     assigned = emb.select(
         F.col(id_col),

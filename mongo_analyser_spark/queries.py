@@ -42,6 +42,11 @@ DUCK_TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# For queries whose oracle depends on data-derived literals (e.g. k-means
+# centroids trained on the sf's embeddings): name -> fn(sf_dir) -> SQL.
+# ORACLES still holds the sf0.01-baked string (the driver's contract runs
+# the oracle at sf=0.01); local tools regenerate per sf_dir from here.
+ORACLE_GENERATORS: dict[str, Callable[[str], str]] = {}
 
 
 def register(name: str, oracle: str | None = None):
@@ -1638,7 +1643,7 @@ from mongo_analyser_spark import queries_streaming  # noqa: E402,F401
 # order. Every query FAMILY must have a representative inside that window,
 # so queries that are near-duplicates of an already-checked sibling are
 # moved to the tail (still registered: the local tools/check_oracle.py
-# gate and pytest run all 57):
+# gate and pytest run the FULL registry — len(QUERIES), not a sample):
 #   rollup/cube            — A12, grouping_sets_orders stays in-window
 #   observed_type_histogram — A4, type_histogram_events stays
 #   lang_detect            — lang_histogram aggregates the same detector
@@ -1657,6 +1662,7 @@ for _name in (
     "trailing_window_range_events",
     # similarity family keeps brute-force + SRP in-window; IVF rides tail
     "ann_ivf_topk_embeddings",
+    "ann_ivf_adaptive_topk_embeddings",
     # dedup family keeps exact/minhash/jaccard in-window; clusters ride tail
     "dedup_clusters_documents",
     # sampling family's in-window rep is sample_events_deterministic

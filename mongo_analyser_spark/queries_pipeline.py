@@ -34,7 +34,7 @@ from mongo_analyser_spark.operators.similarity import (
     brute_force_topk,
     srp_planes,
 )
-from mongo_analyser_spark.queries import register
+from mongo_analyser_spark.queries import ORACLE_GENERATORS, register
 from mongo_analyser_spark.sources.parquet import load_table
 
 EMB_DIM = 64
@@ -713,6 +713,68 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, "vec_id", "embedding", ANN_QUERY_IDS, IVF_CELLS, EMB_DIM, k=3
     )
+
+
+ADAPTIVE_NPROBE = 3
+
+
+def _ann_ivf_adaptive_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Oracle twin for the adaptive-quantizer IVF: the k-means centroids
+    are trained by the SAME Python call the Spark query uses
+    (adaptive_ivf_params is lru-cached), then embedded as SQL literals —
+    so both engines quantize with bit-identical cells. Registered through
+    ORACLE_GENERATORS because the literals depend on the sf's data."""
+    from mongo_analyser_spark.operators.similarity import adaptive_ivf_params
+
+    cents, num_cells = adaptive_ivf_params(sf_dir)
+    scores = ", ".join(f"({_plane_dot_sql('embedding', list(row))})" for row in cents)
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, [{scores}] AS scores FROM embeddings),
+cells AS (
+  SELECT vec_id, embedding, list_position(scores, list_max(scores)) AS cell
+  FROM assigned),
+qcells AS (
+  SELECT qid, qv, cell FROM (
+    SELECT a.vec_id AS qid, a.embedding AS qv, t.i AS cell,
+      row_number() OVER (PARTITION BY a.vec_id
+                         ORDER BY a.scores[t.i] DESC, t.i) AS cell_rk
+    FROM assigned a, (SELECT unnest(generate_series(1, {num_cells})) AS i) t
+    WHERE a.vec_id < 8)
+  WHERE cell_rk <= {ADAPTIVE_NPROBE}),
+scored AS (
+  SELECT qid, c.vec_id AS vid,
+    ROUND(({_dot_sql('q.qv', 'c.embedding')})
+          / ({_norm_sql('q.qv')} * {_norm_sql('c.embedding')}), 6) AS cos_sim
+  FROM cells c JOIN qcells q USING (cell) WHERE c.vec_id <> q.qid)
+SELECT qid, vid, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rnk
+  FROM scored) WHERE rnk <= 3 ORDER BY qid, rnk
+"""
+
+
+@register("ann_ivf_adaptive_topk_embeddings", _ann_ivf_adaptive_sql())
+def q_ann_ivf_adaptive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-adaptive IVF ANN (round-2 verdict #2): √n k-means cells
+    trained on a stride sample of THIS sf's embeddings (driver-side,
+    deterministic — no RNG), nprobe=3. Same candidate-join plan as the
+    fixed-quantizer twin; recall@3 vs brute force is pytest-pinned ≥ the
+    fixed quantizer's (0.583 vs 0.375 at sf0.01) while scanning ~half
+    the corpus fraction per query."""
+    from mongo_analyser_spark.operators.similarity import (
+        adaptive_ivf_params,
+        ivf_topk,
+    )
+
+    cents, _num_cells = adaptive_ivf_params(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, "vec_id", "embedding", ANN_QUERY_IDS, 0, EMB_DIM,
+        k=3, nprobe=ADAPTIVE_NPROBE, centroids=cents,
+    )
+
+
+ORACLE_GENERATORS["ann_ivf_adaptive_topk_embeddings"] = _ann_ivf_adaptive_sql
 
 
 # --------------------------------------------------------------------------

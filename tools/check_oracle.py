@@ -41,7 +41,7 @@ def multiset(rows, cols):
 
 def main() -> int:
     from mongo_analyser_spark import get_spark
-    from mongo_analyser_spark.queries import ORACLES, QUERIES
+    from mongo_analyser_spark.queries import ORACLE_GENERATORS, ORACLES, QUERIES
 
     spark = get_spark(cpus=8)
     con = duckdb.connect()
@@ -64,7 +64,9 @@ def main() -> int:
             if len(srows) == 0:
                 failures.append((name, "0 rows"))
             continue
-        ores = con.execute(ORACLES[name])
+        osql = (ORACLE_GENERATORS[name](SF_DIR)
+                if name in ORACLE_GENERATORS else ORACLES[name])
+        ores = con.execute(osql)
         ocols = [d[0] for d in ores.description]
         orows = [tuple(r) for r in ores.fetchall()]
 

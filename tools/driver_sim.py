@@ -52,7 +52,7 @@ def main() -> int:
     spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    from mongo_analyser_spark.queries import ORACLES, QUERIES
+    from mongo_analyser_spark.queries import ORACLE_GENERATORS, ORACLES, QUERIES
 
     con = duckdb.connect()
     for t in TABLES:
@@ -75,7 +75,9 @@ def main() -> int:
                 if not srows:
                     failures.append(name)
                 continue
-            ores = con.execute(ORACLES[name])
+            osql = (ORACLE_GENERATORS[name](SF_DIR)
+                    if name in ORACLE_GENERATORS else ORACLES[name])
+            ores = con.execute(osql)
             ocols = [d[0] for d in ores.description]
             orows = [tuple(r) for r in ores.fetchall()]
             ok = (
