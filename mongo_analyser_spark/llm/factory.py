@@ -134,5 +134,9 @@ def make_provider(config, transport=None, **overrides) -> ChatProvider:
         return OpenAIProvider(model, transport=transport, temperature=temperature, **overrides)
     if name == "google":
         model = overrides.pop("model", None) or config.get_setting("llm_default_model_google")
-        return GoogleProvider(model, transport=transport, **overrides)
+        # temperature rides generation_config for the Gemini REST schema —
+        # merged under any caller-supplied config (parity with the
+        # reference wrapper, which applies temperature to every provider)
+        gen_cfg = {"temperature": temperature, **(overrides.pop("generation_config", None) or {})}
+        return GoogleProvider(model, transport=transport, generation_config=gen_cfg, **overrides)
     raise ValueError(f"unknown provider {name!r}")

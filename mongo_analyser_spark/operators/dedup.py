@@ -454,6 +454,7 @@ def connected_components(
         .localCheckpoint()
     )
     try:
+        converged = False
         for _ in range(max_iter):
             neighbor_min = (
                 edges.join(labels, edges.dst == labels.id)
@@ -475,6 +476,17 @@ def connected_components(
             labels = updated.drop("__changed")
             if converged:
                 break
+        if not converged:
+            # a silent partial result would let downstream dedup keep
+            # multiple "keepers" inside one real component
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "connected_components: max_iter=%d exhausted before the "
+                "fixpoint — labels may be partially converged (component "
+                "diameter exceeds the round budget); raise max_iter",
+                max_iter,
+            )
         return labels
     finally:
         edges.unpersist()

@@ -37,9 +37,10 @@ def salted_join(
     buckets: int = 16,
     how: str = "inner",
     seed: int = 42,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: split each hot key of the large side
-    across ``buckets`` random salt values and replicate the small side's
+    across ``buckets`` salt values and replicate the small side's
     matching rows into every bucket, so one pathological key spreads over
     ``buckets`` tasks instead of stalling a single reducer.
 
@@ -49,12 +50,21 @@ def salted_join(
     pileups common in 100 TB log joins). Result is identical to
     ``large.join(small, key, how)`` — salt never leaves the operator.
 
+    The salt is CONTENT-DERIVED (round-2 verdict #7): xxhash64 of
+    ``salt_col`` (a row-distinguishing column, e.g. the row id) or, by
+    default, of every large-side column — so the bucket assignment is
+    reproducible across runs, retries, and repartitionings, unlike
+    ``F.rand`` whose draw depends on partition layout. Rows that are
+    bit-identical across ALL hashed columns land in one bucket; they
+    carry no distinguishing content to spread by.
+
     Only inner/left are valid: the replicated small side would duplicate
     unmatched rows under right/full semantics."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt_src = [F.col(salt_col)] if salt_col else [F.col(c) for c in large.columns]
     salted_large = large.withColumn(
-        "__salt", F.floor(F.rand(seed) * buckets).cast("int")
+        "__salt", F.pmod(F.xxhash64(*salt_src, F.lit(seed)), F.lit(buckets)).cast("int")
     )
     replicated_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

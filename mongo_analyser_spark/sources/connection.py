@@ -99,7 +99,10 @@ class ConnectionRegistry:
                 except Exception as e:
                     logger.warning("cached connection ping failed: %s — reconnecting", e)
                     self._record_error(e)
-                    self._client, self._db = None, None
+                    # close before dropping the reference (db.py closes the
+                    # dead client on reconnect) — nulling first would leak
+                    # the client's sockets/monitor threads every retry
+                    self.disconnect()
             elif db_name:
                 try:
                     self._db = self._client[db_name]
@@ -110,7 +113,7 @@ class ConnectionRegistry:
                 except Exception as e:
                     logger.error("db-context switch to %r failed: %s", db_name, e)
                     self._record_error(e)
-                    self._client, self._db = None, None
+                    self.disconnect()
 
         self.disconnect()
         try:

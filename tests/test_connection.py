@@ -105,6 +105,9 @@ def test_failed_ping_reconnects():
     assert reg.connection_active("mongodb://h:27017/", "mydb") is True
     assert len(f.created) == 2  # fresh client after dead ping
     assert reg.current_db_name() == "mydb"
+    # the dead client must be close()d on reconnect, not just dropped —
+    # leaked clients keep sockets/monitor threads alive (round-2 advice)
+    assert f.created[0].closed is True
 
 
 def test_force_reconnect_builds_new_client():

@@ -348,3 +348,22 @@ def test_make_provider_from_config(tmp_path):
 
     with _pytest.raises(ValueError):
         make_provider(cm, provider="not-real")
+
+
+def test_make_provider_google_applies_config_temperature(tmp_path):
+    """Round-2 advice: the configured default temperature must reach the
+    google provider's generation_config (it silently no-opped before)."""
+    from mongo_analyser_spark.config import ConfigManager
+    from mongo_analyser_spark.llm.factory import make_provider
+
+    cm = ConfigManager(base_app_data_dir_override=tmp_path / "app")
+    cm.update_setting("llm_default_provider", "google")
+    cm.update_setting("llm_default_temperature", 0.25)
+    p = make_provider(cm, transport=FakeTransport(), api_key="k")
+    assert p.generation_config["temperature"] == 0.25
+    # caller-supplied generation_config wins on key conflicts
+    p2 = make_provider(
+        cm, transport=FakeTransport(), api_key="k",
+        generation_config={"temperature": 0.9, "topK": 4},
+    )
+    assert p2.generation_config == {"temperature": 0.9, "topK": 4}

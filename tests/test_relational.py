@@ -91,3 +91,33 @@ def test_asof_join_equal_ts_tiebreak_deterministic(spark):
         right = spark.createDataFrame(rows, "k long, rts long, val double")
         out = asof_join(left, right, "k", "lts", "rts", "val", "asof_val").collect()
         assert [r.asof_val for r in out] == [300.0]
+
+
+def test_salted_join_salt_is_content_derived_and_reproducible(spark):
+    """Round-2 verdict #7: the salt must be a content hash, not F.rand —
+    identical bucket assignment across independent evaluations and
+    partition layouts."""
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.operators.relational import salted_join
+
+    big = spark.range(0, 2000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("row_id")
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, name string")
+    out1 = sorted(tuple(r) for r in salted_join(big, dim, "k", buckets=8).collect())
+    out2 = sorted(
+        tuple(r)
+        for r in salted_join(big.repartition(13), dim, "k", buckets=8).collect()
+    )
+    assert out1 == out2
+    # the internal salt itself is deterministic: recompute it twice
+    salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64("k", "row_id", F.lit(42)), F.lit(8)).cast("int")
+    )
+    a = {(r["row_id"], r["__salt"]) for r in salted.collect()}
+    b = {(r["row_id"], r["__salt"]) for r in salted.repartition(7).collect()}
+    assert a == b
+    # and the hot key really spreads across buckets
+    n_buckets = salted.filter(F.col("k") == 0).select("__salt").distinct().count()
+    assert n_buckets == 8
