@@ -29,7 +29,7 @@ logger = logging.getLogger(__name__)
 APP_DIR_NAME = "mongo_analyser_spark"
 DEFAULT_CONFIG_FILE_NAME = "config.json"
 
-VALID_PROVIDERS = ["ollama", "openai", "google", "echo"]
+VALID_PROVIDERS = ["ollama", "openai", "google", "litellm", "universal", "echo"]
 VALID_LOG_LEVELS = ["DEBUG", "INFO", "WARNING", "ERROR", "CRITICAL", "OFF"]
 
 DEFAULT_SETTINGS: dict[str, Any] = {

@@ -132,6 +132,17 @@ def make_provider(config, transport=None, **overrides) -> ChatProvider:
     if name == "openai":
         model = overrides.pop("model", None) or config.get_setting("llm_default_model_openai")
         return OpenAIProvider(model, transport=transport, temperature=temperature, **overrides)
+    if name in ("litellm", "universal"):
+        # the reference's fourth provider path (wrapper.py:84-396): any
+        # model string, provider guessed from its shape unless hinted
+        from mongo_analyser_spark.llm.wrapper import UniversalProvider
+
+        model = overrides.pop("model", None)
+        if not model:
+            raise ValueError("universal provider needs an explicit model string")
+        return UniversalProvider(
+            model, transport=transport, temperature=temperature, **overrides
+        )
     if name == "google":
         model = overrides.pop("model", None) or config.get_setting("llm_default_model_google")
         # temperature rides generation_config for the Gemini REST schema —
