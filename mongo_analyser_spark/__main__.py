@@ -1,0 +1,188 @@
+"""Headless CLI entry point (reference mongo_analyser/__main__.py:1-162):
+argument parsing, env-var overrides, and app-data-dir / config wiring —
+but driving the Spark engine over parquet collection directories instead
+of launching a Textual TUI (explicitly out of scope per SURVEY).
+
+    python -m mongo_analyser_spark analyze --data DIR --collection NAME
+    python -m mongo_analyser_spark export  --data DIR --collection NAME \
+        --format csv|json|jsonl|parquet --out PATH
+    python -m mongo_analyser_spark stats   --data DIR
+
+Env parity with the reference CLI: MONGO_ANALYSER_HOME_DIR seeds
+--app-data-dir (:27-36), SPARK_GRAFT_CPUS sizes the local session, and
+failures exit 1 with the error on stderr (:136-160).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+
+def _json_default(v):
+    # stats artifacts carry datetimes/Decimals out of Spark rows
+    return str(v)
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    from mongo_analyser_spark import __version__
+
+    parser = argparse.ArgumentParser(
+        prog="mongo_analyser_spark",
+        description=(
+            "Spark-native collection analyzer — schema inference, per-field "
+            "statistics, and typed export over parquet collection dirs."
+        ),
+    )
+    parser.add_argument(
+        "--version", action="version",
+        version=f"mongo_analyser_spark {__version__}",
+    )
+    parser.add_argument(
+        "--app-data-dir",
+        dest="app_data_dir",
+        default=os.getenv("MONGO_ANALYSER_HOME_DIR"),
+        help="Config/exports home (also env MONGO_ANALYSER_HOME_DIR).",
+    )
+    parser.add_argument(
+        "--cpus", type=int, default=None,
+        help="local[N] parallelism (default: env SPARK_GRAFT_CPUS or all cores)",
+    )
+
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def add_common(p, collection_required=True):
+        p.add_argument("--data", required=True, help="directory of <name>.parquet collections")
+        p.add_argument(
+            "--collection", required=collection_required,
+            help="collection name (file stem) inside --data",
+        )
+        p.add_argument("--out", default=None, help="output path (default: stdout)")
+
+    p_an = sub.add_parser("analyze", help="schema + per-field stats artifact (JSON)")
+    add_common(p_an)
+    p_an.add_argument("--sample-size", type=int, default=None,
+                      help="analyze only the first N rows (reference sampled inference); "
+                           "default: configured sample size, -1 = full scan")
+    p_an.add_argument("--approx", action="store_true",
+                      help="HLL distinct counts instead of exact (the 100 TB default)")
+    p_an.add_argument("--top-k", type=int, default=5)
+
+    p_ex = sub.add_parser("export", help="write the collection through a typed sink")
+    add_common(p_ex)
+    p_ex.add_argument("--format", choices=["csv", "json", "jsonl", "parquet"],
+                      default="jsonl")
+    p_ex.add_argument("--limit", type=int, default=None)
+    p_ex.add_argument("--partition-by", default=None,
+                      help="comma-separated partition columns (parquet only)")
+
+    p_st = sub.add_parser("stats", help="collection catalog: names, rows, schema width")
+    add_common(p_st, collection_required=False)
+    return parser
+
+
+def _emit(payload: dict, out: str | None) -> None:
+    text = json.dumps(payload, indent=2, sort_keys=True, default=_json_default)
+    if out:
+        Path(out).parent.mkdir(parents=True, exist_ok=True)
+        Path(out).write_text(text + "\n")
+    else:
+        print(text)
+
+
+def cmd_analyze(args, spark) -> dict:
+    from mongo_analyser_spark import ConfigManager, Engine
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    config = None
+    if args.app_data_dir:
+        config = ConfigManager(base_app_data_dir_override=Path(args.app_data_dir))
+    engine = Engine(spark, config=config)
+    df = load_table(spark, args.data, args.collection)
+    sample = args.sample_size
+    if sample is not None and sample <= 0:
+        sample = None  # reference's -1 = full scan
+        engine.config = None  # don't let config re-impose a sample
+    artifact = {
+        "collection": args.collection,
+        "schema": engine.infer_schema(df),
+        "hierarchical_schema": engine.infer_hierarchical_schema(df),
+        "field_stats": engine.analyze(
+            df, sample_size=sample, approx=args.approx, top_k=args.top_k
+        ),
+    }
+    _emit(artifact, args.out)
+    return artifact
+
+
+def cmd_export(args, spark) -> dict:
+    from mongo_analyser_spark.sinks.export import (
+        export_csv,
+        export_json,
+        export_json_array_gz,
+        export_parquet,
+    )
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    if not args.out:
+        raise SystemExit("export requires --out PATH")
+    df = load_table(spark, args.data, args.collection)
+    if args.limit:
+        df = df.limit(args.limit)
+    if args.format == "csv":
+        export_csv(df, args.out)
+    elif args.format == "jsonl":
+        export_json(df, args.out)
+    elif args.format == "json":
+        export_json_array_gz(df, args.out)
+    else:
+        parts = args.partition_by.split(",") if args.partition_by else None
+        export_parquet(df, args.out, partition_by=parts)
+    summary = {"collection": args.collection, "format": args.format, "out": args.out}
+    print(json.dumps(summary), file=sys.stderr)
+    return summary
+
+
+def cmd_stats(args, spark) -> dict:
+    from mongo_analyser_spark.sources.parquet import list_collections, load_table
+
+    names = [r["name"] for r in list_collections(spark, args.data).collect()]
+    if args.collection:
+        names = [n for n in names if n == args.collection]
+        if not names:
+            raise SystemExit(f"no collection {args.collection!r} in {args.data}")
+    collections = {}
+    for n in names:
+        df = load_table(spark, args.data, n)
+        collections[n] = {"rows": df.count(), "n_fields": len(df.schema.fields)}
+    payload = {"data_dir": args.data, "collections": collections}
+    _emit(payload, args.out)
+    return payload
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from mongo_analyser_spark import get_spark
+
+    try:
+        spark = get_spark("mongo_analyser_spark_cli", cpus=args.cpus)
+        {"analyze": cmd_analyze, "export": cmd_export, "stats": cmd_stats}[
+            args.command
+        ](args, spark)
+    except SystemExit:
+        raise
+    except Exception as e:  # reference __main__.py:136-160: report, exit 1
+        print(f"ERROR: {type(e).__name__}: {e}", file=sys.stderr)
+        if os.getenv("MONGO_ANALYSER_CLI_DEBUG"):
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

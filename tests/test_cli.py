@@ -1,0 +1,64 @@
+"""CLI entry point (reference __main__.py:1-162): subprocess runs over the
+sf0.001 parquet collections asserting the JSON artifacts, plus in-process
+arg/error truth tables."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+REPO = "/root/repo"
+SF = "/root/testdata/sf0.001"
+
+
+def run_cli(*argv, timeout=240):
+    return subprocess.run(
+        [sys.executable, "-m", "mongo_analyser_spark", *argv],
+        capture_output=True, text=True, cwd=REPO, timeout=timeout,
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+
+
+def test_cli_analyze_writes_schema_and_stats_artifact(tmp_path):
+    out = tmp_path / "analysis.json"
+    r = run_cli(
+        "analyze", "--data", SF, "--collection", "documents",
+        "--sample-size", "200", "--out", str(out),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    artifact = json.loads(out.read_text())
+    assert artifact["collection"] == "documents"
+    assert artifact["schema"]["doc_id"] == {"type": "int64"}
+    assert artifact["hierarchical_schema"]["doc_id"] == {"type": "int64"}
+    stats = artifact["field_stats"]
+    assert stats["doc_id"]["count"] == 200  # sampled inference honored
+    assert stats["doc_id"]["cardinality"] == 200
+    assert stats["lang"]["missing_percentage"] == 0.0
+    assert stats["doc_id"]["type_distribution"] == {"int64": 200}
+
+
+def test_cli_stats_and_export_roundtrip(tmp_path):
+    r = run_cli("stats", "--data", SF, "--collection", "nation")
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout)
+    assert payload["collections"]["nation"]["rows"] == 25
+
+    out = tmp_path / "nation_csv"
+    r2 = run_cli(
+        "export", "--data", SF, "--collection", "nation",
+        "--format", "csv", "--out", str(out), "--limit", "5",
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    files = list(out.glob("*.csv"))
+    assert files, "no csv part written"
+    body = files[0].read_text()
+    assert body.count("\n") == 6  # header + 5 rows
+
+
+def test_cli_errors_exit_nonzero():
+    r = run_cli("stats", "--data", SF, "--collection", "not-a-collection")
+    assert r.returncode != 0
+    assert "not-a-collection" in r.stderr
+    r2 = run_cli("export", "--data", SF, "--collection", "nation")
+    assert r2.returncode != 0  # --out required
