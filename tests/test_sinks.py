@@ -135,3 +135,71 @@ def test_export_parquet_sorted_produces_disjoint_zone_maps(spark, tmp_path):
     # and the reader actually prunes: a narrow id predicate reads back right
     back = spark.read.parquet(out).filter("id BETWEEN 100 AND 110")
     assert back.count() == 11
+
+
+def test_rollup_roundtrip_matches_query_output(spark, tmp_path):
+    """Round-2 verdict #9: materialized grains read back equal to the
+    registered time_rollup_events output (grain labels in place of the
+    NULL-pattern columns)."""
+    from mongo_analyser_spark.queries import QUERIES
+    from mongo_analyser_spark.sinks.rollup import materialize_rollup, read_rollup
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "rollup")
+    ev = load_table(spark, sf, "events")
+    materialize_rollup(ev, path)
+
+    back = read_rollup(spark, path)
+    q = QUERIES["time_rollup_events"](spark, sf)
+    expect = {
+        (r["day"], r["hour"], r["n_events"], r["sum_value"]) for r in q.collect()
+    }
+    got = {
+        (r["day"] if r["grain"] != "total" else None,
+         r["hour"], r["n_events"], r["sum_value"])
+        for r in back.collect()
+    }
+    assert got == expect
+    # grain filter is a partition prune: only that grain's rows come back
+    hourly = read_rollup(spark, path, grain="hourly")
+    assert hourly.select("grain").distinct().collect()[0][0] == "hourly"
+    assert hourly.filter(F.col("hour").isNull()).count() == 0
+
+
+def test_rollup_incremental_refresh_touches_only_named_days(spark, tmp_path):
+    """Dynamic partition overwrite: refreshing one day leaves the other
+    days' aggregates in place and swaps in the recomputed partitions."""
+    from mongo_analyser_spark.sinks.rollup import (
+        materialize_rollup,
+        read_rollup,
+        refresh_rollup,
+    )
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "rollup")
+    ev = load_table(spark, sf, "events")
+    materialize_rollup(ev, path)
+    days = sorted(
+        r["day"]
+        for r in read_rollup(spark, path, "daily").select("day").distinct().collect()
+    )
+    target, untouched = days[0], days[1]
+    before = {
+        (r["day"], r["hour"], r["n_events"])
+        for r in read_rollup(spark, path).collect()
+    }
+    # drop half of the target day's events and refresh only that day
+    sliced = ev.filter(
+        (F.date_format(F.to_date("ts"), "yyyy-MM-dd") != target)
+        | (F.col("event_id") % 2 == 0)
+    )
+    refresh_rollup(sliced, path, [target])
+    after_daily = {
+        r["day"]: r["n_events"]
+        for r in read_rollup(spark, path, "daily").collect()
+    }
+    before_daily = {d: n for (d, h, n) in before if h is None and d is not None}
+    assert after_daily[untouched] == before_daily[untouched]  # untouched day intact
+    assert after_daily[target] < before_daily[target]  # refreshed day shrank
