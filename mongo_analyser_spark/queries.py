@@ -1688,5 +1688,11 @@ for _name in (
     "pii_scrub_documents",
     # A5/A6 family rep in-window is field_stats/array_stats
     "numeric_profile_documents",
+    # round-3 curation ops: text-analysis / dedup / window families all
+    # have in-window reps; these extensions ride the tail
+    "repetition_stats_documents",
+    "ngram_topk_corpus",
+    "quality_deciles_documents",
+    "embedding_dedup_clusters",
 ):
     QUERIES[_name] = QUERIES.pop(_name)

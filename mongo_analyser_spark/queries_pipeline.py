@@ -571,7 +571,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAR_DUP_ROWS_PER_BAND, NEAR_DUP_BANDS = 2, 6
 
 
-def _near_dup_sql() -> str:
+def _near_dup_ctes() -> str:
+    """Shared CTE chain (e → sig → banded → cand → nd = verified pairs)
+    for the near-dup pair query and its connected-components extension."""
     r, b = NEAR_DUP_ROWS_PER_BAND, NEAR_DUP_BANDS
     planes = srp_planes(r * b, EMB_DIM)
     sig = " || ".join(
@@ -583,21 +585,25 @@ def _near_dup_sql() -> str:
         for i in range(b)
     )
     return f"""
-WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+e AS (SELECT vec_id, embedding, label FROM embeddings),
 sig AS (SELECT vec_id, label, {sig} AS sig FROM e),
 banded AS ({bands}),
 cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
   FROM banded x JOIN banded y
     ON x.label = y.label AND x.band = y.band AND x.band_key = y.band_key
-  WHERE x.vec_id < y.vec_id)
-SELECT vec_a, vec_b,
-  ROUND(({_dot_sql('a.embedding', 'b.embedding')})
-        / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 6) AS cos_sim
-FROM cand JOIN e a ON a.vec_id = cand.vec_a JOIN e b ON b.vec_id = cand.vec_b
-WHERE ROUND(({_dot_sql('a.embedding', 'b.embedding')})
-        / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 6) >= 0.3
-"""
+  WHERE x.vec_id < y.vec_id),
+nd AS (
+  SELECT vec_a, vec_b,
+    ROUND(({_dot_sql('a.embedding', 'b.embedding')})
+          / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 6) AS cos_sim
+  FROM cand JOIN e a ON a.vec_id = cand.vec_a JOIN e b ON b.vec_id = cand.vec_b
+  WHERE ROUND(({_dot_sql('a.embedding', 'b.embedding')})
+          / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 6) >= 0.3)"""
+
+
+def _near_dup_sql() -> str:
+    return f"WITH {_near_dup_ctes()}\nSELECT vec_a, vec_b, cos_sim FROM nd\n"
 
 
 @register("embedding_near_dup_pairs", _near_dup_sql())
@@ -804,3 +810,194 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(payload).alias("media_md5"),
         F.lit("text/plain").alias("mime"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Round-3 additions: repetition signals, corpus vocabulary, quality
+# deciles, embedding dedup clusters — the remaining Gopher/Dolma-style
+# curation ops a training-data pipeline runs after dedup [EXT].
+# --------------------------------------------------------------------------
+
+
+_BIGRAMS_SQL = (
+    "CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t)-1), "
+    "j -> t[j]||' '||t[j+1]) ELSE [array_to_string(t, ' ')] END"
+)
+
+
+@register(
+    "repetition_stats_documents",
+    f"""
+WITH {_TOKS_CTE},
+bg AS (SELECT doc_id, unnest({_BIGRAMS_SQL}) AS g FROM toks),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+mx AS (SELECT doc_id, max(c) AS top_n, SUM(c) AS n_bg FROM cnt GROUP BY doc_id)
+SELECT t.doc_id,
+  CAST(len(t.t) AS BIGINT) AS n_tokens,
+  ROUND(1.0 - CAST(len(list_distinct(t.t)) AS DOUBLE) / len(t.t), 6) AS dup_token_frac,
+  CAST(m.top_n AS BIGINT) AS top_bigram_n,
+  ROUND(CAST(m.top_n AS DOUBLE) / m.n_bg, 6) AS top_bigram_frac
+FROM toks t JOIN mx m USING (doc_id)
+""",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (north-star quality filtering):
+    duplicate-token fraction + most-frequent-bigram share per document.
+    Plan: one bigram explode → two shrinking per-doc aggregates → join
+    back to the doc projection — all keyed on doc_id, no global state;
+    high top_bigram_frac flags boilerplate/spam for the corpus filter."""
+    from mongo_analyser_spark.functions.text import shingles, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+            6,
+        ).alias("dup_token_frac"),
+    )
+    bg = docs.select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("g"))
+    mx = (
+        bg.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_n"), F.sum("c").alias("n_bg"))
+    )
+    return base.join(mx, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        F.col("top_n").cast("long").alias("top_bigram_n"),
+        F.round(F.col("top_n").cast("double") / F.col("n_bg"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+@register(
+    "ngram_topk_corpus",
+    f"""
+WITH {_TOKS_CTE}, {_SH_CTE},
+d AS (SELECT DISTINCT doc_id, sh FROM sh)
+SELECT sh AS shingle, CAST(count(*) AS BIGINT) AS doc_freq
+FROM d GROUP BY sh ORDER BY doc_freq DESC, shingle LIMIT 20
+""",
+)
+def q_ngram_topk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary probe: top-20 trigram shingles by DOCUMENT
+    frequency (distinct per doc, so one spammy doc can't dominate).
+    Plan: explode distinct shingles → one count shuffle → top-k via
+    TakeOrdered (no global sort materialized); the shape every
+    vocab/contamination scan uses at corpus scale."""
+    from mongo_analyser_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("sh")
+    )
+    return (
+        d.groupBy(F.col("sh").alias("shingle"))
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(20)
+    )
+
+
+_QUALITY_SQL = (
+    "ROUND(LEAST(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0)"
+    " * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)"
+    "    / CAST(len(string_split(text,' ')) AS DOUBLE)), 4)"
+)
+
+
+@register(
+    "quality_deciles_documents",
+    f"""
+WITH q AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents),
+t AS (SELECT doc_id, quality,
+        ntile(10) OVER (ORDER BY quality, doc_id) AS decile FROM q)
+SELECT CAST(decile AS INTEGER) AS decile,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_quality,
+  MIN(quality) AS min_quality,
+  MAX(quality) AS max_quality
+FROM t GROUP BY decile ORDER BY decile
+""",
+)
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score decile profile (the curation threshold picker): a
+    single ntile window with a total tie-break (quality, doc_id), then a
+    tiny 10-row aggregate. Decimal-cast sums keep the per-decile average
+    order-insensitive across engines.
+
+    Scale note: an unpartitioned ntile funnels rows through one task —
+    exact equal-count deciles are inherently a global order. The 100 TB
+    form of this report swaps ntile for decile BOUNDARIES from one
+    approx_percentile aggregate + a comparison bucket-assign projection
+    (no global window, boundaries broadcast); ntile stays here because
+    its equal-count semantics are exactly SQL-reproducible while
+    approx-sketch cutpoints are engine-specific (the declared rows-only
+    trade, same as field_stats_events_hll)."""
+    from pyspark.sql import Window
+
+    from mongo_analyser_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", quality_score("text").alias("quality"))
+    t = q.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("quality", "doc_id"))
+    )
+    return (
+        t.groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _embedding_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_near_dup_ctes()},
+edges AS (SELECT vec_a AS src, vec_b AS dst FROM nd
+          UNION SELECT vec_b, vec_a FROM nd),
+reach(v, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v),
+comp AS (SELECT v AS id, MIN(r) AS cluster FROM reach GROUP BY v)
+SELECT emb.vec_id AS id, COALESCE(c.cluster, emb.vec_id) AS cluster,
+       emb.vec_id = COALESCE(c.cluster, emb.vec_id) AS is_keeper
+FROM embeddings emb LEFT JOIN comp c ON c.id = emb.vec_id
+ORDER BY id
+"""
+
+
+@register("embedding_dedup_clusters", _embedding_clusters_sql())
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-side pairs → GROUPS: connected components over the banded
+    near-dup pairs (transitive a≈b≈c chains collapse), keeper = component
+    min — the same min-label propagation as the text tier, fed by the
+    SRP-banded pair generator, so the whole vector-dedup path (block →
+    band → verify → cluster) is exercised end-to-end."""
+    from mongo_analyser_spark.operators.dedup import (
+        cosine_near_dup_pairs,
+        dedup_clusters,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", EMB_DIM, threshold=0.3, block_col="label"
+    ).select("id_a", "id_b")
+    return dedup_clusters(
+        emb, pairs, "vec_id", left="id_a", right="id_b"
+    ).orderBy("id")

@@ -186,3 +186,11 @@ def test_row_per_doc_outputs_have_no_shuffle(spark):
         assert num_exchanges(q) == 0, f"{name} shuffles"
     # simhash aggregates (one shuffle) but must not add an output sort
     assert num_exchanges(QUERIES["simhash_documents"](spark, SF)) <= 1
+
+
+def test_ngram_topk_uses_take_ordered_not_global_sort(spark):
+    """Corpus-wide top-k must plan as TakeOrderedAndProject (per-partition
+    heaps + tiny merge), never a total sort of the vocabulary."""
+    q = QUERIES["ngram_topk_corpus"](spark, SF)
+    plan = formatted_plan(q)
+    assert "TakeOrderedAndProject" in plan
