@@ -79,6 +79,40 @@ class Engine:
             for r in rows
         }
 
+    # -- extension UDF registration (SURVEY §2.10 [EXT]) ------------------
+
+    def register_pandas_udf(self, name: str, fn, return_type="double"):
+        """Register an Arrow-batched pandas UDF under ``name`` in the
+        session's SQL function registry, so user extensions (custom
+        quality scorers, tokenizers, decoders) slot into both
+        ``spark.sql`` text and DataFrame code (via the returned callable
+        or ``F.call_udf(name, ...)``) without touching engine internals.
+
+        This is the PREFERRED extension point: batches cross the
+        JVM↔Python boundary as Arrow columns and ``fn`` runs vectorized
+        over pandas Series — the engine itself stays UDF-free, and
+        anything expressible with built-in column functions should stay
+        that way (they run JVM-side inside whole-stage codegen).
+
+        ``fn`` may already be a ``@pandas_udf``-decorated function (its
+        declared return type wins) or a plain ``pd.Series -> pd.Series``
+        callable, wrapped here with ``return_type``."""
+        from pyspark.sql import functions as F
+
+        udf = fn if hasattr(fn, "returnType") else F.pandas_udf(fn, return_type)
+        return self.spark.udf.register(name, udf)
+
+    def register_udf(self, name: str, fn, return_type="string"):
+        """Row-at-a-time Python UDF registration — the last-resort escape
+        hatch for logic that is genuinely per-row and non-vectorizable
+        (10-100× slower than ``register_pandas_udf``; never used by the
+        engine's own operators). Same registry semantics as
+        ``register_pandas_udf``."""
+        from pyspark.sql import functions as F
+
+        udf = fn if hasattr(fn, "returnType") else F.udf(fn, return_type)
+        return self.spark.udf.register(name, udf)
+
     # -- random sampling (reference $sample, analyser.py:254-257) ---------
 
     @staticmethod

@@ -419,6 +419,7 @@ def connected_components(
     left: str = "a",
     right: str = "b",
     max_iter: int = 20,
+    on_nonconvergence: str = "warn",
 ) -> DataFrame:
     """Connected components over candidate pairs → (id, cluster) with
     cluster = the component's minimum id. The last stage of a dedup
@@ -479,14 +480,17 @@ def connected_components(
         if not converged:
             # a silent partial result would let downstream dedup keep
             # multiple "keepers" inside one real component
+            msg = (
+                f"connected_components: max_iter={max_iter} exhausted before "
+                "the fixpoint — labels are only partially converged "
+                "(component diameter exceeds the round budget); raise "
+                "max_iter or pass on_nonconvergence='warn' to accept"
+            )
+            if on_nonconvergence == "raise":
+                raise RuntimeError(msg)
             import logging
 
-            logging.getLogger(__name__).warning(
-                "connected_components: max_iter=%d exhausted before the "
-                "fixpoint — labels may be partially converged (component "
-                "diameter exceeds the round budget); raise max_iter",
-                max_iter,
-            )
+            logging.getLogger(__name__).warning(msg)
         return labels
     finally:
         edges.unpersist()
@@ -495,11 +499,12 @@ def connected_components(
 def dedup_clusters(
     df: DataFrame, pairs: DataFrame, id_col: str,
     left: str = "a", right: str = "b", max_iter: int = 20,
+    on_nonconvergence: str = "warn",
 ) -> DataFrame:
     """(id, cluster, is_keeper) for EVERY row of ``df``: rows in no pair
     form singleton clusters; the keeper is the component's minimum id —
     filter ``is_keeper`` for the deduplicated corpus."""
-    comp = connected_components(pairs, left, right, max_iter)
+    comp = connected_components(pairs, left, right, max_iter, on_nonconvergence)
     return (
         df.select(F.col(id_col).alias("id"))
         .join(comp, "id", "left")

@@ -1745,6 +1745,8 @@ TAIL_QUERIES = (
     "ngram_topk_corpus",
     "quality_deciles_documents",
     "embedding_dedup_clusters",
+    # round-5: scale-safe sketch twin of quality_deciles (rows-only)
+    "quality_deciles_documents_approx",
 )
 
 

@@ -965,6 +965,52 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("quality_deciles_documents_approx")
+def q_quality_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB form of quality_deciles_documents: decile BOUNDARIES
+    from one percentile_approx aggregate (mergeable KLL-style sketch,
+    map-side partials → tiny final merge), broadcast back and assigned
+    with a pure comparison projection. No global window anywhere — the
+    exact twin's unpartitioned ntile funnels the whole corpus through one
+    task; this plan's per-row work is embarrassingly parallel and its only
+    single-partition data is the 9-number boundary array.
+
+    Rows-only by design (same declared trade as field_stats_events_hll):
+    sketch cutpoints are engine-specific, and boundary-assign puts ties
+    wholly in one bucket where ntile splits them — pytest bounds the drift
+    against the exact twin instead (tests/test_pipeline_queries.py)."""
+    from mongo_analyser_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", quality_score("text").alias("quality"))
+    bounds = q.agg(
+        F.percentile_approx(
+            "quality", [i / 10.0 for i in range(1, 10)], 10_000
+        ).alias("bnds")
+    )
+    assigned = q.join(F.broadcast(bounds)).withColumn(
+        "decile",
+        (
+            F.lit(1)
+            + F.size(F.filter("bnds", lambda b: F.col("quality") > b))
+        ).cast("int"),
+    )
+    return (
+        assigned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+        .orderBy("decile")
+    )
+
+
 def _embedding_clusters_sql() -> str:
     return f"""
 WITH RECURSIVE {_near_dup_ctes()},

@@ -31,21 +31,44 @@ TABLES = [
 EVENTS_PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
 
 
-# columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long
-# (spark.sql.legacy.parquet.nanosAsLong) and we convert to microsecond
-# timestamps here (verified lossless: all values are whole microseconds).
+# Event-time columns whose parquet encoding has drifted across driver
+# testdata generations; normalize all of them to session-tz TIMESTAMP:
+#  * TIMESTAMP(NANOS) → Spark reads as long (nanosAsLong) → timestamp_micros
+#  * timestamp[us] without tz → Spark reads as TIMESTAMP_NTZ → cast
+# Both conversions are value-preserving under the UTC session timezone
+# pinned in load_table (the reference's naive-datetime-is-UTC rule,
+# mongo_analyser/core/extractor.py:179-186).
 NANO_TS_COLS = {"events": ["ts"]}
 
 
+def normalize_event_time(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Normalize drifting event-time encodings to TIMESTAMP (see
+    NANO_TS_COLS). Idempotent; a no-op when the column is already
+    TIMESTAMP. Shared by the batch loader and stream_events so the batch
+    and streaming plans see identical event-time types (withWatermark /
+    unix_micros both reject TIMESTAMP_NTZ)."""
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        dt = dtypes.get(c)
+        if dt == "bigint":
+            # integer `div`, NOT `/`: double division loses ulp at e15 scale
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        elif dt == "timestamp_ntz":
+            # wall-clock reinterpreted in the (UTC-pinned) session tz
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Runtime-settable and idempotent: the testdata's events.parquet stores
-    # ts as TIMESTAMP(NANOS), which Spark rejects unless read as long. Set it
-    # here (not only in session.py's builder) so load_table works under ANY
-    # SparkSession, including harnesses that construct their own (the
-    # round-1 driver harness crashed on exactly this). Session timezone is
-    # pinned UTC for the same reason: timestamp→string queries would
-    # silently render in a foreign session's local zone and hash-mismatch
-    # the oracle (extractor.py:179-186 naive-datetime-is-UTC rule).
+    # Runtime-settable and idempotent: some testdata generations store
+    # events.ts as TIMESTAMP(NANOS), which Spark rejects unless read as
+    # long. Set it here (not only in session.py's builder) so load_table
+    # works under ANY SparkSession, including harnesses that construct
+    # their own (the round-1 driver harness crashed on exactly this).
+    # Session timezone is pinned UTC for the same reason: timestamp→string
+    # queries would silently render in a foreign session's local zone and
+    # hash-mismatch the oracle (extractor.py:179-186 naive-datetime-is-UTC
+    # rule) — and the NTZ→TIMESTAMP cast below relies on it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -59,11 +82,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             f"no table {name!r} under {sf_dir} (available: {available})"
         )
     df = spark.read.parquet(path)
-    for c in NANO_TS_COLS.get(name, []):
-        if dict(df.dtypes).get(c) == "bigint":
-            # integer `div`, NOT `/`: double division loses ulp at e15 scale
-            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    return df
+    return normalize_event_time(df, NANO_TS_COLS.get(name, []))
 
 
 def list_collections(spark: SparkSession, sf_dir: str) -> DataFrame:

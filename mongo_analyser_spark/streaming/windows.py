@@ -32,7 +32,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mongo_analyser_spark.sources.parquet import NANO_TS_COLS
+from mongo_analyser_spark.sources.parquet import NANO_TS_COLS, normalize_event_time
 
 #: cross-engine-stable timestamp rendering (microseconds, no tz suffix)
 TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -155,11 +155,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     loader (sources/parquet.py). Schema comes from a driver-side batch
     probe (readStream requires one up front)."""
     path = os.path.join(sf_dir, "events.parquet")
+    # same session pinning as load_table: the schema probe must survive a
+    # NANOS-encoded file, and watermark arithmetic must render in UTC
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(path).schema
     # the file stream source rejects a plain single-file path ("basePath
     # must be a directory") but accepts the same file via a glob
     df = spark.readStream.schema(raw_schema).parquet(os.path.join(sf_dir, "events.*"))
-    for c in NANO_TS_COLS.get("events", []):
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    return df
+    return normalize_event_time(df, NANO_TS_COLS.get("events", []))

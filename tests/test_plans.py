@@ -194,3 +194,14 @@ def test_ngram_topk_uses_take_ordered_not_global_sort(spark):
     q = QUERIES["ngram_topk_corpus"](spark, SF)
     plan = formatted_plan(q)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_deciles_approx_has_no_global_window(spark):
+    """Round-4 verdict perf item: the 100-TB decile plan must contain NO
+    window operator (the exact twin's unpartitioned ntile is a known
+    single-task funnel) — boundaries come from a mergeable
+    percentile_approx aggregate, assignment is a broadcast + projection."""
+    q = QUERIES["quality_deciles_documents_approx"](spark, SF)
+    plan = formatted_plan(q)
+    assert "Window" not in plan and "ntile(" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -34,6 +34,7 @@ def test_every_family_inside_driver_check_window():
 ROWS_ONLY = {
     "field_stats_events_hll",
     "value_percentiles_events_approx",
+    "quality_deciles_documents_approx",
 }
 
 

@@ -90,3 +90,20 @@ def test_normalize_text(spark):
         F.col("got") != F.col("expected")
     )
     assert bad.count() == 0, bad.collect()
+
+
+def test_quality_deciles_approx_tracks_exact(spark):
+    """The scale-safe sketch variant must track the ntile-exact deciles:
+    same total, boundary drift bounded to tie-groups straddling cutpoints
+    (measured ≤9/50 docs and ≤0.01 avg at sf0.001)."""
+    from mongo_analyser_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r.decile: r for r in QUERIES["quality_deciles_documents"](spark, sf).collect()}
+    approx = {r.decile: r for r in
+              QUERIES["quality_deciles_documents_approx"](spark, sf).collect()}
+    assert set(approx) == set(range(1, 11))
+    assert sum(r.n_docs for r in approx.values()) == sum(r.n_docs for r in exact.values())
+    for d in exact:
+        assert abs(approx[d].n_docs - exact[d].n_docs) <= 0.3 * exact[d].n_docs
+        assert abs(approx[d].avg_quality - exact[d].avg_quality) <= 0.02

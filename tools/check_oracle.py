@@ -55,20 +55,34 @@ def main() -> int:
         if ONLY and name not in ONLY:
             continue
         t0 = time.time()
-        sdf = fn(spark, SF_DIR)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        # per-query isolation (mirrors tools/driver_sim.py): one broken
+        # query must not hide the status of everything after it
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001 — report and continue
+            msg = str(e).splitlines()[0][:200]
+            print(f"  {name}: ERR {msg} [{time.time()-t0:.1f}s]")
+            failures.append((name, f"spark error: {msg}"))
+            continue
         if name not in ORACLES:
             print(f"  {name}: rows={len(srows)} (rows-only, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
             if len(srows) == 0:
                 failures.append((name, "0 rows"))
             continue
-        osql = (ORACLE_GENERATORS[name](SF_DIR)
-                if name in ORACLE_GENERATORS else ORACLES[name])
-        ores = con.execute(osql)
-        ocols = [d[0] for d in ores.description]
-        orows = [tuple(r) for r in ores.fetchall()]
+        try:
+            osql = (ORACLE_GENERATORS[name](SF_DIR)
+                    if name in ORACLE_GENERATORS else ORACLES[name])
+            ores = con.execute(osql)
+            ocols = [d[0] for d in ores.description]
+            orows = [tuple(r) for r in ores.fetchall()]
+        except Exception as e:  # noqa: BLE001 — report and continue
+            msg = str(e).splitlines()[0][:200]
+            print(f"  {name}: ERR (oracle) {msg} [{time.time()-t0:.1f}s]")
+            failures.append((name, f"oracle error: {msg}"))
+            continue
 
         problems = []
         if sorted(scols) != sorted(ocols):

@@ -1,0 +1,44 @@
+#!/usr/bin/env bash
+# Round-end commit gate (round-4 verdict Next-round #7): every signal the
+# external driver grades, run locally, failing LOUDLY on the first red.
+# Run this before the final commit of a working session; a red full
+# registry or a crashed bench must block the commit, not surface a round
+# later in VERDICT.md.
+#
+#   bash tools/verify_gate.sh [sf_dir]      # default /root/testdata/sf0.01
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF_DIR="${1:-/root/testdata/sf0.01}"
+
+echo "== [1/4] driver-contract smoke (__spark_entry__) =="
+python - <<'EOF'
+import importlib.util
+spec = importlib.util.spec_from_file_location("__spark_entry__", "__spark_entry__.py")
+mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
+from mongo_analyser_spark import get_spark
+spark = get_spark(cpus=8)
+rows = mod.entry(spark).collect()
+assert len(rows) > 0, "entry() returned 0 rows"
+q, o = mod.queries(), mod.oracle_sql()
+assert set(o) <= set(q), "oracle_sql keys not a subset of queries"
+print(f"entry rows={len(rows)} queries={len(q)} oracles={len(o)}")
+EOF
+
+echo "== [2/4] FULL-registry oracle gate (${SF_DIR}) =="
+# check_oracle is per-query crash-proof (reports ERR and continues) and
+# exits non-zero on ANY failure — set -e makes that block the gate.
+PYTHONPATH="$PWD" python tools/check_oracle.py "$SF_DIR"
+
+echo "== [3/4] foreign-session gate (bare SparkSession, non-UTC TZ) =="
+TZ=America/Chicago python tools/driver_sim.py "$SF_DIR"
+
+echo "== [4/4] bench completes and prints one JSON line =="
+python bench.py 2>/dev/null | tail -1 | python - <<'EOF'
+import json, sys
+d = json.loads(sys.stdin.read())
+assert d["value"] > 0 and d["queries"], "bench produced no timings"
+assert not [q for q, t in d["queries"].items() if t < 0], "negative timing"
+print(f"bench OK: {len(d['queries'])} queries, {d['value']}s total at sf={d['sf']}")
+EOF
+
+echo "VERIFY GATE: all green"
