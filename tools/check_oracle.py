@@ -51,9 +51,11 @@ def main() -> int:
         )
 
     failures = []
+    n_ran = 0
     for name, fn in QUERIES.items():
         if ONLY and name not in ONLY:
             continue
+        n_ran += 1
         t0 = time.time()
         # per-query isolation (mirrors tools/driver_sim.py): one broken
         # query must not hide the status of everything after it
@@ -100,7 +102,7 @@ def main() -> int:
         for p in problems:
             print(f"      {p}")
             failures.append((name, p))
-    print(f"\n{len(QUERIES) - len(set(f[0] for f in failures))}/{len(QUERIES)} OK")
+    print(f"\n{n_ran - len(set(f[0] for f in failures))}/{n_ran} OK")
     return 1 if failures else 0
 
 
