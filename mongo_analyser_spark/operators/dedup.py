@@ -242,9 +242,20 @@ def simhash_pairs(
     # The fingerprint table is #docs × (num_bits+8) bytes — the artifact
     # any production dedup persists anyway.
     sim = simhash_bits(df, id_col, text_col, num_bits).localCheckpoint()
+    # pack the bitstring into 32-bit integer words ONCE per doc: the pair
+    # verify is then XOR + bit_count per word — constant-time integer ops
+    # instead of a 64-element string-array fold per candidate pair
+    # (32-bit words so conv()'s unsigned value always fits a BIGINT)
+    n_words = (num_bits + 31) // 32
+    words = [
+        F.expr(
+            f"CAST(conv(substring(simhash, {w * 32 + 1}, 32), 2, 10) AS BIGINT)"
+        ).alias(f"w{w}")
+        for w in range(n_words)
+    ]
     banded = sim.select(
         F.col(id_col),
-        "simhash",
+        *words,
         F.explode(
             F.array(
                 *[
@@ -256,24 +267,21 @@ def simhash_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "simhash", "bk.band", "bk.key")
+    ).select(id_col, *[f"w{w}" for w in range(n_words)], "bk.band", "bk.key")
     a = banded.select(
         F.col("band"), F.col("key"),
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"w{w}").alias(f"wa{w}") for w in range(n_words)],
     )
     b = banded.select(
         F.col("band"), F.col("key"),
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"),
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"w{w}").alias(f"wb{w}") for w in range(n_words)],
     )
-    hamming = F.aggregate(
-        F.zip_with(
-            F.split(F.col("sim_a"), ""),
-            F.split(F.col("sim_b"), ""),
-            lambda x, y: (x != y).cast("int"),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    hamming = sum(
+        F.bit_count(F.col(f"wa{w}").bitwiseXOR(F.col(f"wb{w}")))
+        for w in range(n_words)
+    ).cast("int")
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))

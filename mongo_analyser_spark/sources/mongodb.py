@@ -126,7 +126,10 @@ def _ext_json_expr(v, field: str, label: str):
 
 
 def read_mongoexport_json(
-    spark: SparkSession, path: str, fields: dict[str, str]
+    spark: SparkSession,
+    path: str,
+    fields: dict[str, str],
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Offline Mongo ingestion WITHOUT the connector jar: read a
     mongoexport / mongodump Extended-JSON (v2) ndjson dump into typed
@@ -135,15 +138,26 @@ def read_mongoexport_json(
     path is how they enter Spark).
 
     ``fields`` maps column name → reference type label (the §1.2
-    vocabulary). Engine-side throughout: one text scan, parse_json to
-    VariantType, per-field try_variant_get projections — no Python in
-    the row path, splittable input, whole-stage codegen."""
+    vocabulary). Engine-side throughout: one text scan, try_parse_json
+    to VariantType, per-field try_variant_get projections — no Python in
+    the row path, splittable input, whole-stage codegen.
+
+    Malformed lines must not kill a 100-TB ingest: unparseable JSON
+    yields all-NULL typed columns (try_parse_json), and passing
+    ``corrupt_col`` additionally keeps the raw line there (NULL for good
+    rows) — the PERMISSIVE-mode contract, so bad records are countable
+    and quarantineable instead of fatal."""
     from pyspark.sql import functions as F
 
-    v = F.parse_json(F.col("value"))
-    return spark.read.text(path).select(
-        *[_ext_json_expr(v, name, label).alias(name) for name, label in fields.items()]
-    )
+    v = F.try_parse_json(F.col("value"))
+    cols = [
+        _ext_json_expr(v, name, label).alias(name) for name, label in fields.items()
+    ]
+    if corrupt_col is not None:
+        cols.append(
+            F.when(v.isNull(), F.col("value")).alias(corrupt_col)
+        )
+    return spark.read.text(path).select(*cols)
 
 
 class MongoSource:

@@ -90,3 +90,20 @@ def test_mongoexport_typed_arrays(spark, dump):
     rows = {r._id: r for r in df.collect()}
     assert rows["507f1f77bcf86cd799439011"].tags == ["a", "b"]
     assert rows["plain-id-2"].tags == []
+
+
+def test_mongoexport_corrupt_lines_dont_kill_the_read(spark, tmp_path):
+    """A malformed line in a dump must not fail the job (PERMISSIVE
+    contract): typed columns go NULL and corrupt_col keeps the raw line
+    for quarantine — at 100 TB one bad record must never cost the run."""
+    p = tmp_path / "bad.json"
+    p.write_text("\n".join([DOCS[1], "{not json at all", DOCS[1]]) + "\n")
+    out = read_mongoexport_json(
+        spark, str(p), {"_id": "ObjectId", "s": "str"}, corrupt_col="_corrupt"
+    ).collect()
+    assert len(out) == 3
+    bad = [r for r in out if r["_corrupt"] is not None]
+    assert len(bad) == 1 and bad[0]["_corrupt"].startswith("{not json")
+    assert bad[0]["_id"] is None and bad[0]["s"] is None
+    good = [r for r in out if r["_corrupt"] is None]
+    assert all(r["s"] == "world" for r in good)
