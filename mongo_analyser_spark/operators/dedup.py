@@ -357,8 +357,8 @@ def cosine_near_dup_pairs(
         as_double_vec,
         dot,
         norm,
-        srp_bucket,
         srp_planes,
+        with_srp_sig,
     )
 
     if rows_per_band is None or num_bands is None:
@@ -369,9 +369,14 @@ def cosine_near_dup_pairs(
     block = [block_col] if block_col else []
 
     vecs = df.select(F.col(id_col), as_double_vec(vec_col).alias("__vec"), *block)
-    fp = vecs.select(
-        id_col, *block, srp_bucket(F.col("__vec"), planes).alias("sig")
-    ).localCheckpoint()
+    # data-scaled (r, b) means the plane count grows with the corpus —
+    # with_srp_sig ships big plane sets as broadcast data, not plan
+    # literals (measured: the literal form put ~5k nodes in this plan)
+    fp = (
+        with_srp_sig(vecs, "__vec", planes, out="sig")
+        .select(id_col, *block, "sig")
+        .localCheckpoint()
+    )
     banded = fp.select(
         F.col(id_col),
         *block,

@@ -114,18 +114,15 @@ def srp_planes(num_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """SRP bucket signature: one bit per plane = sign of <vec, plane>.
-
-    The planes are embedded as a literal array-of-arrays and each plane
-    dot is a left-associative zip_with fold — the SAME evaluation order
-    as an explicit `v[1]*p1 + v[2]*p2 + ...` chain, so the SQL oracle's
-    unrolled form produces bit-identical signs. The fold form matters:
-    the unrolled num_planes×dim expression tree (384 nodes at 6×64) blew
-    past whole-stage-codegen limits and cost ~6 s of compile time per
-    cold run vs ~0.9 s for this form (measured at sf0.1, identical
-    results)."""
-    plane_arr = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+def _srp_bits(vec: Column, plane_arr: Column) -> Column:
+    """Sign bitstring of <vec, plane> for every plane in ``plane_arr``
+    (array<array<double>>). Left-associative zip_with fold — the SAME
+    evaluation order as an explicit `v[1]*p1 + v[2]*p2 + ...` chain, so
+    the SQL oracle's unrolled form produces bit-identical signs. The fold
+    form matters: the unrolled num_planes×dim expression tree (384 nodes
+    at 6×64) blew past whole-stage-codegen limits and cost ~6 s of
+    compile time per cold run vs ~0.9 s for this form (measured at
+    sf0.1, identical results)."""
     bits = F.transform(
         plane_arr,
         lambda row: F.when(
@@ -139,6 +136,38 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
         ).otherwise(F.lit("0")),
     )
     return F.array_join(bits, "")
+
+
+def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """SRP bucket signature with the planes embedded as literals — right
+    for small fixed plane sets (an 8-plane ANN index). Data-scaled plane
+    counts should go through ``with_srp_sig`` instead (plan-size
+    rationale below)."""
+    plane_arr = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+    return _srp_bits(vec, plane_arr)
+
+
+def with_srp_sig(
+    df: DataFrame, vec_col: str, planes: list[list[float]], out: str = "sig"
+) -> DataFrame:
+    """Attach the SRP signature as column ``out``, choosing how the
+    planes reach the executors (same split as ivf_topk's centroids):
+    small sets inline as literals and stay inside the scan's codegen
+    span; data-scaled sets (r,b grow with the corpus — thousands of
+    values) ride as a one-row broadcast array<array<double>>, keeping
+    the plan a few fixed-size nodes instead of making every Catalyst
+    rule walk num_planes × dim literal nodes. Signs are bit-identical
+    either way (same fold order)."""
+    if len(planes) * len(planes[0]) <= 1024:
+        return df.withColumn(out, srp_bucket(F.col(vec_col), planes))
+    pl_df = df.sparkSession.createDataFrame(
+        [(planes,)], "__planes: array<array<double>>"
+    )
+    return (
+        df.join(F.broadcast(pl_df))
+        .withColumn(out, _srp_bits(F.col(vec_col), F.col("__planes")))
+        .drop("__planes")
+    )
 
 
 def ivf_centroids(num_cells: int, dim: int) -> list[list[float]]:

@@ -933,13 +933,14 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-insensitive across engines.
 
     Scale note: an unpartitioned ntile funnels rows through one task —
-    exact equal-count deciles are inherently a global order. The 100 TB
-    form of this report swaps ntile for decile BOUNDARIES from one
-    approx_percentile aggregate + a comparison bucket-assign projection
-    (no global window, boundaries broadcast); ntile stays here because
-    its equal-count semantics are exactly SQL-reproducible while
-    approx-sketch cutpoints are engine-specific (the declared rows-only
-    trade, same as field_stats_events_hll)."""
+    exact equal-count deciles are inherently a global order. The shipped
+    100 TB form is ``quality_deciles_documents_approx`` (decile
+    BOUNDARIES from one percentile_approx aggregate + a broadcast
+    bucket-assign projection, no global window — plan pinned in
+    tests/test_plans.py); ntile stays here because its equal-count
+    semantics are exactly SQL-reproducible while approx-sketch cutpoints
+    are engine-specific (the declared rows-only trade, same as
+    field_stats_events_hll)."""
     from pyspark.sql import Window
 
     from mongo_analyser_spark.functions.text import quality_score

@@ -182,3 +182,26 @@ def test_probe_buckets_covers_exactly_hamming_ball(bucket):
     for i, p in enumerate(probes[1:]):
         assert sum(a != b for a, b in zip(p, bucket)) == 1
         assert p[i] != bucket[i]
+
+
+@given(
+    st.lists(
+        st.text(alphabet="01", min_size=64, max_size=64), min_size=2, max_size=8
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_simhash_word_packing_matches_string_hamming(bitstrings):
+    """The 32-bit-word XOR+bit_count verify in simhash_pairs must equal
+    the naive per-character Hamming distance for every fingerprint pair
+    (the packing is an encoding change, not a semantic one)."""
+    def pack(s):
+        return [int(s[w * 32:(w + 1) * 32], 2) for w in range(2)]
+
+    for i in range(len(bitstrings)):
+        for j in range(i + 1, len(bitstrings)):
+            a, b = bitstrings[i], bitstrings[j]
+            naive = sum(x != y for x, y in zip(a, b))
+            packed = sum(
+                bin(wa ^ wb).count("1") for wa, wb in zip(pack(a), pack(b))
+            )
+            assert packed == naive
