@@ -564,17 +564,29 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_bits(docs, "doc_id", "text")
 
 
-# Oracle-side banding constants: the Spark side auto-scales (r, b) from
-# the corpus count via srp_band_params; the oracle runs at sf0.01/sf0.001
-# where the embeddings table holds exactly 500 rows → (2, 6). Pinned in
-# tests/test_pipeline.py so a testdata regeneration can't silently skew.
-NEAR_DUP_ROWS_PER_BAND, NEAR_DUP_BANDS = 2, 6
+# Oracle-side banding: the Spark side auto-scales (r, b) from the corpus
+# count via srp_band_params, so the oracle must derive them from the SAME
+# count for the same sf_dir — a statically-baked (r, b) hash-matches only
+# at the sf it was baked for (caught by a local sf0.1 oracle sweep:
+# 500-row params against the 2000-row corpus produce a different
+# candidate set). The registered ORACLES strings stay baked at sf0.01
+# (the driver's contract scale); ORACLE_GENERATORS regenerates per
+# sf_dir for local tools, same pattern as the adaptive-IVF oracle.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
-def _near_dup_ctes() -> str:
+def _emb_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+
+
+def _near_dup_ctes(sf_dir: str = ORACLE_SF_DIR) -> str:
     """Shared CTE chain (e → sig → banded → cand → nd = verified pairs)
     for the near-dup pair query and its connected-components extension."""
-    r, b = NEAR_DUP_ROWS_PER_BAND, NEAR_DUP_BANDS
+    from mongo_analyser_spark.operators.dedup import srp_band_params
+
+    r, b = srp_band_params(_emb_rows(sf_dir))
     planes = srp_planes(r * b, EMB_DIM)
     sig = " || ".join(
         f"(CASE WHEN ({_plane_dot_sql('embedding', row)}) >= 0 THEN '1' ELSE '0' END)"
@@ -602,8 +614,8 @@ nd AS (
           / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 6) >= 0.3)"""
 
 
-def _near_dup_sql() -> str:
-    return f"WITH {_near_dup_ctes()}\nSELECT vec_a, vec_b, cos_sim FROM nd\n"
+def _near_dup_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    return f"WITH {_near_dup_ctes(sf_dir)}\nSELECT vec_a, vec_b, cos_sim FROM nd\n"
 
 
 @register("embedding_near_dup_pairs", _near_dup_sql())
@@ -781,6 +793,7 @@ def q_ann_ivf_adaptive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_GENERATORS["ann_ivf_adaptive_topk_embeddings"] = _ann_ivf_adaptive_sql
+ORACLE_GENERATORS["embedding_near_dup_pairs"] = _near_dup_sql
 
 
 # --------------------------------------------------------------------------
@@ -1012,9 +1025,9 @@ def q_quality_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _embedding_clusters_sql() -> str:
+def _embedding_clusters_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return f"""
-WITH RECURSIVE {_near_dup_ctes()},
+WITH RECURSIVE {_near_dup_ctes(sf_dir)},
 edges AS (SELECT vec_a AS src, vec_b AS dst FROM nd
           UNION SELECT vec_b, vec_a FROM nd),
 reach(v, r) AS (
@@ -1048,6 +1061,9 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(
         emb, pairs, "vec_id", left="id_a", right="id_b"
     ).orderBy("id")
+
+
+ORACLE_GENERATORS["embedding_dedup_clusters"] = _embedding_clusters_sql
 
 
 # re-run tail curation so the registry order is import-order-robust (this

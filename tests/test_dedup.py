@@ -267,3 +267,23 @@ def test_srp_band_params_scale_with_corpus():
     assert srp_band_params(2_000_000) == (14, 42)
     r_small, _ = srp_band_params(100)
     assert r_small == 2  # floor: never degenerate to 1-bit bands
+
+
+def test_near_dup_oracle_scales_bands_with_sf():
+    """The near-dup oracle must derive (r, b) from the target sf_dir's
+    corpus count exactly like the Spark side (srp_band_params) — a
+    statically-baked band set hash-matches only at the sf it was baked
+    for (found by an sf0.1 oracle sweep: 500-row params against the
+    2000-row corpus emit a different candidate set)."""
+    from mongo_analyser_spark.queries_pipeline import _emb_rows, _near_dup_sql
+    from mongo_analyser_spark.operators.dedup import srp_band_params
+
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        r, b = srp_band_params(_emb_rows(sf_dir))
+        sql = _near_dup_sql(sf_dir)
+        # one banded SELECT per band, band width r in the substring call
+        assert sql.count("AS band_key FROM sig") == b
+        assert f", {r}) AS band_key" in sql
+    assert srp_band_params(_emb_rows("/root/testdata/sf0.01")) != srp_band_params(
+        _emb_rows("/root/testdata/sf0.1")
+    )
