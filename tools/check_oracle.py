@@ -2,7 +2,11 @@
 Spark query and its DuckDB oracle twin side-by-side, compare row count,
 column names, and an order-insensitive value multiset.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [sf_dir] [query ...] [--skip name ...]
+
+--skip downgrades a query to rows-only (Spark still runs; the oracle is
+skipped) — for oracles that are impractical at a given scale, e.g. the
+recursive-CTE cluster closure at sf0.1.
 """
 
 from __future__ import annotations
@@ -13,8 +17,14 @@ import time
 
 import duckdb
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+args = sys.argv[1:]
+SKIP: set[str] = set()
+if "--skip" in args:
+    i = args.index("--skip")
+    SKIP = set(args[i + 1:])
+    args = args[:i]
+SF_DIR = args[0] if args else "/root/testdata/sf0.01"
+ONLY = set(args[1:])
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -68,8 +78,9 @@ def main() -> int:
             print(f"  {name}: ERR {msg} [{time.time()-t0:.1f}s]")
             failures.append((name, f"spark error: {msg}"))
             continue
-        if name not in ORACLES:
-            print(f"  {name}: rows={len(srows)} (rows-only, no oracle) "
+        if name not in ORACLES or name in SKIP:
+            why = "oracle skipped" if name in ORACLES else "no oracle"
+            print(f"  {name}: rows={len(srows)} (rows-only, {why}) "
                   f"[{time.time()-t0:.1f}s]")
             if len(srows) == 0:
                 failures.append((name, "0 rows"))
