@@ -142,6 +142,65 @@ def jaccard_verify(
     )
 
 
+def cross_corpus_contamination(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Train/test decontamination: near-dup join BETWEEN two corpora —
+    the cross-table form of MinHash-LSH dedup a training pipeline runs
+    before every release (flag training documents that near-duplicate a
+    held-out/eval document, then drop them). Output
+    (train_id, test_id, jaccard) for candidates with exact shingle-set
+    Jaccard ≥ ``min_jaccard``.
+
+    Scale shape: both corpora reduce to fixed-width band tables
+    (bands × 1 row/doc); candidates are the equi-join on
+    (band_id, band_hash) — never train × test. The TEST side is a
+    benchmark suite (thousands of docs against billions of training
+    docs), so its band table and shingle sets are broadcast
+    (``broadcast_test=False`` for the rare symmetric case): no JOIN ever
+    shuffles the training corpus — its only shuffles are the two skinny
+    signature/band aggregations (id + fixed-width hashes, not text)."""
+    sig_tr = minhash_signatures(train_df, id_col, text_col, num_hashes, shingle_n)
+    sig_te = minhash_signatures(test_df, id_col, text_col, num_hashes, shingle_n)
+    b_tr = lsh_band_hashes(sig_tr, id_col, bands, rows_per_band)
+    b_te = lsh_band_hashes(sig_te, id_col, bands, rows_per_band)
+    te_side = b_te.select(F.col(id_col).alias("test_id"), "band_id", "band_hash")
+    if broadcast_test:
+        te_side = F.broadcast(te_side)
+    cand = (
+        b_tr.select(F.col(id_col).alias("train_id"), "band_id", "band_hash")
+        .join(te_side, ["band_id", "band_hash"])
+        .select("train_id", "test_id")
+        .distinct()
+    )
+    sets_tr = train_df.select(
+        F.col(id_col).alias("train_id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("set_a"),
+    )
+    sets_te = test_df.select(
+        F.col(id_col).alias("test_id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("set_b"),
+    )
+    if broadcast_test:
+        sets_te = F.broadcast(sets_te)
+    joined = cand.join(sets_tr, "train_id").join(sets_te, "test_id")
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = (F.size("set_a") + F.size("set_b")).cast("double") - inter
+    jac = F.round(inter / union, 6)
+    return joined.select("train_id", "test_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= min_jaccard
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -1747,6 +1747,9 @@ TAIL_QUERIES = (
     "embedding_dedup_clusters",
     # round-5: scale-safe sketch twin of quality_deciles (rows-only)
     "quality_deciles_documents_approx",
+    # round-5: cross-corpus near-dup (train/test decontamination);
+    # in-window dedup family reps stay minhash/jaccard pairs
+    "decontaminate_documents",
 )
 
 

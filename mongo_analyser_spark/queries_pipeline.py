@@ -270,6 +270,43 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_documents",
+    f"""
+WITH {_TOKS_CTE}, {_SH_CTE}, {_MINS_CTE}, {_BANDS_CTE},
+tr AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+te AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+cand AS (
+  SELECT DISTINCT tr.doc_id AS train_id, te.doc_id AS test_id
+  FROM tr JOIN te ON tr.band_id = te.band_id AND tr.bh = te.bh),
+sets AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s FROM toks)
+SELECT train_id, test_id, jaccard FROM (
+  SELECT train_id, test_id,
+    ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (CAST(len(sa.s) + len(sb.s) AS DOUBLE)
+             - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)), 6) AS jaccard
+  FROM cand JOIN sets sa ON sa.doc_id = train_id JOIN sets sb ON sb.doc_id = test_id
+) WHERE jaccard >= 0.5 ORDER BY train_id, test_id
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (north-star dedup, cross-corpus form):
+    every-tenth document plays the held-out set; training docs that
+    near-duplicate one (MinHash-LSH candidates, exact Jaccard ≥ 0.5) are
+    the contamination report a pipeline drops before training. The
+    held-out side is broadcast into both joins, so no join shuffles the
+    training corpus (operators/dedup.cross_corpus_contamination)."""
+    from mongo_analyser_spark.operators.dedup import cross_corpus_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return cross_corpus_contamination(
+        train, test, "doc_id", "text",
+        NUM_MINHASH, LSH_BANDS, LSH_ROWS, min_jaccard=0.5,
+    ).orderBy("train_id", "test_id")
+
+
+@register(
     "dedup_jaccard_pairs_documents",
     f"""
 WITH {_TOKS_CTE}, {_SH_CTE},

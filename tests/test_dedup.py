@@ -287,3 +287,46 @@ def test_near_dup_oracle_scales_bands_with_sf():
     assert srp_band_params(_emb_rows("/root/testdata/sf0.01")) != srp_band_params(
         _emb_rows("/root/testdata/sf0.1")
     )
+
+
+def test_cross_corpus_contamination_flags_planted_dup(spark):
+    """A training doc that duplicates a held-out doc must be flagged;
+    unrelated docs must not."""
+    from mongo_analyser_spark.operators.dedup import cross_corpus_contamination
+
+    train = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog"),
+            (102, "completely different words entirely unrelated content here"),
+            (103, "the quick brown fox jumps over the lazy cat"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "nothing in common with anything in the training corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.train_id, r.test_id): r.jaccard
+        for r in cross_corpus_contamination(
+            train, test, "doc_id", "text", min_jaccard=0.5
+        ).collect()
+    }
+    assert out[(101, 1)] == 1.0
+    assert all(t != 102 for t, _ in out)
+
+
+def test_decontaminate_query_broadcasts_heldout_side(spark):
+    """Both joins must broadcast the held-out side — a shuffle join would
+    repartition the training corpus per decontamination run."""
+    import re
+
+    from mongo_analyser_spark.plans import formatted_plan
+    from mongo_analyser_spark.queries import QUERIES
+
+    plan = formatted_plan(QUERIES["decontaminate_documents"](spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+    assert "SortMergeJoin" not in plan
