@@ -1750,6 +1750,8 @@ TAIL_QUERIES = (
     # round-5: cross-corpus near-dup (train/test decontamination);
     # in-window dedup family reps stay minhash/jaccard pairs
     "decontaminate_documents",
+    # round-5: int8 embedding quantization (storage-scale projection)
+    "quantize_embeddings_int8",
 )
 
 

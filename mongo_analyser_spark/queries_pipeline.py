@@ -833,6 +833,42 @@ ORACLE_GENERATORS["ann_ivf_adaptive_topk_embeddings"] = _ann_ivf_adaptive_sql
 ORACLE_GENERATORS["embedding_near_dup_pairs"] = _near_dup_sql
 
 
+@register(
+    "quantize_embeddings_int8",
+    """
+WITH s AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings)
+SELECT vec_id, scale,
+  CASE WHEN scale = 0 THEN array_to_string(list_transform(embedding, x -> 0), ',')
+       ELSE array_to_string(list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER)), ',')
+  END AS q_csv
+FROM s ORDER BY vec_id
+""",
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the 4× embedding-storage
+    cut at corpus scale): pure projection, zero shuffle; explicit
+    floor(x+0.5) rounding so both engines agree bit-for-bit (engine
+    round() defaults differ on halves). Codes serialized to CSV here
+    because the comparator needs hashable cells; the operator itself
+    (operators/similarity.quantize_int8) returns the real array<int>."""
+    from mongo_analyser_spark.operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        quantize_int8(emb, "vec_id", "embedding")
+        .select(
+            "vec_id",
+            "scale",
+            F.array_join(F.col("q").cast("array<string>"), ",").alias("q_csv"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal metadata (binary payload plumbing; decode is stubbed —
 # see operators/multimodal.py)

@@ -195,3 +195,34 @@ def test_adaptive_ivf_beats_fixed_quantizer_recall(spark):
     )
     assert len(adaptive & truth) >= len(fixed & truth)
     assert len(adaptive & truth) / len(truth) >= 0.5
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    """Dequantized values must sit within scale/2 of the originals
+    (the symmetric-quantization error bound), codes within [-127, 127],
+    and an all-zero vector must quantize to zeros with scale 0."""
+    from mongo_analyser_spark.operators.similarity import quantize_int8
+
+    rows = [
+        (1, [1.0, -2.0, 0.5, 126.9]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [-0.001, 0.002, -0.003, 0.004]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in quantize_int8(df, "vec_id", "embedding").collect()}
+    assert out[2].scale == 0.0 and out[2].q == [0, 0, 0, 0]
+    for vid, vec in ((1, rows[0][1]), (3, rows[2][1])):
+        r = out[vid]
+        assert all(-127 <= c <= 127 for c in r.q)
+        for orig, code in zip(vec, r.q):
+            assert abs(code * r.scale - orig) <= r.scale / 2 + 1e-12
+
+
+def test_quantize_query_is_pure_projection(spark):
+    """Zero shuffles: quantization must stay a scan-side projection."""
+    from mongo_analyser_spark.plans import num_exchanges
+    from mongo_analyser_spark.queries import QUERIES
+
+    q = QUERIES["quantize_embeddings_int8"](spark, "/root/testdata/sf0.001")
+    # only the output sort may exchange
+    assert num_exchanges(q) <= 1
