@@ -134,3 +134,26 @@ def normalize_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
+
+
+def chunk_spans(col: Column | str, chunk_size: int, overlap: int = 0) -> Column:
+    """Fixed-size overlapping chunk spans over a text column — the
+    precursor to per-chunk embedding in a RAG/training pipeline. Returns
+    array<struct<off int, chunk string>> with off the 0-based char
+    offset and stride = chunk_size - overlap; pure column expressions
+    (sequence + substr), zero shuffle, so chunking fuses into the scan.
+    Empty text yields one empty chunk at offset 0 (stable row count)."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    c = F.col(col) if isinstance(col, str) else col
+    step = chunk_size - overlap
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length(c) - 1, F.lit(0)), F.lit(step)
+    )
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("int").alias("off"),
+            c.substr(s + 1, F.lit(chunk_size)).alias("chunk"),
+        ),
+    )

@@ -1752,6 +1752,8 @@ TAIL_QUERIES = (
     "decontaminate_documents",
     # round-5: int8 embedding quantization (storage-scale projection)
     "quantize_embeddings_int8",
+    # round-5: chunking (pre-embedding text windowing)
+    "chunk_documents",
 )
 
 

@@ -834,6 +834,42 @@ ORACLE_GENERATORS["embedding_near_dup_pairs"] = _near_dup_sql
 
 
 @register(
+    "chunk_documents",
+    """
+SELECT doc_id, CAST(s / 150 AS INTEGER) AS chunk_idx, CAST(s AS INTEGER) AS off,
+  substring(text, CAST(s AS INTEGER) + 1, 200) AS chunk
+FROM (
+  SELECT doc_id, text,
+    unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS s
+  FROM documents)
+ORDER BY doc_id, chunk_idx
+""",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (the precursor to per-chunk embedding): 200-char
+    windows with 50-char overlap, each with its 0-based offset. Pure
+    projection + explode — zero shuffle before the output sort; at
+    corpus scale chunking fuses into the scan that feeds the embedding
+    stage (functions/text.chunk_spans)."""
+    from mongo_analyser_spark.functions.text import chunk_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(chunk_spans("text", 200, 50)).alias("chunk_idx", "sp"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("sp.off").alias("off"),
+            F.col("sp.chunk").alias("chunk"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
     "quantize_embeddings_int8",
     """
 WITH s AS (

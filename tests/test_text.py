@@ -107,3 +107,27 @@ def test_quality_deciles_approx_tracks_exact(spark):
     for d in exact:
         assert abs(approx[d].n_docs - exact[d].n_docs) <= 0.3 * exact[d].n_docs
         assert abs(approx[d].avg_quality - exact[d].avg_quality) <= 0.02
+
+
+def test_chunk_spans_offsets_and_overlap(spark):
+    from mongo_analyser_spark.functions.text import chunk_spans
+
+    import pytest
+
+    df = spark.createDataFrame([("abcdefghij",), ("",)], "text string")
+    rows = df.select(
+        "text", chunk_spans("text", 4, 1).alias("sp")
+    ).collect()
+    by_text = {r.text: [(s.off, s.chunk) for s in r.sp] for r in rows}
+    # stride 3: offsets 0,3,6,9; last chunk truncated at the end
+    assert by_text["abcdefghij"] == [
+        (0, "abcd"), (3, "defg"), (6, "ghij"), (9, "j"),
+    ]
+    # every adjacent pair overlaps by exactly 1 char
+    spans = by_text["abcdefghij"]
+    for (o1, c1), (o2, _) in zip(spans, spans[1:]):
+        assert c1[o2 - o1:] == "abcdefghij"[o2:o2 + len(c1) - (o2 - o1)]
+    # empty text -> one empty chunk at offset 0 (stable row count)
+    assert by_text[""] == [(0, "")]
+    with pytest.raises(ValueError):
+        chunk_spans("text", 4, 4)
