@@ -205,3 +205,13 @@ def test_quality_deciles_approx_has_no_global_window(spark):
     plan = formatted_plan(q)
     assert "Window" not in plan and "ntile(" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_fuses_into_scan(spark):
+    """Chunking must stay scan → Generate → project (+ output sort):
+    one source scan, no join, no aggregation — at corpus scale it fuses
+    into the scan feeding the embedding stage."""
+    q = QUERIES["chunk_documents"](spark, SF)
+    plan = formatted_plan(q)
+    assert num_exchanges(q) == 1  # the output sort only
+    assert "Generate" in plan and "Join" not in plan and "Aggregate" not in plan
