@@ -143,6 +143,10 @@ def chunk_spans(col: Column | str, chunk_size: int, overlap: int = 0) -> Column:
     offset and stride = chunk_size - overlap; pure column expressions
     (sequence + substr), zero shuffle, so chunking fuses into the scan.
     Empty text yields one empty chunk at offset 0 (stable row count)."""
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    if overlap < 0:
+        raise ValueError("overlap must be non-negative")
     if overlap >= chunk_size:
         raise ValueError("overlap must be smaller than chunk_size")
     c = F.col(col) if isinstance(col, str) else col

@@ -186,6 +186,8 @@ def with_srp_sig(
     the plan a few fixed-size nodes instead of making every Catalyst
     rule walk num_planes × dim literal nodes. Signs are bit-identical
     either way (same fold order)."""
+    if not planes or not planes[0]:
+        raise ValueError("with_srp_sig requires a non-empty plane matrix")
     if len(planes) * len(planes[0]) <= 1024:
         return df.withColumn(out, srp_bucket(F.col(vec_col), planes))
     pl_df = df.sparkSession.createDataFrame(
@@ -324,6 +326,8 @@ def ivf_topk(
     else:
         centroids = [list(row) for row in centroids]
         num_cells = len(centroids)
+    if not centroids or not centroids[0]:
+        raise ValueError("ivf_topk requires a non-empty centroid matrix")
     emb = emb.withColumn(vec_col, as_double_vec(vec_col))
     # How the centroids reach the executors is a scale decision:
     #  * tiny quantizers (≤ ~1k values) inline as expression literals —

@@ -612,10 +612,22 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
-def _emb_rows(sf_dir: str) -> int:
-    import pyarrow.parquet as pq
+# Known corpus size at the driver's contract scale: lets the baked sf0.01
+# oracle strings register at import time WITHOUT touching the filesystem —
+# importing the package must not fail on machines lacking /root/testdata
+# or pyarrow (the only import-time caller passes sf_dir == ORACLE_SF_DIR).
+_EMB_ROWS_SF001 = 500
 
-    return pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+
+def _emb_rows(sf_dir: str) -> int:
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    except Exception:
+        if sf_dir == ORACLE_SF_DIR:
+            return _EMB_ROWS_SF001
+        raise
 
 
 def _near_dup_ctes(sf_dir: str = ORACLE_SF_DIR) -> str:

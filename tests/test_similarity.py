@@ -226,3 +226,16 @@ def test_quantize_query_is_pure_projection(spark):
     q = QUERIES["quantize_embeddings_int8"](spark, "/root/testdata/sf0.001")
     # only the output sort may exchange
     assert num_exchanges(q) <= 1
+
+
+def test_empty_planes_and_centroids_raise(spark, emb):
+    import pytest
+
+    from mongo_analyser_spark.operators.similarity import ivf_topk, with_srp_sig
+
+    with pytest.raises(ValueError, match="non-empty plane"):
+        with_srp_sig(emb, "embedding", [])
+    with pytest.raises(ValueError, match="non-empty plane"):
+        with_srp_sig(emb, "embedding", [[]])
+    with pytest.raises(ValueError, match="non-empty centroid"):
+        ivf_topk(emb, "vec_id", "embedding", [1], 4, 8, centroids=[])

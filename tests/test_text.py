@@ -131,3 +131,7 @@ def test_chunk_spans_offsets_and_overlap(spark):
     assert by_text[""] == [(0, "")]
     with pytest.raises(ValueError):
         chunk_spans("text", 4, 4)
+    with pytest.raises(ValueError):
+        chunk_spans("text", 0)
+    with pytest.raises(ValueError):
+        chunk_spans("text", 4, -1)

@@ -33,9 +33,12 @@ echo "== [3/4] foreign-session gate (bare SparkSession, non-UTC TZ) =="
 TZ=America/Chicago python tools/driver_sim.py "$SF_DIR"
 
 echo "== [4/4] bench completes and prints one JSON line =="
-python bench.py 2>/dev/null | tail -1 | python - <<'EOF'
+# NB: capture into a variable — piping into `python - <<EOF` would let the
+# heredoc replace the piped stdin and json.loads('') always fails.
+BENCH_OUT="$(python bench.py 2>/dev/null | tail -1)"
+python - "$BENCH_OUT" <<'EOF'
 import json, sys
-d = json.loads(sys.stdin.read())
+d = json.loads(sys.argv[1])
 assert d["value"] > 0 and d["queries"], "bench produced no timings"
 assert not [q for q, t in d["queries"].items() if t < 0], "negative timing"
 print(f"bench OK: {len(d['queries'])} queries, {d['value']}s total at sf={d['sf']}")
