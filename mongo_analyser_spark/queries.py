@@ -1660,13 +1660,13 @@ WINDOW_QUERIES = (
     "join_range_part_lineitem",
     "asof_join_events_signup",
     "window_top3_orders_per_customer",
-    "window_user_running_value",
+    "trailing_window_range_events",
     "pivot_event_counts_by_user",
     "setops_nation_coverage",
-    "distinct_event_types",
+    "quantize_embeddings_int8",
     "value_percentiles_events",
     "schema_documents",
-    "q4_priority_with_returns",
+    "chunk_documents",
     "q10_returned_revenue",
     "q6_forecast_revenue",
     "grouping_sets_orders",
@@ -1678,14 +1678,14 @@ WINDOW_QUERIES = (
     "fingerprint_documents",
     "dedup_exact_documents",
     "dedup_minhash_pairs_documents",
-    "dedup_jaccard_pairs_documents",
+    "decontaminate_documents",
     "simhash_documents",
     "embedding_near_dup_pairs",
-    "similarity_topk_embeddings",
+    "embedding_dedup_clusters",
     "ann_srp_topk_embeddings",
     "multimodal_metadata_documents",
     "tumbling_hourly_events",
-    "sliding_window_events",
+    "similarity_topk_embeddings",
     "session_window_users",
     "late_data_drop_events",
     "user_totals_events",
@@ -1701,7 +1701,15 @@ WINDOW_QUERIES = (
 #   dedup_vocab            — exact-dedup variant of dedup_exact
 #   minhash_signatures     — exercised transitively by dedup_minhash_pairs
 #   q12                    — J2 equi-join + conditional agg, covered by q3/q10
-#   trailing_window_range  — W4 frame variant, window_user_running_value stays
+# Round-6 rotation (verdict-r5 #1): the round-5 flagships
+# (decontaminate / chunk / quantize-int8 / embedding-dedup-clusters /
+# trailing-window-RANGE) moved INTO the window; these five redundant
+# family members moved out to make room:
+#   window_user_running_value — W4 ROWS-frame twin of trailing_window_range
+#   distinct_event_types      — A11, top_values/field_stats cover
+#   q4_priority_with_returns  — TPC-H family keeps q1/q3/q5/q6/q10
+#   dedup_jaccard_pairs       — verify stage of in-window minhash pairs
+#   sliding_window_events     — ST2; tumbling/session/late-data stay
 TAIL_QUERIES = (
     "rollup_orders_priority_status",
     "cube_lineitem_flags",
@@ -1710,7 +1718,11 @@ TAIL_QUERIES = (
     "dedup_vocab_documents",
     "minhash_signatures_documents",
     "q12_priority_by_status",
-    "trailing_window_range_events",
+    "window_user_running_value",
+    "distinct_event_types",
+    "q4_priority_with_returns",
+    "dedup_jaccard_pairs_documents",
+    "sliding_window_events",
     # similarity family keeps brute-force + SRP in-window; IVF rides tail
     "ann_ivf_topk_embeddings",
     "ann_ivf_adaptive_topk_embeddings",
@@ -1744,16 +1756,8 @@ TAIL_QUERIES = (
     "repetition_stats_documents",
     "ngram_topk_corpus",
     "quality_deciles_documents",
-    "embedding_dedup_clusters",
     # round-5: scale-safe sketch twin of quality_deciles (rows-only)
     "quality_deciles_documents_approx",
-    # round-5: cross-corpus near-dup (train/test decontamination);
-    # in-window dedup family reps stay minhash/jaccard pairs
-    "decontaminate_documents",
-    # round-5: int8 embedding quantization (storage-scale projection)
-    "quantize_embeddings_int8",
-    # round-5: chunking (pre-embedding text windowing)
-    "chunk_documents",
 )
 
 

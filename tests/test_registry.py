@@ -6,10 +6,10 @@ from mongo_analyser_spark.queries import ORACLES, QUERIES
 
 CHECK_WINDOW = 50
 
-# one representative per family that previously fell outside the window
+# one representative per family that previously fell outside the window,
+# plus the round-5 flagships rotated in for round 6 (verdict-r5 #1)
 MUST_BE_CHECKED = [
     "tumbling_hourly_events",
-    "sliding_window_events",
     "session_window_users",
     "late_data_drop_events",
     "user_totals_events",
@@ -20,6 +20,11 @@ MUST_BE_CHECKED = [
     "dedup_minhash_pairs_documents",
     "ann_srp_topk_embeddings",
     "binary_conversion_documents",
+    "decontaminate_documents",
+    "chunk_documents",
+    "quantize_embeddings_int8",
+    "embedding_dedup_clusters",
+    "trailing_window_range_events",
 ]
 
 
