@@ -102,9 +102,17 @@ def _ext_json_expr(v, field: str, label: str):
     if label == "decimal128":
         return F.coalesce(vg(f"{f}.$numberDecimal"), vg(f)).try_cast("decimal(38,10)")
     if label == "UUID":
-        return vg(f"{f}.$uuid")
+        # either ext-JSON form: $uuid string (bson.py, mongoexport
+        # --jsonFormat=canonical with UUID subtype) or base64 $binary
+        return F.coalesce(
+            vg(f"{f}.$uuid"),
+            uuid_canonical(F.unbase64(vg(f"{f}.$binary.base64"))),
+        )
     if label == "binary<UUID>":
-        return uuid_canonical(F.unbase64(vg(f"{f}.$binary.base64")))
+        return F.coalesce(
+            uuid_canonical(F.unbase64(vg(f"{f}.$binary.base64"))),
+            vg(f"{f}.$uuid"),
+        )
     if label.startswith("binary"):
         return F.unbase64(F.coalesce(vg(f"{f}.$binary.base64"), vg(f"{f}.$binary")))
     if label.startswith("array<"):
@@ -147,6 +155,17 @@ def read_mongoexport_json(
     ``corrupt_col`` additionally keeps the raw line there (NULL for good
     rows) — the PERMISSIVE-mode contract, so bad records are countable
     and quarantineable instead of fatal."""
+    return project_ext_json_lines(spark.read.text(path), fields, corrupt_col)
+
+
+def project_ext_json_lines(
+    lines: DataFrame, fields: dict[str, str], corrupt_col: str | None = None
+) -> DataFrame:
+    """Shared Extended-JSON projection: a one-column (``value`` string)
+    DataFrame of ext-JSON documents → typed columns. Both dump formats
+    (mongoexport ndjson and raw mongodump BSON via sources/bson.py) feed
+    this same expression tree, which is what makes them hash-identical
+    for the same documents."""
     from pyspark.sql import functions as F
 
     v = F.try_parse_json(F.col("value"))
@@ -157,7 +176,7 @@ def read_mongoexport_json(
         cols.append(
             F.when(v.isNull(), F.col("value")).alias(corrupt_col)
         )
-    return spark.read.text(path).select(*cols)
+    return lines.select(*cols)
 
 
 class MongoSource:
