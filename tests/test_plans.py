@@ -196,15 +196,22 @@ def test_ngram_topk_uses_take_ordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_quality_deciles_approx_has_no_global_window(spark):
-    """Round-4 verdict perf item: the 100-TB decile plan must contain NO
-    window operator (the exact twin's unpartitioned ntile is a known
-    single-task funnel) — boundaries come from a mergeable
-    percentile_approx aggregate, assignment is a broadcast + projection."""
+def test_quality_deciles_approx_single_scan_histogram(spark):
+    """The 100-TB decile plan (round-5 verdict What's-wrong #1): ONE
+    corpus scan into a value histogram, no ntile, no second pass — the
+    only window operators sit ABOVE the aggregate, over the ≤10k-row
+    quantized-value histogram (bounded by the value domain, not the
+    corpus)."""
     q = QUERIES["quality_deciles_documents_approx"](spark, SF)
     plan = formatted_plan(q)
-    assert "Window" not in plan and "ntile(" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # one ReadSchema detail block == one source scan (the tree line and
+    # detail block both say "Scan parquet", so count the detail marker)
+    assert plan.count("ReadSchema") == 1, "decile profile must scan once"
+    assert "ntile(" not in plan
+    # detail blocks print leaf→root: below (after) the last Window there
+    # must still be an aggregate — windows consume the histogram, never
+    # the raw corpus
+    assert "HashAggregate" in plan[plan.rindex("Window"):]
 
 
 def test_chunk_documents_fuses_into_scan(spark):
