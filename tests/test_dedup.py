@@ -94,14 +94,37 @@ def test_connected_components_transitive_chain(spark):
 
 def test_connected_components_long_path_converges(spark):
     """A 12-vertex path needs multiple propagation rounds — exercises the
-    iteration + localCheckpoint loop, not just one round."""
+    iteration + localCheckpoint loop (in_core_edges=0 forces the
+    distributed path; the default would solve this in-task)."""
     from mongo_analyser_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 12)], "a long, b long"
     )
-    comp = {r.id: r.cluster for r in connected_components(pairs).collect()}
+    comp = {
+        r.id: r.cluster
+        for r in connected_components(pairs, in_core_edges=0).collect()
+    }
     assert set(comp.values()) == {1} and len(comp) == 12
+
+
+def test_connected_components_in_core_matches_distributed(spark):
+    """The hybrid finish (one-task union-find) must produce exactly the
+    distributed loop's (id, cluster) labels — chains, a star, and
+    separate components."""
+    from mongo_analyser_spark.operators.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(1, 8)]      # chain 1..8
+        + [(20, j) for j in (21, 22, 23)]       # star
+        + [(40, 41)]                            # pair
+    )
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    fast = sorted(map(tuple, connected_components(pairs).collect()))
+    dist = sorted(
+        map(tuple, connected_components(pairs, in_core_edges=0).collect())
+    )
+    assert fast == dist
 
 
 def test_connected_components_nonconvergence_signal(spark, caplog):
@@ -120,16 +143,20 @@ def test_connected_components_nonconvergence_signal(spark, caplog):
         [(i, i + 1) for i in range(1, 12)], "a long, b long"
     )
     with caplog.at_level(logging.WARNING, "mongo_analyser_spark.operators.dedup"):
-        connected_components(pairs, max_iter=3)
+        connected_components(pairs, max_iter=3, in_core_edges=0)
     assert any("max_iter=3 exhausted" in r.message for r in caplog.records)
 
     with pytest.raises(RuntimeError, match="max_iter=3 exhausted"):
-        connected_components(pairs, max_iter=3, on_nonconvergence="raise")
+        connected_components(
+            pairs, max_iter=3, on_nonconvergence="raise", in_core_edges=0
+        )
 
     # and the signal must NOT fire when the fixpoint is reached
     caplog.clear()
     with caplog.at_level(logging.WARNING, "mongo_analyser_spark.operators.dedup"):
-        connected_components(pairs, max_iter=20, on_nonconvergence="raise")
+        connected_components(
+            pairs, max_iter=20, on_nonconvergence="raise", in_core_edges=0
+        )
     assert not any("exhausted" in r.message for r in caplog.records)
 
 
