@@ -201,6 +201,59 @@ def cross_corpus_contamination(
     )
 
 
+def exact_ngram_contamination(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Exact n-gram collision decontamination — the OTHER standard
+    benchmark-contamination check next to the MinHash-LSH near-dup form
+    (``cross_corpus_contamination``): a training document is flagged if
+    ANY of its word n-grams appears verbatim anywhere in the held-out
+    corpus (the classic 8-13-gram collision rule used for benchmark
+    decontamination of pretraining corpora). Catches verbatim quotation
+    of a test item inside an otherwise-unrelated training document,
+    which whole-document Jaccard dilutes below any sane threshold.
+
+    Output (train_id, n_grams, n_hit_grams, contamination): distinct
+    n-gram counts per flagged doc, contamination = n_hit_grams/n_grams.
+
+    Scale shape: the test corpus collapses to ONE distinct n-gram set
+    (benchmark suites are thousands of docs → a few million grams) and
+    is broadcast; the training side explodes distinct grams and takes a
+    single groupBy(id) over skinny (id, hit) rows — no join ever
+    shuffles the training corpus, same contract as the LSH form."""
+    te_grams = (
+        test_df.select(
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    if broadcast_test:
+        te_grams = F.broadcast(te_grams)
+    tr_grams = train_df.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g"),
+    )
+    return (
+        tr_grams.join(te_grams, "g", "left")
+        .groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_hit_grams"),
+        )
+        .filter(F.col("n_hit_grams") > 0)
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_hit_grams") / F.col("n_grams"), 6),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

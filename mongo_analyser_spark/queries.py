@@ -1756,8 +1756,12 @@ TAIL_QUERIES = (
     "repetition_stats_documents",
     "ngram_topk_corpus",
     "quality_deciles_documents",
-    # round-5: scale-safe sketch twin of quality_deciles (rows-only)
+    # round-5: scale-safe sketch twin of quality_deciles (since round 6
+    # exactly SQL-reproducible — histogram/cumulative-rank rewrite)
     "quality_deciles_documents_approx",
+    # round-6: exact 8-gram collision decontamination (verbatim-quote
+    # complement of the in-window LSH decontaminate_documents)
+    "decontaminate_exact_ngram_documents",
 )
 
 

@@ -306,6 +306,52 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("train_id", "test_id")
 
 
+def _ngram_list_sql(n: int) -> str:
+    """DuckDB n-gram list over token array t — same short-doc fallback
+    (whole text as one gram) as functions.text.shingles."""
+    gram = "||' '||".join(f"t[j+{k}]" for k in range(n))
+    return (
+        f"CASE WHEN len(t) >= {n} THEN "
+        f"list_transform(generate_series(1, len(t)-{n - 1}), j -> {gram}) "
+        "ELSE [array_to_string(t, ' ')] END"
+    )
+
+
+@register(
+    "decontaminate_exact_ngram_documents",
+    f"""
+WITH {_TOKS_CTE},
+dg AS (SELECT doc_id, unnest(list_distinct({_ngram_list_sql(8)})) AS g FROM toks),
+te AS (SELECT DISTINCT g FROM dg WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id, g FROM dg WHERE doc_id % 10 <> 0)
+SELECT tr.doc_id AS train_id,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(count(te.g) AS BIGINT) AS n_hit_grams,
+  ROUND(CAST(count(te.g) AS DOUBLE) / count(*), 6) AS contamination
+FROM tr LEFT JOIN te ON tr.g = te.g
+GROUP BY tr.doc_id HAVING count(te.g) > 0
+ORDER BY train_id
+""",
+)
+def q_decontaminate_exact_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 8-gram collision decontamination (north-star dedup,
+    verbatim-quotation form): every-tenth document plays the held-out
+    set; a training doc is flagged when ANY of its 8-grams appears
+    verbatim in the held-out corpus — the classic pretraining-corpus
+    benchmark-decontamination rule, complementing the LSH near-dup form
+    (`decontaminate_documents`) which misses short verbatim quotes
+    inside long unrelated docs. Test grams broadcast; training corpus
+    never join-shuffled (operators/dedup.exact_ngram_contamination)."""
+    from mongo_analyser_spark.operators.dedup import exact_ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return exact_ngram_contamination(train, test, "doc_id", "text", n=8).orderBy(
+        "train_id"
+    )
+
+
 @register(
     "dedup_jaccard_pairs_documents",
     f"""

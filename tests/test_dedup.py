@@ -357,3 +357,32 @@ def test_decontaminate_query_broadcasts_heldout_side(spark):
     plan = formatted_plan(QUERIES["decontaminate_documents"](spark, "/root/testdata/sf0.001"))
     assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_exact_ngram_contamination_verbatim_quote(spark):
+    """The case LSH near-dup misses: a long training doc quoting one test
+    item verbatim gets flagged; unrelated training docs do not."""
+    from mongo_analyser_spark.operators.dedup import exact_ngram_contamination
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    train = spark.createDataFrame(
+        [
+            (1, "padding words start here " + quote + " and then much more "
+                "unrelated content follows for a while longer"),
+            (2, "completely different text with no overlap at all in it"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame([(100, quote)], "doc_id long, text string")
+    out = {r.train_id: r for r in
+           exact_ngram_contamination(train, test, "doc_id", "text", n=8).collect()}
+    assert set(out) == {1}
+    assert out[1].n_hit_grams >= 1
+    assert 0 < out[1].contamination <= 1
+    # short test docs (< n words) fall back to whole-text grams and still match
+    test_short = spark.createDataFrame([(100, "no overlap")], "doc_id long, text string")
+    train_short = spark.createDataFrame([(3, "no overlap")], "doc_id long, text string")
+    hits = exact_ngram_contamination(
+        train_short, test_short, "doc_id", "text", n=8
+    ).collect()
+    assert [(r.train_id, r.n_grams, r.n_hit_grams) for r in hits] == [(3, 1, 1)]
