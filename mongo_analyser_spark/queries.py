@@ -1762,6 +1762,8 @@ TAIL_QUERIES = (
     # round-6: exact 8-gram collision decontamination (verbatim-quote
     # complement of the in-window LSH decontaminate_documents)
     "decontaminate_exact_ngram_documents",
+    # round-6: concat-and-chunk sequence packing (two-level prefix sum)
+    "pack_sequences_documents",
 )
 
 

@@ -1221,6 +1221,38 @@ def q_quality_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pack_sequences_documents",
+    """
+WITH q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start_off
+      FROM q)
+SELECT doc_id, n_tokens, start_off,
+  CAST(start_off // 256 AS BIGINT) AS seq_id,
+  CAST(start_off % 256 AS BIGINT) AS seq_offset
+FROM c ORDER BY doc_id
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (north-star batch assembly):
+    each doc's start offset in the id-ordered token stream and the
+    256-token training sequence holding its first token. Spark side runs
+    the two-level prefix sum (operators/packing.py — per-group windows +
+    tiny broadcast group-offset table, no global window over the
+    corpus); the oracle is the single-window equivalent, which the
+    decomposition matches exactly."""
+    from mongo_analyser_spark.functions.text import token_count
+    from mongo_analyser_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "doc_id", token_count("text"), seq_len=256, group_width=100
+    ).orderBy("doc_id")
+
+
 def _embedding_clusters_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return f"""
 WITH RECURSIVE {_near_dup_ctes(sf_dir)},
