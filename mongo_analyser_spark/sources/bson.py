@@ -134,7 +134,7 @@ def _decode_element(t: int, buf: bytes, pos: int):
     if t == 0x09:  # UTC datetime, int64 millis
         (ms,) = struct.unpack_from("<q", buf, pos)
         return {"$date": {"$numberLong": str(ms)}}, pos + 8
-    if t == 0x0A:  # null
+    if t in (0x0A, 0x06):  # null / deprecated undefined
         return None, pos
     if t == 0x0B:  # regex (cstring pattern, cstring options)
         pat, pos = _read_cstring(buf, pos)
@@ -151,6 +151,25 @@ def _decode_element(t: int, buf: bytes, pos: int):
         return n, pos + 8
     if t == 0x13:  # decimal128
         return {"$numberDecimal": _decode_decimal128(buf[pos : pos + 16])}, pos + 16
+    if t == 0x0D:  # JavaScript code
+        (n,) = struct.unpack_from("<i", buf, pos)
+        s = buf[pos + 4 : pos + 4 + n - 1].decode("utf-8", errors="replace")
+        return {"$code": s}, pos + 4 + n
+    if t == 0x0F:  # code-with-scope (deprecated): int32 total, string, doc
+        (total,) = struct.unpack_from("<i", buf, pos)
+        (n,) = struct.unpack_from("<i", buf, pos + 4)
+        s = buf[pos + 8 : pos + 8 + n - 1].decode("utf-8", errors="replace")
+        scope = _decode_doc(buf[pos + 8 + n : pos + total])
+        return {"$code": s, "$scope": scope}, pos + total
+    if t == 0x0C:  # deprecated DBPointer: string ns + 12-byte oid
+        (n,) = struct.unpack_from("<i", buf, pos)
+        ns = buf[pos + 4 : pos + 4 + n - 1].decode("utf-8", errors="replace")
+        oid = buf[pos + 4 + n : pos + 16 + n].hex()
+        return {"$dbPointer": {"$ref": ns, "$id": {"$oid": oid}}}, pos + 16 + n
+    if t == 0xFF:  # MinKey
+        return {"$minKey": 1}, pos
+    if t == 0x7F:  # MaxKey
+        return {"$maxKey": 1}, pos
     raise ValueError(f"unsupported BSON element type 0x{t:02x}")
 
 

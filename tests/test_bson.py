@@ -211,8 +211,41 @@ def test_bson_dump_corrupt_col(spark, tmp_path):
 
 
 def test_unsupported_element_type_raises():
-    doc = enc_doc([_el(0x7F, "weird", b"")])
+    doc = enc_doc([_el(0xEE, "weird", b"")])
     with pytest.raises(ValueError, match="bad BSON|unsupported"):
         from mongo_analyser_spark.sources.bson import _decode_doc
 
         _decode_doc(doc)
+
+
+def test_legacy_element_types_decode():
+    """Old dumps carry deprecated element types — the decoder must not
+    treat them as corruption."""
+    from mongo_analyser_spark.sources.bson import _decode_doc
+
+    code = "function() { return 1; }"
+    scope = enc_doc([enc_value("x", 1)])
+    code_b = _bstr(code)
+    code_ws = struct.pack("<i", 4 + len(code_b) + len(scope)) + code_b + scope
+    ns = _bstr("db.coll")
+    doc = enc_doc(
+        [
+            _el(0x06, "undef", b""),
+            _el(0x0D, "js", _bstr(code)),
+            _el(0x0F, "jss", code_ws),
+            _el(0x0C, "ptr", ns + bytes.fromhex("aa" * 12)),
+            _el(0xFF, "lo", b""),
+            _el(0x7F, "hi", b""),
+            _el(0x0B, "rx", b"^a.*\x00i\x00"),
+            _el(0x11, "mts", struct.pack("<II", 5, 1700000000)),
+        ]
+    )
+    out = _decode_doc(doc)
+    assert out["undef"] is None
+    assert out["js"] == {"$code": code}
+    assert out["jss"] == {"$code": code, "$scope": {"x": 1}}
+    assert out["ptr"]["$dbPointer"]["$ref"] == "db.coll"
+    assert out["ptr"]["$dbPointer"]["$id"] == {"$oid": "aa" * 12}
+    assert out["lo"] == {"$minKey": 1} and out["hi"] == {"$maxKey": 1}
+    assert out["rx"] == {"$regularExpression": {"pattern": "^a.*", "options": "i"}}
+    assert out["mts"] == {"$timestamp": {"t": 1700000000, "i": 5}}
