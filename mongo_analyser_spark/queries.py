@@ -1272,6 +1272,323 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8_market_share",
+    """
+WITH allnations AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS volume,
+    sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = cn.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01')
+SELECT o_year,
+  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM allnations GROUP BY o_year ORDER BY o_year
+""",
+)
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (adapted: p_type bucket instead of the long type
+    string, supplier nation NATION_2 inside region ASIA): the 8-way
+    snowflake join — fact lineitem against two independent dimension
+    arms (order→customer→nation→region for market scope,
+    supplier→nation for share attribution) plus a part filter. The
+    region/nation dims are broadcast; part/customer/supplier joins are
+    left declarative so AQE picks broadcast at test scale and shuffle
+    at cluster scale. Market share = exact-decimal conditional sum over
+    exact-decimal total, divided as doubles only at the end (both
+    engines see bit-identical operands, so ROUND(...,6) agrees).
+
+    Reference parity: the relational tier [EXT] extends SURVEY §2.3 J2
+    beyond the reference's single-collection joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (adapted: the o_comment NOT LIKE filter becomes
+    an o_orderpriority exclusion — this dataset has no comment column):
+    outer-join count distribution. The LEFT join keeps order-less
+    customers (count 0 — the rows an inner join would silently drop),
+    the join-side predicate stays in the ON clause (in WHERE it would
+    turn the outer join back into an inner one), and the double
+    aggregation shrinks customer×orders to customer-sized then to
+    ~tens of distinct counts. Both groupBys hash-partition on their
+    key; the second input is already tiny."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+WITH brand_lines AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#23'),
+part_avg AS (
+  SELECT l_partkey AS pk,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM brand_lines GROUP BY l_partkey)
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       / 7.0 AS DOUBLE) AS avg_yearly
+FROM brand_lines JOIN part_avg ON l_partkey = pk
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
+""",
+)
+def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (l_quantity <
+    0.2 * per-part avg) decorrelated into aggregate-then-rejoin — the
+    rewrite Catalyst itself applies to correlated scalar subqueries.
+    The brand filter cuts lineitem FIRST (part semi-side; no explicit
+    broadcast hint — brand-filtered part is still sf-proportional, so
+    AQE picks broadcast at test scale and shuffle at cluster scale),
+    so the per-part aggregate and the rejoin both run over the reduced
+    set; the threshold comparison is integer-exact decimal algebra
+    (qty < sum/(5*cnt) ⇔ qty*5*cnt < sum) so no engine disagrees on a
+    boundary row the way double division could."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    brand_lines = li.join(
+        part.select("p_partkey"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    part_avg = brand_lines.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        brand_lines.join(part_avg, F.col("l_partkey") == F.col("pk"))
+        .filter(_dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F')
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM l l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM l l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: 'late' = shipped >90 days after the
+    order date — this dataset has no commit/receipt dates): suppliers
+    who were the SOLE late shipper on a finished multi-supplier order.
+    The oracle keeps the textbook correlated EXISTS + NOT-EXISTS; the
+    Spark plan is the decorrelated equivalent — per-order distinct
+    supplier counts (total and late) computed as TWO window aggregates
+    over the SAME partition-by-l_orderkey spec, so the whole
+    exists/not-exists pair costs ONE shuffle of the joined fact (a
+    groupBy + join-back would scan and shuffle it twice); a late line
+    qualifies iff n_supps > 1 AND n_late_supps = 1 (this line's
+    supplier being late makes it the only one). Per-order groups are
+    order-sized (a few lines), so the window state is tiny. LIMIT 20
+    follows a total order (numwait DESC, unique s_name) so top-k is
+    deterministic."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    flagged = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    per_order = Window.partitionBy("l_orderkey")
+    counted = flagged.select(
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(per_order)).alias("n_supps"),
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(per_order)
+        ).alias("n_late_supps"),
+    )
+    return (
+        counted.filter(
+            F.col("late") & (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "q22_inactive_customers",
+    """
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT n_name AS cntry,
+  CAST(count(*) AS BIGINT) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey, pos
+WHERE n_name IN ('NATION_2','NATION_3','NATION_7','NATION_8',
+                 'NATION_12','NATION_17','NATION_22')
+  AND CAST(c_acctbal AS DECIMAL(18,2)) * cnt > total
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-07-01')
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def q_q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: nation-name IN-list instead of phone
+    country codes, and 'never ordered' tightened to 'no order in the
+    dataset's final 18 months' because this generator gives every
+    customer at least one early order). Three classic pieces in one
+    plan — an uncorrelated scalar aggregate (the positive-balance
+    average) broadcast to every row, a NOT EXISTS decorrelated to a
+    left-anti join on o_custkey (with the date predicate pushed into
+    the anti side's scan), and a selective IN-list that prunes before
+    either. The threshold is exact decimal algebra (bal > total/cnt ⇔
+    bal*cnt > total), so the boundary set is bit-identical across
+    engines; the anti-join is the only big shuffle, keyed on custkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(_dec("c_acctbal")).alias("total"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    keep = [
+        "NATION_2", "NATION_3", "NATION_7", "NATION_8",
+        "NATION_12", "NATION_17", "NATION_22",
+    ]
+    return (
+        cust.join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .filter(F.col("n_name").isin(keep))
+        .crossJoin(F.broadcast(pos))
+        .filter(_dec("c_acctbal") * F.col("cnt") > F.col("total"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp")
+            ).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("n_name").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+
+
+@register(
     "time_rollup_events",
     """
 SELECT
@@ -1736,6 +2053,14 @@ TAIL_QUERIES = (
     "q19_disjunctive_predicates",
     "q7_nation_volume_shipping",
     "q15_top_supplier",
+    # round-6 TPC-H breadth: the remaining partsupp-free queries
+    # (q8 snowflake share, q13 outer-join distribution, q17/q22
+    # decorrelated scalar subqueries, q21 exists/not-exists)
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "q22_inactive_customers",
     "corpus_build_documents",
     "simhash_pairs_documents",
     # A12 family rep in-window is grouping_sets_orders

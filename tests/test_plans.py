@@ -222,3 +222,58 @@ def test_chunk_documents_fuses_into_scan(spark):
     plan = formatted_plan(q)
     assert num_exchanges(q) == 1  # the output sort only
     assert "Generate" in plan and "Join" not in plan and "Aggregate" not in plan
+
+
+def test_q8_broadcast_hints_only_on_fixed_dims(spark):
+    """Snowflake market share: explicit hints only on the sf-invariant
+    dims (nation twice + region = 3). part/customer/supplier/orders all
+    scale with sf and must stay AQE-decided."""
+    q = QUERIES["q8_market_share"](spark, SF)
+    assert num_broadcast_hints(q) == 3
+    filters = pushed_filters(q)
+    assert any("p_type" in f for f in filters), filters
+    assert any("o_orderdate" in f for f in filters), filters
+
+
+def test_q13_left_join_keeps_on_clause_filter_pushed(spark):
+    """Outer-join distribution: the o_orderpriority exclusion lives in
+    the ON clause, so it must push to the orders scan (inner side of a
+    LEFT join) while customer keeps no filter; no broadcast hints on
+    either sf-scaled side."""
+    q = QUERIES["q13_customer_distribution"](spark, SF)
+    assert num_broadcast_hints(q) == 0
+    filters = pushed_filters(q)
+    assert any("o_orderpriority" in f for f in filters), filters
+
+
+def test_q17_threshold_join_has_no_forced_broadcast(spark):
+    """Decorrelated scalar subquery: brand-filtered part is still
+    sf-proportional, so the semi-side must carry NO explicit broadcast
+    hint (AQE chooses); the brand filter itself must reach the part
+    scan."""
+    q = QUERIES["q17_small_quantity_revenue"](spark, SF)
+    assert num_broadcast_hints(q) == 0
+    filters = pushed_filters(q)
+    assert any("Brand#23" in f for f in filters), filters
+
+
+def test_q21_exists_pair_costs_one_fact_shuffle(spark):
+    """The EXISTS + NOT-EXISTS pair must decorrelate into window
+    aggregates sharing ONE partition-by-l_orderkey exchange — never a
+    groupBy + join-back that shuffles the joined fact twice. Budget:
+    the l_orderkey window shuffle + the tiny s_name aggregate = 2."""
+    q = QUERIES["q21_waiting_suppliers"](spark, SF)
+    assert num_exchanges(q) == 2
+    assert "Window" in formatted_plan(q)
+    assert num_broadcast_hints(q) == 1  # supplier only
+
+
+def test_q22_anti_join_with_pushed_date_filter(spark):
+    """NOT EXISTS → left-anti join; the 'recent order' date predicate
+    must push into the anti side's orders scan so the anti join's build
+    input is the filtered slice, not all orders."""
+    q = QUERIES["q22_inactive_customers"](spark, SF)
+    plan = formatted_plan(q)
+    assert "LeftAnti" in plan
+    filters = pushed_filters(q)
+    assert any("o_orderdate" in f and "2000-07-01" in f for f in filters), filters

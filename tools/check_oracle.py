@@ -12,10 +12,13 @@ recursive-CTE cluster closure at sf0.1.
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 args = sys.argv[1:]
 SKIP: set[str] = set()
