@@ -2089,6 +2089,13 @@ TAIL_QUERIES = (
     "decontaminate_exact_ngram_documents",
     # round-6: concat-and-chunk sequence packing (two-level prefix sum)
     "pack_sequences_documents",
+    # round-6: unigram-LM NLL quality signal (text-analysis family; the
+    # in-window rep stays text_stats_documents)
+    "unigram_nll_documents",
+    # round-6: distributed clustering tier (similarity family reps stay
+    # in-window: ann_srp/similarity_topk; dedup rep: embedding_dedup_clusters)
+    "kmeans_step_embeddings",
+    "semantic_dedup_embeddings",
 )
 
 

@@ -144,6 +144,43 @@ def q_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unigram_nll_documents",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  ROUND(AVG(ln(CAST(total AS DOUBLE)) - ln(CAST(cnt AS DOUBLE))), 6) AS avg_nll
+FROM toks JOIN vocab USING (tok), tot
+GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram language-model quality signal: per-doc mean
+    negative log-likelihood under the corpus's own unigram
+    distribution — high avg_nll = rare-token-heavy (gibberish, IDs,
+    boilerplate noise), low = stopword-heavy prose; the standard cheap
+    filter/bucketing signal before an expensive LM pass.
+
+    Plan: explode tokens → vocabulary count (map-side partial
+    aggregation absorbs the Zipf head before the token shuffle) →
+    re-join token frequencies onto the exploded stream (declarative: at
+    test scale AQE broadcasts the vocab, at 100 TB it becomes a shuffle
+    join whose skewed hot-token side AQE splits) → per-doc regroup.
+    Token NLL = ln(total) - ln(cnt): both operands are exact integers,
+    and ln agreed bit-for-bit between the JVM and DuckDB over this
+    vocabulary (verified), so ROUND(...,6) only has to absorb the
+    per-doc summation-order difference. Self-scoring has no OOV by
+    construction; cross-corpus scoring would add-one smooth the counts
+    (same algebra: ln(total+V) - ln(cnt+1))."""
+    from mongo_analyser_spark.operators.quality import unigram_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_nll(docs).orderBy("doc_id")
+
+
 def _lang_detect_sql() -> str:
     score = {
         lang: (
@@ -961,6 +998,98 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def _kmeans_step_sql(k: int = 8, dim: int = EMB_DIM) -> str:
+    return f"""
+WITH nv AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) / ({_norm_sql('embedding')})) AS v
+  FROM embeddings),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v
+  FROM (SELECT * FROM nv ORDER BY vec_id LIMIT {k})),
+scored AS (
+  SELECT nv.vec_id, nv.v, i.cid, ({_dot_sql('nv.v', 'i.v')}) AS s
+  FROM nv CROSS JOIN init i),
+best AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM scored) WHERE rn = 1)
+SELECT CAST(cell AS INT) AS cell, CAST(j AS INT) AS pos,
+  CAST(count(*) AS BIGINT) AS n_members,
+  ROUND(AVG(v[j]), 6) AS mean_val
+FROM best, generate_series(1, {dim}) t(j)
+GROUP BY cell, j ORDER BY cell, pos
+"""
+
+
+@register("kmeans_step_embeddings", _kmeans_step_sql())
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed spherical-k-means (Lloyd) iteration over the FULL
+    corpus — the scale path behind the driver-side sampled
+    ``kmeans_centroids`` quantizer trainer. Assignment is a shuffle-free
+    projection against ONE broadcast row of k centroids (seeded from
+    the k smallest ids); the only shuffle is the (cell, dim) mean
+    aggregate, bounded at k×dim rows per map task by partial combine.
+    Dots/norms are sequential left-folds so the assignment is
+    bit-identical across engines; the iterative ``kmeans_fit`` loops
+    this step with lineage truncation (operators/clustering.py)."""
+    from mongo_analyser_spark.operators.clustering import kmeans_step
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_step(emb, "vec_id", "embedding", k=8).orderBy("cell", "pos")
+
+
+SEMANTIC_DEDUP_CELLS = 8
+SEMANTIC_DEDUP_THRESHOLD = 0.4
+
+
+def _semantic_dedup_sql() -> str:
+    from mongo_analyser_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(SEMANTIC_DEDUP_CELLS, EMB_DIM)
+    scores = ", ".join(f"({_plane_dot_sql('embedding', row)})" for row in cents)
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding,
+    CAST(list_position([{scores}], list_max([{scores}])) AS INT) AS cell
+  FROM embeddings),
+dropped AS (
+  SELECT b.vec_id AS dropped_id
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(({_dot_sql('a.embedding', 'b.embedding')})
+        / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 6)
+        >= {SEMANTIC_DEDUP_THRESHOLD}
+  GROUP BY b.vec_id)
+SELECT vec_id AS id, cell, dropped_id IS NULL AS is_kept
+FROM assigned LEFT JOIN dropped ON vec_id = dropped_id
+ORDER BY id
+"""
+
+
+@register("semantic_dedup_embeddings", _semantic_dedup_sql())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) cluster-then-dedup: coarse cells
+    bound the quadratic cosine verify, then within each cell any vector
+    similar to an earlier (lower-id) one is flagged dropped. Complements
+    the transitive connected-component dedup
+    (embedding_dedup_clusters): greedy-within-cluster keeps one
+    representative per similarity neighborhood without chaining a≈b≈c
+    across cells. Threshold 0.4 sits just under this corpus's max
+    within-cell cosine (~0.45-0.49) so the drop set is non-trivial at
+    every sf (operators/clustering.semantic_dedup)."""
+    from mongo_analyser_spark.operators.clustering import semantic_dedup
+    from mongo_analyser_spark.operators.similarity import ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb,
+        "vec_id",
+        "embedding",
+        ivf_centroids(SEMANTIC_DEDUP_CELLS, EMB_DIM),
+        threshold=SEMANTIC_DEDUP_THRESHOLD,
+    ).orderBy("id")
 
 
 # --------------------------------------------------------------------------

@@ -135,3 +135,26 @@ def test_chunk_spans_offsets_and_overlap(spark):
         chunk_spans("text", 0)
     with pytest.raises(ValueError):
         chunk_spans("text", 4, -1)
+
+
+def test_unigram_nll_hand_computed(spark):
+    """Micro-corpus with hand-computable counts: tokens a(3), b(2), c(1),
+    total=6. avg_nll(doc) = mean over doc tokens of ln(6) - ln(cnt)."""
+    import math
+
+    from mongo_analyser_spark.operators.quality import unigram_nll
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in unigram_nll(df).collect()}
+    ln6 = math.log(6.0)
+    exp1 = round(((ln6 - math.log(3)) * 2 + (ln6 - math.log(2))) / 3, 6)
+    exp2 = round(
+        ((ln6 - math.log(3)) + (ln6 - math.log(2)) + (ln6 - math.log(1))) / 3, 6
+    )
+    assert rows[1].n_tokens == 3 and rows[2].n_tokens == 3
+    assert rows[1].avg_nll == exp1
+    assert rows[2].avg_nll == exp2
+    # rare-token doc scores strictly higher (the filtering signal)
+    assert rows[2].avg_nll > rows[1].avg_nll
