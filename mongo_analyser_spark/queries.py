@@ -1967,13 +1967,13 @@ WINDOW_QUERIES = (
     "describe_collection_events",
     "convert_export_events",
     "display_truncation_documents",
-    "binary_conversion_documents",
-    "bytes_human_documents",
+    "unigram_nll_documents",
+    "semantic_dedup_embeddings",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
+    "q21_waiting_suppliers",
     "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
+    "kmeans_step_embeddings",
     "join_range_part_lineitem",
     "asof_join_events_signup",
     "window_top3_orders_per_customer",
@@ -1985,7 +1985,7 @@ WINDOW_QUERIES = (
     "schema_documents",
     "chunk_documents",
     "q10_returned_revenue",
-    "q6_forecast_revenue",
+    "decontaminate_exact_ngram_documents",
     "grouping_sets_orders",
     "dynamic_schema_histogram_events",
     "scalar_subquery_customers",
@@ -2005,7 +2005,7 @@ WINDOW_QUERIES = (
     "similarity_topk_embeddings",
     "session_window_users",
     "late_data_drop_events",
-    "user_totals_events",
+    "pack_sequences_documents",
     "dedup_first_event_per_user_type",
 )
 
@@ -2027,7 +2027,26 @@ WINDOW_QUERIES = (
 #   q4_priority_with_returns  — TPC-H family keeps q1/q3/q5/q6/q10
 #   dedup_jaccard_pairs       — verify stage of in-window minhash pairs
 #   sliding_window_events     — ST2; tumbling/session/late-data stay
+# Mid-round-6 rotation (same policy, applied to round-6's own additions
+# so the driver's hard signal covers them): IN — unigram_nll,
+# semantic_dedup, kmeans_step, q21, decontaminate_exact_ngram,
+# pack_sequences; OUT (redundant family members):
+#   binary_conversion / bytes_human — P2/F7; convert_export +
+#                                     display_truncation stay in-window
+#   q5 / q6                   — TPC-H keeps q1/q3/q10 + the new q21;
+#                               q5's broadcast-hint policy and q6's
+#                               minimal-scan pin stay pytest-enforced
+#   join_anti_customers       — J3; join_semi stays, and q22's left-anti
+#                               covers the anti shape in the tail
+#   user_totals_events        — ST5 stateful family keeps
+#                               dedup_first_event_per_user_type
 TAIL_QUERIES = (
+    "binary_conversion_documents",
+    "bytes_human_documents",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "join_anti_customers_without_orders",
+    "user_totals_events",
     "rollup_orders_priority_status",
     "cube_lineitem_flags",
     "observed_type_histogram_events",
@@ -2055,11 +2074,10 @@ TAIL_QUERIES = (
     "q15_top_supplier",
     # round-6 TPC-H breadth: the remaining partsupp-free queries
     # (q8 snowflake share, q13 outer-join distribution, q17/q22
-    # decorrelated scalar subqueries, q21 exists/not-exists)
+    # decorrelated scalar subqueries; q21 rotated in-window)
     "q8_market_share",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
-    "q21_waiting_suppliers",
     "q22_inactive_customers",
     "corpus_build_documents",
     "simhash_pairs_documents",
@@ -2084,18 +2102,9 @@ TAIL_QUERIES = (
     # round-5: scale-safe sketch twin of quality_deciles (since round 6
     # exactly SQL-reproducible — histogram/cumulative-rank rewrite)
     "quality_deciles_documents_approx",
-    # round-6: exact 8-gram collision decontamination (verbatim-quote
-    # complement of the in-window LSH decontaminate_documents)
-    "decontaminate_exact_ngram_documents",
-    # round-6: concat-and-chunk sequence packing (two-level prefix sum)
-    "pack_sequences_documents",
-    # round-6: unigram-LM NLL quality signal (text-analysis family; the
-    # in-window rep stays text_stats_documents)
-    "unigram_nll_documents",
-    # round-6: distributed clustering tier (similarity family reps stay
-    # in-window: ann_srp/similarity_topk; dedup rep: embedding_dedup_clusters)
-    "kmeans_step_embeddings",
-    "semantic_dedup_embeddings",
+    # round-6: stream-stream interval join batch twin (ST family reps
+    # in-window: tumbling/session/late-data/dedup_first)
+    "interval_join_events",
 )
 
 

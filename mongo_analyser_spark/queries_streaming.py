@@ -181,6 +181,51 @@ def q_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "interval_join_events",
+    f"""
+SELECT a.user_id,
+  a.event_id AS click_id, b.event_id AS purchase_id,
+  strftime(a.ts, '{DUCK_TS_FMT}') AS click_ts,
+  strftime(b.ts, '{DUCK_TS_FMT}') AS purchase_ts,
+  CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+ORDER BY click_id, purchase_id
+""",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch twin: every purchase by the
+    same user within 6 hours of a click (the classic attribution
+    query). Same builder as the streaming path
+    (streaming/joins.interval_join); the lag is exact integer
+    microseconds so the hash never touches float time arithmetic. The
+    equi-conjunct on user_id anchors a hash join; the interval bound is
+    a post-filter in batch and the state-eviction horizon in
+    streaming."""
+    from mongo_analyser_spark.streaming.joins import interval_join
+    from mongo_analyser_spark.streaming.windows import TS_FMT
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = interval_join(clicks, purchases, ["user_id"], upper="6 hours")
+    return joined.select(
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.date_format("l_ts", TS_FMT).alias("click_ts"),
+        F.date_format("r_ts", TS_FMT).alias("purchase_ts"),
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
+    ).orderBy("click_id", "purchase_id")
+
+
 # re-run tail curation so the registry order is import-order-robust (this
 # module may be the first package import; see queries.curate_tail)
 from mongo_analyser_spark.queries import curate_tail as _curate_tail  # noqa: E402

@@ -7,19 +7,25 @@ from mongo_analyser_spark.queries import ORACLES, QUERIES
 CHECK_WINDOW = 50
 
 # one representative per family that previously fell outside the window,
-# plus the round-5 flagships rotated in for round 6 (verdict-r5 #1)
+# plus the round-5 flagships rotated in for round 6 (verdict-r5 #1) and
+# round-6's own additions (mid-round rotation, same policy)
 MUST_BE_CHECKED = [
+    "unigram_nll_documents",
+    "semantic_dedup_embeddings",
+    "kmeans_step_embeddings",
+    "q21_waiting_suppliers",
+    "decontaminate_exact_ngram_documents",
+    "pack_sequences_documents",
     "tumbling_hourly_events",
     "session_window_users",
     "late_data_drop_events",
-    "user_totals_events",
     "dedup_first_event_per_user_type",
     "multimodal_metadata_documents",
     "field_stats_events",
     "q1_pricing_summary",
     "dedup_minhash_pairs_documents",
     "ann_srp_topk_embeddings",
-    "binary_conversion_documents",
+    "convert_export_events",
     "decontaminate_documents",
     "chunk_documents",
     "quantize_embeddings_int8",

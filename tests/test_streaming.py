@@ -255,3 +255,40 @@ def test_user_totals_processor_logic_direct():
     assert out2.iloc[0].n_events == 3
     assert out2.iloc[0].total_value == 7.0
     assert out2.iloc[0].last_ts == pd.Timestamp("2023-01-03")
+
+
+def test_interval_join_stream_matches_batch(spark):
+    """Stream-stream interval join: two readStream branches of the same
+    events file, watermarked, must converge to the batch twin. Append
+    mode is the only valid stream-stream-join output mode."""
+    from mongo_analyser_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, SF, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    batch = {
+        (r.l_event_id, r.r_event_id)
+        for r in interval_join(clicks, purchases, ["user_id"]).collect()
+    }
+
+    sev = stream_events(spark, SF)
+    s_clicks = sev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    s_purch = sev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    sdf = interval_join(
+        s_clicks, s_purch, ["user_id"], upper="6 hours", watermark="1 hour"
+    )
+    assert sdf.isStreaming
+    _run_stream_to_memory(sdf, "t_interval_join", output_mode="append")
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in spark.table("t_interval_join").collect()
+    }
+    assert got == batch and len(got) > 0
