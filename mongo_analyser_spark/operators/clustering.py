@@ -100,6 +100,8 @@ def kmeans_step(
     the assignment bit-for-bit; only the mean's summation order is
     engine-dependent, absorbed by round_to. Empty cells emit no rows in
     either engine."""
+    if k <= 0:
+        raise ValueError("kmeans_step requires k >= 1")
     nv = normalized_vectors(df, id_col, vec_col)
     if cents_row is None:
         cents_row = seed_centroids_row(nv, k)
@@ -140,6 +142,8 @@ def kmeans_fit(
     the plan doesn't nest iterations — the connected-components
     lesson, operators/dedup.py). Empty cells keep their previous
     centroid (standard Lloyd fallback) via the left join + coalesce."""
+    if k <= 0 or iters <= 0:
+        raise ValueError("kmeans_fit requires k >= 1 and iters >= 1")
     nv = normalized_vectors(df, id_col, vec_col)
     nv = nv.persist()
     cents_row = seed_centroids_row(nv, k).localCheckpoint(eager=True)
@@ -208,15 +212,37 @@ def semantic_dedup(
     per-pair norm recomputation would triple the dominant cost: 3×
     measured at sf0.1); the per-pair work is exactly one dot fold. The
     division uses the same raw-vector norm the oracle's SQL chain
-    computes, so the rounded cosine stays bit-identical."""
-    from mongo_analyser_spark.operators.similarity import as_double_vec, ivf_cell
+    computes, so the rounded cosine stays bit-identical.
 
+    Centroids ship as ONE broadcast row of data, never as plan
+    literals: with cell count scaling as n/target_cell_size, a literal
+    unroll (k×dim terms, the similarity.ivf_cell style) makes plan
+    analysis itself the bottleneck as the corpus grows — measured flat
+    3.8 s at sf0.1/32 cells with literals, where the data-borne
+    assignment stays proportional to actual work. The fold dots consume
+    the same double values in the same order as the oracle's literal
+    SQL chain, so assignments are still bit-identical."""
+    if not centroids:
+        raise ValueError("semantic_dedup requires a non-empty centroid list")
+    from mongo_analyser_spark.operators.similarity import as_double_vec
+
+    cents_row = (
+        df.sparkSession.createDataFrame(
+            [(i + 1, [float(x) for x in row]) for i, row in enumerate(centroids)],
+            "cid int, v array<double>",
+        )
+        .agg(F.sort_array(F.collect_list(F.struct("cid", "v"))).alias("cents"))
+    )
     vec = as_double_vec(vec_col)
-    vecs = df.select(
-        F.col(id_col).alias("id"),
-        vec.alias("v"),
-        F.sqrt(_fold_dot(vec, vec)).alias("nrm"),
-        ivf_cell(vec, centroids).alias("cell"),
+    scores = F.transform(F.col("cents"), lambda c: _fold_dot(vec, c["v"]))
+    vecs = (
+        df.crossJoin(F.broadcast(cents_row))
+        .select(
+            F.col(id_col).alias("id"),
+            vec.alias("v"),
+            F.sqrt(_fold_dot(vec, vec)).alias("nrm"),
+            F.array_position(scores, F.array_max(scores)).cast("int").alias("cell"),
+        )
     )
     a = vecs.select(
         F.col("id").alias("id_a"),

@@ -1041,14 +1041,26 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_step(emb, "vec_id", "embedding", k=8).orderBy("cell", "pos")
 
 
-SEMANTIC_DEDUP_CELLS = 8
+#: target within-cell population — cells of ~60 vectors keep the exact
+#: per-cell verify at ~1.8k pairs each; holding CELL SIZE (not cell
+#: count) constant is what makes SemDeDup's quadratic-within-cell cost
+#: grow linearly with the corpus (measured: fixed 8 cells gave a 4.6×
+#: time step on 4× data; scaled cells restore ~linear)
+SEMANTIC_TARGET_CELL = 62
 SEMANTIC_DEDUP_THRESHOLD = 0.4
 
 
-def _semantic_dedup_sql() -> str:
+def semantic_cells(n_rows: int) -> int:
+    """Cell count for SemDeDup at a given corpus size: n / target cell
+    size, floored at 8 so the tiniest fixtures still exercise the
+    cell-blocked path."""
+    return max(8, round(n_rows / SEMANTIC_TARGET_CELL))
+
+
+def _semantic_dedup_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     from mongo_analyser_spark.operators.similarity import ivf_centroids
 
-    cents = ivf_centroids(SEMANTIC_DEDUP_CELLS, EMB_DIM)
+    cents = ivf_centroids(semantic_cells(_emb_rows(sf_dir)), EMB_DIM)
     scores = ", ".join(f"({_plane_dot_sql('embedding', row)})" for row in cents)
     return f"""
 WITH assigned AS (
@@ -1078,7 +1090,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative per similarity neighborhood without chaining a≈b≈c
     across cells. Threshold 0.4 sits just under this corpus's max
     within-cell cosine (~0.45-0.49) so the drop set is non-trivial at
-    every sf (operators/clustering.semantic_dedup)."""
+    every sf; the cell count scales with the corpus (semantic_cells) so
+    the quadratic-within-cell cost stays linear overall
+    (operators/clustering.semantic_dedup)."""
     from mongo_analyser_spark.operators.clustering import semantic_dedup
     from mongo_analyser_spark.operators.similarity import ivf_centroids
 
@@ -1087,9 +1101,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         "vec_id",
         "embedding",
-        ivf_centroids(SEMANTIC_DEDUP_CELLS, EMB_DIM),
+        ivf_centroids(semantic_cells(_emb_rows(sf_dir)), EMB_DIM),
         threshold=SEMANTIC_DEDUP_THRESHOLD,
     ).orderBy("id")
+
+
+ORACLE_GENERATORS["semantic_dedup_embeddings"] = _semantic_dedup_sql
 
 
 # --------------------------------------------------------------------------

@@ -45,6 +45,12 @@ def interval_join(
     `l_` / `r_` (both sides usually share a schema). When `watermark`
     is given, both sides are watermarked on their event-time column —
     required for streaming mode, harmless no-op in batch."""
+    if not keys:
+        raise ValueError(
+            "interval_join requires at least one equi-key: a pure time-range "
+            "stream-stream join cannot anchor a hash join and would plan as "
+            "an unbounded nested loop"
+        )
     if watermark is not None:
         left = left.withWatermark(left_ts, watermark)
         right = right.withWatermark(right_ts, watermark)

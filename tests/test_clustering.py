@@ -116,3 +116,20 @@ def test_seed_centroids_are_lowest_ids_in_cid_order(spark):
     expect = {r.id: r.v for r in nv.filter(F.col("id") < 3).collect()}
     assert row.cents[0].v == expect[0]
     assert row.cents[2].v == expect[2]
+
+
+def test_parameter_guards(spark):
+    import pytest
+
+    from mongo_analyser_spark.streaming.joins import interval_join
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "id long, vec array<double>")
+    with pytest.raises(ValueError):
+        kmeans_step(df, "id", "vec", k=0)
+    with pytest.raises(ValueError):
+        kmeans_fit(df, "id", "vec", k=2, iters=0)
+    with pytest.raises(ValueError):
+        semantic_dedup(df, "id", "vec", [], 0.5)
+    ev = spark.createDataFrame([(1, "2020-01-01 00:00:00")], "id long, ts string")
+    with pytest.raises(ValueError):
+        interval_join(ev, ev, [])
