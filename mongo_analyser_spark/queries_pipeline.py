@@ -795,6 +795,22 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, "vec_id", "embedding", ANN_QUERY_IDS, k=5)
 
 
+@register("similarity_topk_embeddings_arrow")
+def q_similarity_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy twin of similarity_topk_embeddings (the Pandas-UDF
+    fast path: one BLAS matmul per Arrow batch, only local top-k rows
+    leave the Python worker). Rows-only in the registry because BLAS
+    summation order is engine-specific; pytest instead pins EXACT row
+    parity with the fold-based oracle-checked twin at two scales
+    (tests/test_similarity.py), which is a stronger check than the
+    hash: the kernel must agree with the expression path bit-for-bit
+    after rounding."""
+    from mongo_analyser_spark.operators.similarity import brute_force_topk_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk_arrow(emb, "vec_id", "embedding", ANN_QUERY_IDS, k=5)
+
+
 def _ann_srp_sql() -> str:
     planes = srp_planes(SRP_PLANES, EMB_DIM)
     bucket = " || ".join(

@@ -44,9 +44,13 @@ def test_every_family_inside_driver_check_window():
 # answers are not SQL-reproducible); everything else must have an oracle.
 # quality_deciles_documents_approx graduated OUT of this set in round 6:
 # its histogram/cumulative-rank rewrite is exactly SQL-reproducible.
+# The Arrow similarity kernel is rows-only for a different declared
+# reason: BLAS summation order — its correctness check is EXACT row
+# parity with the fold-based oracle-checked twin (test_similarity.py).
 ROWS_ONLY = {
     "field_stats_events_hll",
     "value_percentiles_events_approx",
+    "similarity_topk_embeddings_arrow",
 }
 
 

@@ -239,3 +239,25 @@ def test_empty_planes_and_centroids_raise(spark, emb):
         with_srp_sig(emb, "embedding", [[]])
     with pytest.raises(ValueError, match="non-empty centroid"):
         ivf_topk(emb, "vec_id", "embedding", [1], 4, 8, centroids=[])
+
+
+def test_arrow_topk_exact_parity_with_fold_twin(spark):
+    """The Arrow/numpy kernel must return IDENTICAL rows to the
+    expression-path brute force at two scales — ranking is on the
+    rounded cosine with a vid tie-break in both, so any kernel bug
+    (normalization, self-exclusion, local-top-k truncation, tie order)
+    shows as a row diff."""
+    from mongo_analyser_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = load_table(spark, sf, "embeddings")
+        qids = list(range(8))
+        fold = [tuple(r) for r in brute_force_topk(
+            emb, "vec_id", "embedding", qids, k=5).collect()]
+        arrow = [tuple(r) for r in brute_force_topk_arrow(
+            emb, "vec_id", "embedding", qids, k=5).collect()]
+        assert fold == arrow and len(fold) == 40
