@@ -2108,6 +2108,10 @@ TAIL_QUERIES = (
     # round-6: Arrow/numpy kernel twin of similarity_topk (rows-only —
     # BLAS summation order; pytest pins exact parity with the fold twin)
     "similarity_topk_embeddings_arrow",
+    # round-6: training-mix curation pair (sampling family reps
+    # in-window: sample_events_deterministic, stratified in tail)
+    "mixture_sample_documents",
+    "token_budget_select_documents",
 )
 
 

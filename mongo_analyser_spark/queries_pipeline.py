@@ -1456,6 +1456,88 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_GENERATORS["embedding_dedup_clusters"] = _embedding_clusters_sql
 
 
+@register(
+    "mixture_sample_documents",
+    """
+WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+t AS (SELECT SUM(sqrt(CAST(n_s AS DOUBLE))) AS wsum, SUM(n_s) AS n_total FROM c),
+p AS (SELECT source, n_s,
+        ROUND(LEAST(1.0,
+          0.5 * CAST(n_total AS DOUBLE) * sqrt(CAST(n_s AS DOUBLE)) / wsum
+            / CAST(n_s AS DOUBLE)), 6) AS keep_frac
+      FROM c, t)
+SELECT d.doc_id, d.source
+FROM documents d JOIN p USING (source)
+WHERE p.keep_frac >= 1.0
+   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        < printf('%08x', CAST(floor(p.keep_frac * 4294967296.0) AS BIGINT))
+ORDER BY doc_id
+""",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed training-mix sampling (p_s ∝ n_s^0.5, the
+    α-mix rule for rebalancing domains in a pretraining corpus): rare
+    sources are upsampled relative to proportional, dominant sources
+    downsampled, total ≈ half the corpus. Reference parity: extends the
+    reference's flat $sample stage (mongo_analyser/core/analyser.py
+    sample pipeline) to the per-domain mix every corpus build needs.
+
+    Scale (operators/sampling.py mixture_sample): one #domains-row count
+    shuffle + a broadcast plan join + a zero-shuffle md5-threshold
+    filter — the corpus itself is never shuffled. Deterministic in any
+    engine: IEEE sqrt (correctly rounded, unlike pow), ROUND(·,6), and
+    the fixed-width-hex lexicographic compare shared with
+    split_assign."""
+    from mongo_analyser_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        mixture_sample(docs, "source", "doc_id", 0.5, 0.5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "token_budget_select_documents",
+    f"""
+WITH s AS (SELECT doc_id, {_QUALITY_SQL} AS quality,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+t AS (SELECT SUM(n_tokens) AS total FROM s),
+c AS (SELECT s.*, SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM s)
+SELECT doc_id, quality, n_tokens FROM c, t
+WHERE cum <= total // 2
+ORDER BY doc_id
+""",
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted data selection: keep the best-quality documents, walking
+    (quality DESC, doc_id) order, until half the corpus's tokens are
+    spent — the selection step between quality scoring and training-set
+    materialization. The oracle is the naive global running sum; the
+    Spark plan is EXACT-equivalent without any global window
+    (operators/sampling.py token_budget_select): per-score-level weight
+    histogram (bounded by the quantized score domain) → tiny cumulative
+    level prefix → whole-level filter, with a per-row running sum only
+    inside the single boundary level, partitioned by its score value.
+    Same two-level prefix sum as pack_sequences; integer token weights +
+    integer DIV make the cut engine-exact."""
+    from mongo_analyser_spark.functions.text import token_count
+    from mongo_analyser_spark.operators.sampling import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    return token_budget_select(
+        scored, "doc_id", "quality", "n_tokens", 1, 2
+    ).orderBy("doc_id")
+
+
 # re-run tail curation so the registry order is import-order-robust (this
 # module may be the first package import; see queries.curate_tail)
 from mongo_analyser_spark.queries import curate_tail as _curate_tail  # noqa: E402
