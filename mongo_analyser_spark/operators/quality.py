@@ -55,3 +55,136 @@ def unigram_nll(
             ).alias("avg_nll"),
         )
     )
+
+
+#: distinct-stopword gate vocabulary (Gopher's "contains at least N of a
+#: small stopword list" rule; fixed and tiny so the oracle twin can inline
+#: the same literal list)
+GOPHER_STOPWORDS = ["the", "a", "of", "and", "is", "to", "in", "be", "that", "it"]
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 1000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 1,
+    max_top_word_frac: float = 0.15,
+) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1,
+    adapted to this corpus's whitespace text): per-document filter
+    signals plus the combined boolean verdict.
+
+    Signals: word count, mean word length, fraction of words starting
+    alphabetic, distinct-stopword hits, and the most-frequent-word share
+    (the single-token repetition rule; bigram repetition lives in
+    `repetition_stats`).  Every signal is a pure Column expression —
+    zero shuffle, zero Python, the whole gate fuses into the document
+    scan's whole-stage codegen, so at 100 TB this is a free rider on
+    whatever pass reads the corpus anyway.
+
+    Thresholds compare against the ROUNDED signal columns (the values
+    the caller sees), so the verdict can never disagree with the emitted
+    signals on an IEEE boundary — and the oracle twin gates on
+    identically rounded values.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    sig = docs.select(
+        id_col,
+        n.cast("long").alias("n_words"),
+        F.round((F.length(text_col) - n + 1).cast("double") / n, 4).alias(
+            "mean_word_len"
+        ),
+        F.round(
+            F.size(F.filter(toks, lambda x: x.rlike("^[a-zA-Z]"))).cast("double") / n,
+            4,
+        ).alias("alpha_word_frac"),
+        F.size(
+            F.filter(F.array_distinct(toks), lambda x: x.isin(GOPHER_STOPWORDS))
+        )
+        .cast("long")
+        .alias("n_stopwords"),
+        F.round(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(toks),
+                    lambda w: F.size(F.filter(toks, lambda x: x == w)),
+                )
+            ).cast("double")
+            / n,
+            4,
+        ).alias("top_word_frac"),
+    )
+    passes = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("alpha_word_frac") >= min_alpha_frac)
+        & (F.col("n_stopwords") >= min_stopwords)
+        & (F.col("top_word_frac") <= max_top_word_frac)
+    )
+    return sig.withColumn("passes", passes)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed term query — the lexical
+    search baseline next to the embedding ANN tier (`similarity.py`).
+
+    100-TB shape: corpus statistics (doc count, total length, one
+    document frequency per query term) are ONE aggregate pass producing
+    a single row that broadcasts into the scoring projection — the
+    corpus itself is never shuffled, never exploded; per-term tf is an
+    array-filter count inside codegen, the k-limit is
+    TakeOrderedAndProject.  Two scans total (stats + score), both
+    column-pruned to (id, text).  Scoring sums the per-term partials in
+    fixed query order, so the oracle twin adds the identical IEEE
+    sequence; ROUND(,4) guards the ordering key.
+    """
+    if not terms:
+        raise ValueError("bm25_topk requires at least one query term")
+    toks = tokens(F.col(text_col))
+    base = docs.select(id_col, toks.alias("t"))
+    dl = F.size("t")
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(dl).cast("double").alias("total_len"),
+        *[
+            F.sum(F.array_contains("t", t).cast("int"))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    avgdl = F.col("total_len") / F.col("n_docs")
+    def _eq(term: str):
+        # NOTE: a `lambda x, t=...:` default arg would make PySpark treat
+        # the lambda as binary and bind the ELEMENT INDEX to t (see
+        # functions/text.py lang_detect) — close over the literal instead
+        lit = F.lit(term)
+        return lambda x: x == lit
+
+    score = None
+    for i, t in enumerate(terms):
+        tf = F.size(F.filter(F.col("t"), _eq(t))).cast("double")
+        df = F.col(f"df_{i}")
+        idf = F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1)
+        part = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        score = part if score is None else score + part
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select(id_col, F.round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+    )

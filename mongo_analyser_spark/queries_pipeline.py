@@ -1538,6 +1538,75 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "gopher_rules_documents",
+    """
+WITH toks AS (SELECT doc_id, text, string_split(text,' ') AS t FROM documents),
+sig AS (
+  SELECT doc_id,
+    CAST(len(t) AS BIGINT) AS n_words,
+    ROUND(CAST(length(text) - len(t) + 1 AS DOUBLE)/len(t), 4) AS mean_word_len,
+    ROUND(CAST(len(list_filter(t, x -> regexp_matches(x,'^[a-zA-Z]'))) AS DOUBLE)
+          /len(t), 4) AS alpha_word_frac,
+    CAST(len(list_filter(list_distinct(t),
+         x -> list_contains(['the','a','of','and','is','to','in','be','that','it'], x)))
+         AS BIGINT) AS n_stopwords,
+    ROUND(CAST(list_max(list_transform(list_distinct(t),
+         w -> len(list_filter(t, x -> x = w)))) AS DOUBLE)/len(t), 4) AS top_word_frac
+  FROM toks)
+SELECT *,
+  (n_words BETWEEN 10 AND 1000 AND mean_word_len BETWEEN 2 AND 12
+   AND alpha_word_frac >= 0.8 AND n_stopwords >= 1
+   AND top_word_frac <= 0.15) AS passes
+FROM sig ORDER BY doc_id
+""",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule gate (north-star quality filtering): five
+    per-document signals + combined verdict, all inside one codegen
+    projection — zero shuffle (plan-pinned)."""
+    from mongo_analyser_spark.operators.quality import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(docs).orderBy("doc_id")
+
+
+@register(
+    "bm25_topk_documents",
+    """
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(len(t)) AS DOUBLE) AS total_len,
+         CAST(SUM(CASE WHEN list_contains(t,'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         CAST(SUM(CASE WHEN list_contains(t,'query') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         CAST(SUM(CASE WHEN list_contains(t,'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+  FROM toks)
+SELECT doc_id, ROUND(
+    ln((n_docs - df0 + 0.5)/(df0 + 0.5) + 1) * (len(list_filter(t, x -> x='spark'))*2.2)
+      /(len(list_filter(t, x -> x='spark')) + 1.2*(0.25 + 0.75*len(t)/(total_len/n_docs)))
+  + ln((n_docs - df1 + 0.5)/(df1 + 0.5) + 1) * (len(list_filter(t, x -> x='query'))*2.2)
+      /(len(list_filter(t, x -> x='query')) + 1.2*(0.25 + 0.75*len(t)/(total_len/n_docs)))
+  + ln((n_docs - df2 + 0.5)/(df2 + 0.5) + 1) * (len(list_filter(t, x -> x='window'))*2.2)
+      /(len(list_filter(t, x -> x='window')) + 1.2*(0.25 + 0.75*len(t)/(total_len/n_docs))),
+  4) AS bm25
+FROM toks, stats
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+""",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-k (north-star similarity-search companion):
+    fixed three-term query, corpus stats as a one-row broadcast, scoring
+    fused into the scan, TakeOrdered top-20 — the corpus is never
+    shuffled.  Term partials sum in fixed query order in BOTH engines,
+    so the rounded score is IEEE-identical."""
+    from mongo_analyser_spark.operators.quality import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "query", "window"], k=20)
+
+
 # re-run tail curation so the registry order is import-order-robust (this
 # module may be the first package import; see queries.curate_tail)
 from mongo_analyser_spark.queries import curate_tail as _curate_tail  # noqa: E402

@@ -277,3 +277,77 @@ def test_q22_anti_join_with_pushed_date_filter(spark):
     assert "LeftAnti" in plan
     filters = pushed_filters(q)
     assert any("o_orderdate" in f and "2000-07-01" in f for f in filters), filters
+
+
+def test_q2_min_window_reuses_join_partitioning(spark):
+    """The correlated-MIN decorrelates to a MIN window over p_partkey —
+    never a self-join of the eu subplan (which would scan and shuffle
+    the five-way join twice). Fixed dims nation+region are the only
+    forced broadcasts; part/supplier stay AQE-decided."""
+    q = QUERIES["q2_min_cost_supplier"](spark, SF)
+    plan = formatted_plan(q)
+    assert "Window" in plan
+    assert num_broadcast_hints(q) == 2  # nation + region
+
+
+def test_q9_part_filter_prunes_before_joins(spark):
+    """The %red% name filter must reach part's scan (the selective edge
+    prunes lineitem through the first join); only nation is a forced
+    broadcast."""
+    q = QUERIES["q9_product_type_profit"](spark, SF)
+    filters = pushed_filters(q)
+    assert any("p_name" in f for f in filters), filters
+    assert num_broadcast_hints(q) == 1
+
+
+def test_q11_scalar_total_is_broadcast_not_shuffle(spark):
+    """The self-referencing HAVING total joins back as a one-row
+    broadcast — the per-part aggregate must not be re-shuffled to meet
+    it.  The psv subplan is referenced twice (once per side of the
+    self-referencing HAVING), so the nation dim hint shows up in both
+    branches: 2× nation + 1× one-row total = 3."""
+    q = QUERIES["q11_important_part_value"](spark, SF)
+    assert num_broadcast_hints(q) == 3
+    assert "BroadcastNestedLoopJoin Cross" in formatted_plan(q)
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark):
+    """NOT EXISTS on the (tiny) negative-balance supplier set must be a
+    broadcast left-anti join, and the part attribute filters must reach
+    the scan."""
+    q = QUERIES["q16_supplier_relationship"](spark, SF)
+    plan = formatted_plan(q)
+    assert "LeftAnti" in plan
+    filters = pushed_filters(q)
+    assert any("p_size" in f for f in filters), filters
+
+
+def test_q20_semi_join_and_pushed_date_range(spark):
+    """The nested IN decorrelates to a left-semi join; the ship-date
+    range must reach lineitem's scan so the qty aggregate reads one
+    year, not seven."""
+    q = QUERIES["q20_excess_share_suppliers"](spark, SF)
+    plan = formatted_plan(q)
+    assert "LeftSemi" in plan
+    filters = pushed_filters(q)
+    assert any("l_shipdate" in f for f in filters), filters
+
+
+def test_gopher_rules_single_projection(spark):
+    """All five rule signals + verdict must fuse into the document scan:
+    the only exchange is the output sort — no joins, no aggregates."""
+    q = QUERIES["gopher_rules_documents"](spark, SF)
+    assert num_exchanges(q) == 1  # the doc_id output sort only
+    plan = formatted_plan(q)
+    assert "Join" not in plan
+
+
+def test_bm25_stats_broadcast_and_take_ordered(spark):
+    """BM25 corpus stats are a one-row broadcast into the scoring
+    projection, and the top-k is TakeOrderedAndProject — never a global
+    sort of scored documents."""
+    q = QUERIES["bm25_topk_documents"](spark, SF)
+    plan = formatted_plan(q)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin Cross" in plan
+    assert num_exchanges(q) == 1  # the single-row stats aggregate only

@@ -158,3 +158,48 @@ def test_unigram_nll_hand_computed(spark):
     assert rows[2].avg_nll == exp2
     # rare-token doc scores strictly higher (the filtering signal)
     assert rows[2].avg_nll > rows[1].avg_nll
+
+
+def test_gopher_rules_hand_computed(spark):
+    """Micro-corpus where each rule flips for a known reason: doc 1
+    passes all five; doc 2 fails the word-count floor; doc 3 fails the
+    stopword and repetition rules."""
+    from mongo_analyser_spark.operators.quality import gopher_rules
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog near one calm river bank"),
+            (2, "too short"),
+            (3, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert rows[1].passes
+    assert rows[1].n_words == 14 and rows[1].n_stopwords == 2  # the, a
+    assert not rows[2].passes  # n_words = 2 < 10
+    assert not rows[3].passes
+    assert rows[3].top_word_frac == 1.0 and rows[3].n_stopwords == 0
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    """Hand-checkable ranking: the doc containing both query terms beats
+    the single-term doc, which beats the no-term doc (excluded from the
+    returned top-2). Empty query list raises."""
+    import pytest as _pytest
+
+    from mongo_analyser_spark.operators.quality import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark query engine for spark jobs"),
+            (2, "a query language reference"),
+            (3, "nothing relevant here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(df, ["spark", "query"], k=2).collect()
+    assert [r.doc_id for r in rows] == [1, 2]
+    assert rows[0].bm25 > rows[1].bm25 > 0
+    with _pytest.raises(ValueError):
+        bm25_topk(df, [])
