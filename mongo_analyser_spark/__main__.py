@@ -81,6 +81,16 @@ def _build_parser() -> argparse.ArgumentParser:
 
     p_st = sub.add_parser("stats", help="collection catalog: names, rows, schema width")
     add_common(p_st, collection_required=False)
+
+    p_li = sub.add_parser(
+        "lint", help="100-TB plan-safety report for a registered query"
+    )
+    p_li.add_argument("--data", required=True, help="directory of <name>.parquet collections")
+    p_li.add_argument("--query", required=True,
+                      help="registry query name (see __spark_entry__.queries())")
+    p_li.add_argument("--out", default=None, help="output path (default: stdout)")
+    p_li.add_argument("--strict", action="store_true",
+                      help="exit 1 on any error-level finding")
     return parser
 
 
@@ -163,13 +173,34 @@ def cmd_stats(args, spark) -> dict:
     return payload
 
 
+def cmd_lint(args, spark) -> dict:
+    from mongo_analyser_spark.plans import lint_plan
+    from mongo_analyser_spark.queries import QUERIES
+
+    if args.query not in QUERIES:
+        raise SystemExit(f"no query {args.query!r} in the registry")
+    findings = lint_plan(QUERIES[args.query](spark, args.data))
+    payload = {
+        "query": args.query,
+        "findings": [
+            {"level": f.level, "code": f.code, "message": f.message}
+            for f in findings
+        ],
+    }
+    _emit(payload, args.out)
+    if args.strict and any(f.level == "error" for f in findings):
+        raise SystemExit(1)
+    return payload
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     from mongo_analyser_spark import get_spark
 
     try:
         spark = get_spark("mongo_analyser_spark_cli", cpus=args.cpus)
-        {"analyze": cmd_analyze, "export": cmd_export, "stats": cmd_stats}[
+        {"analyze": cmd_analyze, "export": cmd_export, "stats": cmd_stats,
+         "lint": cmd_lint}[
             args.command
         ](args, spark)
     except SystemExit:

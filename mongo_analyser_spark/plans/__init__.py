@@ -9,6 +9,7 @@ from mongo_analyser_spark.plans.inspect import (
     pushed_filters,
     read_schemas,
 )
+from mongo_analyser_spark.plans.lint import Finding, assert_scale_safe, lint_plan
 
 __all__ = [
     "formatted_plan",
@@ -20,4 +21,7 @@ __all__ = [
     "num_exchanges",
     "num_wholestage_codegen",
     "plan_report",
+    "Finding",
+    "lint_plan",
+    "assert_scale_safe",
 ]

@@ -1,0 +1,171 @@
+"""100-TB plan-safety linter: turn the plan-inspection helpers into a
+reusable pre-flight check users can run on their OWN queries, not just
+the ones our test suite pins.
+
+The reference exposes no equivalent (its execution is a single-threaded
+Python fold over a cursor — mongo_analyser/core/analyser.py); this is the
+Spark-native replacement for "will this query survive the cluster":
+every finding names a physical-plan property that is cheap at test scale
+and catastrophic at 100 TB.
+
+Severities:
+* ``error``   — known cluster-killer (shuffle cartesian product,
+  row-at-a-time Python UDF in the plan).
+* ``warning`` — usually wrong at scale, sometimes intended (global
+  total-order sort without a limit; filterable scan with nothing pushed;
+  zero whole-stage-codegen subtrees).
+* ``info``    — context a reviewer wants (exchange count, broadcast
+  hints, Arrow-batched Python stages).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from mongo_analyser_spark.plans.inspect import (
+    formatted_plan,
+    num_broadcast_hints,
+    num_exchanges,
+    num_wholestage_codegen,
+    pushed_filters,
+)
+
+
+@dataclass(frozen=True)
+class Finding:
+    level: str  # "error" | "warning" | "info"
+    code: str
+    message: str
+
+
+def lint_plan(df: DataFrame) -> list[Finding]:
+    """Inspect a DataFrame's physical plan for scale hazards.
+
+    Pure plan analysis — nothing is executed; safe to call on a query
+    over a 100 TB table.
+    """
+    plan = formatted_plan(df)
+    findings: list[Finding] = []
+
+    if "CartesianProduct" in plan:
+        findings.append(
+            Finding(
+                "error",
+                "cartesian-product",
+                "shuffle cartesian product: every pair of input partitions "
+                "is joined — O(n^2) tasks at scale. Add an equi-join key, "
+                "block/bucket the pair space, or broadcast a provably tiny "
+                "side.",
+            )
+        )
+    if "BatchEvalPython" in plan:
+        findings.append(
+            Finding(
+                "error",
+                "row-python-udf",
+                "row-at-a-time Python UDF in the plan (BatchEvalPython): "
+                "per-row serialization is 10-100x slower than an "
+                "Arrow-batched pandas_udf and breaks codegen. Rewrite with "
+                "built-in Column functions or a pandas_udf.",
+            )
+        )
+
+    # A global total-order sort materializes a range-partitioned exchange
+    # of the FULL result. TakeOrderedAndProject (orderBy+limit) is fine.
+    has_range_exchange = "rangepartitioning(" in plan
+    has_limit = (
+        "TakeOrderedAndProject" in plan
+        or re.search(r"(Global|Collect)Limit", plan) is not None
+    )
+    if has_range_exchange and not has_limit:
+        findings.append(
+            Finding(
+                "warning",
+                "global-sort",
+                "global total-order sort without a limit: range-partition "
+                "exchange of the entire result. Acceptable only at output "
+                "boundaries of provably small results; otherwise use "
+                "orderBy+limit (TakeOrdered) or sortWithinPartitions.",
+            )
+        )
+
+    filters = pushed_filters(df)
+    if re.search(r"\(\d+\) Filter\b", plan) and not filters:
+        findings.append(
+            Finding(
+                "warning",
+                "no-pushdown",
+                "the plan filters rows but the scans pushed no predicates: "
+                "every file is read in full. Check for casts/UDFs wrapping "
+                "the filter column — they block parquet pushdown.",
+            )
+        )
+
+    codegen = num_wholestage_codegen(df)
+    if codegen == 0:
+        findings.append(
+            Finding(
+                "warning",
+                "no-codegen",
+                "zero whole-stage-codegen subtrees: the hot path runs "
+                "interpreted. Usually caused by UDFs or exotic expressions "
+                "in the projection.",
+            )
+        )
+
+    if "BroadcastNestedLoopJoin" in plan:
+        findings.append(
+            Finding(
+                "info",
+                "bnl-join",
+                "BroadcastNestedLoopJoin present: fine when the broadcast "
+                "side is bounded (one-row stats/centroid tables); a hazard "
+                "if it scales with the data.",
+            )
+        )
+    for op in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        if op in plan:
+            findings.append(
+                Finding(
+                    "info",
+                    "arrow-python",
+                    f"{op} stage present: Python touches data, but "
+                    "Arrow-batched (the acceptable shape when built-ins "
+                    "can't express the semantics).",
+                )
+            )
+    findings.append(
+        Finding("info", "exchanges", f"{num_exchanges(df)} shuffle exchange(s)")
+    )
+    hints = num_broadcast_hints(df)
+    if hints:
+        findings.append(
+            Finding(
+                "info",
+                "broadcast-hints",
+                f"{hints} explicit broadcast hint(s): verify each hinted "
+                "side is size-INVARIANT in the data (a hint on a growing "
+                "table is obeyed until the executor OOMs; prefer AQE).",
+            )
+        )
+    return findings
+
+
+def assert_scale_safe(df: DataFrame, allow: set[str] | None = None) -> list[Finding]:
+    """Raise ValueError if the plan carries any error-level finding whose
+    code is not in ``allow``; return all findings otherwise (for logging).
+    The CI-gate form of `lint_plan` — pin it on any user-facing pipeline.
+    """
+    findings = lint_plan(df)
+    blocked = [
+        f for f in findings if f.level == "error" and f.code not in (allow or set())
+    ]
+    if blocked:
+        raise ValueError(
+            "plan is not scale-safe: "
+            + "; ".join(f"[{f.code}] {f.message}" for f in blocked)
+        )
+    return findings

@@ -62,3 +62,22 @@ def test_cli_errors_exit_nonzero():
     assert "not-a-collection" in r.stderr
     r2 = run_cli("export", "--data", SF, "--collection", "nation")
     assert r2.returncode != 0  # --out required
+
+
+def test_cli_lint_reports_findings(tmp_path):
+    out = tmp_path / "lint.json"
+    r = run_cli(
+        "lint", "--data", SF, "--query", "bm25_topk_documents",
+        "--out", str(out),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(out.read_text())
+    assert payload["query"] == "bm25_topk_documents"
+    codes = {f["code"] for f in payload["findings"]}
+    assert "exchanges" in codes
+    # clean registry plans carry no error-level findings, so strict passes
+    r2 = run_cli("lint", "--data", SF, "--query", "bm25_topk_documents", "--strict")
+    assert r2.returncode == 0
+    # unknown query exits non-zero with the error on stderr
+    r3 = run_cli("lint", "--data", SF, "--query", "nope")
+    assert r3.returncode != 0

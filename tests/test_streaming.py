@@ -292,3 +292,25 @@ def test_interval_join_stream_matches_batch(spark):
         for r in spark.table("t_interval_join").collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_field_stats_stream_matches_batch(spark):
+    """The flagship analyzer as an incremental monitor: streaming
+    complete-mode output must equal the batch approx twin on the same
+    files (HLL merge is order-insensitive, so the sketch counts agree
+    exactly)."""
+    from mongo_analyser_spark.operators.field_stats import field_stats
+    from mongo_analyser_spark.sources.parquet import EVENTS_PROPS_SCHEMA
+    from mongo_analyser_spark.streaming.field_stats import field_stats_stream
+
+    ev = load_table(spark, SF, "events")
+    batch = {
+        tuple(r) for r in field_stats(ev, {"props": EVENTS_PROPS_SCHEMA}, approx=True).collect()
+    }
+    sdf = field_stats_stream(
+        stream_events(spark, SF), {"props": EVENTS_PROPS_SCHEMA}
+    )
+    assert sdf.isStreaming
+    _run_stream_to_memory(sdf, "t_field_stats")
+    got = {tuple(r) for r in spark.table("t_field_stats").collect()}
+    assert got == batch and len(got) == 7
