@@ -128,3 +128,57 @@ def array_element_stats(df: DataFrame, array_col: str, approx: bool = False) -> 
     """Reference A8: the same accumulator set folded over every array
     element (analyser.py:55-65,131-138), keyed under 'col[]'."""
     return _stats_agg(melt_array_elements(df, array_col), approx=approx)
+
+
+def distinct_kmv(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct sketch per group (Bar-Yossef et al.
+    2002): hash each distinct value into (0,1], keep the k smallest per
+    group, estimate cardinality as (k-1)/h_k.  Groups with fewer than k
+    distinct values report their exact count (the sketch is exact below
+    its capacity).
+
+    Unlike HLL (`approx_count_distinct`), the KMV estimator is
+    engine-agnostic pure SQL — md5-based hashing and IEEE doubles make
+    the ESTIMATE itself hash-match DuckDB, so the sketch path gets the
+    same oracle strength as exact paths.  13 hex chars = 52 bits keeps
+    the hash integer exactly representable in a double in both engines.
+
+    100-TB shape: distinct (group, value) dedup is one shuffle; the
+    per-group k-smallest is a window rank over the already-deduped
+    skinny pairs; union-mergeable like any KMV (min of unions = union of
+    mins), so partial sketches combine without re-scanning.
+
+    Columns: (group_col, n_exact, kmv_estimate, k).
+    """
+    if k < 2:
+        raise ValueError("distinct_kmv requires k >= 2")
+    pairs = df.select(group_col, value_col).distinct()
+    h = (
+        F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16**13))
+    )
+    hashed = pairs.select(group_col, h.alias("h"))
+    w = Window.partitionBy(group_col).orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("h_k"),
+        )
+        .select(
+            group_col,
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.when(F.col("n_exact") < k, F.col("n_exact").cast("double"))
+            .otherwise(F.round((k - 1) / F.col("h_k"), 4))
+            .alias("kmv_estimate"),
+            F.lit(k).cast("long").alias("k"),
+        )
+        .orderBy(group_col)
+    )

@@ -1588,6 +1588,38 @@ def q_q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "distinct_kmv_events",
+    """
+WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+hashed AS (SELECT event_type,
+  CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS UBIGINT)
+       AS DOUBLE) / 4503599627370496.0 AS h
+  FROM pairs),
+ranked AS (SELECT event_type, h,
+  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hashed)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_exact,
+  CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+       ELSE ROUND(63.0 / MAX(CASE WHEN rn = 64 THEN h END), 4) END AS kmv_estimate,
+  CAST(64 AS BIGINT) AS k
+FROM ranked GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_distinct_kmv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 sketch tier with FULL oracle strength: per-event-type distinct
+    users via the k-minimum-values estimator.  Where HLL is rows-only by
+    design (engine-specific sketch internals), KMV's md5 + IEEE-double
+    math is engine-agnostic, so the ESTIMATE hash-matches DuckDB —
+    demonstrating a sketch whose accuracy contract (±1/sqrt(k-1)) is
+    itself oracle-verifiable.  See operators/field_stats.distinct_kmv
+    for the scale notes."""
+    from mongo_analyser_spark.operators.field_stats import distinct_kmv
+
+    ev = load_table(spark, sf_dir, "events")
+    return distinct_kmv(ev, "event_type", "user_id", k=64)
+
+
 # -- TPC-H partsupp-derived shapes (q2/q9/q11/q16/q20) ---------------------
 # The testdata has no partsupp table; these five queries derive the
 # part-supplier relationship from lineitem (distinct (l_partkey,
@@ -2252,12 +2284,12 @@ WINDOW_QUERIES = (
     "type_histogram_events",
     "top_values_events",
     "array_stats_embeddings",
-    "newest_n_events",
+    "distinct_kmv_events",
     "sample_events_deterministic",
     "list_collections",
     "describe_collection_events",
     "convert_export_events",
-    "display_truncation_documents",
+    "bm25_topk_documents",
     "unigram_nll_documents",
     "semantic_dedup_embeddings",
     "q1_pricing_summary",
@@ -2275,14 +2307,14 @@ WINDOW_QUERIES = (
     "value_percentiles_events",
     "schema_documents",
     "chunk_documents",
-    "q10_returned_revenue",
+    "q2_min_cost_supplier",
     "decontaminate_exact_ngram_documents",
     "grouping_sets_orders",
     "dynamic_schema_histogram_events",
     "scalar_subquery_customers",
     "schema_with_stats_documents",
     "text_stats_documents",
-    "lang_histogram_documents",
+    "gopher_rules_documents",
     "fingerprint_documents",
     "dedup_exact_documents",
     "dedup_minhash_pairs_documents",
@@ -2334,6 +2366,12 @@ WINDOW_QUERIES = (
 TAIL_QUERIES = (
     "binary_conversion_documents",
     "bytes_human_documents",
+    # late-round-6 rotation: S3/P4/A4-adjacent family members whose
+    # siblings stay in-window (newest-N: window_top3 + trailing_window;
+    # truncation: convert_export; lang: text_stats/lang_detect)
+    "newest_n_events",
+    "display_truncation_documents",
+    "lang_histogram_documents",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "join_anti_customers_without_orders",
@@ -2357,7 +2395,9 @@ TAIL_QUERIES = (
     "dedup_clusters_documents",
     # sampling family's in-window rep is sample_events_deterministic
     "stratified_sample_documents",
-    # TPC-H family keeps q1/q3/q4/q5/q6/q10 in-window; extras ride tail
+    # TPC-H family keeps q1/q3/q21 (+q2 since late round 6) in-window;
+    # the rest ride the tail
+    "q10_returned_revenue",
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_disjunctive_predicates",
@@ -2370,10 +2410,10 @@ TAIL_QUERIES = (
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q22_inactive_customers",
-    # round-6 (cont.): the five partsupp-dependent queries, adapted —
-    # the part-supplier relation is derived from lineitem (see _PS_SQL);
-    # join/subquery structure preserved. Full 22-query TPC-H coverage.
-    "q2_min_cost_supplier",
+    # round-6 (cont.): the partsupp-dependent queries, adapted — the
+    # part-supplier relation is derived from lineitem (see _PS_SQL);
+    # join/subquery structure preserved. Full 22-query TPC-H coverage
+    # (q2, the richest shape, rotated in-window late round 6).
     "q9_product_type_profit",
     "q11_important_part_value",
     "q16_supplier_relationship",
@@ -2411,11 +2451,14 @@ TAIL_QUERIES = (
     # in-window: sample_events_deterministic, stratified in tail)
     "mixture_sample_documents",
     "token_budget_select_documents",
-    # round-6 (cont.): rule-based quality gate (Gopher §A1.1 signals,
-    # zero-shuffle projection) + BM25 lexical top-k (one-row stats
-    # broadcast; the lexical baseline next to the ANN tier)
-    "gopher_rules_documents",
-    "bm25_topk_documents",
+    # (gopher_rules / bm25_topk / distinct_kmv / q2 rotated IN-window
+    # by the late-round-6 curation)
+    # round-6 (cont.): per-source dedup health report — the analytics
+    # view over the fingerprint near-dup signal
+    "dedup_report_by_source",
+    # round-6 (cont.): ANN index-quality gate — recall@3 of the SRP path
+    # vs exact top-3, the recall number itself oracle-verified
+    "ann_recall_report",
 )
 
 

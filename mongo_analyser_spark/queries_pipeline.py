@@ -841,6 +841,91 @@ def q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_recall_sql() -> str:
+    """Recall@3 of the SRP ANN against the exact top-3: both CTEs are
+    built from the SAME dot/norm fragments their standalone oracles use,
+    so the report inherits their determinism."""
+    planes = srp_planes(SRP_PLANES, EMB_DIM)
+    bucket = " || ".join(
+        f"(CASE WHEN ({_plane_dot_sql('embedding', row)}) >= 0 THEN '1' ELSE '0' END)"
+        for row in planes
+    )
+    return f"""
+WITH q0 AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+ex_scored AS (
+  SELECT qid, e.vec_id AS vid,
+    ROUND(({_dot_sql('q0.qv', 'e.embedding')})
+          / ({_norm_sql('q0.qv')} * {_norm_sql('e.embedding')}), 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q0 WHERE e.vec_id <> q0.qid),
+exact AS (
+  SELECT qid, vid FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rnk
+    FROM ex_scored) WHERE rnk <= 3),
+bucketed AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+qb AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM bucketed WHERE vec_id < 8),
+ap_scored AS (
+  SELECT qid, b.vec_id AS vid,
+    ROUND(({_dot_sql('qb.qv', 'b.embedding')})
+          / ({_norm_sql('qb.qv')} * {_norm_sql('b.embedding')}), 6) AS cos_sim
+  FROM bucketed b JOIN qb USING (bucket) WHERE b.vec_id <> qb.qid),
+approx AS (
+  SELECT qid, vid FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rnk
+    FROM ap_scored) WHERE rnk <= 3)
+SELECT e.qid, CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(count(a.vid) AS BIGINT) AS n_hit,
+  ROUND(CAST(count(a.vid) AS DOUBLE) / count(*), 4) AS recall
+FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.vid = a.vid
+GROUP BY e.qid ORDER BY e.qid
+"""
+
+
+@register("ann_recall_report", _ann_recall_sql())
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality gate (the evaluation a pipeline runs before
+    trusting an approximate index): per-query recall@3 of the SRP-LSH
+    path against the exact brute-force top-3.  Composes the two
+    oracle-checked operators and joins their (qid, vid) sets — the
+    recall NUMBER itself is oracle-verified, so 'the index is good'
+    is a hash-checked claim, not a vibe.
+
+    100-TB shape: evaluation always runs over a bounded query SAMPLE
+    (here the 8 standing query ids) — both sides broadcast the tiny
+    query set; the corpus cost is one exact scan + one bucketed join,
+    identical to running the two operators being compared."""
+    from mongo_analyser_spark.operators.similarity import (
+        ann_srp_topk,
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, "vec_id", "embedding", ANN_QUERY_IDS, k=3).select(
+        "qid", "vid"
+    )
+    approx = ann_srp_topk(
+        emb, "vec_id", "embedding", ANN_QUERY_IDS, SRP_PLANES, EMB_DIM, k=3
+    ).select("qid", F.col("vid").alias("a_vid"))
+    hits = (
+        exact.join(
+            approx,
+            (exact["qid"] == approx["qid"]) & (exact["vid"] == approx["a_vid"]),
+            "left",
+        )
+        .drop(approx["qid"])
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("a_vid").alias("n_hit"),
+        )
+    )
+    return hits.select(
+        "qid",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 4).alias("recall"),
+    ).orderBy("qid")
+
+
 IVF_CELLS = 4
 
 
@@ -1569,6 +1654,54 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gopher_rules(docs).orderBy("doc_id")
+
+
+@register(
+    "dedup_report_by_source",
+    f"""
+WITH {_TOKS_CTE},
+sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM toks),
+fp AS (SELECT doc_id, min(md5(sh)) AS f FROM sh GROUP BY doc_id),
+keyed AS (SELECT d.source, fp.f FROM documents d JOIN fp USING (doc_id)),
+grp AS (SELECT source, f, count(*) AS c FROM keyed GROUP BY 1, 2)
+SELECT source,
+  CAST(SUM(c) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_unique,
+  ROUND(1.0 - CAST(count(*) AS DOUBLE) / SUM(c), 4) AS dup_rate,
+  CAST(MAX(c) AS BIGINT) AS max_group
+FROM grp GROUP BY source ORDER BY source
+""",
+)
+def q_dedup_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup health report (the analytics view a curation run
+    reads before deciding thresholds): per ingestion source, document
+    count, unique fingerprints, duplicate rate, and the largest
+    duplicate group.  Keyed on the min-shingle-hash fingerprint — the
+    cheapest near-dup signal (exact-dup rate is zero on this corpus, so
+    the report keys on the signal that actually fires).
+
+    100-TB shape: fingerprint is a zero-shuffle projection; then two
+    SHRINKING aggregates — (source, fp) groups, then per-source rollup
+    of group sizes — each keyed, each smaller than its input; no joins
+    of fact-sized tables (the doc→fingerprint join the oracle writes is
+    fused into the projection on the Spark side)."""
+    from mongo_analyser_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("source", fingerprint("text").alias("f"))
+    grp = keyed.groupBy("source", "f").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        grp.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_unique"),
+            F.round(
+                F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("c"), 4
+            ).alias("dup_rate"),
+            F.max("c").cast("long").alias("max_group"),
+        )
+        .orderBy("source")
+    )
 
 
 @register(

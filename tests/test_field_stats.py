@@ -207,3 +207,25 @@ def test_sketch_variants_agree_with_exact_twins(spark):
             e, a = disc[t][col], approx_p[t][col]
             # accuracy 10000 on n≈250/group ⇒ rank error ~0: exact match
             assert a == e, (t, col, e, a)
+
+
+def test_distinct_kmv_exact_below_capacity_and_estimates_above(spark):
+    """Below k distinct values the sketch IS the exact count; above, the
+    (k-1)/h_k estimate lands within the KMV error contract (sd ~
+    1/sqrt(k-2) ~ 12.7% for k=64; md5 is deterministic so this is a
+    fixed value, bounded generously at 3 sigma)."""
+    import pytest as _pytest
+
+    from mongo_analyser_spark.operators.field_stats import distinct_kmv
+
+    rows = [("small", f"v{i % 10}") for i in range(50)] + [
+        ("big", f"u{i}") for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r.g: r for r in distinct_kmv(df, "g", "v", k=64).collect()}
+    assert got["small"].n_exact == 10
+    assert got["small"].kmv_estimate == 10.0  # exact below capacity
+    assert got["big"].n_exact == 1000
+    assert abs(got["big"].kmv_estimate - 1000) < 380  # 3 sigma
+    with _pytest.raises(ValueError):
+        distinct_kmv(df, "g", "v", k=1)

@@ -31,6 +31,11 @@ MUST_BE_CHECKED = [
     "quantize_embeddings_int8",
     "embedding_dedup_clusters",
     "trailing_window_range_events",
+    # late-round-6 rotation: the round's own flagship additions
+    "gopher_rules_documents",
+    "bm25_topk_documents",
+    "distinct_kmv_events",
+    "q2_min_cost_supplier",
 ]
 
 

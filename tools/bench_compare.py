@@ -1,0 +1,56 @@
+"""Compare a bench.py JSON line against BASELINE.md's per-query table.
+
+Usage: python tools/bench_compare.py <bench.json> [--ratio 1.5]
+
+Prints queries whose reading exceeds ratio × their baseline row (and any
+queries missing a baseline row), sorted by ratio descending. Exit 0
+always — this is a report, not a gate; >2× rows must be re-measured SOLO
+(tools/solo_median.py) before concluding anything (BASELINE.md method
+note).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def baseline_rows(path: str = "BASELINE.md") -> dict[str, float]:
+    rows: dict[str, float] = {}
+    for line in open(path):
+        m = re.match(r"\| (\w+) \| [\d.]+ \| ([\d.]+)", line)
+        if m:
+            rows[m.group(1)] = float(m.group(2))
+    return rows
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    ratio = float(args[args.index("--ratio") + 1]) if "--ratio" in args else 1.5
+    bench = json.load(open(args[0]))
+    base = baseline_rows()
+    over, missing = [], []
+    for q, t in bench["queries"].items():
+        if q not in base:
+            missing.append(q)
+        elif base[q] > 0 and t / base[q] > ratio:
+            over.append((t / base[q], q, t, base[q]))
+    for r, q, t, b in sorted(over, reverse=True):
+        print(f"{r:5.2f}x  {q}: {t:.3f}s vs baseline {b:.3f}s")
+    for q in missing:
+        print(f"  no baseline row: {q} ({bench['queries'][q]:.3f}s)")
+    tot = sum(bench["queries"].values())
+    common = [q for q in bench["queries"] if q in base]
+    bsum = sum(base[q] for q in common)
+    tsum = sum(bench["queries"][q] for q in common)
+    print(
+        f"\ntotal {tot:.1f}s / {len(bench['queries'])} queries; "
+        f"vs-baseline aggregate over {len(common)} common rows: "
+        f"{tsum:.1f}s / {bsum:.1f}s = {tsum / bsum:.2f}x"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
