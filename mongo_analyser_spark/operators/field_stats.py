@@ -157,7 +157,16 @@ def distinct_kmv(
     """
     if k < 2:
         raise ValueError("distinct_kmv requires k >= 2")
-    pairs = df.select(group_col, value_col).distinct()
+    # NULL values are excluded from the distinct count (SQL COUNT
+    # DISTINCT semantics) — and must never reach the hash: md5(NULL) is
+    # NULL, which sorts NULLS FIRST in Spark's window but NULLS LAST in
+    # DuckDB's, consuming rank 1 on one engine only and silently
+    # biasing h_k (reproduced in review: +3% on a 100-value group).
+    pairs = (
+        df.select(group_col, value_col)
+        .where(F.col(value_col).isNotNull())
+        .distinct()
+    )
     h = (
         F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 13), 16, 10)
         .cast("double")

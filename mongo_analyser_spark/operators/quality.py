@@ -127,7 +127,11 @@ def gopher_rules(
         & (F.col("n_stopwords") >= min_stopwords)
         & (F.col("top_word_frac") <= max_top_word_frac)
     )
-    return sig.withColumn("passes", passes)
+    # NULL text yields all-NULL signals; under three-valued logic the
+    # verdict would be NULL — neither accepted nor rejected, so a
+    # reject-side filter (~passes) silently leaks those docs. A gate
+    # must be two-valued: NULL text fails.
+    return sig.withColumn("passes", F.coalesce(passes, F.lit(False)))
 
 
 def bm25_topk(

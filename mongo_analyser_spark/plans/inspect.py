@@ -24,11 +24,14 @@ def formatted_plan(df: DataFrame, mode: str = "formatted") -> str:
     return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
 
 
-def pushed_filters(df: DataFrame) -> list[str]:
+def pushed_filters(df: DataFrame, plan: str | None = None) -> list[str]:
     """All filters the scans pushed into the parquet reader, e.g.
     ['IsNotNull(ts)', 'GreaterThan(value,10.0)']. Empty list = nothing
-    pushed (a full-scan smell when the query has a selective filter)."""
-    plan = formatted_plan(df)
+    pushed (a full-scan smell when the query has a selective filter).
+    Pass ``plan`` to reuse an already-rendered formatted_plan string
+    (each render round-trips Py4J)."""
+    if plan is None:
+        plan = formatted_plan(df)
     out: list[str] = []
     for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
         body = m.group(1).strip()
@@ -53,11 +56,13 @@ def has_sort_merge_join(df: DataFrame) -> bool:
     return "SortMergeJoin" in formatted_plan(df)
 
 
-def num_exchanges(df: DataFrame) -> int:
+def num_exchanges(df: DataFrame, plan: str | None = None) -> int:
     """Shuffle count (Exchange operators, excluding broadcast exchanges —
     broadcasts move only the small side). Every extra exchange is a full
-    re-shuffle of the data at scale."""
-    plan = formatted_plan(df)
+    re-shuffle of the data at scale. Pass ``plan`` to reuse an
+    already-rendered formatted_plan string."""
+    if plan is None:
+        plan = formatted_plan(df)
     # detail entries look like "(30) Exchange"; BroadcastExchange won't match
     return len(re.findall(r"\(\d+\) Exchange\b", plan))
 

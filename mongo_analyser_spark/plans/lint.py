@@ -75,12 +75,27 @@ def lint_plan(df: DataFrame) -> list[Finding]:
 
     # A global total-order sort materializes a range-partitioned exchange
     # of the FULL result. TakeOrderedAndProject (orderBy+limit) is fine.
-    has_range_exchange = "rangepartitioning(" in plan
-    has_limit = (
-        "TakeOrderedAndProject" in plan
-        or re.search(r"(Global|Collect)Limit", plan) is not None
-    )
-    if has_range_exchange and not has_limit:
+    # A plan-wide "is there a limit anywhere" test would let a subquery's
+    # unrelated limit mask the warning, so associate: formatted-plan node
+    # ids are assigned in postorder (children before parents — verified:
+    # Scan=1 ... Sort=14, AdaptiveSparkPlan=15), so an ancestor ALWAYS
+    # carries a larger id than every node under it. A range-exchange is
+    # capped only if some limit node has a LARGER id (sits above it); a
+    # subquery's limit sits below with a smaller id and no longer masks.
+    # (A limit in a later sibling branch can still have a larger id —
+    # rare false negative, never a false positive.)
+    range_ids, limit_ids = [], []
+    for section in re.split(r"\n\n", plan):
+        head = re.match(r"\((\d+)\) (\w+)", section.strip())
+        if not head:
+            continue
+        node_id, op = int(head.group(1)), head.group(2)
+        if op == "Exchange" and "rangepartitioning(" in section:
+            range_ids.append(node_id)
+        elif op in ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit"):
+            limit_ids.append(node_id)
+    uncapped = [r for r in range_ids if not any(li > r for li in limit_ids)]
+    if uncapped:
         findings.append(
             Finding(
                 "warning",
@@ -92,8 +107,13 @@ def lint_plan(df: DataFrame) -> list[Finding]:
             )
         )
 
-    filters = pushed_filters(df)
-    if re.search(r"\(\d+\) Filter\b", plan) and not filters:
+    # bare IsNotNull pushdowns are auto-derived from null-intolerant
+    # predicates — their presence doesn't mean the SELECTIVE predicate
+    # reached the scan
+    substantive = [
+        f for f in pushed_filters(df, plan=plan) if not f.startswith("IsNotNull")
+    ]
+    if re.search(r"\(\d+\) Filter\b", plan) and not substantive:
         findings.append(
             Finding(
                 "warning",
@@ -138,7 +158,7 @@ def lint_plan(df: DataFrame) -> list[Finding]:
                 )
             )
     findings.append(
-        Finding("info", "exchanges", f"{num_exchanges(df)} shuffle exchange(s)")
+        Finding("info", "exchanges", f"{num_exchanges(df, plan=plan)} shuffle exchange(s)")
     )
     hints = num_broadcast_hints(df)
     if hints:

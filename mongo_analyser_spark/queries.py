@@ -1591,7 +1591,8 @@ def q_q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "distinct_kmv_events",
     """
-WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events
+               WHERE user_id IS NOT NULL),
 hashed AS (SELECT event_type,
   CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS UBIGINT)
        AS DOUBLE) / 4503599627370496.0 AS h

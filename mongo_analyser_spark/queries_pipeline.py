@@ -1640,9 +1640,9 @@ sig AS (
          w -> len(list_filter(t, x -> x = w)))) AS DOUBLE)/len(t), 4) AS top_word_frac
   FROM toks)
 SELECT *,
-  (n_words BETWEEN 10 AND 1000 AND mean_word_len BETWEEN 2 AND 12
+  COALESCE(n_words BETWEEN 10 AND 1000 AND mean_word_len BETWEEN 2 AND 12
    AND alpha_word_frac >= 0.8 AND n_stopwords >= 1
-   AND top_word_frac <= 0.15) AS passes
+   AND top_word_frac <= 0.15, FALSE) AS passes
 FROM sig ORDER BY doc_id
 """,
 )

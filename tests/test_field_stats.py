@@ -221,6 +221,10 @@ def test_distinct_kmv_exact_below_capacity_and_estimates_above(spark):
     rows = [("small", f"v{i % 10}") for i in range(50)] + [
         ("big", f"u{i}") for i in range(1000)
     ]
+    # NULL values must be excluded BEFORE hashing (review finding: the
+    # NULL hash sorts NULLS FIRST in Spark but NULLS LAST in DuckDB,
+    # silently biasing h_k) — a null row must change nothing
+    rows.append(("small", None))
     df = spark.createDataFrame(rows, "g string, v string")
     got = {r.g: r for r in distinct_kmv(df, "g", "v", k=64).collect()}
     assert got["small"].n_exact == 10

@@ -71,3 +71,21 @@ def test_pushdown_detection(spark):
     docs = load_table(spark, SF, "documents")
     ok = docs.filter(F.col("n_chars") > 100)
     assert "no-pushdown" not in codes(lint_plan(ok))
+    opaque = docs.filter(F.md5("text") == F.lit("00"))
+    assert "no-pushdown" in codes(lint_plan(opaque), "warning")
+
+
+def test_subquery_limit_does_not_mask_global_sort(spark):
+    """Review finding: a limit INSIDE the plan (subquery top-k) must not
+    suppress the warning for an unrelated unbounded global sort above
+    it."""
+    ev = load_table(spark, SF, "events")
+    top_users = (
+        ev.groupBy("user_id")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(5)
+        .select("user_id")
+    )
+    joined = ev.join(top_users, "user_id").orderBy("value")  # unbounded sort
+    assert "global-sort" in codes(lint_plan(joined), "warning")

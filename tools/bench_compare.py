@@ -11,9 +11,9 @@ note).
 
 from __future__ import annotations
 
+import argparse
 import json
 import re
-import sys
 
 
 def baseline_rows(path: str = "BASELINE.md") -> dict[str, float]:
@@ -26,15 +26,18 @@ def baseline_rows(path: str = "BASELINE.md") -> dict[str, float]:
 
 
 def main() -> int:
-    args = sys.argv[1:]
-    ratio = float(args[args.index("--ratio") + 1]) if "--ratio" in args else 1.5
-    bench = json.load(open(args[0]))
-    base = baseline_rows()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("bench_json", help="file holding bench.py's JSON line")
+    ap.add_argument("--ratio", type=float, default=1.5)
+    ap.add_argument("--baseline", default="BASELINE.md")
+    args = ap.parse_args()
+    bench = json.load(open(args.bench_json))
+    base = baseline_rows(args.baseline)
     over, missing = [], []
     for q, t in bench["queries"].items():
         if q not in base:
             missing.append(q)
-        elif base[q] > 0 and t / base[q] > ratio:
+        elif base[q] > 0 and t / base[q] > args.ratio:
             over.append((t / base[q], q, t, base[q]))
     for r, q, t, b in sorted(over, reverse=True):
         print(f"{r:5.2f}x  {q}: {t:.3f}s vs baseline {b:.3f}s")
@@ -44,13 +47,14 @@ def main() -> int:
     common = [q for q in bench["queries"] if q in base]
     bsum = sum(base[q] for q in common)
     tsum = sum(bench["queries"][q] for q in common)
+    agg = f"{tsum / bsum:.2f}x" if bsum > 0 else "n/a (no common rows)"
     print(
         f"\ntotal {tot:.1f}s / {len(bench['queries'])} queries; "
         f"vs-baseline aggregate over {len(common)} common rows: "
-        f"{tsum:.1f}s / {bsum:.1f}s = {tsum / bsum:.2f}x"
+        f"{tsum:.1f}s / {bsum:.1f}s = {agg}"
     )
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()
