@@ -745,3 +745,76 @@ def dedup_clusters(
         )
         .withColumn("is_keeper", F.col("id") == F.col("cluster"))
     )
+
+
+def remove_repeated_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated n-gram REMOVAL (Lee et al. 2022
+    'Deduplicating Training Data Makes Language Models Better' §4 —
+    their 50-gram exact-substring dedup, at this corpus's scale n=5):
+    any n-gram appearing in >= ``min_docs`` distinct documents is
+    boilerplate; every token covered by an occurrence of a repeated
+    gram is dropped and the document is rebuilt from the survivors.
+
+    Where the paper builds a corpus-level suffix array, the Spark-native
+    formulation for FIXED n is a gram-keyed aggregation — same output,
+    and every stage is a keyed shuffle that scales:
+    * gram explode is linear in tokens and fuses into the scan;
+    * 'repeated' is one groupBy(gram) with a distinct-doc count —
+      map-side combine absorbs the Zipf head;
+    * covered positions are per-(doc, pos) rows — skinny, distinct-ed;
+    * the rebuild is one groupBy(doc) ordered re-assembly.
+
+    Returns (id, cleaned_text, n_tokens, n_kept) for EVERY input doc —
+    untouched docs round-trip their text; a fully-covered doc yields ''.
+    """
+    toks = tokens(F.col(text_col))
+    grams = (
+        docs.where(F.size(toks) >= n)
+        .select(id_col, F.posexplode(shingles(F.col(text_col), n)))
+        .select(id_col, (F.col("pos") + 1).alias("pos"), F.col("col").alias("gram"))
+    )
+    repeated = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(repeated, "gram")
+        .select(id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("pos"))
+        .distinct()
+    )
+    tok = (
+        docs.select(id_col, F.posexplode(toks))
+        .select(id_col, (F.col("pos") + 1).alias("i"), F.col("col").alias("tk"))
+    )
+    kept = tok.join(
+        covered,
+        (tok[id_col] == covered[id_col]) & (tok["i"] == covered["pos"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tk"))), lambda s: s["tk"]
+            ),
+        ).alias("cleaned"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = docs.select(id_col, F.size(toks).cast("long").alias("n_tokens"))
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

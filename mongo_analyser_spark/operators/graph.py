@@ -1,0 +1,144 @@
+"""Iterative graph analytics over similarity graphs.
+
+The dedup tier (operators/dedup.py) already runs one iterative graph
+algorithm — connected components via pointer doubling, with a single-task
+union-find finish for in-core graphs — to FIND duplicate clusters.  This
+module adds PageRank to RANK within them: on a near-dup graph, high-rank
+nodes are the "canonical" documents (most connected to other duplicates),
+which is the curation-side answer to "which copy do we keep".
+
+100-TB shape: each iteration is one edges⋈ranks equi-join + one groupBy
+on the destination — the classic Pregel-as-dataframes shape.  The rank
+table is O(#nodes); edges are persisted and scanned once per iteration;
+lineage is truncated with localCheckpoint (same discipline as
+connected_components) so the plan doesn't grow with the iteration count.
+Like the CC hybrid, graphs whose DISTINCT edge list fits one task
+(``in_core_edges``) skip the multi-round loop for a single Arrow-batched
+power-iteration kernel — identical rounded output, none of the
+per-iteration job-scheduling cost that dominates small graphs.
+
+Determinism: per-iteration ranks are ROUNDed (default 9 dp) in all three
+implementations (distributed loop, in-core kernel, DuckDB oracle),
+snapping accumulated float drift to a shared grid so the summation ORDER
+of in-neighbor contributions (which differs between Spark partial
+aggregation, numpy accumulation, and DuckDB) cannot propagate — the
+house rule ("ROUND absorbs summation order") applied to an iterative
+fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pagerank_in_core(
+    e: DataFrame, iterations: int, damping: float, round_to: int
+) -> DataFrame:
+    """Single-task power iteration for an edge list that fits one
+    partition: same recurrence, same per-iteration rounding, ONE job."""
+    id_type = e.schema["src"].dataType.simpleString()
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs: list = []
+        dsts: list = []
+        for pdf in batches:
+            srcs.extend(pdf["src"].tolist())
+            dsts.extend(pdf["dst"].tolist())
+        nodes = sorted(set(srcs) | set(dsts))
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        if n == 0:
+            yield pd.DataFrame({"node": [], "rank": []})
+            return
+        si = np.array([idx[s] for s in srcs], dtype=np.int64)
+        di = np.array([idx[d] for d in dsts], dtype=np.int64)
+        deg = np.bincount(si, minlength=n).astype(np.float64)
+        r = np.full(n, 1.0 / n)
+        base = (1.0 - damping) / n
+        for _ in range(iterations):
+            mass = np.zeros(n)
+            np.add.at(mass, di, r[si] / deg[si])
+            r = np.round(base + damping * mass, round_to)
+        yield pd.DataFrame({"node": nodes, "rank": r})
+
+    return e.coalesce(1).mapInPandas(
+        run, schema=f"node {id_type}, rank double"
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_to: int = 9,
+    checkpoint_every: int = 3,
+    in_core_edges: int = 2_000_000,
+) -> DataFrame:
+    """PageRank over a directed edge list, fixed iteration count.
+
+    Nodes are the vertices appearing in the edge set; every node should
+    have at least one out-edge (true for symmetrized similarity graphs —
+    dangling-mass redistribution is deliberately out of scope and
+    documented, matching the exactly-unrollable oracle).
+
+    ``in_core_edges``: when the measured edge count fits one task
+    (default 2M ≈ tens of MB), the iterations run as a single
+    Arrow-batched kernel — identical rounded output, no per-round job
+    cost.  Pass 0 to force the distributed loop (tests do).
+
+    Returns (node, rank) with rank rounded to ``round_to`` decimals.
+    """
+    if iterations < 1:
+        raise ValueError("pagerank requires iterations >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    n_edges = e.count()  # also materializes the upstream pipeline once
+    if n_edges == 0:
+        # no graph: empty result with the contract schema (the
+        # distributed path would otherwise divide by a zero node count)
+        return e.sparkSession.createDataFrame(
+            [], f"node {e.schema['src'].dataType.simpleString()}, rank double"
+        )
+    if n_edges <= in_core_edges and in_core_edges > 0:
+        # e is already materialized in the cache (count above), so
+        # coalesce(1) reads cached blocks in one task — it does NOT
+        # collapse the upstream pair pipeline's parallelism
+        return _pagerank_in_core(e, iterations, damping, round_to)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_total = nodes.count()  # driver-side scalar: one number, not data
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # (src, dst, deg) is static across iterations — persist it so the
+    # loop reads a materialized table instead of re-running the degree
+    # aggregate every iteration
+    out = e.join(deg, "src").persist()
+    ranks = nodes.select("node", F.lit(1.0 / n_total).alias("rank"))
+    base = (1.0 - damping) / n_total
+    for i in range(iterations):
+        contribs = (
+            out.join(ranks, out["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = nodes.join(
+            contribs, nodes["node"] == contribs["dst"], "left"
+        ).select(
+            "node",
+            F.round(
+                F.lit(base) + damping * F.coalesce(F.col("mass"), F.lit(0.0)),
+                round_to,
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

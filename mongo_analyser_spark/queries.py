@@ -2460,6 +2460,12 @@ TAIL_QUERIES = (
     # round-6 (cont.): ANN index-quality gate — recall@3 of the SRP path
     # vs exact top-3, the recall number itself oracle-verified
     "ann_recall_report",
+    # round-6 (cont.): PageRank over the near-dup graph (canonical-copy
+    # ranking; oracle = the recurrence exactly unrolled, ROUND(9)/iter)
+    "pagerank_near_dup",
+    # round-6 (cont.): Lee et al. exact-substring (fixed-n gram-join)
+    # boilerplate removal — rebuilds docs without repeated spans
+    "remove_repeated_ngrams_documents",
 )
 
 

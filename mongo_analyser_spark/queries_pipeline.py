@@ -841,6 +841,116 @@ def q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "remove_repeated_ngrams_documents",
+    """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+g AS MATERIALIZED (
+  SELECT doc_id, j AS pos,
+         list_reduce(list_slice(t, j, j+4), (a,b) -> a||' '||b) AS gram
+  FROM toks, LATERAL unnest(generate_series(1, len(t)-4)) AS u(j)
+  WHERE len(t) >= 5),
+rep AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+cov AS MATERIALIZED (
+  SELECT DISTINCT g.doc_id, p AS pos
+  FROM g JOIN rep USING (gram),
+       LATERAL unnest(generate_series(g.pos, g.pos+4)) AS v(p)),
+tok AS (SELECT doc_id, i, t[i] AS tk
+        FROM toks, LATERAL unnest(generate_series(1, len(t))) AS w(i)),
+kept AS (SELECT tok.doc_id, tok.i, tok.tk FROM tok
+         WHERE NOT EXISTS (SELECT 1 FROM cov
+                           WHERE cov.doc_id = tok.doc_id AND cov.pos = tok.i)),
+ka AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS cleaned,
+              count(*) AS n_kept
+       FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(ka.cleaned, '') AS cleaned_text,
+  CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN ka USING (doc_id)
+ORDER BY d.doc_id
+""",
+)
+def q_remove_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc repeated 5-gram removal (Lee et al. 2022 exact-substring
+    dedup, gram-join formulation) — rebuilds every document without its
+    boilerplate spans. See operators/dedup.remove_repeated_ngrams for the
+    keyed-shuffle scale shape."""
+    from mongo_analyser_spark.operators.dedup import remove_repeated_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_repeated_ngrams(docs, n=5, min_docs=2).orderBy("doc_id")
+
+
+PR_ITERS = 5
+
+
+def _pagerank_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Exactly-unrolled PageRank oracle over the near-dup graph: one CTE
+    per iteration, per-iteration ROUND(9) matching the Spark loop (the
+    house determinism rule applied to an iterative fixpoint).  Registered
+    through ORACLE_GENERATORS because the near-dup CTEs embed data-scaled
+    banding constants."""
+    head = _near_dup_ctes(sf_dir)
+    # ed MUST be MATERIALIZED: DuckDB inlines plain CTEs, and the r1..r5
+    # chain references ed once per iteration — inlined, the whole SRP
+    # banding + cosine subtree would re-run 2^iters times (measured:
+    # 100 s vs ~2 s at sf0.01)
+    sql = f"""WITH {head},
+ed AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM nd
+       UNION ALL SELECT vec_b, vec_a FROM nd),
+nds AS MATERIALIZED (SELECT DISTINCT src AS node FROM ed),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nds),
+dg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY src),
+r0 AS (SELECT node, 1.0/(SELECT cnt FROM nn) AS r FROM nds)"""
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        sql += f""",
+r{i} AS (
+  SELECT ed.dst AS node,
+    ROUND((1 - 0.85)/(SELECT cnt FROM nn)
+          + 0.85 * SUM(p.r / d.deg), 9) AS r
+  FROM ed JOIN {prev} p ON p.node = ed.src JOIN dg d ON d.src = ed.src
+  GROUP BY ed.dst)"""
+        prev = f"r{i}"
+    sql += f"\nSELECT node, r AS rank FROM {prev} ORDER BY node\n"
+    return sql
+
+
+@register("pagerank_near_dup", _pagerank_sql())
+def q_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the embedding near-dup graph (the second iterative
+    graph operator beside connected components): ranks identify the
+    CANONICAL copy inside each duplicate cluster — the doc to keep when
+    the cluster collapses.  5 fixed iterations, damping 0.85; every node
+    of the symmetrized graph has an out-edge, so no dangling mass.  The
+    oracle is the same recurrence exactly unrolled as 5 CTEs; both
+    engines ROUND each iteration to 9 dp so in-neighbor summation order
+    can't drift the fixpoint.  See operators/graph.pagerank for the
+    per-iteration join/agg scale shape."""
+    from mongo_analyser_spark.operators.dedup import cosine_near_dup_pairs
+    from mongo_analyser_spark.operators.graph import pagerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", EMB_DIM, threshold=0.3, block_col="label"
+    )
+    # symmetrize via explode, not union-of-selects — a union runs the
+    # expensive candidate-pair pipeline once per branch (dedup.py rule)
+    both = F.explode(
+        F.array(
+            F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+            F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+        )
+    )
+    edges = pairs.select(both.alias("e")).select("e.src", "e.dst")
+    return pagerank(edges, iterations=PR_ITERS).orderBy("node")
+
+
+ORACLE_GENERATORS["pagerank_near_dup"] = _pagerank_sql
+
+
 def _ann_recall_sql() -> str:
     """Recall@3 of the SRP ANN against the exact top-3: both CTEs are
     built from the SAME dot/norm fragments their standalone oracles use,

@@ -386,3 +386,25 @@ def test_exact_ngram_contamination_verbatim_quote(spark):
         train_short, test_short, "doc_id", "text", n=8
     ).collect()
     assert [(r.train_id, r.n_grams, r.n_hit_grams) for r in hits] == [(3, 1, 1)]
+
+
+def test_remove_repeated_ngrams_hand_checked(spark):
+    """Docs 1 and 2 share the 5-gram 'a b c d e' (doc 2 shifted); doc 3
+    is unique and must round-trip byte-identical; in doc 1 ONLY the
+    covered span is dropped."""
+    from mongo_analyser_spark.operators.dedup import remove_repeated_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z w v"),
+            (2, "q a b c d e r s t u"),
+            (3, "k l m n o p j h g f"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in remove_repeated_ngrams(df, n=5).collect()}
+    assert got[1].cleaned_text == "x y z w v"
+    assert got[1].n_tokens == 10 and got[1].n_kept == 5
+    assert got[2].cleaned_text == "q r s t u"
+    assert got[3].cleaned_text == "k l m n o p j h g f"
+    assert got[3].n_kept == 10
