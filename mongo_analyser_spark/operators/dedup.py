@@ -785,9 +785,17 @@ def remove_repeated_ngrams(
         .where(F.col("nd") >= min_docs)
         .select("gram")
     )
+    # alias the coverage side's columns: both sides descend from the same
+    # docs scan, and an unaliased id == id predicate makes Spark resolve
+    # through dataset-id metadata (it warns 'trivially true equals')
     covered = (
         grams.join(repeated, "gram")
-        .select(id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("pos"))
+        .select(
+            F.col(id_col).alias("cov_id"),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + n - 1)
+            ).alias("cov_pos"),
+        )
         .distinct()
     )
     tok = (
@@ -796,7 +804,7 @@ def remove_repeated_ngrams(
     )
     kept = tok.join(
         covered,
-        (tok[id_col] == covered[id_col]) & (tok["i"] == covered["pos"]),
+        (F.col(id_col) == F.col("cov_id")) & (F.col("i") == F.col("cov_pos")),
         "left_anti",
     )
     rebuilt = kept.groupBy(id_col).agg(

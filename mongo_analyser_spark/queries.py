@@ -1589,6 +1589,96 @@ def q_q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_conversion_events",
+    """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ts > t1
+         AND ts <= t1 + INTERVAL 24 HOUR GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t2
+         AND ts <= t2 + INTERVAL 24 HOUR GROUP BY 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_viewed,
+       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_clicked_24h,
+       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchased_24h
+""",
+)
+def q_funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (view → click within 24 h → purchase within
+    24 h): the event-sequence analytics shape — each stage anchors on
+    the PREVIOUS stage's first-qualifying timestamp, so order matters
+    (not three independent filters).  Plan: three per-user aggregates,
+    every shuffle keyed on user_id — the same partitioning flows through
+    all three stages and the stage joins, so at scale the funnel costs
+    one fact partitioning reused, not three independent shuffles; each
+    stage's input shrinks (monotone conversion)."""
+    ev = load_table(spark, sf_dir, "events")
+    h24 = F.expr("INTERVAL 24 HOURS")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + h24))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + h24))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_clicked_24h")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchased_24h")))
+    )
+
+
+@register(
+    "retention_cohorts_events",
+    """
+WITH cohort AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS c
+                FROM events GROUP BY 1),
+active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT strftime(c, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', c, d) AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM cohort JOIN active USING (user_id)
+WHERE date_diff('day', c, d) BETWEEN 0 AND 7
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (day-0 cohort = first-event date; day_offset k =
+    still active k days later, k ≤ 7) — the classic product-analytics
+    triangle.  Plan: one per-user aggregate (cohort), one distinct over
+    (user, day) — both keyed on user_id, join keyed the same — then a
+    tiny (cohort, k) rollup; calendar-day integer arithmetic is
+    engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("c"))
+    active = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    k = F.datediff(F.col("d"), F.col("c"))
+    return (
+        cohort.join(active, "user_id")
+        .filter((k >= 0) & (k <= 7))
+        .groupBy(
+            F.date_format("c", "yyyy-MM-dd").alias("cohort_day"),
+            k.cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
     "distinct_kmv_events",
     """
 WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events
@@ -2466,6 +2556,10 @@ TAIL_QUERIES = (
     # round-6 (cont.): Lee et al. exact-substring (fixed-n gram-join)
     # boilerplate removal — rebuilds docs without repeated spans
     "remove_repeated_ngrams_documents",
+    # round-6 (cont.): event-sequence analytics — ordered funnel with
+    # per-stage 24h anchors, and the day-cohort retention triangle
+    "funnel_conversion_events",
+    "retention_cohorts_events",
 )
 
 

@@ -351,3 +351,22 @@ def test_bm25_stats_broadcast_and_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin Cross" in plan
     assert num_exchanges(q) == 1  # the single-row stats aggregate only
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    """All three funnel stages aggregate and join on user_id — the plan
+    must contain no cartesian products and no range exchanges (the
+    one-row final crossJoins are broadcast nested loops, not shuffles)."""
+    q = QUERIES["funnel_conversion_events"](spark, SF)
+    plan = formatted_plan(q)
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_retention_joins_stay_keyed(spark):
+    """Cohort ⋈ active-days is keyed on user_id; the only sort is the
+    tiny (cohort, k) output ordering."""
+    q = QUERIES["retention_cohorts_events"](spark, SF)
+    plan = formatted_plan(q)
+    assert "CartesianProduct" not in plan
+    assert num_exchanges(q) <= 4  # cohort agg, distinct, rollup, sort
