@@ -1678,6 +1678,53 @@ def q_retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _morton_oracle_sql() -> str:
+    """DuckDB twin of sinks/zorder.morton_key over bucketed (user_id,
+    value): the scale factors are inlined as Python-float reprs so both
+    engines multiply by the bit-identical constant."""
+    kx = (2**16 - 1) / (4095.0 - 0.0)
+    ky = (2**16 - 1) / (1000.0 - 0.0)
+    bx = (
+        "CAST(LEAST(65535, GREATEST(0, "
+        f"FLOOR((CAST(user_id AS DOUBLE) - 0.0) * {kx!r}))) AS BIGINT)"
+    )
+    by = (
+        "CAST(LEAST(65535, GREATEST(0, "
+        f"FLOOR((CAST(value AS DOUBLE) - 0.0) * {ky!r}))) AS BIGINT)"
+    )
+    terms = " | ".join(
+        f"(((bx >> {i}) & 1) << {2 * i + 1}) | (((by >> {i}) & 1) << {2 * i})"
+        for i in range(16)
+    )
+    return f"""
+WITH b AS (SELECT event_id, {bx} AS bx, {by} AS by FROM events)
+SELECT event_id, CAST({terms} AS BIGINT) AS z
+FROM b ORDER BY z, event_id LIMIT 100
+"""
+
+
+@register("zorder_key_events", _morton_oracle_sql())
+def q_zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key computation over (user_id, value) — the
+    clustering key behind `sinks/zorder.write_zordered`'s
+    multi-dimensional data-skipping layout.  Pure shift/mask integer
+    arithmetic inside codegen, bit-for-bit identical in DuckDB (the
+    bucket scale constants are shared Python-float literals); top-100 by
+    key is TakeOrdered.  The write-path test (tests/test_zorder.py)
+    proves the layout actually tightens per-file min/max spans on BOTH
+    dimensions."""
+    from mongo_analyser_spark.sinks.zorder import bucket16, morton_key
+
+    ev = load_table(spark, sf_dir, "events")
+    x = bucket16(F.col("user_id"), 0.0, 4095.0)
+    y = bucket16(F.col("value"), 0.0, 1000.0)
+    return (
+        ev.select("event_id", morton_key(x, y).alias("z"))
+        .orderBy("z", "event_id")
+        .limit(100)
+    )
+
+
 @register(
     "distinct_kmv_events",
     """
@@ -2560,6 +2607,9 @@ TAIL_QUERIES = (
     # per-stage 24h anchors, and the day-cohort retention triangle
     "funnel_conversion_events",
     "retention_cohorts_events",
+    # round-6 (cont.): Morton key for the Z-order clustered sink
+    # (multi-dim data skipping; bit-identical integer oracle)
+    "zorder_key_events",
 )
 
 
