@@ -11,18 +11,19 @@ which is the curation-side answer to "which copy do we keep".
 on the destination — the classic Pregel-as-dataframes shape.  The rank
 table is O(#nodes); edges are persisted and scanned once per iteration;
 lineage is truncated with localCheckpoint (same discipline as
-connected_components) so the plan doesn't grow with the iteration count.
-Like the CC hybrid, graphs whose DISTINCT edge list fits one task
-(``in_core_edges``) skip the multi-round loop for a single Arrow-batched
-power-iteration kernel — identical rounded output, none of the
-per-iteration job-scheduling cost that dominates small graphs.
+connected_components) so the plan doesn't grow with the iteration count,
+and — also like connected_components — the result is checkpointed and
+the cached inputs unpersisted before returning, so repeated calls don't
+accumulate dead cache entries.  Graphs whose DISTINCT edge list fits one
+task (``in_core_edges``) skip the multi-round loop for a single
+Arrow-batched power-iteration kernel — identical rounded output, none of
+the per-iteration job-scheduling cost that dominates small graphs.
 
-Determinism: per-iteration ranks are ROUNDed (default 9 dp) in all three
-implementations (distributed loop, in-core kernel, DuckDB oracle),
-snapping accumulated float drift to a shared grid so the summation ORDER
-of in-neighbor contributions (which differs between Spark partial
-aggregation, numpy accumulation, and DuckDB) cannot propagate — the
-house rule ("ROUND absorbs summation order") applied to an iterative
+Determinism: per-iteration ranks are quantized with the engine-agnostic
+``floor(x * 1e9 + 0.5) / 1e9`` (the same trick quantize_int8 uses —
+plain IEEE multiply/add/floor/divide, bit-identical in Spark, numpy, and
+DuckDB, with none of the three engines' differing ROUND tie conventions)
+so the summation ORDER of in-neighbor contributions cannot drift the
 fixpoint.
 """
 
@@ -33,36 +34,37 @@ from pyspark.sql import functions as F
 
 
 def _pagerank_in_core(
-    e: DataFrame, iterations: int, damping: float, round_to: int
+    e: DataFrame, iterations: int, damping: float, scale: float
 ) -> DataFrame:
     """Single-task power iteration for an edge list that fits one
-    partition: same recurrence, same per-iteration rounding, ONE job."""
+    partition: same recurrence, same per-iteration quantization, ONE
+    job.  Fully vectorized — np.unique factorizes node ids (sorted,
+    matching the distributed path's ordering) and np.add.at scatters
+    contributions; no per-edge Python objects."""
     id_type = e.schema["src"].dataType.simpleString()
 
     def run(batches):
         import numpy as np
         import pandas as pd
 
-        srcs: list = []
-        dsts: list = []
-        for pdf in batches:
-            srcs.extend(pdf["src"].tolist())
-            dsts.extend(pdf["dst"].tolist())
-        nodes = sorted(set(srcs) | set(dsts))
-        idx = {v: i for i, v in enumerate(nodes)}
-        n = len(nodes)
-        if n == 0:
+        chunks = [
+            (pdf["src"].to_numpy(), pdf["dst"].to_numpy()) for pdf in batches
+        ]
+        if not chunks:
             yield pd.DataFrame({"node": [], "rank": []})
             return
-        si = np.array([idx[s] for s in srcs], dtype=np.int64)
-        di = np.array([idx[d] for d in dsts], dtype=np.int64)
+        srcs = np.concatenate([c[0] for c in chunks])
+        dsts = np.concatenate([c[1] for c in chunks])
+        nodes, inv = np.unique(np.concatenate([srcs, dsts]), return_inverse=True)
+        si, di = inv[: len(srcs)], inv[len(srcs):]
+        n = len(nodes)
         deg = np.bincount(si, minlength=n).astype(np.float64)
         r = np.full(n, 1.0 / n)
         base = (1.0 - damping) / n
         for _ in range(iterations):
             mass = np.zeros(n)
             np.add.at(mass, di, r[si] / deg[si])
-            r = np.round(base + damping * mass, round_to)
+            r = np.floor((base + damping * mass) * scale + 0.5) / scale
         yield pd.DataFrame({"node": nodes, "rank": r})
 
     return e.coalesce(1).mapInPandas(
@@ -89,18 +91,23 @@ def pagerank(
 
     ``in_core_edges``: when the measured edge count fits one task
     (default 2M ≈ tens of MB), the iterations run as a single
-    Arrow-batched kernel — identical rounded output, no per-round job
+    Arrow-batched kernel — identical quantized output, no per-round job
     cost.  Pass 0 to force the distributed loop (tests do).
 
-    Returns (node, rank) with rank rounded to ``round_to`` decimals.
+    Returns (node, rank) with rank quantized to ``round_to`` decimals
+    (floor(x*10^k + 0.5)/10^k — engine-agnostic half-up).  The result is
+    materialized (localCheckpoint) and the internal caches released
+    before returning.
     """
     if iterations < 1:
         raise ValueError("pagerank requires iterations >= 1")
+    scale = float(10**round_to)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     n_edges = e.count()  # also materializes the upstream pipeline once
     if n_edges == 0:
         # no graph: empty result with the contract schema (the
         # distributed path would otherwise divide by a zero node count)
+        e.unpersist()
         return e.sparkSession.createDataFrame(
             [], f"node {e.schema['src'].dataType.simpleString()}, rank double"
         )
@@ -108,7 +115,9 @@ def pagerank(
         # e is already materialized in the cache (count above), so
         # coalesce(1) reads cached blocks in one task — it does NOT
         # collapse the upstream pair pipeline's parallelism
-        return _pagerank_in_core(e, iterations, damping, round_to)
+        result = _pagerank_in_core(e, iterations, damping, scale).localCheckpoint()
+        e.unpersist()
+        return result
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -130,15 +139,21 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("mass"))
         )
+        mass = F.coalesce(F.col("mass"), F.lit(0.0))
         ranks = nodes.join(
             contribs, nodes["node"] == contribs["dst"], "left"
         ).select(
             "node",
-            F.round(
-                F.lit(base) + damping * F.coalesce(F.col("mass"), F.lit(0.0)),
-                round_to,
+            (
+                F.floor((F.lit(base) + damping * mass) * scale + 0.5) / scale
             ).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+    # materialize, then release the loop's caches (CC discipline:
+    # dedup.py checkpoints its labels and unpersists raw/edges)
+    result = ranks.localCheckpoint()
+    out.unpersist()
+    nodes.unpersist()
+    e.unpersist()
+    return result

@@ -888,8 +888,9 @@ PR_ITERS = 5
 
 def _pagerank_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     """Exactly-unrolled PageRank oracle over the near-dup graph: one CTE
-    per iteration, per-iteration ROUND(9) matching the Spark loop (the
-    house determinism rule applied to an iterative fixpoint).  Registered
+    per iteration, per-iteration floor(x*1e9+0.5)/1e9 quantization
+    matching the Spark loop and the in-core kernel EXACTLY (plain IEEE
+    multiply/add/floor — no engine ROUND tie conventions).  Registered
     through ORACLE_GENERATORS because the near-dup CTEs embed data-scaled
     banding constants."""
     head = _near_dup_ctes(sf_dir)
@@ -909,8 +910,9 @@ r0 AS (SELECT node, 1.0/(SELECT cnt FROM nn) AS r FROM nds)"""
         sql += f""",
 r{i} AS (
   SELECT ed.dst AS node,
-    ROUND((1 - 0.85)/(SELECT cnt FROM nn)
-          + 0.85 * SUM(p.r / d.deg), 9) AS r
+    FLOOR(((1 - 0.85)/(SELECT cnt FROM nn)
+           + 0.85 * SUM(p.r / d.deg)) * 1000000000.0 + 0.5)
+      / 1000000000.0 AS r
   FROM ed JOIN {prev} p ON p.node = ed.src JOIN dg d ON d.src = ed.src
   GROUP BY ed.dst)"""
         prev = f"r{i}"

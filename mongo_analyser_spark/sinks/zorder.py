@@ -27,7 +27,10 @@ ZBITS = 16
 def bucket16(col: Column, lo: float, hi: float) -> Column:
     """Map a numeric column onto the [0, 65535] bucket grid for Morton
     interleaving: linear scale, clamped at both ends (out-of-range
-    values land in the edge buckets, never error)."""
+    VALUES land in the edge buckets, never error; a degenerate RANGE is
+    a caller bug and raises here, at expression-build time)."""
+    if hi <= lo:
+        raise ValueError(f"bucket16 requires hi > lo, got [{lo}, {hi}]")
     scaled = (col.cast("double") - lo) * ((2**ZBITS - 1) / (hi - lo))
     return F.least(
         F.lit(2**ZBITS - 1), F.greatest(F.lit(0), F.floor(scaled))
