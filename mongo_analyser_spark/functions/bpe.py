@@ -1,0 +1,228 @@
+"""Byte-pair-encoding token math [EXT — BASELINE.json north star]:
+tokenizer-exact token counting for the training-data curation tier.
+
+The reference's only token-counting surface is its LLM context budget
+(mongo_analyser/views/chat_view.py:451-464 — a whitespace heuristic over
+chat history); a real training pipeline budgets in TOKENIZER tokens,
+where whitespace counts are 1.3-1.7x off on English and worse elsewhere.
+This module provides the missing piece as three cooperating layers:
+
+* ``train_bpe`` — learn a merge table from a corpus. Spark does ONE
+  word-frequency shuffle + a bounded top-``max_words`` TakeOrdered; the
+  classic Sennrich pair-count loop then runs driver-side over that
+  bounded word-frequency dict (the standard formulation: BPE training
+  only ever needs word TYPES with counts, not the corpus). At 100 TB the
+  collected state is `max_words` rows, not data-sized.
+* ``with_bpe_token_count`` — the scale path: Arrow-batched
+  ``mapInPandas`` with the merge table shipped as broadcast DATA and a
+  per-batch word->len memo (Zipf makes the cache hit rate ~1).
+* ``bpe_segment_expr`` / ``bpe_count_from_segmented`` — a pure Column
+  twin: the merge loop unrolled as a chain of literal `replace` calls
+  over a separator-encoded form. Plain string functions, reproducible
+  bit-for-bit in DuckDB — this is what makes the Arrow path's output
+  HASH-ORACLE-able instead of rows-only.
+
+Equivalence of the two paths (why the replace chain IS BPE): applying
+merges one-at-a-time in rank order equals priority-queue greedy BPE,
+because merging the rank-r pair can only create adjacencies involving
+its OWN output token, and every trained merge containing that token has
+rank > r (the token did not exist earlier in training); pairs of
+pre-existing tokens can never newly appear (a merge only removes their
+occurrences). Within one merge, `replace` consumes occurrences
+left-to-right without rescanning the replacement — exactly the
+single-pass semantics `_merge_word` implements, so "aaa" under (a,a)
+yields [aa, a] in both. (Caveat, documented not hit: if two DIFFERENT
+merges produce the SAME surface string, string identity conflates them;
+both paths here use surface-string identity, so they still agree with
+each other.)
+
+Token alphabet: the caller passes text whose words are drawn from
+[a-z0-9]+ (``functions.text.normalize_text`` output — the testdata's
+documents.text is already in this form). The two separator characters
+below are outside that alphabet by construction.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: intra-word symbol separator in the segmented encoding — every token
+#: (including the last of a word) is FOLLOWED by one SEP
+SEP = "|"
+#: word-boundary marker (replaces the space); never part of any merge,
+#: so no replace pattern can span a word boundary
+WORDSEP = "~"
+
+_MERGES_FIXTURE = Path(__file__).with_name("bpe_merges.json")
+
+
+def load_fixture_merges() -> list[tuple[str, str]]:
+    """The committed merge table (trained once by ``train_bpe`` on the
+    sf0.001 documents corpus, 64 merges — see tests/test_bpe.py which
+    re-derives and pins it). A FIXED table keeps the registry oracle
+    static across scale factors, exactly like the SRP plane fixture."""
+    return [tuple(p) for p in json.loads(_MERGES_FIXTURE.read_text())]
+
+
+def _merge_word(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+    """One left-to-right non-rescanning merge pass — the tuple-form twin
+    of `replace(s, 'a|b|', 'ab|')`."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> tuple[str, ...]:
+    """Tokenize one word: start from characters, apply every merge in
+    rank order (sequential application == greedy BPE, see module doc)."""
+    syms = tuple(word)
+    for a, b in merges:
+        if len(syms) < 2:
+            break
+        syms = _merge_word(syms, a, b)
+    return syms
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 64,
+    max_words: int = 50_000,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table from a corpus column.
+
+    Distributed part: word frequencies (one groupBy shuffle with
+    map-side combine) truncated to the ``max_words`` most frequent types
+    (TakeOrdered — count desc, word asc, deterministic). Driver part:
+    the classic pair-counting loop over that bounded dict. Ties on pair
+    count break to the lexicographically smallest pair; training stops
+    early when the best pair occurs fewer than ``min_pair_count`` times
+    (merging hapax pairs memorizes the sample)."""
+    rows = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(max_words)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {tuple(r["w"]): r["c"] for r in rows}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        mx = max(pairs.values())
+        if mx < min_pair_count:
+            break
+        best = min(p for p, c in pairs.items() if c == mx)
+        merges.append(best)
+        vocab = {
+            _merge_word(syms, *best): c for syms, c in vocab.items()
+        }
+    return merges
+
+
+def with_bpe_token_count(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "n_bpe",
+) -> DataFrame:
+    """Append a tokenizer-exact token count column — the SCALE path.
+
+    Arrow-batched ``mapInPandas`` (never row-at-a-time); the merge table
+    travels as an explicit broadcast variable (constant-size plan, like
+    the SRP planes / k-means centroids), and a word->token-count memo
+    persists across rows within each Python worker task so the encode
+    loop runs once per word TYPE, not per occurrence."""
+    bc = df.sparkSession.sparkContext.broadcast(list(merges))
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
+    schema = f"{fields}, `{out_col}` bigint"
+
+    def run(batches):
+        m = [tuple(p) for p in bc.value]
+        memo: dict[str, int] = {}
+
+        def count(text) -> int:
+            if text is None:
+                return 0
+            total = 0
+            for w in text.split(" "):
+                if not w:
+                    continue
+                n = memo.get(w)
+                if n is None:
+                    n = len(encode_word(w, m))
+                    memo[w] = n
+                total += n
+            return total
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [count(t) for t in pdf[text_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+# --- pure-Column twin (the oracle-able unrolled form) ---------------------
+
+
+def bpe_segment_expr(col: Column | str, merges: list[tuple[str, str]]) -> Column:
+    """The segmented-string form after all merges, as ONE Column
+    expression: spaces -> WORDSEP, every char suffixed with SEP, then
+    one literal `replace('a|b|' -> 'ab|')` per merge in rank order.
+    Materialize it via .alias(...) in its own projection before counting
+    so the chain is evaluated once (CollapseProject keeps non-cheap
+    expressions from being inlined into multiple consumers)."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(F.replace(c, F.lit(" "), F.lit(WORDSEP)), "(.)", "$1" + SEP)
+    for a, b in merges:
+        s = F.replace(s, F.lit(a + SEP + b + SEP), F.lit(a + b + SEP))
+    return s
+
+
+def bpe_count_from_segmented(seg: Column | str) -> Column:
+    """Token count from a segmented string: SEP occurrences (one per
+    token) minus WORDSEP occurrences (each boundary carries one SEP of
+    its own that is not a token)."""
+    s = F.col(seg) if isinstance(seg, str) else seg
+    n_sep = F.length(s) - F.length(F.replace(s, F.lit(SEP), F.lit("")))
+    n_ws = F.length(s) - F.length(F.replace(s, F.lit(WORDSEP), F.lit("")))
+    return (n_sep - n_ws).cast("long")
+
+
+def bpe_segment_sql(col_sql: str, merges: list[tuple[str, str]]) -> str:
+    """DuckDB twin of ``bpe_segment_expr`` — same chain, same order; use
+    inside a CTE so the chain appears once in the query text."""
+    s = f"regexp_replace(replace({col_sql}, ' ', '{WORDSEP}'), '(.)', '\\1{SEP}', 'g')"
+    for a, b in merges:
+        s = f"replace({s}, '{a}{SEP}{b}{SEP}', '{a}{b}{SEP}')"
+    return s
+
+
+def bpe_count_sql(seg_sql: str) -> str:
+    """DuckDB twin of ``bpe_count_from_segmented``."""
+    return (
+        f"CAST((length({seg_sql}) - length(replace({seg_sql}, '{SEP}', '')))"
+        f" - (length({seg_sql}) - length(replace({seg_sql}, '{WORDSEP}', '')))"
+        " AS BIGINT)"
+    )

@@ -53,6 +53,8 @@ def seed_centroids_row(nv: DataFrame, k: int) -> DataFrame:
     similarity.py SRP-plane lesson)."""
     from pyspark.sql import Window
 
+    # global row_number over the k seed rows only — the .limit(k) below
+    # it is what plans/lint.py's unbounded-global-window check verifies
     w = Window.orderBy("id")
     init = (
         nv.orderBy("id")

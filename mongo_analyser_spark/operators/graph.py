@@ -25,6 +25,17 @@ plain IEEE multiply/add/floor/divide, bit-identical in Spark, numpy, and
 DuckDB, with none of the three engines' differing ROUND tie conventions)
 so the summation ORDER of in-neighbor contributions cannot drift the
 fixpoint.
+
+Residual tie risk (documented, not observed): quantization is applied to
+the SUM of in-neighbor contributions, and that sum is accumulated in
+different orders across the three engines (np.add.at vs Spark partial
+aggregation vs DuckDB SUM). If a node's pre-quantization sum lands
+within one ulp of an exact quantization boundary, a last-ulp
+order-dependent difference can still flip the 9th decimal. With
+uniformly-distributed mantissas the per-node-per-iteration odds are
+~2^-52/1e-9 ≈ 1e-7; tests and the oracle pass at three scales. If it
+ever fires, compare at ``round_to - 1`` digits (coarser than the
+quantization) instead of widening the quantization itself.
 """
 
 from __future__ import annotations

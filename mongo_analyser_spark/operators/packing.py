@@ -60,6 +60,9 @@ def pack_sequences(
         "__prev", F.coalesce(F.sum("n_tokens").over(w_loc), F.lit(0))
     )
     gtot = base.groupBy("__grp").agg(F.sum("n_tokens").alias("__gtot"))
+    # global window over the BOUNDED group-total table (corpus /
+    # group_width rows, shrunk by the groupBy above) — machine-checked
+    # by plans/lint.py unbounded-global-window
     w_grp = Window.orderBy("__grp").rowsBetween(Window.unboundedPreceding, -1)
     goff = gtot.select(
         "__grp",

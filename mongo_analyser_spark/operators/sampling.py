@@ -198,6 +198,9 @@ def token_budget_select(
         F.col(weight_col).cast("bigint").alias("__w"),
     )
     hist = scored.groupBy("__score").agg(F.sum("__w").alias("lvl_w"))
+    # global window over the BOUNDED per-level histogram (upstream
+    # groupBy shrinks to the quantized score domain) — the shape
+    # plans/lint.py's unbounded-global-window check verifies
     w_prev = Window.orderBy(F.desc("__score")).rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -41,6 +41,44 @@ class Finding:
     message: str
 
 
+def _has_partitionless_spec(window_section: str) -> bool:
+    """True when any windowspecdefinition in a formatted Window node
+    section carries no partition columns. Format:
+    ``windowspecdefinition([part cols,] order col ASC NULLS FIRST ...,
+    specifiedwindowframe(...))`` — partition columns are the leading
+    args WITHOUT a sort direction, so a spec whose every arg before the
+    frame is a sort spec is global."""
+    for m in re.finditer(r"windowspecdefinition\((.*?), specifiedwindowframe", window_section):
+        args = re.split(r",(?![^(]*\))", m.group(1))
+        if all(("ASC" in a) or ("DESC" in a) for a in args if a.strip()):
+            return True
+    return False
+
+
+def _filters_reference_scan_columns(plan: str) -> bool:
+    """True when some Filter node's condition references a column that a
+    scan actually reads (base name match on `name#id` attributes vs the
+    scans' ReadSchema fields). Filters purely over derived columns
+    (HAVING over aggregates, predicates on join-computed values) can
+    never push down — they should not trip the no-pushdown warning."""
+    scan_cols: set[str] = set()
+    for m in re.finditer(r"ReadSchema: struct<([^\n]*)", plan):
+        for field in m.group(1).rstrip(">").split(","):
+            name = field.split(":")[0].strip()
+            if name:
+                scan_cols.add(name)
+    for section in re.split(r"\n\n", plan):
+        if not re.match(r"\(\d+\) Filter\b", section.strip()):
+            continue
+        cond = re.search(r"Condition : (.*)", section)
+        if not cond:
+            continue
+        refs = {m.group(1) for m in re.finditer(r"(\w+)#\d+", cond.group(1))}
+        if refs & scan_cols:
+            return True
+    return False
+
+
 def lint_plan(df: DataFrame) -> list[Finding]:
     """Inspect a DataFrame's physical plan for scale hazards.
 
@@ -107,20 +145,70 @@ def lint_plan(df: DataFrame) -> list[Finding]:
             )
         )
 
+    # A partition-less window moves ALL input rows to one task — fine
+    # when the input is provably shrunk (an aggregate or limit sits
+    # below it), catastrophic over a fact table. Postorder ids again: a
+    # shrinking node (any aggregate — even a partial one bounds output
+    # by distinct keys — or any limit) BELOW the window always has a
+    # smaller id. A shrink in a later sibling branch can also have a
+    # smaller id — rare false negative (stays silent), never a false
+    # positive. The five package sites that run bounded global windows
+    # (queries_pipeline deciles histogram, sampling per-level prefix,
+    # packing group prefix, clustering seed row_number) all aggregate or
+    # limit upstream, so this check machine-verifies what their
+    # docstrings promise; the one DECLARED full-corpus global window
+    # (quality_deciles exact ntile twin) must pass
+    # allow={"unbounded-global-window"} explicitly.
+    shrink_ops = (
+        "HashAggregate",
+        "SortAggregate",
+        "ObjectHashAggregate",
+        "GlobalLimit",
+        "CollectLimit",
+        "LocalLimit",
+        "TakeOrderedAndProject",
+    )
+    window_ids, shrink_ids = [], []
+    for section in re.split(r"\n\n", plan):
+        head = re.match(r"\((\d+)\) (\w+)", section.strip())
+        if not head:
+            continue
+        node_id, op = int(head.group(1)), head.group(2)
+        if op in shrink_ops:
+            shrink_ids.append(node_id)
+        elif op == "Window" and _has_partitionless_spec(section):
+            window_ids.append(node_id)
+    unshrunk = [w for w in window_ids if not any(s < w for s in shrink_ids)]
+    if unshrunk:
+        findings.append(
+            Finding(
+                "error",
+                "unbounded-global-window",
+                "partition-less window whose input is not provably shrunk "
+                "(no aggregate/limit below it): every row moves to ONE "
+                "task. Partition the window, or pre-aggregate to a bounded "
+                "table first; if the input is bounded in a way the plan "
+                "can't show, pass allow={'unbounded-global-window'}.",
+            )
+        )
+
     # bare IsNotNull pushdowns are auto-derived from null-intolerant
     # predicates — their presence doesn't mean the SELECTIVE predicate
     # reached the scan
     substantive = [
         f for f in pushed_filters(df, plan=plan) if not f.startswith("IsNotNull")
     ]
-    if re.search(r"\(\d+\) Filter\b", plan) and not substantive:
+    if not substantive and _filters_reference_scan_columns(plan):
         findings.append(
             Finding(
                 "warning",
                 "no-pushdown",
-                "the plan filters rows but the scans pushed no predicates: "
-                "every file is read in full. Check for casts/UDFs wrapping "
-                "the filter column — they block parquet pushdown.",
+                "the plan filters on scan-level columns but the scans "
+                "pushed no predicates: every file is read in full. Check "
+                "for casts/UDFs wrapping the filter column — they block "
+                "parquet pushdown. (Filters only over derived columns — "
+                "post-aggregation HAVING, join-output predicates — are "
+                "expected to push nothing and don't trigger this.)",
             )
         )
 

@@ -1697,7 +1697,8 @@ def _morton_oracle_sql() -> str:
         for i in range(16)
     )
     return f"""
-WITH b AS (SELECT event_id, {bx} AS bx, {by} AS by FROM events)
+WITH b AS (SELECT event_id, {bx} AS bx, {by} AS by FROM events
+           WHERE user_id IS NOT NULL AND value IS NOT NULL)
 SELECT event_id, CAST({terms} AS BIGINT) AS z
 FROM b ORDER BY z, event_id LIMIT 100
 """
@@ -1712,10 +1713,15 @@ def q_zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket scale constants are shared Python-float literals); top-100 by
     key is TakeOrdered.  The write-path test (tests/test_zorder.py)
     proves the layout actually tightens per-file min/max spans on BOTH
-    dimensions."""
+    dimensions.  NULL inputs are filtered before keying (both engines):
+    a NULL dimension would make z NULL, and Spark sorts NULLs first
+    while DuckDB sorts them last — the top-100 multisets would diverge
+    on the first NULL row."""
     from mongo_analyser_spark.sinks.zorder import bucket16, morton_key
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
     x = bucket16(F.col("user_id"), 0.0, 4095.0)
     y = bucket16(F.col("value"), 0.0, 1000.0)
     return (
@@ -2433,7 +2439,6 @@ WINDOW_QUERIES = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q21_waiting_suppliers",
-    "join_semi_customers_with_orders",
     "kmeans_step_embeddings",
     "join_range_part_lineitem",
     "asof_join_events_signup",
@@ -2456,18 +2461,25 @@ WINDOW_QUERIES = (
     "fingerprint_documents",
     "dedup_exact_documents",
     "dedup_minhash_pairs_documents",
-    "decontaminate_documents",
-    "simhash_documents",
     "embedding_near_dup_pairs",
     "embedding_dedup_clusters",
     "ann_srp_topk_embeddings",
     "multimodal_metadata_documents",
     "tumbling_hourly_events",
     "similarity_topk_embeddings",
-    "session_window_users",
-    "late_data_drop_events",
     "pack_sequences_documents",
     "dedup_first_event_per_user_type",
+    # round-7 rotation (verdict-r6 #6): the round-7 flagships (BPE token
+    # math) come IN, plus the three registry families that had never
+    # appeared in an external CORRECTNESS_rN (time-rollup, salted-agg,
+    # HLL sketch twin — the last is rows-only by design and the driver
+    # records the weaker check, which is the point: every declared
+    # rows-only row should be externally observed at least once)
+    "bpe_token_counts_documents",
+    "token_budget_select_bpe_documents",
+    "time_rollup_events",
+    "salted_user_event_totals",
+    "field_stats_events_hll",
 )
 
 # Near-duplicates of an already-in-window sibling ride the tail (still
@@ -2502,6 +2514,19 @@ WINDOW_QUERIES = (
 #   user_totals_events        — ST5 stateful family keeps
 #                               dedup_first_event_per_user_type
 TAIL_QUERIES = (
+    # round-7 rotation: r6-driver-green family members move out to make
+    # room (all still judge/tool-checked via the full registry):
+    #   decontaminate_documents — LSH variant; exact-ngram twin stays in
+    #   simhash_documents       — signature stage; pairs twin rides tail
+    #   session_window_users / late_data_drop_events — ST3/ST4, green in
+    #     CORRECTNESS_r06; tumbling + dedup_first keep ST coverage
+    #   join_semi_customers_with_orders — J3, green in r06; q21/q22
+    #     exercise semi/anti shapes in-window
+    "decontaminate_documents",
+    "simhash_documents",
+    "session_window_users",
+    "late_data_drop_events",
+    "join_semi_customers_with_orders",
     "binary_conversion_documents",
     "bytes_human_documents",
     # late-round-6 rotation: S3/P4/A4-adjacent family members whose
@@ -2558,12 +2583,9 @@ TAIL_QUERIES = (
     "q20_excess_share_suppliers",
     "corpus_build_documents",
     "simhash_pairs_documents",
-    # A12 family rep in-window is grouping_sets_orders
-    "time_rollup_events",
-    # J2 equi-join family rep in-window is q3/q10
-    "salted_user_event_totals",
+    # (time_rollup / salted_user_event_totals / field_stats_events_hll
+    # rotated IN-window by the round-7 curation)
     # sketch variants: rows-only by design, exact twins are in-window
-    "field_stats_events_hll",
     "value_percentiles_events_approx",
     # sampling family rep in-window is sample_events_deterministic
     "dataset_split_documents",

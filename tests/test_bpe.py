@@ -1,0 +1,145 @@
+"""BPE token math (functions/bpe.py): hand-computed truth tables for the
+merge/encode loop, training determinism on a toy corpus, fixture pinning,
+and exact three-way parity (Arrow mapInPandas == unrolled Column chain ==
+hand encode) on the documents table."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from mongo_analyser_spark.functions import bpe
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- pure-python truth tables --------------------------------------------
+
+
+def test_merge_word_left_to_right_no_rescan():
+    # "aaa" under (a,a): leftmost pair merges, no rescan of the output
+    assert bpe._merge_word(tuple("aaa"), "a", "a") == ("aa", "a")
+    assert bpe._merge_word(tuple("aaaa"), "a", "a") == ("aa", "aa")
+    assert bpe._merge_word(tuple("abab"), "a", "b") == ("ab", "ab")
+    assert bpe._merge_word(tuple("xy"), "a", "b") == ("x", "y")
+
+
+def test_encode_word_rank_order():
+    merges = [("a", "b"), ("ab", "c"), ("d", "e")]
+    assert bpe.encode_word("abcde", merges) == ("abc", "de")
+    assert bpe.encode_word("abcd", merges) == ("abc", "d")
+    assert bpe.encode_word("ab", merges) == ("ab",)
+    assert bpe.encode_word("ba", merges) == ("b", "a")
+    assert bpe.encode_word("", merges) == ()
+    # single char: no pair ever applies
+    assert bpe.encode_word("a", merges) == ("a",)
+
+
+def test_train_bpe_toy_corpus_deterministic(spark):
+    # 'abab' x3, 'ab' x2: pair (a,b) dominates (8 occurrences), then
+    # (ab,ab) appears 3 times; ties break lexicographically
+    df = spark.createDataFrame(
+        [("abab abab ab",), ("abab ab",)], ["text"]
+    )
+    merges = bpe.train_bpe(df, "text", num_merges=3)
+    assert merges[0] == ("a", "b")
+    assert merges[1] == ("ab", "ab")
+    # after those two merges no pair reaches min_pair_count=2:
+    # words are now ('abab',) x3 and ('ab',) x2 — training stops early
+    assert len(merges) == 2
+    again = bpe.train_bpe(df, "text", num_merges=3)
+    assert again == merges
+
+
+def test_fixture_merge_table_is_what_train_produces(spark):
+    """The committed table IS train_bpe's output on sf0.001 documents —
+    re-derive it so fixture drift (or a regenerated testdata set that
+    changes word stats) fails loudly here, not in the driver's oracle."""
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    merges = bpe.train_bpe(docs, "text", num_merges=64)
+    assert merges == bpe.load_fixture_merges()
+
+
+def test_fixture_alphabet_excludes_separators():
+    for a, b in bpe.load_fixture_merges():
+        assert bpe.SEP not in a + b and bpe.WORDSEP not in a + b
+
+
+# --- three-way path parity ------------------------------------------------
+
+
+def test_arrow_expr_and_python_paths_agree(spark):
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    merges = bpe.load_fixture_merges()
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    arrow = {
+        r["doc_id"]: r["n_bpe"]
+        for r in bpe.with_bpe_token_count(docs, "text", merges).collect()
+    }
+    seg = docs.select(
+        "doc_id", bpe.bpe_segment_expr("text", merges).alias("seg")
+    )
+    expr = {
+        r["doc_id"]: r["n"]
+        for r in seg.select(
+            "doc_id", bpe.bpe_count_from_segmented("seg").alias("n")
+        ).collect()
+    }
+    assert arrow == expr
+    # spot-check 5 docs against the pure-python encoder
+    for r in docs.limit(5).collect():
+        want = sum(
+            len(bpe.encode_word(w, merges)) for w in r["text"].split(" ") if w
+        )
+        assert arrow[r["doc_id"]] == want
+
+
+def test_edge_rows_empty_null_single(spark):
+    merges = [("a", "b")]
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "a"), (4, "ab ab"), (5, "b a")],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: r["n_bpe"]
+        for r in bpe.with_bpe_token_count(df, "text", merges).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1, 4: 2, 5: 2}
+    # the Column twin agrees on the non-null rows (expr path returns 0 for
+    # '' via empty segmented string; NULL text propagates NULL — the
+    # Arrow path's 0-for-NULL is the operator contract, pinned above)
+    seg = df.where("text IS NOT NULL").select(
+        "id", bpe.bpe_segment_expr("text", merges).alias("s")
+    )
+    expr = {
+        r["id"]: r["n"]
+        for r in seg.select("id", bpe.bpe_count_from_segmented("s").alias("n")).collect()
+    }
+    assert expr == {1: 0, 3: 1, 4: 2, 5: 2}
+
+
+def test_segment_expr_shape(spark):
+    merges = [("a", "b"), ("c", "c")]
+    df = spark.createDataFrame([("ab cc abc",)], ["text"])
+    seg = df.select(bpe.bpe_segment_expr("text", merges).alias("s")).collect()[0]["s"]
+    # every char (including the word-boundary '~') carries a SEP suffix;
+    # the count helper subtracts one per '~'
+    assert seg == "ab|~|cc|~|ab|c|"
+
+
+def test_plan_is_arrow_batched_not_row_udf(spark):
+    """The scale path must be MapInPandas (Arrow), never BatchEvalPython."""
+    from mongo_analyser_spark.plans.inspect import formatted_plan
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    df = bpe.with_bpe_token_count(docs, "text", bpe.load_fixture_merges())
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan

@@ -75,6 +75,84 @@ def test_pushdown_detection(spark):
     assert "no-pushdown" in codes(lint_plan(opaque), "warning")
 
 
+def test_unbounded_global_window_is_error(spark):
+    """A partition-less window straight over a fact table moves every
+    row to one task — error-level (verdict-r6 #2)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, SF, "events")
+    bad = ev.withColumn("rn", F.sum("value").over(Window.orderBy("ts")))
+    assert "unbounded-global-window" in codes(lint_plan(bad), "error")
+    with pytest.raises(ValueError, match="unbounded-global-window"):
+        assert_scale_safe(bad)
+    assert_scale_safe(bad, allow={"unbounded-global-window"})
+
+
+def test_partitioned_window_is_not_flagged(spark):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, SF, "events")
+    ok = ev.withColumn(
+        "rn", F.sum("value").over(Window.partitionBy("user_id").orderBy("ts"))
+    )
+    assert "unbounded-global-window" not in codes(lint_plan(ok))
+
+
+def test_bounded_global_window_is_silent(spark):
+    """A global window whose input is provably shrunk (aggregate or
+    limit below it) is the acceptable shape — the machine check for what
+    the five package sites' docstrings promise."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, SF, "events")
+    # shrunk by aggregation: cumulative count over a per-type histogram
+    hist = ev.groupBy("event_type").count()
+    cum = hist.withColumn(
+        "cum", F.sum("count").over(Window.orderBy("event_type"))
+    )
+    assert "unbounded-global-window" not in codes(lint_plan(cum))
+    # shrunk by limit
+    top = ev.orderBy(F.desc("value")).limit(10)
+    ranked = top.withColumn("rn", F.row_number().over(Window.orderBy("value")))
+    assert "unbounded-global-window" not in codes(lint_plan(ranked))
+
+
+def test_package_bounded_window_sites_pass_the_lint(spark):
+    """The registry queries that run bounded global windows
+    (verdict-r6 #2's five sites: deciles histogram cumulative, sampling
+    per-level prefix, packing group-level prefix, clustering seed
+    row_number) must pass assert_scale_safe as-is — their bound is now
+    machine-checked, not a docstring promise. The one DECLARED
+    full-corpus global window (quality_deciles exact ntile twin) needs
+    the explicit allow."""
+    from mongo_analyser_spark.queries import QUERIES
+
+    for name in (
+        "quality_deciles_documents_approx",
+        "token_budget_select_documents",
+        "pack_sequences_documents",
+        "kmeans_step_embeddings",
+    ):
+        assert_scale_safe(QUERIES[name](spark, SF))
+
+    exact = QUERIES["quality_deciles_documents"](spark, SF)
+    with pytest.raises(ValueError, match="unbounded-global-window"):
+        assert_scale_safe(exact)
+    assert_scale_safe(exact, allow={"unbounded-global-window"})
+
+
+def test_having_filter_does_not_trip_no_pushdown(spark):
+    """ADVICE r6: a post-aggregation HAVING filter can never push down —
+    it must not produce the no-pushdown warning (q11-style shape)."""
+    ev = load_table(spark, SF, "events")
+    having = (
+        ev.groupBy("event_type")
+        .agg(F.sum("value").alias("total"))
+        .filter(F.col("total") > 100)
+    )
+    assert "no-pushdown" not in codes(lint_plan(having))
+
+
 def test_subquery_limit_does_not_mask_global_sort(spark):
     """Review finding: a limit INSIDE the plan (subquery top-k) must not
     suppress the warning for an unrelated unbounded global sort above

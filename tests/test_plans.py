@@ -370,3 +370,28 @@ def test_retention_joins_stay_keyed(spark):
     plan = formatted_plan(q)
     assert "CartesianProduct" not in plan
     assert num_exchanges(q) <= 4  # cohort agg, distinct, rollup, sort
+
+
+def test_bpe_counts_arrow_stage_zero_join_shuffles(spark):
+    """The BPE count is a map-side Arrow stage fused over the scan: no
+    joins, no aggregates — the only exchange is the doc_id output sort.
+    Must be MapInPandas (broadcast merge table), never BatchEvalPython."""
+    q = QUERIES["bpe_token_counts_documents"](spark, SF)
+    plan = formatted_plan(q)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert num_exchanges(q) == 1  # output sort only
+
+
+def test_token_budget_bpe_keeps_two_level_prefix_shape(spark):
+    """Swapping the weight column for the BPE Arrow count must not
+    change the budget operator's shape: no cartesian products, the
+    boundary-level window still partitioned (no unbounded global
+    window over the corpus — the only partition-less window runs over
+    the bounded per-level histogram)."""
+    q = QUERIES["token_budget_select_bpe_documents"](spark, SF)
+    plan = formatted_plan(q)
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -17,11 +17,30 @@ import re
 
 
 def baseline_rows(path: str = "BASELINE.md") -> dict[str, float]:
+    """Parse BASELINE.md's `| name | sf | seconds |` rows. Any pipe row
+    whose first cell looks like a query name but that fails the strict
+    shape is REPORTED (not silently dropped) so a future format drift
+    degrades loudly instead of weakening the comparison to 'no baseline
+    row'."""
     rows: dict[str, float] = {}
+    unparsed: list[str] = []
     for line in open(path):
-        m = re.match(r"\| (\w+) \| [\d.]+ \| ([\d.]+)", line)
+        m = re.match(r"\| ([\w.-]+) \| [\d.]+ \| ([\d.]+)", line)
         if m:
             rows[m.group(1)] = float(m.group(2))
+            continue
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        looks_like_data = (
+            line.startswith("|")
+            and len(cells) >= 3
+            and re.fullmatch(r"[\w.-]+", cells[0] or "")
+            and not set(cells[1]) <= {"-", ":", " ", ""}  # not a rule row
+            and any(re.fullmatch(r"[\d.]+", c) for c in cells[1:])
+        )
+        if looks_like_data and cells[0] not in ("name", "query"):
+            unparsed.append(line.rstrip())
+    for line in unparsed:
+        print(f"  WARNING: baseline row failed to parse: {line}")
     return rows
 
 
