@@ -91,6 +91,19 @@ def _build_parser() -> argparse.ArgumentParser:
     p_li.add_argument("--out", default=None, help="output path (default: stdout)")
     p_li.add_argument("--strict", action="store_true",
                       help="exit 1 on any error-level finding")
+
+    p_tk = sub.add_parser(
+        "tokens",
+        help="token accounting for a text column: whitespace vs "
+        "tokenizer-exact BPE counts (the training-budget numbers)",
+    )
+    add_common(p_tk)
+    p_tk.add_argument("--text-col", default="text")
+    p_tk.add_argument(
+        "--train-merges", type=int, default=None,
+        help="train a fresh merge table of this size on the collection "
+        "instead of using the committed fixture",
+    )
     return parser
 
 
@@ -193,6 +206,60 @@ def cmd_lint(args, spark) -> dict:
     return payload
 
 
+def cmd_tokens(args, spark) -> dict:
+    """Corpus token accounting: one aggregate over the Arrow BPE stage —
+    the pre-flight a token-budgeted curation run starts from."""
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.functions.bpe import (
+        load_fixture_merges,
+        train_bpe,
+        with_bpe_token_count,
+    )
+    from mongo_analyser_spark.functions.text import token_count
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    df = load_table(spark, args.data, args.collection)
+    if args.train_merges:
+        merges = train_bpe(df, args.text_col, num_merges=args.train_merges)
+    else:
+        merges = load_fixture_merges()
+    counted = with_bpe_token_count(
+        df.select(
+            token_count(args.text_col).cast("long").alias("n_ws"),
+            F.col(args.text_col),
+        ),
+        args.text_col,
+        merges,
+        "n_bpe",
+    )
+    row = counted.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_ws").alias("ws_tokens"),
+        F.sum("n_bpe").alias("bpe_tokens"),
+        F.max("n_bpe").alias("max_doc_bpe_tokens"),
+    ).collect()[0]
+    payload = {
+        "collection": args.collection,
+        "text_col": args.text_col,
+        "merge_table": (
+            f"trained({args.train_merges})" if args.train_merges else "fixture"
+        ),
+        "num_merges": len(merges),
+        "docs": row["docs"],
+        "ws_tokens": row["ws_tokens"],
+        "bpe_tokens": row["bpe_tokens"],
+        "bpe_to_ws_ratio": (
+            round(row["bpe_tokens"] / row["ws_tokens"], 4)
+            if row["ws_tokens"]
+            else None
+        ),
+        "max_doc_bpe_tokens": row["max_doc_bpe_tokens"],
+    }
+    _emit(payload, args.out)
+    return payload
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     from mongo_analyser_spark import get_spark
@@ -200,7 +267,7 @@ def main(argv: list[str] | None = None) -> int:
     try:
         spark = get_spark("mongo_analyser_spark_cli", cpus=args.cpus)
         {"analyze": cmd_analyze, "export": cmd_export, "stats": cmd_stats,
-         "lint": cmd_lint}[
+         "lint": cmd_lint, "tokens": cmd_tokens}[
             args.command
         ](args, spark)
     except SystemExit:

@@ -183,6 +183,49 @@ def with_bpe_token_count(
     return df.mapInPandas(run, schema=schema)
 
 
+def with_bpe_tokens(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "bpe_tokens",
+    count_col: str = "n_bpe",
+) -> DataFrame:
+    """Append the full token SEQUENCE (space-joined surface strings) and
+    its length — the encode twin of ``with_bpe_token_count``, same Arrow
+    shape and broadcast merge table, with the per-task memo caching the
+    encoded tuple instead of just its length."""
+    bc = df.sparkSession.sparkContext.broadcast(list(merges))
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
+    schema = f"{fields}, `{out_col}` string, `{count_col}` bigint"
+
+    def run(batches):
+        m = [tuple(p) for p in bc.value]
+        memo: dict[str, tuple[str, ...]] = {}
+
+        def enc(text):
+            if text is None:
+                return "", 0
+            toks: list[str] = []
+            for w in text.split(" "):
+                if not w:
+                    continue
+                t = memo.get(w)
+                if t is None:
+                    t = encode_word(w, m)
+                    memo[w] = t
+                toks.extend(t)
+            return " ".join(toks), len(toks)
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            enc_pairs = [enc(t) for t in pdf[text_col]]
+            pdf[out_col] = [p[0] for p in enc_pairs]
+            pdf[count_col] = [p[1] for p in enc_pairs]
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
 # --- pure-Column twin (the oracle-able unrolled form) ---------------------
 
 

@@ -2625,6 +2625,12 @@ TAIL_QUERIES = (
     # round-6 (cont.): Lee et al. exact-substring (fixed-n gram-join)
     # boilerplate removal — rebuilds docs without repeated spans
     "remove_repeated_ngrams_documents",
+    # round-7: the variable-length span generalization (interval union
+    # of overlapping/adjacent occurrences before excision)
+    "remove_repeated_spans_documents",
+    # round-7: full BPE encode twin (token SEQUENCE hash-verified; the
+    # count flagship bpe_token_counts rides in-window)
+    "bpe_encode_documents",
     # round-6 (cont.): event-sequence analytics — ordered funnel with
     # per-stage 24h anchors, and the day-cohort retention triangle
     "funnel_conversion_events",

@@ -883,6 +883,65 @@ def q_remove_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_ngrams(docs, n=5, min_docs=2).orderBy("doc_id")
 
 
+@register(
+    "remove_repeated_spans_documents",
+    """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+g AS MATERIALIZED (
+  SELECT doc_id, j AS s, j + 7 AS e,
+         list_reduce(list_slice(t, j, j+7), (a,b) -> a||' '||b) AS gram
+  FROM toks, LATERAL unnest(generate_series(1, len(t)-7)) AS u(j)
+  WHERE len(t) >= 8),
+rep AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+occ AS (SELECT g.doc_id, g.s, g.e FROM g JOIN rep USING (gram)),
+marked AS (
+  SELECT doc_id, s, e,
+    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         THEN 1 ELSE 0 END AS ni
+  FROM occ),
+isl AS (SELECT *, SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+          ROWS UNBOUNDED PRECEDING) AS isl FROM marked),
+spans AS MATERIALIZED (
+  SELECT doc_id, isl, MIN(s) AS span_s, MAX(e) AS span_e
+  FROM isl GROUP BY doc_id, isl),
+tok AS (SELECT doc_id, i, t[i] AS tk
+        FROM toks, LATERAL unnest(generate_series(1, len(t))) AS w(i)),
+kept AS (SELECT tok.doc_id, tok.i, tok.tk FROM tok
+         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                           WHERE sp.doc_id = tok.doc_id
+                             AND tok.i BETWEEN sp.span_s AND sp.span_e)),
+ka AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS cleaned,
+              count(*) AS n_kept
+       FROM kept GROUP BY doc_id),
+ss AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+              CAST(SUM(span_e - span_s + 1) AS BIGINT) AS n_removed
+       FROM spans GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(ka.cleaned, '') AS cleaned_text,
+  CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(ss.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(COALESCE(ss.n_removed, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN ka USING (doc_id) LEFT JOIN ss USING (doc_id)
+ORDER BY d.doc_id
+""",
+)
+def q_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length repeated-substring removal (verdict-r6 #7 — the
+    full Lee et al. long-substring semantics): 8-gram collision probe,
+    per-doc interval UNION into maximal spans (adjacent/overlapping
+    occurrences merge), span-range anti-join rebuild. The coverage
+    merge is plain interval-union SQL, so the whole operator — spans
+    included — hash-oracles. See operators/dedup.remove_repeated_spans
+    for the keyed-shuffle scale shape (occurrences are 2 ints per hit,
+    never n rows per gram)."""
+    from mongo_analyser_spark.operators.dedup import remove_repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_repeated_spans(docs, n=8, min_docs=2).orderBy("doc_id")
+
+
 PR_ITERS = 5
 
 
@@ -1904,6 +1963,47 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         with_bpe_token_count(base, "text", load_fixture_merges(), "n_bpe")
         .select("doc_id", "n_ws", "n_bpe")
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_encode_sql() -> str:
+    """The token SEQUENCE from the segmented string: split on SEP, drop
+    boundary markers and empties — exactly the surface tokens the Arrow
+    encoder emits, space-joined."""
+    from mongo_analyser_spark.functions.bpe import (
+        bpe_count_sql,
+        bpe_segment_sql,
+        load_fixture_merges,
+    )
+
+    seg = bpe_segment_sql("text", load_fixture_merges())
+    return f"""
+WITH seg AS (SELECT doc_id, {seg} AS s FROM documents)
+SELECT doc_id,
+  array_to_string(list_filter(string_split(s, '|'),
+                              x -> x <> '~' AND x <> ''), ' ') AS bpe_tokens,
+  {bpe_count_sql("s")} AS n_bpe
+FROM seg ORDER BY doc_id
+"""
+
+
+@register("bpe_encode_documents", _bpe_encode_sql())
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE ENCODING (token sequence, not just the count): the Arrow
+    encoder emits each document's surface-token sequence space-joined,
+    and the oracle reconstructs the identical sequence from the
+    replace-chain segmented form — so the tokenizer's actual output, the
+    thing a training pipeline materializes, is hash-verified."""
+    from mongo_analyser_spark.functions.bpe import (
+        load_fixture_merges,
+        with_bpe_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_bpe_tokens(docs.select("doc_id", "text"), "text", load_fixture_merges())
+        .select("doc_id", "bpe_tokens", "n_bpe")
         .orderBy("doc_id")
     )
 

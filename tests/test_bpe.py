@@ -133,6 +133,40 @@ def test_segment_expr_shape(spark):
     assert seg == "ab|~|cc|~|ab|c|"
 
 
+def test_encode_tokens_match_segmented_expr(spark):
+    """with_bpe_tokens' sequence == the token list reconstructed from
+    the segmented Column form, and its count column == the count path."""
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    merges = bpe.load_fixture_merges()
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(50)
+    arrow = {
+        r["doc_id"]: (r["bpe_tokens"], r["n_bpe"])
+        for r in bpe.with_bpe_tokens(docs, "text", merges).collect()
+    }
+    seg = docs.select("doc_id", bpe.bpe_segment_expr("text", merges).alias("s"))
+    expr = {
+        r["doc_id"]: (r["t"], r["n"])
+        for r in seg.select(
+            "doc_id",
+            F.array_join(
+                F.filter(
+                    F.split("s", r"\|"),
+                    lambda x: (x != bpe.WORDSEP) & (x != ""),
+                ),
+                " ",
+            ).alias("t"),
+            bpe.bpe_count_from_segmented("s").alias("n"),
+        ).collect()
+    }
+    assert arrow == expr
+    # count twin agrees with the sequence length
+    for toks, n in arrow.values():
+        assert n == len([t for t in toks.split(" ") if t])
+
+
 def test_plan_is_arrow_batched_not_row_udf(spark):
     """The scale path must be MapInPandas (Arrow), never BatchEvalPython."""
     from mongo_analyser_spark.plans.inspect import formatted_plan

@@ -81,3 +81,18 @@ def test_cli_lint_reports_findings(tmp_path):
     # unknown query exits non-zero with the error on stderr
     r3 = run_cli("lint", "--data", SF, "--query", "nope")
     assert r3.returncode != 0
+
+
+def test_cli_tokens_reports_ws_and_bpe_budgets(tmp_path):
+    out = tmp_path / "tokens.json"
+    r = run_cli(
+        "tokens", "--data", SF, "--collection", "documents", "--out", str(out)
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(out.read_text())
+    assert payload["docs"] == 500
+    assert payload["merge_table"] == "fixture"
+    # the committed 64-merge table tokenizes this corpus ~1.77x denser
+    # than whitespace — the budget gap the subcommand exists to expose
+    assert payload["bpe_tokens"] > payload["ws_tokens"] > 0
+    assert 1.0 < payload["bpe_to_ws_ratio"] < 3.0

@@ -408,3 +408,74 @@ def test_remove_repeated_ngrams_hand_checked(spark):
     assert got[2].cleaned_text == "q r s t u"
     assert got[3].cleaned_text == "k l m n o p j h g f"
     assert got[3].n_kept == 10
+
+
+def test_remove_repeated_spans_merges_overlapping_windows(spark):
+    """A 7-token block repeated across docs, probed with n=5: the
+    overlapping 5-gram occurrences (positions 2,3,4 in doc 1) must merge
+    into ONE maximal span covering the whole block — the variable-length
+    semantics fixed-n windows can't express — and the span stats must
+    count one span of 7 tokens, not three windows."""
+    from mongo_analyser_spark.operators.dedup import remove_repeated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "x a b c d e f g y z"),
+            (2, "a b c d e f g q r s"),
+            (3, "k l m n o p j h w v"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in remove_repeated_spans(df, n=5).collect()}
+    assert got[1].cleaned_text == "x y z"
+    assert got[1].n_spans == 1 and got[1].n_removed == 7
+    assert got[2].cleaned_text == "q r s"
+    assert got[2].n_spans == 1 and got[2].n_removed == 7
+    # untouched doc round-trips
+    assert got[3].cleaned_text == "k l m n o p j h w v"
+    assert got[3].n_spans == 0 and got[3].n_removed == 0
+    # invariant: kept + removed == total
+    for r in got.values():
+        assert len([t for t in r.cleaned_text.split(" ") if t]) == (
+            r.n_tokens - r.n_removed
+        )
+
+
+def test_remove_repeated_spans_adjacent_spans_merge(spark):
+    """Two repeated 5-gram blocks that sit token-ADJACENT in one doc
+    (no gap) merge into a single span there, while a doc carrying them
+    with a gap keeps two distinct spans."""
+    from mongo_analyser_spark.operators.dedup import remove_repeated_spans
+
+    df = spark.createDataFrame(
+        [
+            # blocks A=(a b c d e) and B=(p q r s t) adjacent
+            (1, "a b c d e p q r s t"),
+            # A ... gap ... B
+            (2, "a b c d e x y z w a p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in remove_repeated_spans(df, n=5).collect()}
+    assert got[1].n_spans == 1 and got[1].n_removed == 10
+    assert got[1].cleaned_text == ""
+    assert got[2].n_spans == 2 and got[2].n_removed == 10
+    assert got[2].cleaned_text == "x y z w a"
+
+
+def test_repeated_tier_plans_stay_keyed(spark):
+    """The hashed-gram rewrite must keep every stage keyed: no cartesian
+    products, and the gram shuffle key must be LONG (xxhash64), not the
+    n-gram string."""
+    from mongo_analyser_spark.operators.dedup import (
+        remove_repeated_ngrams,
+        remove_repeated_spans,
+    )
+    from mongo_analyser_spark.plans.inspect import formatted_plan
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for op in (remove_repeated_ngrams, remove_repeated_spans):
+        plan = formatted_plan(op(docs))
+        assert "CartesianProduct" not in plan
+        assert "xxhash64" in plan

@@ -372,6 +372,20 @@ def test_retention_joins_stay_keyed(spark):
     assert num_exchanges(q) <= 4  # cohort agg, distinct, rollup, sort
 
 
+def test_remove_repeated_spans_no_window_no_per_position_rows(spark):
+    """The span remover's interval union runs as an aggregate fold
+    inside the row, not as a doc-partitioned window, and the rebuild is
+    an array expression — the plan must carry no Window node, no
+    cartesian product, and shuffle gram HASHES (xxhash64), bounding the
+    shuffles to the three keyed probe stages + output sort."""
+    q = QUERIES["remove_repeated_spans_documents"](spark, SF)
+    plan = formatted_plan(q)
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan
+    assert " Window" not in plan
+    assert num_exchanges(q) <= 5
+
+
 def test_bpe_counts_arrow_stage_zero_join_shuffles(spark):
     """The BPE count is a map-side Arrow stage fused over the scan: no
     joins, no aggregates — the only exchange is the doc_id output sort.

@@ -33,6 +33,16 @@ HEADLINE = [
     "dynamic_schema_histogram_events",
     "corpus_build_documents",
     "window_top3_orders_per_customer",
+    # round-6/7 heavy tier (verdict-r6 #5): the iterative / gram-join /
+    # Arrow-stage families, probed by default so every round's SCALE.md
+    # step table includes them
+    "remove_repeated_ngrams_documents",
+    "remove_repeated_spans_documents",
+    "semantic_dedup_embeddings",
+    "kmeans_step_embeddings",
+    "pagerank_near_dup",
+    "bpe_token_counts_documents",
+    "token_budget_select_bpe_documents",
 ]
 
 
