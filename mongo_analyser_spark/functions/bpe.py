@@ -31,10 +31,20 @@ pre-existing tokens can never newly appear (a merge only removes their
 occurrences). Within one merge, `replace` consumes occurrences
 left-to-right without rescanning the replacement — exactly the
 single-pass semantics `_merge_word` implements, so "aaa" under (a,a)
-yields [aa, a] in both. (Caveat, documented not hit: if two DIFFERENT
-merges produce the SAME surface string, string identity conflates them;
-both paths here use surface-string identity, so they still agree with
-each other.)
+yields [aa, a] in both.
+
+Why boundaries are DOUBLE separators ("||tok||tok||"): each boundary
+carries two SEPs and the pattern `|a||b|` consumes exactly one from
+each side. A single-separator form is UNSOUND in two dual ways the
+property test (tests/test_property.py) exposes: with trailing-only
+separators the pattern "b|b|" can match a token's proper SUFFIX across
+a boundary (word "abb" under [(a,b),(b,b)] would collapse to "abb"
+instead of [ab, b]); with single wrapped separators two consecutive
+matches SHARE a pipe, so "aaaa" under (a,a) would miss its second
+merge. The double-pipe form leaves one pipe for the neighbor match
+while still anchoring both token edges, and the equivalence holds for
+arbitrary merge tables — property-tested against `encode_word` on
+random words and adversarial tables, not just the trained fixture.
 
 Token alphabet: the caller passes text whose words are drawn from
 [a-z0-9]+ (``functions.text.normalize_text`` output — the testdata's
@@ -231,41 +241,56 @@ def with_bpe_tokens(
 
 def bpe_segment_expr(col: Column | str, merges: list[tuple[str, str]]) -> Column:
     """The segmented-string form after all merges, as ONE Column
-    expression: spaces -> WORDSEP, every char suffixed with SEP, then
-    one literal `replace('a|b|' -> 'ab|')` per merge in rank order.
-    Materialize it via .alias(...) in its own projection before counting
-    so the chain is evaluated once (CollapseProject keeps non-cheap
-    expressions from being inlined into multiple consumers)."""
+    expression: spaces -> WORDSEP, every char suffixed with a DOUBLE
+    SEP and the string prefixed with one ("||a||b||"), then one literal
+    `replace('|a||b|' -> '|ab|')` per merge in rank order (see module
+    doc for why boundaries must be double). Materialize it via
+    .alias(...) in its own projection before counting so the chain is
+    evaluated once (CollapseProject keeps non-cheap expressions from
+    being inlined into multiple consumers)."""
     c = F.col(col) if isinstance(col, str) else col
-    s = F.regexp_replace(F.replace(c, F.lit(" "), F.lit(WORDSEP)), "(.)", "$1" + SEP)
+    s = F.concat(
+        F.lit(SEP + SEP),
+        F.regexp_replace(
+            F.replace(c, F.lit(" "), F.lit(WORDSEP)), "(.)", "$1" + SEP + SEP
+        ),
+    )
     for a, b in merges:
-        s = F.replace(s, F.lit(a + SEP + b + SEP), F.lit(a + b + SEP))
+        s = F.replace(
+            s, F.lit(SEP + a + SEP + SEP + b + SEP), F.lit(SEP + a + b + SEP)
+        )
     return s
 
 
 def bpe_count_from_segmented(seg: Column | str) -> Column:
-    """Token count from a segmented string: SEP occurrences (one per
-    token) minus WORDSEP occurrences (each boundary carries one SEP of
-    its own that is not a token)."""
+    """Token count from a segmented string "||t1||t2||...||tk||":
+    #SEP == 2*(k+1) where k counts '~' pseudo-tokens too, so
+    k_real = #SEP/2 - 1 - #WORDSEP (clamped at 0 for empty text, whose
+    segmented form is the bare '||' prefix)."""
     s = F.col(seg) if isinstance(seg, str) else seg
     n_sep = F.length(s) - F.length(F.replace(s, F.lit(SEP), F.lit("")))
     n_ws = F.length(s) - F.length(F.replace(s, F.lit(WORDSEP), F.lit("")))
-    return (n_sep - n_ws).cast("long")
+    return F.greatest(
+        F.lit(0).cast("long"),
+        ((n_sep / 2).cast("long") - 1 - n_ws).cast("long"),
+    )
 
 
 def bpe_segment_sql(col_sql: str, merges: list[tuple[str, str]]) -> str:
     """DuckDB twin of ``bpe_segment_expr`` — same chain, same order; use
     inside a CTE so the chain appears once in the query text."""
-    s = f"regexp_replace(replace({col_sql}, ' ', '{WORDSEP}'), '(.)', '\\1{SEP}', 'g')"
+    ss = SEP + SEP
+    s = (
+        f"'{ss}' || regexp_replace(replace({col_sql}, ' ', '{WORDSEP}'),"
+        f" '(.)', '\\1{ss}', 'g')"
+    )
     for a, b in merges:
-        s = f"replace({s}, '{a}{SEP}{b}{SEP}', '{a}{b}{SEP}')"
+        s = f"replace({s}, '{SEP}{a}{ss}{b}{SEP}', '{SEP}{a}{b}{SEP}')"
     return s
 
 
 def bpe_count_sql(seg_sql: str) -> str:
     """DuckDB twin of ``bpe_count_from_segmented``."""
-    return (
-        f"CAST((length({seg_sql}) - length(replace({seg_sql}, '{SEP}', '')))"
-        f" - (length({seg_sql}) - length(replace({seg_sql}, '{WORDSEP}', '')))"
-        " AS BIGINT)"
-    )
+    n_sep = f"(length({seg_sql}) - length(replace({seg_sql}, '{SEP}', '')))"
+    n_ws = f"(length({seg_sql}) - length(replace({seg_sql}, '{WORDSEP}', '')))"
+    return f"CAST(GREATEST(0, {n_sep} // 2 - 1 - {n_ws}) AS BIGINT)"

@@ -128,9 +128,21 @@ def test_segment_expr_shape(spark):
     merges = [("a", "b"), ("c", "c")]
     df = spark.createDataFrame([("ab cc abc",)], ["text"])
     seg = df.select(bpe.bpe_segment_expr("text", merges).alias("s")).collect()[0]["s"]
-    # every char (including the word-boundary '~') carries a SEP suffix;
-    # the count helper subtracts one per '~'
-    assert seg == "ab|~|cc|~|ab|c|"
+    # double-boundary form: every token (including the '~' pseudo-token)
+    # is wrapped in '||'; the count helper derives k = #SEP/2 - 1 - #'~'
+    assert seg == "||ab||~||cc||~||ab||c||"
+
+
+def test_segment_expr_suffix_collision_is_sound(spark):
+    """The case the single-separator form got wrong (property-test
+    find): token 'ab' ends in 'b', and the (b,b) pattern must NOT match
+    across the ab|b boundary."""
+    merges = [("a", "b"), ("b", "b")]
+    df = spark.createDataFrame([("abb", "x")], ["text", "pad"])
+    seg = df.select(bpe.bpe_segment_expr("text", merges).alias("s")).collect()[0]["s"]
+    assert seg == "||ab||b||"
+    out = bpe.with_bpe_token_count(df, "text", merges).collect()[0]["n_bpe"]
+    assert out == 2 == len(bpe.encode_word("abb", merges))
 
 
 def test_encode_tokens_match_segmented_expr(spark):

@@ -205,3 +205,43 @@ def test_simhash_word_packing_matches_string_hamming(bitstrings):
                 bin(wa ^ wb).count("1") for wa, wb in zip(pack(a), pack(b))
             )
             assert packed == naive
+
+
+# --- BPE: the replace-chain == sequential-merge equivalence ---------------
+# The bpe_token_counts / bpe_encode oracles rest on functions/bpe.py's
+# claim that applying merges one-at-a-time as literal `replace` calls on
+# the separator-encoded string equals the tuple-based encoder. Python's
+# str.replace has the same left-to-right non-overlapping, no-rescan
+# semantics as Spark's and DuckDB's replace, so the claim is checkable
+# here for ARBITRARY words and merge tables — including adversarial ones
+# (self-merges like (a,a), alias pairs producing the same output string)
+# that trained tables rarely produce.
+
+bpe_token = st.text(alphabet="ab", min_size=1, max_size=4)
+
+
+@given(
+    st.text(alphabet="ab", max_size=12),
+    st.lists(st.tuples(bpe_token, bpe_token), max_size=8),
+)
+@settings(max_examples=500)
+def test_bpe_replace_chain_equals_sequential_encoder(word, merges):
+    from mongo_analyser_spark.functions import bpe
+
+    got = list(bpe.encode_word(word, merges))
+
+    # the double-boundary chain form (functions/bpe.py module doc)
+    ss = bpe.SEP + bpe.SEP
+    s = ss + "".join(c + ss for c in word)
+    for a, b in merges:
+        s = s.replace(
+            bpe.SEP + a + ss + b + bpe.SEP, bpe.SEP + a + b + bpe.SEP
+        )
+    chain = [t for t in s.split(bpe.SEP) if t]
+
+    assert got == chain
+    # token counts re-derivable from the chain form (the oracle's count)
+    n_sep = len(s) - len(s.replace(bpe.SEP, ""))
+    assert max(0, n_sep // 2 - 1) == len(got)
+    # concatenating tokens always reproduces the word
+    assert "".join(got) == word
