@@ -136,6 +136,38 @@ def normalize_text(col: Column | str) -> Column:
     return F.trim(c)
 
 
+def chunk_tokens(col: Column | str, chunk_size: int, overlap: int = 0) -> Column:
+    """Fixed-size overlapping TOKEN-window chunks — the unit a
+    context-window-bounded pipeline actually chunks by, next to the
+    char-based ``chunk_spans``. Returns
+    array<struct<tok_off int, chunk string>> with ``tok_off`` the
+    0-based token offset of each window and ``chunk`` the space-joined
+    window of up to ``chunk_size`` tokens, stride chunk_size - overlap.
+    Pure column expressions (sequence + slice + array_join) — zero
+    shuffle, fuses into the scan. Empty text yields one empty chunk at
+    offset 0 (stable row count, same contract as chunk_spans)."""
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    if overlap < 0:
+        raise ValueError("overlap must be non-negative")
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    toks = tokens(col)
+    step = chunk_size - overlap
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)
+    )
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("int").alias("tok_off"),
+            F.array_join(
+                F.slice(toks, s + 1, F.lit(chunk_size)), " "
+            ).alias("chunk"),
+        ),
+    )
+
+
 def chunk_spans(col: Column | str, chunk_size: int, overlap: int = 0) -> Column:
     """Fixed-size overlapping chunk spans over a text column — the
     precursor to per-chunk embedding in a RAG/training pipeline. Returns

@@ -805,9 +805,11 @@ def remove_repeated_ngrams(
     * the rebuild is a pure array expression on the joined-back doc:
       token i survives iff no start s has s <= i < s+n (an `exists`
       probe over the per-doc starts) — no per-token explode, no
-      coverage distinct, no anti-join. Round-7 rewrite: this replaced
-      the per-position coverage/anti-join plan and took the sf0.1 solo
-      median 3.2 s -> 0.09 s with byte-identical output.
+      coverage distinct, no anti-join. Round-7 rewrite: byte-identical
+      output with the per-position rows, the distinct, and the
+      anti-join gone (solo median 3.25 -> 2.84 s at sf0.1, where serial
+      single-file stage barriers dominate; the eliminated stages are
+      the ones that scale with corpus size — SCALE.md round-7 section).
 
     Returns (id, cleaned_text, n_tokens, n_kept) for EVERY input doc —
     untouched docs round-trip their text; a fully-covered doc yields ''.
@@ -869,6 +871,38 @@ def _repeated_gram_starts(
     )
 
 
+def merge_start_intervals(starts: Column, n: int) -> Column:
+    """Interval union as a pure `aggregate` fold: given a SORTED int
+    array of occurrence start positions (each occurrence covering
+    [s, s+n-1]), return array<struct<s int, e int>> of MAXIMAL merged
+    spans — a start extends the last span when it begins at or before
+    span_end + 1 (overlap or token-adjacency), else opens a new span.
+    Left-to-right over a sorted array, this is exactly classic interval
+    merging; tests/test_dedup.py checks it against a Python reference
+    union on seeded random start sets."""
+    empty = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+
+    def merge(acc, s):
+        last = F.element_at(acc, -1)
+        extend = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["s"].alias("s"),
+                    F.greatest(last["e"], s + n - 1).alias("e"),
+                )
+            ),
+        )
+        fresh = F.concat(
+            acc, F.array(F.struct(s.alias("s"), (s + n - 1).alias("e")))
+        )
+        return F.when((F.size(acc) > 0) & (s <= last["e"] + 1), extend).otherwise(
+            fresh
+        )
+
+    return F.aggregate(starts, empty, merge)
+
+
 def remove_repeated_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -893,37 +927,18 @@ def remove_repeated_spans(
     new one — plain left-to-right interval merging) → rebuild with an
     `exists`-over-spans probe per token. After the three keyed probe
     shuffles, span building and excision run entirely inside the row —
-    no window, no per-position rows, no anti-join (round-7 rewrite:
-    sf0.1 solo median 3.6 s -> 0.09 s, byte-identical output).
+    no window, no per-position rows, no anti-join (round-7 plan; the
+    per-doc state is O(hits), and the sf0.1 solo median is bounded by
+    serial single-file stage barriers, not data-proportional work —
+    SCALE.md round-7 section).
 
     Returns (id, cleaned_text, n_tokens, n_spans, n_removed) for EVERY
     input doc; untouched docs round-trip their text."""
     toks = tokens(F.col(text_col))
     starts = _repeated_gram_starts(docs, id_col, text_col, n, min_docs)
     j = docs.select(id_col, F.col(text_col)).join(starts, id_col, "left")
-
-    empty = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
-
-    def merge(acc, s):
-        last = F.element_at(acc, -1)
-        extend = F.concat(
-            F.slice(acc, 1, F.size(acc) - 1),
-            F.array(
-                F.struct(
-                    last["s"].alias("s"),
-                    F.greatest(last["e"], s + n - 1).alias("e"),
-                )
-            ),
-        )
-        fresh = F.concat(
-            acc, F.array(F.struct(s.alias("s"), (s + n - 1).alias("e")))
-        )
-        return F.when((F.size(acc) > 0) & (s <= last["e"] + 1), extend).otherwise(
-            fresh
-        )
-
-    spans = F.aggregate(
-        F.coalesce(F.col("starts"), F.expr("array()")), empty, merge
+    spans = merge_start_intervals(
+        F.coalesce(F.col("starts"), F.expr("array()")), n
     )
     jj = j.select(id_col, F.col(text_col), spans.alias("spans"))
     indexed = F.transform(

@@ -2631,6 +2631,12 @@ TAIL_QUERIES = (
     # round-7: full BPE encode twin (token SEQUENCE hash-verified; the
     # count flagship bpe_token_counts rides in-window)
     "bpe_encode_documents",
+    # round-7: sequence packing in tokenizer tokens (the budget twin
+    # token_budget_select_bpe rides in-window)
+    "pack_sequences_bpe_documents",
+    # round-7: token-window chunking (char-window chunk_documents is the
+    # in-window family rep)
+    "chunk_tokens_documents",
     # round-6 (cont.): event-sequence analytics — ordered funnel with
     # per-stage 24h anchors, and the day-cohort retention triangle
     "funnel_conversion_events",

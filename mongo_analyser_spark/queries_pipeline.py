@@ -1237,6 +1237,43 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_tokens_documents",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id, CAST(s / 48 AS INTEGER) AS chunk_idx, CAST(s AS INTEGER) AS tok_off,
+  array_to_string(list_slice(t, CAST(s AS INTEGER) + 1, CAST(s AS INTEGER) + 64), ' ') AS chunk
+FROM (
+  SELECT doc_id, t,
+    unnest(generate_series(0, greatest(len(t) - 1, 0), 48)) AS s
+  FROM toks)
+ORDER BY doc_id, chunk_idx
+""",
+)
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-window chunking (64-token windows, 16-token overlap) — the
+    context-window-bounded sibling of the char chunker: what a RAG /
+    training pipeline actually slices by. Same zero-shuffle shape
+    (sequence + slice + array_join fused into the scan), token offsets
+    instead of char offsets (functions/text.chunk_tokens)."""
+    from mongo_analyser_spark.functions.text import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(chunk_tokens("text", 64, 16)).alias("chunk_idx", "sp"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("sp.tok_off").alias("tok_off"),
+            F.col("sp.chunk").alias("chunk"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
     "quantize_embeddings_int8",
     """
 WITH s AS (
@@ -1676,6 +1713,53 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(
         docs, "doc_id", token_count("text"), seq_len=256, group_width=100
+    ).orderBy("doc_id")
+
+
+def _pack_bpe_sql() -> str:
+    """pack_sequences with tokenizer-exact weights: the whitespace twin's
+    single-window oracle, n_tokens swapped for the replace-chain count."""
+    from mongo_analyser_spark.functions.bpe import (
+        bpe_count_sql,
+        bpe_segment_sql,
+        load_fixture_merges,
+    )
+
+    seg = bpe_segment_sql("text", load_fixture_merges())
+    return f"""
+WITH seg AS (SELECT doc_id, {seg} AS s FROM documents),
+q AS (SELECT doc_id, {bpe_count_sql("s")} AS n_tokens FROM seg),
+c AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start_off
+      FROM q)
+SELECT doc_id, n_tokens, start_off,
+  CAST(start_off // 256 AS BIGINT) AS seq_id,
+  CAST(start_off % 256 AS BIGINT) AS seq_offset
+FROM c ORDER BY doc_id
+"""
+
+
+@register("pack_sequences_bpe_documents", _pack_bpe_sql())
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing in TOKENIZER tokens (the count a training run
+    actually packs by — completes the 'accept either count' wiring next
+    to token_budget_select_bpe): the BPE Arrow stage feeds the same
+    two-level prefix-sum packer; offsets shift wherever sub-word mass
+    (~1.78x whitespace here) moves sequence boundaries."""
+    from mongo_analyser_spark.functions.bpe import (
+        load_fixture_merges,
+        with_bpe_token_count,
+    )
+    from mongo_analyser_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = with_bpe_token_count(
+        docs.select("doc_id", "text"), "text", load_fixture_merges(), "n_bpe"
+    ).select("doc_id", "n_bpe")
+    return pack_sequences(
+        counted, "doc_id", F.col("n_bpe"), seq_len=256, group_width=100
     ).orderBy("doc_id")
 
 

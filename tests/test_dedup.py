@@ -479,3 +479,42 @@ def test_repeated_tier_plans_stay_keyed(spark):
         plan = formatted_plan(op(docs))
         assert "CartesianProduct" not in plan
         assert "xxhash64" in plan
+
+
+def test_merge_start_intervals_matches_python_union(spark):
+    """The aggregate-fold interval union vs a plain Python reference on
+    200 seeded random start sets (including empties, singletons, dense
+    runs, and exact-adjacency boundaries)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.operators.dedup import merge_start_intervals
+
+    rng = random.Random(7)
+    n = 5
+    cases = [[]] + [
+        sorted(rng.sample(range(1, 60), rng.randint(1, 20)))
+        for _ in range(199)
+    ]
+
+    def py_union(starts):
+        spans = []
+        for s in starts:
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], s + n - 1)
+            else:
+                spans.append([s, s + n - 1])
+        return [tuple(sp) for sp in spans]
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "id long, starts array<int>"
+    )
+    got = {
+        r["id"]: [(sp["s"], sp["e"]) for sp in r["spans"]]
+        for r in df.select(
+            "id", merge_start_intervals(F.col("starts"), n).alias("spans")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == py_union(c), (i, c)

@@ -167,3 +167,24 @@ def test_subquery_limit_does_not_mask_global_sort(spark):
     )
     joined = ev.join(top_users, "user_id").orderBy("value")  # unbounded sort
     assert "global-sort" in codes(lint_plan(joined), "warning")
+
+
+def test_entire_registry_is_scale_safe(spark):
+    """EVERY registered query's physical plan passes the 100-TB linter
+    with zero error-level findings — no shuffle cartesians, no
+    row-at-a-time Python UDFs, no partition-less windows over un-shrunk
+    input — except the single DECLARED full-corpus global window (the
+    exact-deciles oracle twin, whose _approx sibling is the scale
+    default). A new query that ships a cluster-killer plan fails here,
+    not on the cluster."""
+    from mongo_analyser_spark.queries import QUERIES
+
+    DECLARED = {"quality_deciles_documents": {"unbounded-global-window"}}
+    offenders = {}
+    for name, fn in QUERIES.items():
+        errs = {
+            f.code for f in lint_plan(fn(spark, SF)) if f.level == "error"
+        }
+        if errs - DECLARED.get(name, set()):
+            offenders[name] = sorted(errs)
+    assert not offenders, offenders

@@ -203,3 +203,42 @@ def test_bm25_ranks_matching_docs_first(spark):
     assert rows[0].bm25 > rows[1].bm25 > 0
     with _pytest.raises(ValueError):
         bm25_topk(df, [])
+
+
+def test_chunk_tokens_windows_and_offsets(spark):
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.functions.text import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, ""), (3, "x")], ["id", "text"]
+    )
+    rows = (
+        df.select("id", F.explode(chunk_tokens("text", 3, 1)).alias("c"))
+        .select("id", "c.tok_off", "c.chunk")
+        .collect()
+    )
+    got = {(r["id"], r["tok_off"]): r["chunk"] for r in rows}
+    # stride = 2: windows at 0, 2, 4, 6 (last is a partial tail)
+    assert got[(1, 0)] == "a b c"
+    assert got[(1, 2)] == "c d e"
+    assert got[(1, 4)] == "e f g"
+    assert got[(1, 6)] == "g"
+    # empty text -> one empty chunk at offset 0 (stable row count);
+    # split('') yields [''] so the "token" is the empty string
+    assert got[(2, 0)] == ""
+    assert got[(3, 0)] == "x"
+    assert len(got) == 6
+
+
+def test_chunk_tokens_argument_guards():
+    import pytest
+
+    from mongo_analyser_spark.functions.text import chunk_tokens
+
+    with pytest.raises(ValueError):
+        chunk_tokens("text", 0)
+    with pytest.raises(ValueError):
+        chunk_tokens("text", 4, -1)
+    with pytest.raises(ValueError):
+        chunk_tokens("text", 4, 4)
