@@ -57,6 +57,80 @@ def unigram_nll(
     )
 
 
+def bigram_nll(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: Callable[[Column], Column] = tokens,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean NLL under the corpus's own ADD-ONE-SMOOTHED
+    bigram model — one step up the CCNet ladder from ``unigram_nll``
+    (their production filter is a 5-gram KenLM; the bigram form captures
+    local word-order surprisal the unigram cannot: shuffled or
+    concatenated boilerplate scores high here even when its unigram mix
+    looks natural). P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V), so
+    token NLL = ln(c1 + V) - ln(c2 + 1) — again ln over exact integer
+    operands (engine-independent), ROUND absorbing only per-doc
+    summation order; smoothing also makes the model total and
+    cross-corpus scoring well-defined.
+
+    Plan shape: bigram explode fuses into the scan; ONE groupBy on the
+    hashed bigram (map-side combine absorbs the Zipf head); the w1
+    context counts DERIVE from that table (c1 = Σ_w2 c2 — a groupBy of
+    the already-shrunk vocab table, no second corpus pass); V is a
+    one-row broadcast; the re-join onto the bigram stream is keyed on
+    the 8-byte hash. Returns (id, n_bigrams, avg_nll) for EVERY doc —
+    docs with <2 tokens carry n_bigrams=0 and NULL avg_nll."""
+    toks = tokenizer(F.col(text_col))
+    bg_arr = F.slice(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.size(toks)),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        1,
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+    )
+    bgs = docs.select(
+        F.col(id_col), F.explode(bg_arr).alias("bg")
+    ).select(
+        id_col,
+        F.xxhash64("bg").alias("g"),
+        F.split("bg", " ")[0].alias("w1"),
+    )
+    c2 = bgs.groupBy("g", "w1").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vsize = docs.select(
+        F.explode(tokenizer(F.col(text_col))).alias("tok")
+    ).agg(F.count_distinct("tok").alias("v"))
+    scored = (
+        bgs.join(c2, ["g", "w1"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log((F.col("c1") + F.col("v")).cast("double"))
+                    - F.log((F.col("c2") + 1).cast("double"))
+                ),
+                round_to,
+            ).alias("avg_nll"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            "avg_nll",
+        )
+    )
+
+
 #: distinct-stopword gate vocabulary (Gopher's "contains at least N of a
 #: small stopword list" rule; fixed and tiny so the oracle twin can inline
 #: the same literal list)

@@ -2637,6 +2637,8 @@ TAIL_QUERIES = (
     # round-7: token-window chunking (char-window chunk_documents is the
     # in-window family rep)
     "chunk_tokens_documents",
+    # round-7: bigram-LM NLL (unigram_nll is the in-window family rep)
+    "bigram_nll_documents",
     # round-6 (cont.): event-sequence analytics — ordered funnel with
     # per-stage 24h anchors, and the day-cohort retention triangle
     "funnel_conversion_events",

@@ -181,6 +181,43 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_nll(docs).orderBy("doc_id")
 
 
+@register(
+    "bigram_nll_documents",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bgs AS (
+  SELECT doc_id, t[j] || ' ' || t[j+1] AS bg, t[j] AS w1
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(j)
+  WHERE len(t) >= 2),
+c2 AS (SELECT bg, w1, CAST(count(*) AS BIGINT) AS c2 FROM bgs GROUP BY bg, w1),
+c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+scored AS (
+  SELECT bgs.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+    ROUND(AVG(ln(CAST(c1.c1 + v.v AS DOUBLE)) - ln(CAST(c2.c2 + 1 AS DOUBLE))), 6)
+      AS avg_nll
+  FROM bgs JOIN c2 USING (bg, w1) JOIN c1 USING (w1), v
+  GROUP BY bgs.doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  s.avg_nll
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+""",
+)
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram-LM quality signal (the word-order step
+    beyond unigram_nll on the CCNet ladder; see
+    operators/quality.bigram_nll for the plan shape — one hashed-bigram
+    groupBy, context counts derived from the shrunk vocab table, V as a
+    one-row broadcast)."""
+    from mongo_analyser_spark.operators.quality import bigram_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_nll(docs).orderBy("doc_id")
+
+
 def _lang_detect_sql() -> str:
     score = {
         lang: (

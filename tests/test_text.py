@@ -242,3 +242,38 @@ def test_chunk_tokens_argument_guards():
         chunk_tokens("text", 4, -1)
     with pytest.raises(ValueError):
         chunk_tokens("text", 4, 4)
+
+
+def test_bigram_nll_hand_computed(spark):
+    """Tiny corpus where the smoothed bigram math is checkable by hand:
+    corpus = {"a b", "a b", "a c", "z"}; V = 4 (a, b, c, z);
+    bigram counts: (a b)->2, (a c)->1; context count c1(a) = 3.
+    P(b|a) = (2+1)/(3+4) = 3/7;  P(c|a) = (1+1)/(3+4) = 2/7."""
+    import math
+
+    from mongo_analyser_spark.operators.quality import bigram_nll
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "z")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_nll(df).collect()}
+    assert got[1]["n_bigrams"] == 1
+    assert got[1]["avg_nll"] == round(-math.log(3 / 7), 6)
+    assert got[2]["avg_nll"] == got[1]["avg_nll"]
+    assert got[3]["avg_nll"] == round(-math.log(2 / 7), 6)
+    # single-token doc: no bigrams, NULL score, still present
+    assert got[4]["n_bigrams"] == 0 and got[4]["avg_nll"] is None
+
+
+def test_bigram_nll_orders_shuffled_boilerplate_above_prose(spark):
+    """The signal the unigram model cannot express: a doc whose words
+    are common but whose ORDER is unusual scores higher than the
+    dominant phrasing."""
+    from mongo_analyser_spark.operators.quality import bigram_nll
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((100, "mat the on sat cat the"))  # same unigram bag
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_nll"] for r in bigram_nll(df).collect()}
+    assert got[100] > got[0]
