@@ -2639,6 +2639,9 @@ TAIL_QUERIES = (
     "chunk_tokens_documents",
     # round-7: bigram-LM NLL (unigram_nll is the in-window family rep)
     "bigram_nll_documents",
+    # round-7: the composed curation verdict (keeper x gopher x budget
+    # in one plan; each branch individually in-window or tail-verified)
+    "curation_decisions_documents",
     # round-6 (cont.): event-sequence analytics — ordered funnel with
     # per-stage 24h anchors, and the day-cohort retention triangle
     "funnel_conversion_events",

@@ -1924,6 +1924,91 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_decisions_documents",
+    f"""
+WITH k AS (SELECT min(doc_id) AS kid FROM documents GROUP BY md5(text)),
+toks AS (SELECT doc_id, text, string_split(text,' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+    COALESCE(len(t) BETWEEN 10 AND 1000
+     AND CAST(length(text) - len(t) + 1 AS DOUBLE)/len(t) BETWEEN 2 AND 12
+     AND CAST(len(list_filter(t, x -> regexp_matches(x,'^[a-zA-Z]'))) AS DOUBLE)
+         /len(t) >= 0.8
+     AND len(list_filter(list_distinct(t),
+         x -> list_contains(['the','a','of','and','is','to','in','be','that','it'], x))) >= 1
+     AND CAST(list_max(list_transform(list_distinct(t),
+         w -> len(list_filter(t, x -> x = w)))) AS DOUBLE)/len(t) <= 0.15,
+     FALSE) AS passes
+  FROM toks),
+s0 AS (SELECT doc_id, {_QUALITY_SQL} AS quality,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       FROM documents),
+t0 AS (SELECT SUM(n_tokens) AS total FROM s0),
+c0 AS (SELECT s0.*, SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM s0),
+sel AS (SELECT doc_id FROM c0, t0 WHERE cum <= total // 2)
+SELECT d.doc_id,
+  (k.kid IS NOT NULL) AS is_keeper,
+  g.passes AS passes_gopher,
+  (sel.doc_id IS NOT NULL) AS selected_by_budget,
+  (k.kid IS NOT NULL AND g.passes AND sel.doc_id IS NOT NULL) AS decision
+FROM documents d
+LEFT JOIN k ON k.kid = d.doc_id
+JOIN g USING (doc_id)
+LEFT JOIN sel USING (doc_id)
+ORDER BY d.doc_id
+""",
+)
+def q_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation VERDICT view — the three decision families composed
+    in ONE plan (what a corpus build materializes before writing the
+    training set): exact-dedup keeper flag, Gopher rule gate, and
+    token-budget selection, with the final decision their conjunction.
+    Each branch shrinks to (doc_id, flag) before the joins, so the
+    composition adds three doc-keyed joins over skinny sides to the
+    individually-verified operator plans — no branch re-shuffles the
+    corpus text."""
+    from mongo_analyser_spark.functions.text import quality_score, token_count
+    from mongo_analyser_spark.operators.dedup import exact_dedup
+    from mongo_analyser_spark.operators.quality import gopher_rules
+    from mongo_analyser_spark.operators.sampling import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = exact_dedup(docs, F.md5("text"), "doc_id").select(
+        F.col("keeper").alias("doc_id"), F.lit(True).alias("__k")
+    )
+    gop = gopher_rules(docs).select(
+        "doc_id", F.col("passes").alias("passes_gopher")
+    )
+    scored = docs.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    sel = token_budget_select(scored, "doc_id", "quality", "n_tokens", 1, 2).select(
+        "doc_id", F.lit(True).alias("__s")
+    )
+    return (
+        docs.select("doc_id")
+        .join(keep, "doc_id", "left")
+        .join(gop, "doc_id")
+        .join(sel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__k", F.lit(False)).alias("is_keeper"),
+            "passes_gopher",
+            F.coalesce("__s", F.lit(False)).alias("selected_by_budget"),
+            (
+                F.coalesce("__k", F.lit(False))
+                & F.col("passes_gopher")
+                & F.coalesce("__s", F.lit(False))
+            ).alias("decision"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "gopher_rules_documents",
     """
 WITH toks AS (SELECT doc_id, text, string_split(text,' ') AS t FROM documents),
