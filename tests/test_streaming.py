@@ -314,3 +314,29 @@ def test_field_stats_stream_matches_batch(spark):
     _run_stream_to_memory(sdf, "t_field_stats")
     got = {tuple(r) for r in spark.table("t_field_stats").collect()}
     assert got == batch and len(got) == 7
+
+
+def test_token_budget_stream_matches_batch(spark):
+    """Streaming per-source token accounting == the batch twin on the
+    same files, exact set equality incl. the BPE Arrow-stage sums (the
+    mapInPandas stage runs identically per micro-batch)."""
+    from mongo_analyser_spark.functions.bpe import load_fixture_merges
+    from mongo_analyser_spark.sources.parquet import load_table
+    from mongo_analyser_spark.streaming.tokens import (
+        stream_documents,
+        token_budget_stream,
+    )
+
+    merges = load_fixture_merges()
+    sdf = token_budget_stream(stream_documents(spark, SF), merges)
+    assert sdf.isStreaming
+    _run_stream_to_memory(sdf, "t_tokens")
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM t_tokens").collect()
+    }
+    batch = token_budget_stream(
+        load_table(spark, SF, "documents"), merges
+    )
+    assert not batch.isStreaming
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 1
