@@ -1,0 +1,207 @@
+"""Pure-stdlib PIXEL codecs for the multimodal tier — closing the
+"pixel decode needs PIL" gate for the formats where it genuinely
+doesn't: PNG's compression is zlib (in the standard library) and 24-bit
+BMP is raw bytes, so decode → transform → re-encode needs no external
+codec at all. JPEG/GIF pixel decode and audio/video stay honestly gated
+in operators/multimodal.py (those DO need codec libraries).
+
+Supported:
+* PNG: bit depth 8, color types 0 (gray) / 2 (RGB) / 6 (RGBA),
+  non-interlaced; all five scanline filters (None/Sub/Up/Average/Paeth)
+  on decode; encode writes filter-0 scanlines + zlib + CRC32 chunks.
+* BMP: 24-bit uncompressed BI_RGB (bottom-up or top-down), BGR order.
+
+The per-pixel unfilter loop is plain Python — fine for the thumbnail /
+fixture sizes these paths handle in-container; a production deployment
+swaps `decode_png` for a vectorized or native decoder behind the same
+`decoder=`/`resizer=` callables without touching the Spark plumbing
+(the Arrow stage shape in operators/multimodal.py is the contract).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type (8-bit, non-interlaced support set)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(b: bytes) -> tuple[int, int, int, bytearray]:
+    """(width, height, channels, flat row-major pixel bytes) from a PNG
+    payload. Raises NotImplementedError for PNG features outside the
+    supported set (16-bit, palette, interlace) and ValueError for
+    malformed bytes."""
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, bytearray(), None
+    while pos + 8 <= len(b):
+        (length,), ctype = struct.unpack(">I", b[pos:pos + 4]), b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG feature outside the stdlib decoder's set "
+            f"(depth={depth}, color_type={color}, interlace={interlace}); "
+            "plug a full codec via decoder=/resizer= callables"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for row in range(h):
+        base = row * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1:base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[row * stride:(row + 1) * stride] = line
+        prev = line
+    return w, h, ch, out
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(w: int, h: int, channels: int, pixels: bytes) -> bytes:
+    """Filter-0 PNG writer (gray/RGB/RGBA, 8-bit): the round-trip twin
+    of ``decode_png`` — IHDR + one zlib IDAT + IEND, CRC32 per chunk."""
+    color = {1: 0, 3: 2, 4: 6}.get(channels)
+    if color is None:
+        raise ValueError(f"unsupported channel count {channels}")
+    stride = w * channels
+    if len(pixels) != h * stride:
+        raise ValueError("pixel buffer does not match dimensions")
+    raw = b"".join(
+        b"\x00" + bytes(pixels[r * stride:(r + 1) * stride]) for r in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_bmp(b: bytes) -> tuple[int, int, int, bytearray]:
+    """(width, height, 3, flat row-major RGB bytes) from a 24-bit
+    uncompressed BI_RGB BMP (bottom-up rows by default; negative height
+    = top-down). BMP stores BGR; output is normalized to RGB."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack("<I", b[10:14])[0]
+    w, h_signed = struct.unpack("<ii", b[18:26])
+    planes, bpp = struct.unpack("<HH", b[26:30])
+    compression = struct.unpack("<I", b[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP outside the stdlib decoder's set (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    h, bottom_up = abs(h_signed), h_signed > 0
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte multiples
+    out = bytearray(w * h * 3)
+    for row in range(h):
+        src = pix_off + row * row_bytes
+        dst_row = (h - 1 - row) if bottom_up else row
+        for x in range(w):
+            bb, gg, rr = b[src + 3 * x:src + 3 * x + 3]
+            d = (dst_row * w + x) * 3
+            out[d:d + 3] = bytes((rr, gg, bb))
+    return w, h, 3, out
+
+
+def decode_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """Dispatch: PNG and 24-bit BMP decode fully in stdlib; anything
+    else raises NotImplementedError at the exact point a codec library
+    call would go (JPEG/GIF pixels, audio, video)."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "pixel decode beyond PNG/BMP requires an image codec (PIL) not "
+        "present in this container"
+    )
+
+
+def pixel_stats(payload: bytes) -> dict:
+    """Deterministic pixel-level features: per-image mean channel values
+    and mean luma (Rec. 601 integer weights over exact integer sums, so
+    the numbers are engine- and platform-independent)."""
+    w, h, ch, px = decode_pixels(payload)
+    n = w * h
+    sums = [0] * ch
+    for i in range(0, len(px), ch):
+        for c in range(ch):
+            sums[c] += px[i + c]
+    means = [round(s / n, 4) for s in sums]
+    if ch >= 3:
+        luma = round((299 * sums[0] + 587 * sums[1] + 114 * sums[2]) / (1000 * n), 4)
+    else:
+        luma = means[0]
+    return {
+        "width": w,
+        "height": h,
+        "channels": ch,
+        "mean_luma": luma,
+    }
+
+
+def resize_nearest(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """REAL resize for the stdlib-decodable formats: nearest-neighbor
+    sample of the decoded pixel grid, re-encoded as PNG (the lossless
+    stdlib-writable container — BMP inputs come back as PNG too)."""
+    w, h, ch, px = decode_pixels(payload)
+    out = bytearray(new_w * new_h * ch)
+    for y in range(new_h):
+        sy = min(h - 1, (y * h) // new_h)
+        for x in range(new_w):
+            sx = min(w - 1, (x * w) // new_w)
+            s = (sy * w + sx) * ch
+            d = (y * new_w + x) * ch
+            out[d:d + ch] = px[s:s + ch]
+    return encode_png(new_w, new_h, ch, bytes(out))
