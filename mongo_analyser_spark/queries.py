@@ -2642,6 +2642,9 @@ TAIL_QUERIES = (
     # round-7: the composed curation verdict (keeper x gopher x budget
     # in one plan; each branch individually in-window or tail-verified)
     "curation_decisions_documents",
+    # round-7: real PNG encode/decode round trip, hash-oracled against
+    # DuckDB's direct byte mean (multimodal family rep stays in-window)
+    "pixel_roundtrip_documents",
     # round-6 (cont.): event-sequence analytics — ordered funnel with
     # per-stage 24h anchors, and the day-cohort retention triangle
     "funnel_conversion_events",

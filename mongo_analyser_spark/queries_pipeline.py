@@ -2009,6 +2009,59 @@ def q_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pixel_roundtrip_documents",
+    """
+SELECT doc_id,
+  CAST(16 AS INTEGER) AS width,
+  CAST(GREATEST(1, CAST(ceil(length(text) / 16.0) AS BIGINT)) AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS channels,
+  FLOOR(CAST(list_sum(list_transform(string_split(text, ''), x -> ascii(x)))
+             AS DOUBLE) * 10000.0
+        / (16 * GREATEST(1, CAST(ceil(length(text) / 16.0) AS BIGINT))) + 0.5)
+    / 10000.0 AS mean_luma
+FROM documents ORDER BY doc_id
+""",
+)
+def q_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-codec round trip, hash-oracled: each document's bytes
+    become a 16-wide zero-padded GRAYSCALE image, encoded as an actual
+    PNG (operators/pixels.py: zlib IDAT + CRC32 chunks) and decoded
+    back pixel-by-pixel inside the Arrow stage; the emitted mean pixel
+    value must equal the byte mean DuckDB computes directly from the
+    text — so a bug anywhere in the encoder, the decompressor framing,
+    or the unfilter loop breaks the hash. Quantization is the shared
+    floor(x*1e4+0.5)/1e4 (no engine ROUND tie conventions)."""
+    import math
+
+    import pandas as pd
+
+    from mongo_analyser_spark.operators.pixels import decode_png, encode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")
+                h = max(1, -(-len(data) // 16))
+                padded = data + b"\x00" * (16 * h - len(data))
+                w2, h2, ch, px = decode_png(encode_png(16, h, 1, padded))
+                mean = math.floor(
+                    sum(px) * 10000.0 / (w2 * h2) + 0.5
+                ) / 10000.0
+                rows.append((doc_id, w2, h2, ch, mean))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "mean_luma"]
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, width int, height int, channels int, mean_luma double",
+    ).orderBy("doc_id")
+
+
+@register(
     "gopher_rules_documents",
     """
 WITH toks AS (SELECT doc_id, text, string_split(text,' ') AS t FROM documents),
