@@ -2645,6 +2645,9 @@ TAIL_QUERIES = (
     # round-7: real PNG encode/decode round trip, hash-oracled against
     # DuckDB's direct byte mean (multimodal family rep stays in-window)
     "pixel_roundtrip_documents",
+    # round-7: IVF twin of the SRP recall gate (both classic ANN shapes
+    # now recall-gated)
+    "ann_ivf_recall_report",
     # round-6 (cont.): event-sequence analytics — ordered funnel with
     # per-stage 24h anchors, and the day-cohort retention triangle
     "funnel_conversion_events",

@@ -1137,6 +1137,87 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_CELLS = 4
 
 
+def _ann_ivf_recall_sql() -> str:
+    """Recall@3 of the IVF nprobe=1 path vs the exact top-3 — the same
+    exact CTE as the SRP recall gate, the same cell-assignment CTE as
+    the standalone IVF oracle."""
+    from mongo_analyser_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(IVF_CELLS, EMB_DIM)
+    scores = ", ".join(f"({_plane_dot_sql('embedding', row)})" for row in cents)
+    return f"""
+WITH q0 AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+ex_scored AS (
+  SELECT qid, e.vec_id AS vid,
+    ROUND(({_dot_sql('q0.qv', 'e.embedding')})
+          / ({_norm_sql('q0.qv')} * {_norm_sql('e.embedding')}), 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q0 WHERE e.vec_id <> q0.qid),
+exact AS (
+  SELECT qid, vid FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rnk
+    FROM ex_scored) WHERE rnk <= 3),
+assigned AS (
+  SELECT vec_id, embedding,
+    list_position([{scores}], list_max([{scores}])) AS cell
+  FROM embeddings),
+qc AS (SELECT vec_id AS qid, embedding AS qv, cell FROM assigned WHERE vec_id < 8),
+ap_scored AS (
+  SELECT qid, a.vec_id AS vid,
+    ROUND(({_dot_sql('qc.qv', 'a.embedding')})
+          / ({_norm_sql('qc.qv')} * {_norm_sql('a.embedding')}), 6) AS cos_sim
+  FROM assigned a JOIN qc USING (cell) WHERE a.vec_id <> qc.qid),
+approx AS (
+  SELECT qid, vid FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rnk
+    FROM ap_scored) WHERE rnk <= 3)
+SELECT e.qid, CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(count(a.vid) AS BIGINT) AS n_hit,
+  ROUND(CAST(count(a.vid) AS DOUBLE) / count(*), 4) AS recall
+FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.vid = a.vid
+GROUP BY e.qid ORDER BY e.qid
+"""
+
+
+@register("ann_ivf_recall_report", _ann_ivf_recall_sql())
+def q_ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF twin of ann_recall_report: per-query recall@3 of the
+    nprobe=1 IVF path vs exact brute force — with BOTH classic ANN
+    shapes recall-gated, choosing between them (or raising
+    nprobe/probes) is a hash-checked comparison, not a vibe. Same
+    bounded-query-sample evaluation shape."""
+    from mongo_analyser_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, "vec_id", "embedding", ANN_QUERY_IDS, k=3).select(
+        "qid", "vid"
+    )
+    approx = ivf_topk(
+        emb, "vec_id", "embedding", ANN_QUERY_IDS, IVF_CELLS, EMB_DIM, k=3
+    ).select("qid", F.col("vid").alias("a_vid"))
+    hits = (
+        exact.join(
+            approx,
+            (exact["qid"] == approx["qid"]) & (exact["vid"] == approx["a_vid"]),
+            "left",
+        )
+        .drop(approx["qid"])
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("a_vid").alias("n_hit"),
+        )
+    )
+    return hits.select(
+        "qid",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 4).alias("recall"),
+    ).orderBy("qid")
+
+
 def _ann_ivf_sql() -> str:
     from mongo_analyser_spark.operators.similarity import ivf_centroids
 
