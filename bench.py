@@ -37,7 +37,7 @@ def main() -> None:
     # consecutive reps is the jitter-robust estimator of plan cost at
     # these absolute times (0.1-4 s); reps are consecutive per query so
     # one pause can inflate at most one rep.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         best = float("inf")

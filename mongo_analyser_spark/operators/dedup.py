@@ -40,6 +40,20 @@ def vocab_key(col: Column | str) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
 
 
+def hashed_shingles(
+    col: Column | str, n: int, distinct: bool = False
+) -> Column:
+    """Word n-gram shingles as xxhash64 LONGS — the round-7 keying rule
+    in one place: shingle/gram values that only ever serve as join,
+    groupBy, or set-intersection keys ship as 8 bytes, not ~n words of
+    text; every consumer's OUTPUT is invariant to the injective keying
+    (a 64-bit collision needs ~2^32 distinct grams on one side for
+    even-odds). ``distinct=True`` dedups within the document — string
+    distinct == hash distinct, so it composes freely."""
+    h = F.transform(shingles(col, n), lambda x: F.xxhash64(x))
+    return F.array_distinct(h) if distinct else h
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
@@ -137,11 +151,7 @@ def jaccard_verify(
     the oracle hashes, are invariant to the injective keying."""
     sets = df.select(
         F.col(id_col),
-        F.array_distinct(
-            F.transform(
-                shingles(F.col(text_col), shingle_n), lambda x: F.xxhash64(x)
-            )
-        ).alias("sh_set"),
+        hashed_shingles(F.col(text_col), shingle_n, distinct=True).alias("sh_set"),
     )
     joined = (
         pairs.join(sets.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh_set", "set_a"), "doc_a")
@@ -198,14 +208,13 @@ def cross_corpus_contamination(
     )
     # hashed shingle-set arrays, same rationale as jaccard_verify: the
     # Jaccard NUMBER is invariant, the broadcast/join payload ~3x smaller
-    hashed = lambda c: F.array_distinct(  # noqa: E731
-        F.transform(shingles(F.col(c), shingle_n), lambda x: F.xxhash64(x))
-    )
     sets_tr = train_df.select(
-        F.col(id_col).alias("train_id"), hashed(text_col).alias("set_a")
+        F.col(id_col).alias("train_id"),
+        hashed_shingles(F.col(text_col), shingle_n, distinct=True).alias("set_a"),
     )
     sets_te = test_df.select(
-        F.col(id_col).alias("test_id"), hashed(text_col).alias("set_b")
+        F.col(id_col).alias("test_id"),
+        hashed_shingles(F.col(text_col), shingle_n, distinct=True).alias("set_b"),
     )
     if broadcast_test:
         sets_te = F.broadcast(sets_te)
@@ -253,9 +262,8 @@ def exact_ngram_contamination(
     real one. Output counts are hash-invariant otherwise."""
     te_grams = (
         test_df.select(
-            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gs")
+            F.explode(hashed_shingles(F.col(text_col), n, distinct=True)).alias("g")
         )
-        .select(F.xxhash64("gs").alias("g"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
@@ -263,8 +271,8 @@ def exact_ngram_contamination(
         te_grams = F.broadcast(te_grams)
     tr_grams = train_df.select(
         F.col(id_col).alias("train_id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gs"),
-    ).select("train_id", F.xxhash64("gs").alias("g"))
+        F.explode(hashed_shingles(F.col(text_col), n, distinct=True)).alias("g"),
+    )
     return (
         tr_grams.join(te_grams, "g", "left")
         .groupBy("train_id")
@@ -825,13 +833,15 @@ def remove_repeated_ngrams(
         lambda s: (s <= t["i"]) & (t["i"] < s + n),
     )
     kept = F.filter(indexed, lambda t: ~in_any(t))
+    # NULL-text rows: the array expressions yield NULL — coalesce keeps
+    # the 'EVERY input doc' contract ('', 0, 0) the pre-rewrite plan had
     return j.select(
         id_col,
-        F.concat_ws(" ", F.transform(kept, lambda t: t["tk"])).alias(
-            "cleaned_text"
-        ),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(kept).cast("long").alias("n_kept"),
+        F.coalesce(
+            F.concat_ws(" ", F.transform(kept, lambda t: t["tk"])), F.lit("")
+        ).alias("cleaned_text"),
+        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.size(kept), F.lit(0)).cast("long").alias("n_kept"),
     )
 
 
@@ -850,7 +860,7 @@ def _repeated_gram_starts(
     still absorbs the Zipf head because the combiner key is the gram
     hash (measured: sf0.1 fresh-plan median 2.86 -> 2.56 s)."""
     toks = tokens(F.col(text_col))
-    hashed = F.transform(shingles(F.col(text_col), n), lambda x: F.xxhash64(x))
+    hashed = hashed_shingles(F.col(text_col), n)
     repeated = (
         docs.where(F.size(toks) >= n)
         .select(F.explode(F.array_distinct(hashed)).alias("g"))
@@ -950,12 +960,15 @@ def remove_repeated_spans(
             "spans", lambda sp: (sp["s"] <= t["i"]) & (t["i"] <= sp["e"])
         ),
     )
+    # NULL-text rows: coalesce the token-derived columns (same contract
+    # guard as remove_repeated_ngrams); span columns derive from the
+    # already-coalesced starts array and need none
     return jj.select(
         id_col,
-        F.concat_ws(" ", F.transform(kept, lambda t: t["tk"])).alias(
-            "cleaned_text"
-        ),
-        F.size(toks).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.concat_ws(" ", F.transform(kept, lambda t: t["tk"])), F.lit("")
+        ).alias("cleaned_text"),
+        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("n_tokens"),
         F.size("spans").cast("long").alias("n_spans"),
         F.aggregate(
             "spans", F.lit(0), lambda a, sp: a + sp["e"] - sp["s"] + 1

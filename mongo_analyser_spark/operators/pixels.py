@@ -46,9 +46,13 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytearray]:
     pos, idat, ihdr = 8, bytearray(), None
     while pos + 8 <= len(b):
         (length,), ctype = struct.unpack(">I", b[pos:pos + 4]), b[pos + 4:pos + 8]
+        if pos + 8 + length > len(b):
+            raise ValueError("PNG chunk length exceeds payload (truncated?)")
         data = b[pos + 8:pos + 8 + length]
         if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
+            if length < 13:
+                raise ValueError("PNG IHDR chunk too short")
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -64,7 +68,10 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytearray]:
             "plug a full codec via decoder=/resizer= callables"
         )
     ch = _PNG_CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # keep the documented ValueError contract
+        raise ValueError(f"PNG IDAT stream is corrupt: {e}") from e
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
@@ -169,20 +176,20 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
 
 
 def pixel_stats(payload: bytes) -> dict:
-    """Deterministic pixel-level features: per-image mean channel values
-    and mean luma (Rec. 601 integer weights over exact integer sums, so
-    the numbers are engine- and platform-independent)."""
+    """Deterministic pixel-level features: dimensions, channel count,
+    and mean luma (Rec. 601 integer weights over exact integer channel
+    sums — gray images use the single channel's mean — so the number is
+    engine- and platform-independent)."""
     w, h, ch, px = decode_pixels(payload)
     n = w * h
     sums = [0] * ch
     for i in range(0, len(px), ch):
         for c in range(ch):
             sums[c] += px[i + c]
-    means = [round(s / n, 4) for s in sums]
     if ch >= 3:
         luma = round((299 * sums[0] + 587 * sums[1] + 114 * sums[2]) / (1000 * n), 4)
     else:
-        luma = means[0]
+        luma = round(sums[0] / n, 4)
     return {
         "width": w,
         "height": h,

@@ -63,7 +63,22 @@ def _filters_reference_scan_columns(plan: str) -> bool:
     never push down — they should not trip the no-pushdown warning."""
     scan_cols: set[str] = set()
     for m in re.finditer(r"ReadSchema: struct<([^\n]*)", plan):
-        for field in m.group(1).rstrip(">").split(","):
+        # split on TOP-LEVEL commas only: a nested struct field like
+        # media:struct<mime:string,data:binary> is ONE scan column
+        # ('media'), not three (review r7 — inner names leaking into the
+        # set caused spurious base-name matches)
+        body, depth, start = m.group(1).rstrip(">"), 0, 0
+        fields = []
+        for i, c in enumerate(body):
+            if c == "<":
+                depth += 1
+            elif c == ">":
+                depth -= 1
+            elif c == "," and depth == 0:
+                fields.append(body[start:i])
+                start = i + 1
+        fields.append(body[start:])
+        for field in fields:
             name = field.split(":")[0].strip()
             if name:
                 scan_cols.add(name)

@@ -2010,15 +2010,18 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH k AS (SELECT min(doc_id) AS kid FROM documents GROUP BY md5(text)),
 toks AS (SELECT doc_id, text, string_split(text,' ') AS t FROM documents),
 g AS (
+  -- gates compare the ROUND(...,4) signals, exactly like gopher_rules
+  -- and its standalone oracle (review r7: raw-fraction gates could flip
+  -- against Spark's rounded comparison on an IEEE boundary)
   SELECT doc_id,
     COALESCE(len(t) BETWEEN 10 AND 1000
-     AND CAST(length(text) - len(t) + 1 AS DOUBLE)/len(t) BETWEEN 2 AND 12
-     AND CAST(len(list_filter(t, x -> regexp_matches(x,'^[a-zA-Z]'))) AS DOUBLE)
-         /len(t) >= 0.8
+     AND ROUND(CAST(length(text) - len(t) + 1 AS DOUBLE)/len(t), 4) BETWEEN 2 AND 12
+     AND ROUND(CAST(len(list_filter(t, x -> regexp_matches(x,'^[a-zA-Z]'))) AS DOUBLE)
+         /len(t), 4) >= 0.8
      AND len(list_filter(list_distinct(t),
          x -> list_contains(['the','a','of','and','is','to','in','be','that','it'], x))) >= 1
-     AND CAST(list_max(list_transform(list_distinct(t),
-         w -> len(list_filter(t, x -> x = w)))) AS DOUBLE)/len(t) <= 0.15,
+     AND ROUND(CAST(list_max(list_transform(list_distinct(t),
+         w -> len(list_filter(t, x -> x = w)))) AS DOUBLE)/len(t), 4) <= 0.15,
      FALSE) AS passes
   FROM toks),
 s0 AS (SELECT doc_id, {_QUALITY_SQL} AS quality,
@@ -2092,26 +2095,36 @@ def q_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pixel_roundtrip_documents",
     """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (
+  SELECT doc_id, COALESCE(list_sum(codes), 0) AS s,
+    GREATEST(1, CAST(ceil(len(codes) / 16.0) AS BIGINT)) AS h
+  FROM a)
 SELECT doc_id,
   CAST(16 AS INTEGER) AS width,
-  CAST(GREATEST(1, CAST(ceil(length(text) / 16.0) AS BIGINT)) AS INTEGER) AS height,
+  CAST(h AS INTEGER) AS height,
   CAST(1 AS INTEGER) AS channels,
-  FLOOR(CAST(list_sum(list_transform(string_split(text, ''), x -> ascii(x)))
-             AS DOUBLE) * 10000.0
-        / (16 * GREATEST(1, CAST(ceil(length(text) / 16.0) AS BIGINT))) + 0.5)
-    / 10000.0 AS mean_luma
-FROM documents ORDER BY doc_id
+  FLOOR(CAST(s AS DOUBLE) * 10000.0 / (16 * h) + 0.5) / 10000.0 AS mean_luma
+FROM b ORDER BY doc_id
 """,
 )
 def q_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL pixel-codec round trip, hash-oracled: each document's bytes
-    become a 16-wide zero-padded GRAYSCALE image, encoded as an actual
-    PNG (operators/pixels.py: zlib IDAT + CRC32 chunks) and decoded
-    back pixel-by-pixel inside the Arrow stage; the emitted mean pixel
-    value must equal the byte mean DuckDB computes directly from the
-    text — so a bug anywhere in the encoder, the decompressor framing,
-    or the unfilter loop breaks the hash. Quantization is the shared
-    floor(x*1e4+0.5)/1e4 (no engine ROUND tie conventions)."""
+    """REAL pixel-codec round trip, hash-oracled: each document's ASCII
+    bytes become a 16-wide zero-padded GRAYSCALE image, encoded as an
+    actual PNG (operators/pixels.py: zlib IDAT + CRC32 chunks) and
+    decoded back pixel-by-pixel inside the Arrow stage; the emitted
+    mean pixel value must equal the byte mean DuckDB computes directly
+    from the text — so a bug anywhere in the encoder, the decompressor
+    framing, or the unfilter loop breaks the hash. Both engines restrict
+    to the printable-ASCII code points (Spark: encode('ascii','ignore');
+    DuckDB: ascii(x) BETWEEN 1 AND 127) so char-vs-byte semantics can
+    never diverge on non-ASCII text (review r7 finding — the corpus is
+    ASCII today, the query no longer relies on it). Quantization is the
+    shared floor(x*1e4+0.5)/1e4 (no engine ROUND tie conventions)."""
     import math
 
     import pandas as pd
@@ -2124,7 +2137,13 @@ def q_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                data = (text or "").encode("utf-8")
+                # keep exactly the code points the oracle keeps
+                # (ascii 1..127): non-ASCII and NUL are dropped by both
+                data = bytes(
+                    b
+                    for b in (text or "").encode("ascii", "ignore")
+                    if 1 <= b <= 127
+                )
                 h = max(1, -(-len(data) // 16))
                 padded = data + b"\x00" * (16 * h - len(data))
                 w2, h2, ch, px = decode_png(encode_png(16, h, 1, padded))
