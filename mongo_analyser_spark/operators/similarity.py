@@ -224,11 +224,11 @@ def kmeans_centroids(
     """Deterministic spherical k-means (Lloyd) on the unit sphere — the
     data-adaptive coarse quantizer a real IVF index trains. Driver-side
     numpy over a bounded sample; the resulting centroids are embedded as
-    LITERALS in both engines (the same oracle trick as the fixed
-    ``ivf_centroids``), so cross-engine determinism only needs this one
-    Python computation to be stable: stride init over the id-sorted
-    sample (no RNG), argmax assignment (ties → lowest cell index),
-    fixed iteration count."""
+    LITERALS in the SQL oracle twin and ride as one broadcast DATA row
+    in the Spark plan (``ivf_topk``'s >1k-value branch), so cross-engine
+    determinism only needs this one Python computation to be stable:
+    stride init over the id-sorted sample (no RNG), argmax assignment
+    (ties → lowest cell index), fixed iteration count."""
     import numpy as np
 
     v = np.asarray(vectors, dtype=np.float64)
@@ -255,22 +255,54 @@ def adaptive_ivf_params(
     ``sf_dir``: cell count scales with the corpus (√n — the standard IVF
     sizing so per-cell scan work and cell-probe work balance), centroids
     from deterministic stride-sampled spherical k-means. Cached per
-    (sf_dir, max_sample); read via pyarrow driver-side — the sample is
-    bounded, never the corpus (at 100 TB pass a pre-drawn sample path or
-    lift the same k-means onto a df.sample(..).collect())."""
+    (sf_dir, max_sample).
+
+    Scale contract (round-8 rebuild of the round-7 driver-OOM path): the
+    DRIVER never materializes the corpus. n comes from the parquet FOOTER
+    (metadata only, zero data pages); the quantizer sample is the
+    deterministic id-modular stride set {vec_id % stride == 0}, smallest
+    ``max_sample`` ids — a pushed-down scan filter, so with an active
+    SparkSession the executors evaluate it and a TakeOrdered ships at
+    most max_sample (id, vec) rows to the driver. Without a session
+    (import-time oracle generation in a bare process) a pyarrow BATCH
+    STREAM applies the same filter incrementally — driver memory is
+    O(n/stride) ≈ O(max_sample) kept rows, never the full column. Both
+    paths select the identical row set, so the centroids — and therefore
+    the SQL-literal oracle twin — are bit-identical regardless of which
+    path trained them. (On contiguous 0..n-1 vec_ids this equals the
+    positional every-stride-th sample of the id-sorted table.)"""
     import math
 
     import pyarrow.parquet as pq
 
-    t = (
-        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        .sort_by("vec_id")
-        .to_pydict()
-    )
-    vecs = t["embedding"]
-    n = len(vecs)
+    path = f"{sf_dir}/embeddings.parquet"
+    n = pq.ParquetFile(path).metadata.num_rows
     stride = max(1, n // max_sample)
-    sample = vecs[::stride][:max_sample]
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        rows = (
+            spark.read.parquet(path)
+            .select("vec_id", "embedding")
+            .filter((F.col("vec_id") % stride) == 0)
+            .orderBy("vec_id")
+            .limit(max_sample)
+            .collect()
+        )
+        sample = [list(r[1]) for r in rows]
+    else:
+        kept: list[tuple[int, list[float]]] = []
+        pf = pq.ParquetFile(path)
+        for batch in pf.iter_batches(columns=["vec_id", "embedding"]):
+            ids = batch.column("vec_id").to_pylist()
+            vecs = batch.column("embedding").to_pylist()
+            kept.extend(
+                (i, v) for i, v in zip(ids, vecs) if i % stride == 0
+            )
+        kept.sort(key=lambda t: t[0])
+        sample = [v for _, v in kept[:max_sample]]
     num_cells = max(4, round(math.sqrt(n)))
     cents = kmeans_centroids(sample, num_cells)
     return tuple(tuple(row) for row in cents), num_cells
@@ -279,7 +311,13 @@ def adaptive_ivf_params(
 def ivf_cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
     """Array of <vec, ĉ_i> scores (centroids pre-normalized driver-side,
     embedded as literals; left-fold dots — same order as an unrolled SQL
-    chain, bit-identical doubles)."""
+    chain, bit-identical doubles).
+
+    SMALL-FIXED-QUANTIZER tier only (≤ ~1k values): the literal unroll
+    puts num_cells × dim nodes in the plan, which every Catalyst rule
+    walks. Data-scaled quantizers (√n cells) must go through
+    ``ivf_topk``'s broadcast-DATA branch instead — one
+    array<array<double>> row joined in, plan size independent of n."""
     cent_arr = F.array(*[F.array(*[F.lit(v) for v in row]) for row in centroids])
     return F.transform(
         cent_arr,
