@@ -2479,7 +2479,13 @@ WINDOW_QUERIES = (
     "token_budget_select_bpe_documents",
     "time_rollup_events",
     "salted_user_event_totals",
-    "field_stats_events_hll",
+    # round-8 rotation (verdict-r7 #2): the HLL sketch had its one
+    # external rows-only appearance in CORRECTNESS_r07 (err: no_oracle —
+    # deliberate); it rotates back to the tail so the driver window is
+    # 50/50 hash-green again, and the round-7 flagship span remover (the
+    # variable-length interval-union generalization of the Lee et al.
+    # gram join, hash-oracled, never driver-seen) takes the slot.
+    "remove_repeated_spans_documents",
 )
 
 # Near-duplicates of an already-in-window sibling ride the tail (still
@@ -2583,9 +2589,12 @@ TAIL_QUERIES = (
     "q20_excess_share_suppliers",
     "corpus_build_documents",
     "simhash_pairs_documents",
-    # (time_rollup / salted_user_event_totals / field_stats_events_hll
-    # rotated IN-window by the round-7 curation)
+    # (time_rollup / salted_user_event_totals rotated IN-window by the
+    # round-7 curation)
     # sketch variants: rows-only by design, exact twins are in-window
+    # (field_stats_events_hll back in the tail after its deliberate
+    # round-7 external rows-only appearance — verdict-r7 #2)
+    "field_stats_events_hll",
     "value_percentiles_events_approx",
     # sampling family rep in-window is sample_events_deterministic
     "dataset_split_documents",
@@ -2625,9 +2634,7 @@ TAIL_QUERIES = (
     # round-6 (cont.): Lee et al. exact-substring (fixed-n gram-join)
     # boilerplate removal — rebuilds docs without repeated spans
     "remove_repeated_ngrams_documents",
-    # round-7: the variable-length span generalization (interval union
-    # of overlapping/adjacent occurrences before excision)
-    "remove_repeated_spans_documents",
+    # (remove_repeated_spans_documents rotated IN-window round 8)
     # round-7: full BPE encode twin (token SEQUENCE hash-verified; the
     # count flagship bpe_token_counts rides in-window)
     "bpe_encode_documents",

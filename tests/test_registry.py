@@ -41,7 +41,10 @@ MUST_BE_CHECKED = [
     "token_budget_select_bpe_documents",
     "time_rollup_events",
     "salted_user_event_totals",
-    "field_stats_events_hll",
+    # round-8 rotation (verdict-r7 #2): HLL's deliberate rows-only
+    # appearance is on record in CORRECTNESS_r07; back to the tail, and
+    # the never-driver-seen round-7 flagship takes the slot
+    "remove_repeated_spans_documents",
 ]
 
 
@@ -68,12 +71,12 @@ ROWS_ONLY = {
 def test_every_query_has_an_oracle_or_is_declared_rows_only():
     assert set(QUERIES) - set(ORACLES) == ROWS_ONLY
     # rows-only sketches stay OUT of the driver's oracle window (each has
-    # an exact in-window twin) — EXCEPT field_stats_events_hll for the
-    # round-7 rotation (verdict-r6 #6): every declared rows-only family
-    # should appear in an external CORRECTNESS_rN at least once, so the
-    # judge sees the weaker check recorded, not just claimed
+    # an exact in-window twin). field_stats_events_hll made its one
+    # deliberate in-window appearance in round 7 (CORRECTNESS_r07 records
+    # the weaker rows-only check); round 8 restores a 50/50 hash-green
+    # window (verdict-r7 #2)
     first = set(list(QUERIES)[:CHECK_WINDOW])
-    assert ROWS_ONLY & first == {"field_stats_events_hll"}
+    assert ROWS_ONLY & first == set()
     assert {"field_stats_events", "value_percentiles_events"} <= set(QUERIES)
 
 

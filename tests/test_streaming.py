@@ -316,6 +316,78 @@ def test_field_stats_stream_matches_batch(spark):
     assert got == batch and len(got) == 7
 
 
+def _run_monitor_with_checkpoint(spark, mon, name: str, ckpt: str):
+    q = (
+        mon.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {tuple(r) for r in spark.table(name).collect()}
+
+
+def test_field_stats_monitor_checkpoint_restart(spark, tmp_path):
+    """ST7 restart story (verdict-r7 #5): run the monitor over an initial
+    file set with a checkpointLocation, STOP, append more files, restart
+    the same query on the same checkpoint — the final complete-mode
+    output must equal the batch twin over ALL files. Proves both halves
+    of recovery: aggregate state survives the restart (else the second
+    run would cover only the appended files) and committed file-source
+    offsets prevent double-counting the initial files (else presence
+    counts would exceed the batch twin's)."""
+    from mongo_analyser_spark.operators.field_stats import field_stats
+    from mongo_analyser_spark.sources.parquet import EVENTS_PROPS_SCHEMA
+    from mongo_analyser_spark.streaming.field_stats import field_stats_stream
+
+    ev = load_table(spark, SF, "events")
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(in_dir)
+
+    def run(name):
+        sdf = spark.readStream.schema(ev.schema).parquet(in_dir)
+        return _run_monitor_with_checkpoint(
+            spark, field_stats_stream(sdf, {"props": EVENTS_PROPS_SCHEMA}), name, ckpt
+        )
+
+    first = run("t_fs_ckpt_a")
+    batch_all = {
+        tuple(r)
+        for r in field_stats(ev, {"props": EVENTS_PROPS_SCHEMA}, approx=True).collect()
+    }
+    assert first != batch_all and len(first) == 7  # the split is real
+    ev.filter(F.col("event_id") % 2 != 0).write.mode("append").parquet(in_dir)
+    assert run("t_fs_ckpt_b") == batch_all
+
+
+def test_token_budget_monitor_checkpoint_restart(spark, tmp_path):
+    """ST8 restart story (verdict-r7 #5): same stop/append/restart
+    boundary for the token monitor — per-source running totals (incl. the
+    Arrow BPE sums) must converge to the batch twin after recovery, with
+    no double-count of the pre-restart files."""
+    from mongo_analyser_spark.functions.bpe import load_fixture_merges
+    from mongo_analyser_spark.streaming.tokens import token_budget_stream
+
+    docs = load_table(spark, SF, "documents")
+    merges = load_fixture_merges()
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(in_dir)
+
+    def run(name):
+        sdf = spark.readStream.schema(docs.schema).parquet(in_dir)
+        return _run_monitor_with_checkpoint(
+            spark, token_budget_stream(sdf, merges), name, ckpt
+        )
+
+    first = run("t_tok_ckpt_a")
+    batch_all = {tuple(r) for r in token_budget_stream(docs, merges).collect()}
+    assert first != batch_all and len(first) > 1  # the split is real
+    docs.filter(F.col("doc_id") % 2 != 0).write.mode("append").parquet(in_dir)
+    assert run("t_tok_ckpt_b") == batch_all
+
+
 def test_token_budget_stream_matches_batch(spark):
     """Streaming per-source token accounting == the batch twin on the
     same files, exact set equality incl. the BPE Arrow-stage sums (the

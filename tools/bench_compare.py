@@ -2,6 +2,13 @@
 
 Usage: python tools/bench_compare.py <bench.json> [--ratio 1.5]
 
+Accepts BOTH bench output shapes (verdict-r7 #3):
+ * bench.py's own line — ``{"queries": {name: sec, ...}, ...}``;
+ * the driver's ``BENCH_rN.json`` — ``{"rc": ..., "tail": "<front-
+   truncated bench line>"}``: the per-query pairs are recovered from the
+   tail string (a leading name cut mid-token is dropped), and the report
+   says how many rows were recovered vs truncated away.
+
 Prints queries whose reading exceeds ratio × their baseline row (and any
 queries missing a baseline row), sorted by ratio descending. Exit 0
 always — this is a report, not a gate; >2× rows must be re-measured SOLO
@@ -14,6 +21,57 @@ from __future__ import annotations
 import argparse
 import json
 import re
+
+
+def queries_from_tail(tail: str) -> dict[str, float]:
+    """Recover ``{name: seconds}`` pairs from a front-truncated bench
+    line. Only the queries object is scanned: if the truncation kept the
+    ``"queries": {`` opener we start there, else the string begins INSIDE
+    the dict and we stop at its closing ``}`` (the suffix after it holds
+    top-level scalars like ``"sf": 0.1`` that must not read as queries).
+    A first pair whose name was cut mid-token is safely excluded by the
+    match anchor: a prefix-drop that removes any name characters removes
+    the opening quote too, so ``tem_flags": 0.4`` can't match — while a
+    cut landing exactly on the quote leaves a complete name, matched by
+    the ``^`` branch."""
+    opener = '"queries": {'
+    start = tail.find(opener)
+    body = tail[start + len(opener):] if start >= 0 else tail
+    end = body.find("}")
+    if end >= 0:
+        body = body[:end]
+    pairs = re.findall(r'(?:^|\{|, )"([\w.-]+)": ([0-9.]+)', body)
+    return {name: float(sec) for name, sec in pairs}
+
+
+def load_bench_queries(path: str) -> tuple[dict[str, float], str]:
+    """(queries, note) from either accepted file shape."""
+    bench = json.load(open(path))
+    if "queries" in bench:
+        return dict(bench["queries"]), ""
+    if "tail" not in bench:
+        raise SystemExit(
+            f"{path}: neither a bench.py line (no 'queries') nor a "
+            "driver BENCH_rN.json (no 'tail')"
+        )
+    qs = queries_from_tail(bench["tail"])
+    total = None
+    try:  # registry size tells us how much the truncation cost
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from mongo_analyser_spark.queries import QUERIES
+
+        total = len(QUERIES)
+    except Exception:
+        pass
+    lost = f"{total - len(qs)} truncated away of {total}" if total else (
+        "truncated count unknown (registry not importable here)")
+    return qs, (
+        f"  NOTE: driver-format input — recovered {len(qs)} rows from the "
+        f"front-truncated tail; {lost}\n"
+    )
 
 
 def baseline_rows(path: str = "BASELINE.md") -> dict[str, float]:
@@ -50,10 +108,12 @@ def main() -> int:
     ap.add_argument("--ratio", type=float, default=1.5)
     ap.add_argument("--baseline", default="BASELINE.md")
     args = ap.parse_args()
-    bench = json.load(open(args.bench_json))
+    queries, note = load_bench_queries(args.bench_json)
+    if note:
+        print(note, end="")
     base = baseline_rows(args.baseline)
     over, missing = [], []
-    for q, t in bench["queries"].items():
+    for q, t in queries.items():
         if q not in base:
             missing.append(q)
         elif base[q] > 0 and t / base[q] > args.ratio:
@@ -61,14 +121,14 @@ def main() -> int:
     for r, q, t, b in sorted(over, reverse=True):
         print(f"{r:5.2f}x  {q}: {t:.3f}s vs baseline {b:.3f}s")
     for q in missing:
-        print(f"  no baseline row: {q} ({bench['queries'][q]:.3f}s)")
-    tot = sum(bench["queries"].values())
-    common = [q for q in bench["queries"] if q in base]
+        print(f"  no baseline row: {q} ({queries[q]:.3f}s)")
+    tot = sum(queries.values())
+    common = [q for q in queries if q in base]
     bsum = sum(base[q] for q in common)
-    tsum = sum(bench["queries"][q] for q in common)
+    tsum = sum(queries[q] for q in common)
     agg = f"{tsum / bsum:.2f}x" if bsum > 0 else "n/a (no common rows)"
     print(
-        f"\ntotal {tot:.1f}s / {len(bench['queries'])} queries; "
+        f"\ntotal {tot:.1f}s / {len(queries)} queries; "
         f"vs-baseline aggregate over {len(common)} common rows: "
         f"{tsum:.1f}s / {bsum:.1f}s = {agg}"
     )
