@@ -55,6 +55,7 @@ below are outside that alphabet by construction.
 from __future__ import annotations
 
 import json
+import re
 from pathlib import Path
 
 from pyspark.sql import Column, DataFrame
@@ -78,6 +79,21 @@ def load_fixture_merges() -> list[tuple[str, str]]:
     return [tuple(p) for p in json.loads(_MERGES_FIXTURE.read_text())]
 
 
+#: GPT-2-style pre-tokenization, restricted to the normalize_text
+#: alphabet [a-z0-9]: the public GPT-2 splitter's ` ?\p{L}+ | ?\p{N}+`
+#: alternation reduces here to maximal letter runs vs digit runs (the
+#: space/contraction/punct branches are vacuous after normalization).
+#: Merges never cross a pre-token boundary — "abc123" can never produce
+#: a mixed "c1" token, matching the real tokenizer's behavior.
+_PRETOK_RE = re.compile(r"[0-9]+|[a-z]+|[^0-9a-z]+")
+
+
+def pretokenize_word(word: str) -> list[str]:
+    """Split one word into GPT-2-style pre-tokens (letter runs / digit
+    runs; any out-of-alphabet run stays together)."""
+    return _PRETOK_RE.findall(word)
+
+
 def _merge_word(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
     """One left-to-right non-rescanning merge pass — the tuple-form twin
     of `replace(s, 'a|b|', 'ab|')`."""
@@ -93,9 +109,19 @@ def _merge_word(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
     return tuple(out)
 
 
-def encode_word(word: str, merges: list[tuple[str, str]]) -> tuple[str, ...]:
+def encode_word(
+    word: str, merges: list[tuple[str, str]], pretokenize: bool = False
+) -> tuple[str, ...]:
     """Tokenize one word: start from characters, apply every merge in
-    rank order (sequential application == greedy BPE, see module doc)."""
+    rank order (sequential application == greedy BPE, see module doc).
+    With ``pretokenize=True`` the word is first split into GPT-2-style
+    letter/digit runs and each run encodes independently (merges cannot
+    cross a run boundary)."""
+    if pretokenize:
+        out: list[str] = []
+        for run in pretokenize_word(word):
+            out.extend(encode_word(run, merges))
+        return tuple(out)
     syms = tuple(word)
     for a, b in merges:
         if len(syms) < 2:
@@ -110,6 +136,7 @@ def train_bpe(
     num_merges: int = 64,
     max_words: int = 50_000,
     min_pair_count: int = 2,
+    pretokenize: bool = False,
 ) -> list[tuple[str, str]]:
     """Learn a BPE merge table from a corpus column.
 
@@ -119,9 +146,18 @@ def train_bpe(
     the classic pair-counting loop over that bounded dict. Ties on pair
     count break to the lexicographically smallest pair; training stops
     early when the best pair occurs fewer than ``min_pair_count`` times
-    (merging hapax pairs memorizes the sample)."""
+    (merging hapax pairs memorizes the sample).
+
+    With ``pretokenize=True`` the frequency units are GPT-2-style
+    letter/digit runs instead of whole words (same two regexp passes as
+    the Column twin, JVM-side), so no trained merge can ever cross a
+    letter↔digit boundary."""
+    col = F.col(text_col)
+    if pretokenize:
+        col = F.regexp_replace(col, "([a-z])([0-9])", "$1 $2")
+        col = F.regexp_replace(col, "([0-9])([a-z])", "$1 $2")
     rows = (
-        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        df.select(F.explode(F.split(col, " ")).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -155,6 +191,7 @@ def with_bpe_token_count(
     text_col: str,
     merges: list[tuple[str, str]],
     out_col: str = "n_bpe",
+    pretokenize: bool = False,
 ) -> DataFrame:
     """Append a tokenizer-exact token count column — the SCALE path.
 
@@ -180,7 +217,7 @@ def with_bpe_token_count(
                     continue
                 n = memo.get(w)
                 if n is None:
-                    n = len(encode_word(w, m))
+                    n = len(encode_word(w, m, pretokenize=pretokenize))
                     memo[w] = n
                 total += n
             return total
@@ -199,6 +236,7 @@ def with_bpe_tokens(
     merges: list[tuple[str, str]],
     out_col: str = "bpe_tokens",
     count_col: str = "n_bpe",
+    pretokenize: bool = False,
 ) -> DataFrame:
     """Append the full token SEQUENCE (space-joined surface strings) and
     its length — the encode twin of ``with_bpe_token_count``, same Arrow
@@ -221,7 +259,7 @@ def with_bpe_tokens(
                     continue
                 t = memo.get(w)
                 if t is None:
-                    t = encode_word(w, m)
+                    t = encode_word(w, m, pretokenize=pretokenize)
                     memo[w] = t
                 toks.extend(t)
             return " ".join(toks), len(toks)
@@ -239,7 +277,11 @@ def with_bpe_tokens(
 # --- pure-Column twin (the oracle-able unrolled form) ---------------------
 
 
-def bpe_segment_expr(col: Column | str, merges: list[tuple[str, str]]) -> Column:
+def bpe_segment_expr(
+    col: Column | str,
+    merges: list[tuple[str, str]],
+    pretokenize: bool = False,
+) -> Column:
     """The segmented-string form after all merges, as ONE Column
     expression: spaces -> WORDSEP, every char suffixed with a DOUBLE
     SEP and the string prefixed with one ("||a||b||"), then one literal
@@ -247,13 +289,23 @@ def bpe_segment_expr(col: Column | str, merges: list[tuple[str, str]]) -> Column
     doc for why boundaries must be double). Materialize it via
     .alias(...) in its own projection before counting so the chain is
     evaluated once (CollapseProject keeps non-cheap expressions from
-    being inlined into multiple consumers)."""
+    being inlined into multiple consumers).
+
+    ``pretokenize=True`` inserts a WORDSEP at every letter↔digit
+    transition BEFORE segmenting — two sequential non-overlapping regexp
+    passes (letter→digit first, then digit→letter; one combined pass
+    would miss the second boundary of "a1a" because replace scans resume
+    AFTER each replacement, and the shared digit overlaps both matches).
+    WORDSEP never appears in any merge, so no chain pattern can cross a
+    pre-token boundary — exactly `encode_word(pretokenize=True)`."""
     c = F.col(col) if isinstance(col, str) else col
+    c = F.replace(c, F.lit(" "), F.lit(WORDSEP))
+    if pretokenize:
+        c = F.regexp_replace(c, "([a-z])([0-9])", "$1" + WORDSEP + "$2")
+        c = F.regexp_replace(c, "([0-9])([a-z])", "$1" + WORDSEP + "$2")
     s = F.concat(
         F.lit(SEP + SEP),
-        F.regexp_replace(
-            F.replace(c, F.lit(" "), F.lit(WORDSEP)), "(.)", "$1" + SEP + SEP
-        ),
+        F.regexp_replace(c, "(.)", "$1" + SEP + SEP),
     )
     for a, b in merges:
         s = F.replace(
@@ -276,14 +328,24 @@ def bpe_count_from_segmented(seg: Column | str) -> Column:
     )
 
 
-def bpe_segment_sql(col_sql: str, merges: list[tuple[str, str]]) -> str:
+def bpe_segment_sql(
+    col_sql: str, merges: list[tuple[str, str]], pretokenize: bool = False
+) -> str:
     """DuckDB twin of ``bpe_segment_expr`` — same chain, same order; use
-    inside a CTE so the chain appears once in the query text."""
+    inside a CTE so the chain appears once in the query text. The
+    pretokenize transition passes use the same two-pass non-overlapping
+    form (RE2 has no lookaround; semantics match Java's resume-after-
+    replacement scan, property-tested)."""
     ss = SEP + SEP
-    s = (
-        f"'{ss}' || regexp_replace(replace({col_sql}, ' ', '{WORDSEP}'),"
-        f" '(.)', '\\1{ss}', 'g')"
-    )
+    inner = f"replace({col_sql}, ' ', '{WORDSEP}')"
+    if pretokenize:
+        inner = (
+            f"regexp_replace({inner}, '([a-z])([0-9])', '\\1{WORDSEP}\\2', 'g')"
+        )
+        inner = (
+            f"regexp_replace({inner}, '([0-9])([a-z])', '\\1{WORDSEP}\\2', 'g')"
+        )
+    s = f"'{ss}' || regexp_replace({inner}, '(.)', '\\1{ss}', 'g')"
     for a, b in merges:
         s = f"replace({s}, '{SEP}{a}{ss}{b}{SEP}', '{SEP}{a}{b}{SEP}')"
     return s

@@ -1,0 +1,529 @@
+"""Pure-stdlib BASELINE JPEG codec [EXT — closes the JPEG-pixels gate].
+
+The reference renders no pixels at all (its TUI shows metadata only), so
+this is north-star multimodal surface, not parity: baseline sequential
+DCT JPEG (ITU-T T.81) is the most common real-corpus image format, and
+its decode needs nothing beyond integer/float math — huffman tables and
+quantizers ship INSIDE the file, so a self-contained decoder is public
+knowledge end-to-end.
+
+Decoder (`decode_jpeg`): baseline sequential only — SOF0, 8-bit
+precision, grayscale or YCbCr with arbitrary h×v sampling factors
+(4:4:4 / 4:2:2 / 4:2:0 via pixel-replication upsample), byte-stuffing,
+DRI/RSTn restart intervals. Progressive (SOF2), arithmetic coding, and
+12-bit precision raise NotImplementedError — those are the genuinely
+codec-library-bound residue.
+
+Encoder (`encode_jpeg`): baseline grayscale or color, 4:4:4 or 4:2:0
+(2×2-average chroma downsample), flat quantizer. Its huffman tables are
+NOT the Annex-K suggestions: they are fixed-length canonical tables
+built in-code (12 DC categories at 4 bits, EOB+ZRL+all 160 run/size AC
+symbols at 9 bits — both fit under the all-ones-code ceiling), which any
+conformant decoder reads from the DHT segment like any other table.
+Compression ratio is sacrificed for having zero memorized constants.
+
+Like operators/pixels.py, the per-block loops are plain Python — sized
+for the fixture/thumbnail payloads these paths handle in-container; a
+production deployment swaps the codec callable behind the same Arrow
+stage (operators/multimodal.py holds the Spark plumbing contract).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+#: zigzag scan order: position k in the scan -> natural row-major index
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_COS = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)] for x in range(8)]
+_C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+
+
+def _idct8x8(coef: list[float]) -> list[int]:
+    """Separable 2-D inverse DCT + level shift + clamp (natural order)."""
+    tmp = [0.0] * 64
+    for y in range(8):
+        row = coef[y * 8:y * 8 + 8]
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                s += _C[u] * row[u] * _COS[x][u]
+            tmp[y * 8 + x] = s / 2.0
+    out = [0] * 64
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for v in range(8):
+                s += _C[v] * tmp[v * 8 + x] * _COS[y][v]
+            val = int(round(s / 2.0)) + 128
+            out[y * 8 + x] = 0 if val < 0 else (255 if val > 255 else val)
+    return out
+
+
+def _fdct8x8(block: list[int]) -> list[float]:
+    """Separable 2-D forward DCT over level-shifted samples."""
+    sh = [v - 128.0 for v in block]
+    tmp = [0.0] * 64
+    for y in range(8):
+        row = sh[y * 8:y * 8 + 8]
+        for u in range(8):
+            s = 0.0
+            for x in range(8):
+                s += row[x] * _COS[x][u]
+            tmp[y * 8 + u] = s * _C[u] / 2.0
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for y in range(8):
+                s += tmp[y * 8 + u] * _COS[y][v]
+            out[v * 8 + u] = s * _C[v] / 2.0
+    return out
+
+
+def _build_huff_decode(bits: list[int], vals: bytes) -> dict:
+    """Canonical huffman (length, code) -> symbol map from DHT data."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+class _BitReader:
+    """MSB-first reader over one entropy-coded segment (already
+    de-stuffed and split at restart markers)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bit(self) -> int:
+        if (self.pos >> 3) >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        byte = self.data[self.pos >> 3]
+        b = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code in JPEG entropy stream")
+
+
+def _split_entropy(b: bytes, pos: int) -> tuple[list[bytes], int]:
+    """De-stuff the scan data and split it at RSTn markers; stop at the
+    first real marker (EOI or a new segment)."""
+    segs, cur = [], bytearray()
+    n = len(b)
+    while pos < n:
+        byte = b[pos]
+        if byte != 0xFF:
+            cur.append(byte)
+            pos += 1
+            continue
+        nxt = b[pos + 1] if pos + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs, pos
+
+
+def decode_jpeg(b: bytes) -> tuple[int, int, int, bytearray]:
+    """(width, height, channels, flat row-major pixel bytes) from a
+    baseline sequential JPEG. channels is 1 (grayscale) or 3 (RGB,
+    converted from YCbCr). Raises NotImplementedError for progressive /
+    arithmetic / 12-bit streams, ValueError for malformed bytes."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    sof = None
+    restart_interval = 0
+    while pos < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", b[pos + 2:pos + 4])
+        data = b[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                i += 1
+                if pq == 0:
+                    qt[tq] = list(data[i:i + 64])
+                    i += 64
+                else:
+                    qt[tq] = [
+                        struct.unpack(">H", data[i + 2 * k:i + 2 * k + 2])[0]
+                        for k in range(64)
+                    ]
+                    i += 128
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                bits = list(data[i + 1:i + 17])
+                nvals = sum(bits)
+                vals = data[i + 17:i + 17 + nvals]
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huff_decode(bits, vals)
+                i += 17 + nvals
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
+            precision = data[0]
+            if precision != 8:
+                raise NotImplementedError(f"JPEG precision {precision} (need 8)")
+            h, w = struct.unpack(">HH", data[1:5])
+            ncomp = data[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            sof = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/extended/arithmetic JPEG is outside the stdlib "
+                "baseline decoder; plug a codec library via decoder= callables"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = data[0]
+            scan_tables = {}
+            for c in range(ns):
+                cs, td_ta = data[1 + 2 * c:3 + 2 * c]
+                scan_tables[cs] = (td_ta >> 4, td_ta & 15)
+            segs, pos = _split_entropy(b, pos)
+            return _decode_scan(sof, scan_tables, qt, huff_dc, huff_ac, segs,
+                                restart_interval)
+    raise ValueError("JPEG has no scan data")
+
+
+def _decode_scan(sof, scan_tables, qt, huff_dc, huff_ac, segs, ri):
+    w, h, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if len(comps) == 1:
+        # single-component scans are never interleaved: MCU = one block
+        hmax = vmax = comps[0]["h"] = comps[0]["v"] = 1
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {}
+    for c in comps:
+        c["pw"] = mcux * c["h"] * 8
+        c["ph"] = mcuy * c["v"] * 8
+        planes[c["id"]] = bytearray(c["pw"] * c["ph"])
+    preds = {c["id"]: 0 for c in comps}
+    seg_i = 0
+    reader = _BitReader(segs[0])
+    for m in range(mcux * mcuy):
+        if ri and m and m % ri == 0:  # restart: next segment, reset DC
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG restart marker count mismatch")
+            reader = _BitReader(segs[seg_i])
+            preds = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcux)
+        for c in comps:
+            td, ta = scan_tables[c["id"]]
+            q = qt[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coef = [0.0] * 64
+                    t = reader.decode(huff_dc[td])
+                    diff = _extend(reader.receive(t), t) if t else 0
+                    preds[c["id"]] += diff
+                    coef[0] = preds[c["id"]] * q[0]
+                    k = 0
+                    while k < 63:
+                        rs = reader.decode(huff_ac[ta])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r + 1
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        coef[ZIGZAG[k]] = _extend(reader.receive(s), s) * q[k]
+                    px = _idct8x8(coef)
+                    plane, pw = planes[c["id"]], c["pw"]
+                    ox = (mx * c["h"] + bx) * 8
+                    oy = (my * c["v"] + by) * 8
+                    for yy in range(8):
+                        row = (oy + yy) * pw + ox
+                        plane[row:row + 8] = bytes(px[yy * 8:yy * 8 + 8])
+    # upsample (pixel replication) + color convert
+    if len(comps) == 1:
+        c = comps[0]
+        plane, pw = planes[c["id"]], c["pw"]
+        out = bytearray(w * h)
+        for y in range(h):
+            out[y * w:(y + 1) * w] = plane[y * pw:y * pw + w]
+        return w, h, 1, out
+    # component order in SOF is Y, Cb, Cr for JFIF streams
+    cy, cb, cr = comps[0], comps[1], comps[2]
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        for x in range(w):
+            yv = planes[cy["id"]][
+                (y * cy["v"] // vmax) * cy["pw"] + (x * cy["h"] // hmax)
+            ]
+            bv = planes[cb["id"]][
+                (y * cb["v"] // vmax) * cb["pw"] + (x * cb["h"] // hmax)
+            ] - 128
+            rv = planes[cr["id"]][
+                (y * cr["v"] // vmax) * cr["pw"] + (x * cr["h"] // hmax)
+            ] - 128
+            r = int(round(yv + 1.402 * rv))
+            g = int(round(yv - 0.344136 * bv - 0.714136 * rv))
+            bl = int(round(yv + 1.772 * bv))
+            o = (y * w + x) * 3
+            out[o] = 0 if r < 0 else (255 if r > 255 else r)
+            out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+            out[o + 2] = 0 if bl < 0 else (255 if bl > 255 else bl)
+    return w, h, 3, out
+
+
+# --- encoder ---------------------------------------------------------------
+
+#: fixed-length canonical tables (see module doc): 12 DC categories at 4
+#: bits; EOB + ZRL + all 16x10 run/size pairs at 9 bits (171 symbols —
+#: 2^9-1=511 codes available, all-ones code unused)
+_DC_SYMS = list(range(12))
+_AC_SYMS = sorted(
+    {0x00, 0xF0}
+    | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+)
+
+
+def _fixed_table(symbols: list[int], length: int):
+    """(bits, vals, symbol->(code,length)) for an all-one-length
+    canonical table."""
+    assert len(symbols) <= (1 << length) - 1
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    enc = {sym: (i, length) for i, sym in enumerate(symbols)}
+    return bits, bytes(symbols), enc
+
+
+_DC_BITS, _DC_VALS, _DC_ENC = _fixed_table(_DC_SYMS, 4)
+_AC_BITS, _AC_VALS, _AC_ENC = _fixed_table(_AC_SYMS, 9)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _encode_block(bw: _BitWriter, block: list[int], q: list[int], pred: int) -> int:
+    coef = _fdct8x8(block)
+    zz = [int(round(coef[ZIGZAG[k]] / q[k])) for k in range(64)]
+    diff = zz[0] - pred
+    t = _category(diff)
+    bw.write(*_DC_ENC[t])
+    if t:
+        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*_AC_ENC[0xF0])  # ZRL
+            run -= 16
+        s = _category(v)
+        bw.write(*_AC_ENC[(run << 4) | s])
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        bw.write(*_AC_ENC[0x00])  # EOB
+    return zz[0]
+
+
+def _block_at(plane: list[int], pw: int, ph: int, ox: int, oy: int) -> list[int]:
+    """8x8 block with edge replication past the image border."""
+    out = []
+    for y in range(8):
+        sy = min(oy + y, ph - 1)
+        for x in range(8):
+            out.append(plane[sy * pw + min(ox + x, pw - 1)])
+    return out
+
+
+def encode_jpeg(
+    w: int,
+    h: int,
+    channels: int,
+    pixels: bytes,
+    quant: int = 16,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG writer: grayscale (channels=1) or color
+    (channels=3, RGB in; 4:4:4, or 4:2:0 with ``subsample=True`` via
+    2x2-average chroma downsample). Flat ``quant`` quantizer for every
+    coefficient; in-code fixed-length huffman tables (module doc).
+    ``restart_interval=N`` emits DRI + RSTn markers every N MCUs (used
+    to exercise the decoder's restart/resync path)."""
+    if channels not in (1, 3):
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != w * h * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    q = [max(1, min(255, quant))] * 64
+    if channels == 1:
+        planes = [list(pixels)]
+        samp = [(1, 1)]
+    else:
+        ys, cbs, crs = [], [], []
+        for i in range(0, len(pixels), 3):
+            r, g, bl = pixels[i], pixels[i + 1], pixels[i + 2]
+            yv = 0.299 * r + 0.587 * g + 0.114 * bl
+            ys.append(min(255, max(0, int(round(yv)))))
+            cbs.append(min(255, max(0, int(round(128 - 0.168736 * r - 0.331264 * g + 0.5 * bl)))))
+            crs.append(min(255, max(0, int(round(128 + 0.5 * r - 0.418688 * g - 0.081312 * bl)))))
+        if subsample:
+            cw, ch = -(-w // 2), -(-h // 2)
+
+            def down(plane):
+                out = []
+                for y in range(ch):
+                    for x in range(cw):
+                        acc = cnt = 0
+                        for dy in range(2):
+                            for dx in range(2):
+                                sy, sx = 2 * y + dy, 2 * x + dx
+                                if sy < h and sx < w:
+                                    acc += plane[sy * w + sx]
+                                    cnt += 1
+                        out.append(int(round(acc / cnt)))
+                return out
+
+            planes = [ys, down(cbs), down(crs)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [ys, cbs, crs]
+            samp = [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    dims = []
+    for (sh, sv) in samp:
+        dims.append((-(-w * sh // hmax), -(-h * sv // vmax)))
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    parts: list[bytes] = []
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            parts.append(bw.flush())
+            parts.append(bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)]))
+            bw = _BitWriter()
+            preds = [0] * len(planes)
+        my, mx = divmod(m, mcux)
+        for ci, plane in enumerate(planes):
+            sh, sv = samp[ci]
+            pw, ph = dims[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    block = _block_at(
+                        plane, pw, ph, (mx * sh + bx) * 8, (my * sv + by) * 8
+                    )
+                    preds[ci] = _encode_block(bw, block, q, preds[ci])
+    parts.append(bw.flush())
+    scan = b"".join(parts)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(q))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + _DC_VALS)
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + _AC_VALS)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -162,16 +162,21 @@ def decode_bmp(b: bytes) -> tuple[int, int, int, bytearray]:
 
 
 def decode_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
-    """Dispatch: PNG and 24-bit BMP decode fully in stdlib; anything
-    else raises NotImplementedError at the exact point a codec library
-    call would go (JPEG/GIF pixels, audio, video)."""
+    """Dispatch: PNG, 24-bit BMP, and baseline sequential JPEG decode
+    fully in stdlib (operators/jpeg.py); anything else raises
+    NotImplementedError at the exact point a codec library call would go
+    (progressive-JPEG and GIF pixels, audio, video)."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from mongo_analyser_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "pixel decode beyond PNG/BMP requires an image codec (PIL) not "
-        "present in this container"
+        "pixel decode beyond PNG/BMP/baseline-JPEG requires an image "
+        "codec (PIL) not present in this container"
     )
 
 

@@ -2638,6 +2638,10 @@ TAIL_QUERIES = (
     # round-7: full BPE encode twin (token SEQUENCE hash-verified; the
     # count flagship bpe_token_counts rides in-window)
     "bpe_encode_documents",
+    # round-8: GPT-2-style pre-tokenization mode (letter/digit runs;
+    # hash-oracled via the pretokenize replace-chain twin over a derived
+    # mixed-class surface — the plain-count flagship stays in-window)
+    "bpe_token_counts_pretok_documents",
     # round-7: sequence packing in tokenizer tokens (the budget twin
     # token_budget_select_bpe rides in-window)
     "pack_sequences_bpe_documents",
@@ -2652,6 +2656,10 @@ TAIL_QUERIES = (
     # round-7: real PNG encode/decode round trip, hash-oracled against
     # DuckDB's direct byte mean (multimodal family rep stays in-window)
     "pixel_roundtrip_documents",
+    # round-8: baseline-JPEG codec round trip (declared rows-only — IDCT
+    # floats are engine-specific; the mean_delta column carries the
+    # quantization residual and pytest pins DC-only fixtures exactly)
+    "jpeg_pixel_stats_documents",
     # round-7: IVF twin of the SRP recall gate (both classic ANN shapes
     # now recall-gated)
     "ann_ivf_recall_report",

@@ -100,6 +100,74 @@ def test_arrow_expr_and_python_paths_agree(spark):
         assert arrow[r["doc_id"]] == want
 
 
+def test_pretokenize_word_runs():
+    assert bpe.pretokenize_word("abc123def") == ["abc", "123", "def"]
+    assert bpe.pretokenize_word("a1a") == ["a", "1", "a"]
+    assert bpe.pretokenize_word("2024") == ["2024"]
+    assert bpe.pretokenize_word("word") == ["word"]
+    assert bpe.pretokenize_word("") == []
+
+
+def test_pretok_arrow_expr_and_python_paths_agree(spark):
+    """pretokenize=True: Arrow stage == Column twin == direct Python on
+    mixed-class words (verdict-r7 #7 — same three-way agreement contract
+    as the plain mode)."""
+    merges = [("a", "b"), ("1", "2"), ("ab", "c")]
+    df = spark.createDataFrame(
+        [(1, "abc123 ab12c"), (2, "x9y8"), (3, "abc abc123abc"), (4, "12 ab")],
+        ["id", "text"],
+    )
+    arrow = {
+        r["id"]: r["n_bpe"]
+        for r in bpe.with_bpe_token_count(
+            df, "text", merges, pretokenize=True
+        ).collect()
+    }
+    seg = df.select(
+        "id", bpe.bpe_segment_expr("text", merges, pretokenize=True).alias("s")
+    )
+    expr = {
+        r["id"]: r["n"]
+        for r in seg.select(
+            "id", bpe.bpe_count_from_segmented("s").alias("n")
+        ).collect()
+    }
+    want = {
+        r["id"]: sum(
+            len(bpe.encode_word(w, merges, pretokenize=True))
+            for w in r["text"].split(" ")
+            if w
+        )
+        for r in df.collect()
+    }
+    assert arrow == expr == want
+    # "abc123": runs [abc][123] -> abc | 12, 3 = 3 tokens;
+    # "ab12c": runs [ab][12][c] -> ab | 12 | c = 3 tokens
+    assert arrow[1] == 6
+    # merges never cross the class boundary: "abc123abc" -> abc|12,3|abc
+    assert arrow[3] == 1 + 4
+
+
+def test_train_bpe_pretokenize_never_learns_cross_class_merges(spark):
+    corpus = spark.createDataFrame(
+        [("ab1 ab1 ab1 ab1 cd22 cd22 cd22",)], ["text"]
+    )
+    plain = bpe.train_bpe(corpus, num_merges=8)
+    pretok = bpe.train_bpe(corpus, num_merges=8, pretokenize=True)
+    # the plain trainer happily merges across the boundary ("b"+"1")...
+    assert any(
+        (a + b).isalnum() and not (a + b).isalpha() and not (a + b).isdigit()
+        for a, b in plain
+    )
+    # ...the pretokenized trainer never does: every merge output is a
+    # pure letter run or a pure digit run
+    for a, b in pretok:
+        t = a + b
+        assert t.isalpha() or t.isdigit(), (a, b)
+    # and applying its table with pretokenize=True reproduces the runs
+    assert bpe.encode_word("ab1", pretok, pretokenize=True) == ("ab", "1")
+
+
 def test_edge_rows_empty_null_single(spark):
     merges = [("a", "b")]
     df = spark.createDataFrame(

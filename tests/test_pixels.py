@@ -137,8 +137,112 @@ def test_resize_nearest_halves_checkerboard():
 
 
 def test_codec_formats_still_gated():
+    # GIF pixels still need a codec library (LZW + palette + frames)
     with pytest.raises(NotImplementedError):
-        pixels.decode_pixels(b"\xff\xd8\xff\xe0 jpeg-ish")
+        pixels.decode_pixels(b"GIF89a" + b"\x00" * 20)
+    # baseline JPEG now decodes; a truncated stream is malformed-data
+    with pytest.raises(ValueError):
+        pixels.decode_pixels(b"\xff\xd8\xff\xe0\x00\x04 j")
+
+
+# --- baseline JPEG (operators/jpeg.py) ------------------------------------
+
+
+def test_jpeg_flat_blocks_exact():
+    """DC-only behavior is exactly predictable: a flat image has zero AC
+    energy, so the round-trip error is pure DC quantization (|err| <= 1
+    for flat q=16), and mid-gray/black/white reproduce exactly."""
+    from mongo_analyser_spark.operators import jpeg
+
+    for val, exact in ((0, True), (128, True), (255, False), (200, True)):
+        px = bytes([val]) * (24 * 16)
+        w, h, ch, out = jpeg.decode_jpeg(jpeg.encode_jpeg(24, 16, 1, px))
+        assert (w, h, ch) == (24, 16, 1)
+        err = max(abs(a - b) for a, b in zip(px, out))
+        assert err <= 1
+        if exact:
+            assert err == 0, val
+
+
+def test_jpeg_two_blocks_dc_prediction():
+    """Two horizontally adjacent flat blocks with different levels: the
+    second block's DC rides on differential prediction from the first —
+    both must land on their own level (decoder DC-predictor chain)."""
+    from mongo_analyser_spark.operators import jpeg
+
+    px = bytes(64 if x < 8 else 192 for y in range(8) for x in range(16))
+    _, _, _, out = jpeg.decode_jpeg(jpeg.encode_jpeg(16, 8, 1, px))
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 1
+
+
+def test_jpeg_roundtrip_tolerance_gray_and_color():
+    import random
+
+    from mongo_analyser_spark.operators import jpeg
+
+    rng = random.Random(11)
+    gray = bytes(rng.randrange(256) for _ in range(40 * 24))
+    _, _, ch, out = jpeg.decode_jpeg(jpeg.encode_jpeg(40, 24, 1, gray))
+    assert ch == 1
+    # flat q=16 bounds per-coefficient error by 8; worst-case pixel error
+    # stays well inside 16 even for white noise
+    assert max(abs(a - b) for a, b in zip(gray, out)) <= 16
+
+    rgb = bytes(
+        c
+        for y in range(20)
+        for x in range(18)
+        for c in ((x * 13) % 256, (y * 11) % 256, 77)
+    )
+    for sub in (False, True):  # 4:4:4 and 4:2:0
+        w, h, ch, out = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(18, 20, 3, rgb, subsample=sub)
+        )
+        assert (w, h, ch) == (18, 20, 3)
+        tol = 24 if sub else 16  # chroma averaging adds error on gradients
+        assert max(abs(a - b) for a, b in zip(rgb, out)) <= tol
+
+
+def test_jpeg_restart_markers_bit_identical():
+    """DRI/RSTn resync path: identical decoded pixels with and without
+    restart intervals (predictors reset + byte-align at each RST)."""
+    import random
+
+    from mongo_analyser_spark.operators import jpeg
+
+    rng = random.Random(5)
+    px = bytes(rng.randrange(256) for _ in range(40 * 24))
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(40, 24, 1, px))
+    for ri in (1, 2, 7):
+        assert jpeg.decode_jpeg(
+            jpeg.encode_jpeg(40, 24, 1, px, restart_interval=ri)
+        ) == plain
+
+
+def test_jpeg_progressive_still_gated():
+    """SOF2 (progressive) is the genuinely codec-bound residue."""
+    import struct
+
+    from mongo_analyser_spark.operators import jpeg
+
+    sof2 = struct.pack(">BBHBHHB", 0xFF, 0xC2, 11, 8, 8, 8, 1) + b"\x01\x11\x00"
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
+
+
+def test_jpeg_through_pixel_dispatch_and_stats():
+    from mongo_analyser_spark.operators import jpeg
+
+    px = bytes([100]) * (16 * 16)
+    blob = jpeg.encode_jpeg(16, 16, 1, px)
+    stats = pixels.pixel_stats(blob)
+    assert stats["width"] == 16 and stats["channels"] == 1
+    assert abs(stats["mean_luma"] - 100.0) <= 1.0
+    # resize goes decode -> nearest -> PNG re-encode (lossless container)
+    out = pixels.resize_nearest(blob, 4, 4)
+    w, h, ch, rpx = pixels.decode_png(out)
+    assert (w, h, ch) == (4, 4, 1)
+    assert all(abs(v - 100) <= 1 for v in rpx)
 
 
 def test_arrow_pixel_stats_and_real_resize_stage(spark):

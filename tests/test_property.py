@@ -245,3 +245,47 @@ def test_bpe_replace_chain_equals_sequential_encoder(word, merges):
     assert max(0, n_sep // 2 - 1) == len(got)
     # concatenating tokens always reproduces the word
     assert "".join(got) == word
+
+
+# pretokenize mode: tokens may be digit runs, letter runs, or (adversarial)
+# mixed-class strings that a pretokenized corpus can never produce — the
+# chain must no-op on those exactly like the encoder does
+bpe_pretok_token = st.text(alphabet="ab01", min_size=1, max_size=4)
+
+
+@given(
+    st.text(alphabet="ab01", max_size=12),
+    st.lists(st.tuples(bpe_pretok_token, bpe_pretok_token), max_size=8),
+)
+@settings(max_examples=500)
+def test_bpe_pretok_chain_equals_pretok_encoder(word, merges):
+    """The GPT-2-style pretokenize mode (functions/bpe.py): the two
+    letter↔digit transition regexp passes + the same replace chain must
+    equal encode_word(pretokenize=True), for arbitrary words with
+    adjacent/alternating class transitions and adversarial merge tables
+    (incl. mixed-class pairs, which must no-op in both forms)."""
+    import re as _re
+
+    from mongo_analyser_spark.functions import bpe
+
+    got = list(bpe.encode_word(word, merges, pretokenize=True))
+
+    # the chain twin exactly as both engines run it: transitions first
+    # (two non-overlapping passes), then segment + replace chain
+    w = _re.sub(r"([a-z])([0-9])", r"\1" + bpe.WORDSEP + r"\2", word)
+    w = _re.sub(r"([0-9])([a-z])", r"\1" + bpe.WORDSEP + r"\2", w)
+    ss = bpe.SEP + bpe.SEP
+    s = ss + "".join(c + ss for c in w)
+    for a, b in merges:
+        s = s.replace(bpe.SEP + a + ss + b + bpe.SEP, bpe.SEP + a + b + bpe.SEP)
+    chain = [t for t in s.split(bpe.SEP) if t and t != bpe.WORDSEP]
+
+    assert got == chain
+    # the oracle's count: #SEP/2 - 1 - #WORDSEP pseudo-tokens
+    n_sep = len(s) - len(s.replace(bpe.SEP, ""))
+    n_ws = len(s) - len(s.replace(bpe.WORDSEP, ""))
+    assert max(0, n_sep // 2 - 1 - n_ws) == len(got)
+    assert "".join(got) == word
+    # no token ever crosses a letter/digit boundary
+    for t in got:
+        assert not (_re.search("[a-z]", t) and _re.search("[0-9]", t))

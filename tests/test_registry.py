@@ -65,6 +65,10 @@ ROWS_ONLY = {
     "field_stats_events_hll",
     "value_percentiles_events_approx",
     "similarity_topk_embeddings_arrow",
+    # round-8: JPEG round trip — IDCT floats are engine-specific; the
+    # PNG roundtrip twin stays hash-oracled and DC-only fixtures are
+    # pinned exactly in tests/test_pixels.py
+    "jpeg_pixel_stats_documents",
 }
 
 
