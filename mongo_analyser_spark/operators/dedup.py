@@ -384,13 +384,30 @@ def simhash_pairs(
     bands. Output: (id_a, id_b, hamming), id_a < id_b, deduped across
     bands.
     """
-    band_len = num_bits // num_bands
     # materialize the fingerprints once: both sides of the band self-join
     # read them, and without this each side re-runs the full token
     # explode + 64-bit-sum aggregation (measured 7.1 s → 3.9 s at sf0.1).
     # The fingerprint table is #docs × (num_bits+8) bytes — the artifact
     # any production dedup persists anyway.
     sim = simhash_bits(df, id_col, text_col, num_bits).localCheckpoint()
+    return hamming_pairs(sim, id_col, "simhash", num_bits, num_bands, max_hamming)
+
+
+def hamming_pairs(
+    bits_df: DataFrame,
+    id_col: str,
+    bits_col: str,
+    num_bits: int = 64,
+    num_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded Hamming near-dup join over ANY precomputed bitstring
+    fingerprint column (SimHash text prints, dHash image prints, ...):
+    the pigeonhole band equi-join + packed-word bit-count verify
+    documented in ``simhash_pairs``. The caller materializes ``bits_df``
+    (localCheckpoint/persist) if the fingerprints are expensive — both
+    sides of the self-join read it."""
+    band_len = num_bits // num_bands
     # pack the bitstring into 32-bit integer words ONCE per doc: the pair
     # verify is then XOR + bit_count per word — constant-time integer ops
     # instead of a 64-element string-array fold per candidate pair
@@ -398,11 +415,11 @@ def simhash_pairs(
     n_words = (num_bits + 31) // 32
     words = [
         F.expr(
-            f"CAST(conv(substring(simhash, {w * 32 + 1}, 32), 2, 10) AS BIGINT)"
+            f"CAST(conv(substring({bits_col}, {w * 32 + 1}, 32), 2, 10) AS BIGINT)"
         ).alias(f"w{w}")
         for w in range(n_words)
     ]
-    banded = sim.select(
+    banded = bits_df.select(
         F.col(id_col),
         *words,
         F.explode(
@@ -410,7 +427,7 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.substring("simhash", i * band_len + 1, band_len).alias("key"),
+                        F.substring(bits_col, i * band_len + 1, band_len).alias("key"),
                     )
                     for i in range(num_bands)
                 ]

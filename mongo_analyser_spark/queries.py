@@ -2660,6 +2660,18 @@ TAIL_QUERIES = (
     # floats are engine-specific; the mean_delta column carries the
     # quantization residual and pytest pins DC-only fixtures exactly)
     "jpeg_pixel_stats_documents",
+    # round-8: DSIR importance resampling (hashed-ngram log-ratio vs the
+    # English target slice + deterministic top-k cut; both hash-oracled)
+    "dsir_weights_documents",
+    "dsir_select_documents",
+    # round-8: perceptual dHash fingerprints + image near-dup pairs via
+    # the fingerprint-agnostic hamming_pairs core (both hash-oracled)
+    "dhash_documents",
+    "dhash_pairs_documents",
+    # round-8: EXTENDED PII tier (adds ipv4 + digit-run IDs + decomposed
+    # per-category counts to the round-4 email/url/phone scrubber, which
+    # stays registered above; hash-oracled)
+    "pii_scrub_extended_documents",
     # round-7: IVF twin of the SRP recall gate (both classic ANN shapes
     # now recall-gated)
     "ann_ivf_recall_report",

@@ -2326,6 +2326,218 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_ext_sql() -> str:
+    from mongo_analyser_spark.functions.pii import (
+        PII_PATTERNS,
+        pii_count_sql,
+        scrub_pii_sql,
+    )
+
+    surface = (
+        "(text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com see https://example.com/p/'"
+        " || CAST(doc_id AS VARCHAR)"
+        " || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ref '"
+        " || CAST(1000000 + doc_id * 37 AS VARCHAR)"
+        " || ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+    )
+    counts = ", ".join(
+        f"{pii_count_sql('s', i)} AS n_{name}"
+        for i, (name, _, _) in enumerate(PII_PATTERNS)
+    )
+    return f"""
+WITH a AS (SELECT doc_id, {surface} AS s FROM documents)
+SELECT doc_id, {counts}, {scrub_pii_sql("s")} AS scrubbed
+FROM a ORDER BY doc_id
+"""
+
+
+@register("pii_scrub_extended_documents", _pii_ext_sql())
+def q_pii_scrub_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENDED PII redaction (functions/pii.py — extends the round-4
+    ``pii_scrub_documents`` email/url/phone tier, functions/text.py:107,
+    which stays registered unchanged): adds IPv4 and long-digit-run ID
+    scrubbing, and replaces the placeholder-splitting counts with
+    per-category counts decomposed on the progressively-scrubbed text,
+    so an email's digits can never double-count as an ID run. One fused
+    regexp chain, JVM-side, zero shuffles. Exercised on a derived
+    surface planting one of each category per row (the corpus normalizer
+    strips PII-shaped characters); HASH-oracled — RE2 and Java regex
+    agree on these lookaround-free patterns on every row."""
+    from mongo_analyser_spark.functions.pii import pii_counts, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    surface = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com see https://example.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ref "),
+        (F.lit(1000000) + F.col("doc_id") * 37).cast("string"),
+        F.lit(" call 555-867-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return (
+        docs.select("doc_id", surface.alias("__s"))
+        .select(
+            "doc_id", *pii_counts("__s"), scrub_pii("__s").alias("scrubbed")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CODES_SQL = (
+    "list_filter(list_transform(string_split(text, ''), x -> ascii(x)), "
+    "c -> c BETWEEN 1 AND 127)"
+)
+
+
+def _dhash_sql() -> str:
+    from mongo_analyser_spark.operators.phash import dhash_sql
+
+    return f"""
+WITH a AS (SELECT doc_id, {_CODES_SQL} AS codes FROM documents)
+SELECT doc_id, {dhash_sql("codes")} AS dhash FROM a ORDER BY doc_id
+"""
+
+
+@register("dhash_documents", _dhash_sql())
+def q_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprint (north-star multimodal dedup —
+    operators/phash.py): 64-bit dHash over each document's byte grid
+    (the pixel_roundtrip 16-wide image convention), computed as ONE
+    constant-size Column expression (72 samples + 64 comparisons,
+    JVM-side) and hash-oracled with identical integer arithmetic in
+    DuckDB. ``dhash_from_payload`` runs the same sampling over REAL
+    decoded PNG/BMP/JPEG pixels; pytest pins both paths equal."""
+    from mongo_analyser_spark.operators.phash import ascii_codes, dhash_bits_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", ascii_codes("text").alias("codes"))
+        .select("doc_id", dhash_bits_expr(F.col("codes")).alias("dhash"))
+        .orderBy("doc_id")
+    )
+
+
+def _dhash_pairs_sql(num_bands: int = 8, max_hamming: int = 7) -> str:
+    from mongo_analyser_spark.operators.phash import GRID, dhash_sql
+
+    num_bits = GRID * GRID
+    band_len = num_bits // num_bands
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, dhash, {i} AS band, "
+        f"substring(dhash, {i * band_len + 1}, {band_len}) AS key FROM sims"
+        for i in range(num_bands)
+    )
+    return f"""
+WITH a AS (SELECT doc_id, {_CODES_SQL} AS codes FROM documents),
+sims AS (SELECT doc_id, {dhash_sql("codes")} AS dhash FROM a),
+banded AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.dhash AS d_a, b.dhash AS d_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+  CAST(len(list_filter(generate_series(1, {num_bits}),
+       i -> substring(d_a, i, 1) != substring(d_b, i, 1))) AS INTEGER) AS hamming
+FROM cand
+WHERE len(list_filter(generate_series(1, {num_bits}),
+      i -> substring(d_a, i, 1) != substring(d_b, i, 1))) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+@register("dhash_pairs_documents", _dhash_pairs_sql())
+def q_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup PAIRS over dHash fingerprints: the SAME pigeonhole
+    machinery as SimHash (operators.dedup.hamming_pairs — band
+    equi-join + packed-word XOR/bit_count verify, never all-pairs),
+    proving the banding core is fingerprint-agnostic. 8 bands × 8-bit
+    keys here (exact recall to hamming 7 by pigeonhole); band width
+    scales with corpus size in production exactly like srp_band_params."""
+    from mongo_analyser_spark.operators.phash import (
+        ascii_codes,
+        dhash_bits_expr,
+        dhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bits = (
+        docs.select("doc_id", ascii_codes("text").alias("codes"))
+        .select("doc_id", dhash_bits_expr(F.col("codes")).alias("dhash"))
+        .localCheckpoint()
+    )
+    return dhash_pairs(bits, num_bands=8, max_hamming=7).select(
+        "id_a", "id_b", F.col("hamming").cast("int")
+    )
+
+
+_DSIR_B = 4096
+_DSIR_CTES = f"""
+toks AS (SELECT doc_id, lang = 'en' AS is_t, string_split(text, ' ') AS t
+         FROM documents),
+g AS (SELECT doc_id, is_t, unnest(t || {_BIGRAMS_SQL}) AS g FROM toks),
+b AS (SELECT doc_id, is_t,
+        CAST(CAST('0x' || substr(md5(g), 1, 13) AS UBIGINT) % {_DSIR_B}
+             AS BIGINT) AS b
+      FROM g),
+cnt AS (SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_b,
+               SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS r_b
+        FROM b GROUP BY b),
+tot AS (SELECT SUM(t_b) AS tt, SUM(r_b) AS rt FROM cnt),
+lam AS (SELECT b, (ln(t_b + 1) - ln(tt + {_DSIR_B}))
+                - (ln(r_b + 1) - ln(rt + {_DSIR_B})) AS lam
+        FROM cnt, tot),
+w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             ROUND(SUM(lam), 6) AS dsir_logratio
+      FROM b JOIN lam USING (b) WHERE NOT is_t GROUP BY doc_id)
+"""
+
+
+@register(
+    "dsir_weights_documents",
+    f"WITH {_DSIR_CTES} SELECT doc_id, n_feats, dsir_logratio FROM w ORDER BY doc_id",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (north-star curation — operators/dsir.py,
+    Xie et al. 2023): score every non-English document's hashed
+    unigram+bigram profile against the English subset as target. Plan:
+    feature explode fused into the scan, ONE bucket groupBy onto <=4096
+    rows, log-ratio table BROADCAST back, one doc-keyed shuffle.
+    HASH-oracled: md5-hex buckets (52-bit exact), ln over exact integer
+    counts, per-doc ROUND absorbing float summation order — the
+    unigram_nll contract."""
+    from mongo_analyser_spark.operators.dsir import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en", buckets=_DSIR_B).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "dsir_select_documents",
+    f"""WITH {_DSIR_CTES}
+SELECT doc_id, n_feats, dsir_logratio FROM w
+ORDER BY dsir_logratio DESC, doc_id LIMIT 200""",
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection step: deterministic top-200 raw documents by
+    importance log-ratio (TakeOrdered; rounded weight + doc_id
+    tie-break keeps the cut engine-stable). The paper's Gumbel
+    resampling variant swaps the ranking column; the plumbing is
+    identical."""
+    from mongo_analyser_spark.operators.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(docs, F.col("lang") == "en", k=200, buckets=_DSIR_B)
+
+
 @register("jpeg_pixel_stats_documents")
 def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline-JPEG codec round trip through the SAME Arrow stage as
@@ -2356,7 +2568,9 @@ def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(32, "doc_id")
+        # no explicit N: inherits spark.sql.shuffle.partitions, so the
+        # stage widens with the cluster instead of pinning local[32]'s 32
+        .repartition("doc_id")
     )
 
     def run(batches):
