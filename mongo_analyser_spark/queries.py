@@ -2444,17 +2444,25 @@ WINDOW_QUERIES = (
     "asof_join_events_signup",
     "window_top3_orders_per_customer",
     "trailing_window_range_events",
-    "pivot_event_counts_by_user",
     "setops_nation_coverage",
-    "quantize_embeddings_int8",
     "value_percentiles_events",
     "schema_documents",
-    "chunk_documents",
     "q2_min_cost_supplier",
     "decontaminate_exact_ngram_documents",
     "grouping_sets_orders",
     "dynamic_schema_histogram_events",
-    "scalar_subquery_customers",
+    # round-8 rotation (cont.): the round-8 flagships come IN so the
+    # driver's CORRECTNESS_r08 records each new family (DSIR selection,
+    # image near-dup, extended PII, pretokenized BPE); four members with
+    # in-window siblings and recorded r07 green appearances ride the
+    # tail (pivot: A-family with grouping_sets in-window; int8 quantize:
+    # conversion family with convert_export in-window; char chunking:
+    # token-window sibling of the BPE tier; scalar subquery: correlated
+    # family with q2/q21 in-window)
+    "dsir_weights_documents",
+    "dhash_pairs_documents",
+    "pii_scrub_extended_documents",
+    "bpe_token_counts_pretok_documents",
     "schema_with_stats_documents",
     "text_stats_documents",
     "gopher_rules_documents",
@@ -2638,10 +2646,7 @@ TAIL_QUERIES = (
     # round-7: full BPE encode twin (token SEQUENCE hash-verified; the
     # count flagship bpe_token_counts rides in-window)
     "bpe_encode_documents",
-    # round-8: GPT-2-style pre-tokenization mode (letter/digit runs;
-    # hash-oracled via the pretokenize replace-chain twin over a derived
-    # mixed-class surface — the plain-count flagship stays in-window)
-    "bpe_token_counts_pretok_documents",
+    # (bpe_token_counts_pretok_documents rotated IN-window round 8)
     # round-7: sequence packing in tokenizer tokens (the budget twin
     # token_budget_select_bpe rides in-window)
     "pack_sequences_bpe_documents",
@@ -2650,6 +2655,10 @@ TAIL_QUERIES = (
     "chunk_tokens_documents",
     # round-7: bigram-LM NLL (unigram_nll is the in-window family rep)
     "bigram_nll_documents",
+    # round-8: supervised NB quality classifier (model-based quality
+    # filtering — the fastText stage of CCNet/LLaMA-style curation;
+    # exact-integer LLR algebra keeps it hash-oracled)
+    "nb_quality_scores_documents",
     # round-7: the composed curation verdict (keeper x gopher x budget
     # in one plan; each branch individually in-window or tail-verified)
     "curation_decisions_documents",
@@ -2660,18 +2669,20 @@ TAIL_QUERIES = (
     # floats are engine-specific; the mean_delta column carries the
     # quantization residual and pytest pins DC-only fixtures exactly)
     "jpeg_pixel_stats_documents",
-    # round-8: DSIR importance resampling (hashed-ngram log-ratio vs the
-    # English target slice + deterministic top-k cut; both hash-oracled)
-    "dsir_weights_documents",
+    # round-8: DSIR selection step (the weights flagship rotated
+    # IN-window; the top-k cut shares its whole plan prefix)
     "dsir_select_documents",
-    # round-8: perceptual dHash fingerprints + image near-dup pairs via
-    # the fingerprint-agnostic hamming_pairs core (both hash-oracled)
+    # round-8: dHash fingerprint projection (the pairs flagship rotated
+    # IN-window and exercises the fingerprints transitively)
     "dhash_documents",
-    "dhash_pairs_documents",
-    # round-8: EXTENDED PII tier (adds ipv4 + digit-run IDs + decomposed
-    # per-category counts to the round-4 email/url/phone scrubber, which
-    # stays registered above; hash-oracled)
-    "pii_scrub_extended_documents",
+    # (dhash_pairs_documents / pii_scrub_extended_documents rotated
+    # IN-window round 8)
+    # round-8 rotation (cont.): four members with in-window siblings and
+    # recorded r07 green appearances moved here from the window
+    "pivot_event_counts_by_user",
+    "quantize_embeddings_int8",
+    "chunk_documents",
+    "scalar_subquery_customers",
     # round-7: IVF twin of the SRP recall gate (both classic ANN shapes
     # now recall-gated)
     "ann_ivf_recall_report",

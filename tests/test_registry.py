@@ -24,8 +24,6 @@ MUST_BE_CHECKED = [
     "dedup_minhash_pairs_documents",
     "ann_srp_topk_embeddings",
     "convert_export_events",
-    "chunk_documents",
-    "quantize_embeddings_int8",
     "embedding_dedup_clusters",
     "trailing_window_range_events",
     # late-round-6 rotation: the round's own flagship additions
@@ -45,6 +43,15 @@ MUST_BE_CHECKED = [
     # appearance is on record in CORRECTNESS_r07; back to the tail, and
     # the never-driver-seen round-7 flagship takes the slot
     "remove_repeated_spans_documents",
+    # round-8 rotation (cont.): this round's flagship families go
+    # in-window for CORRECTNESS_r08; chunk_documents (token-window
+    # sibling in), quantize_embeddings_int8 (conversion sibling in),
+    # pivot / scalar-subquery (A-family + correlated siblings in) ride
+    # the tail after recorded r07 green appearances
+    "dsir_weights_documents",
+    "dhash_pairs_documents",
+    "pii_scrub_extended_documents",
+    "bpe_token_counts_pretok_documents",
 ]
 
 
