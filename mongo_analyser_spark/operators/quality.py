@@ -131,6 +131,78 @@ def bigram_nll(
     )
 
 
+def nb_classifier(
+    docs: DataFrame,
+    label: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: Callable[[Column], Column] = tokens,
+    round_to: int = 6,
+) -> DataFrame:
+    """Multinomial Naive-Bayes document classifier over unigram counts —
+    the supervised quality-filter stage of the CCNet/LLaMA curation
+    recipe (their fastText "looks like a Wikipedia reference" model;
+    Joulin et al. 2016 show the linear bag-of-words form is what does
+    the work).  ``label`` is any boolean Column marking the positive
+    class; training and scoring happen in ONE pass over the same corpus
+    (self-training on a cheap proxy label is exactly how the production
+    pipelines bootstrap — e.g. lang-id as the seed).
+
+    Per-token log-likelihood ratio with add-one smoothing:
+    ``llr(t) = [ln(cp+1) - ln(Tp+V)] - [ln(cn+1) - ln(Tn+V)]`` where
+    cp/cn are the token's class counts, Tp/Tn the class token totals, V
+    the vocabulary size.  Every ln operand is an exact integer, so the
+    per-token LLR is engine-independent (the unigram_nll trick); the
+    per-document mean's float summation order is absorbed by ROUND and
+    the prediction thresholds on the ROUNDED mean, so the verdict can
+    never disagree with the emitted score.
+
+    Plan shape (the unigram_nll family): explode fuses into the scan;
+    ONE vocab groupBy keyed on the xxhash64 of the token (map-side
+    combine absorbs the Zipf head; the 8-byte key never surfaces, so
+    the string-keyed oracle twin hashes identically); class totals and
+    V derive from the already-shrunk vocab table into a one-row
+    broadcast; token-keyed re-join; per-doc regroup.  Nothing
+    driver-side, nothing Python — at 100 TB this is three keyed
+    shuffles, each over skinny (hash, counts) rows.
+
+    Returns (id, n_tokens, avg_llr, predicted) for every doc with at
+    least one token; predicted = rounded avg_llr > 0.
+    """
+    pos = F.coalesce(label, F.lit(False))
+    toks = docs.select(
+        F.col(id_col),
+        pos.alias("pos"),
+        F.explode(tokenizer(F.col(text_col))).alias("tok"),
+    ).select(id_col, "pos", F.xxhash64("tok").alias("g"))
+    vocab = toks.groupBy("g").agg(
+        F.sum(F.col("pos").cast("long")).alias("cp"),
+        F.sum((~F.col("pos")).cast("long")).alias("cn"),
+    )
+    tot = vocab.agg(
+        F.sum("cp").alias("tp"),
+        F.sum("cn").alias("tn"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    llr = (
+        F.log((F.col("cp") + 1).cast("double"))
+        - F.log((F.col("tp") + F.col("v")).cast("double"))
+    ) - (
+        F.log((F.col("cn") + 1).cast("double"))
+        - F.log((F.col("tn") + F.col("v")).cast("double"))
+    )
+    return (
+        toks.join(vocab, "g")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(llr), round_to).alias("avg_llr"),
+        )
+        .withColumn("predicted", F.col("avg_llr") > 0)
+    )
+
+
 #: distinct-stopword gate vocabulary (Gopher's "contains at least N of a
 #: small stopword list" rule; fixed and tiny so the oracle twin can inline
 #: the same literal list)

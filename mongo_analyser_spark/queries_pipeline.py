@@ -218,6 +218,45 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_nll(docs).orderBy("doc_id")
 
 
+@register(
+    "nb_quality_scores_documents",
+    """
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS pos, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+vocab AS (
+  SELECT tok,
+    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+  FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS tp, CAST(SUM(cn) AS BIGINT) AS tn,
+               CAST(count(*) AS BIGINT) AS v FROM vocab)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  ROUND(AVG((ln(CAST(cp + 1 AS DOUBLE)) - ln(CAST(tp + v AS DOUBLE)))
+          - (ln(CAST(cn + 1 AS DOUBLE)) - ln(CAST(tn + v AS DOUBLE)))), 6)
+    AS avg_llr,
+  ROUND(AVG((ln(CAST(cp + 1 AS DOUBLE)) - ln(CAST(tp + v AS DOUBLE)))
+          - (ln(CAST(cn + 1 AS DOUBLE)) - ln(CAST(tn + v AS DOUBLE)))), 6) > 0
+    AS predicted
+FROM toks JOIN vocab USING (tok), tot
+GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised quality classifier (north-star: model-based quality
+    filtering — the fastText stage of the CCNet/LLaMA curation recipe,
+    here as add-one-smoothed multinomial Naive Bayes so every statistic
+    is an exact integer count and the score hash-matches the oracle).
+    The positive class is the corpus's own lang-id label — the standard
+    bootstrap proxy; see operators/quality.nb_classifier for the plan
+    shape (one hashed-token vocab groupBy, class totals as a one-row
+    broadcast, three skinny keyed shuffles)."""
+    from mongo_analyser_spark.operators.quality import nb_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nb_classifier(docs, label=F.col("lang") == "en").orderBy("doc_id")
+
+
 def _lang_detect_sql() -> str:
     score = {
         lang: (

@@ -160,6 +160,42 @@ def test_unigram_nll_hand_computed(spark):
     assert rows[2].avg_nll > rows[1].avg_nll
 
 
+def test_nb_classifier_hand_computed(spark):
+    """Micro-corpus with hand-computable class counts. Positive docs
+    (label true) contribute tokens {a:2, b:1}, negative {b:1, c:2}, so
+    Tp=3, Tn=3, V=3 and llr(t) = ln(cp+1) - ln(cn+1) (the ln(Tp+V) and
+    ln(Tn+V) terms cancel at equal class totals)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.operators.quality import nb_classifier
+
+    df = spark.createDataFrame(
+        [(1, "a a b", "en"), (2, "b c c", "de"), (3, "a c", "en")],
+        "doc_id long, text string, lang string",
+    )
+    # train on docs 1 and 2 only (doc 3 has a NULL-equivalent role as a
+    # plain scored doc — but nb_classifier trains and scores in one pass,
+    # so restrict the corpus to keep counts hand-checkable)
+    out = {
+        r.doc_id: r
+        for r in nb_classifier(
+            df.where("doc_id <= 2"), label=F.col("lang") == "en"
+        ).collect()
+    }
+    llr = {
+        "a": math.log(3.0) - math.log(1.0),
+        "b": math.log(2.0) - math.log(2.0),
+        "c": math.log(1.0) - math.log(3.0),
+    }
+    exp1 = round((llr["a"] * 2 + llr["b"]) / 3, 6)
+    exp2 = round((llr["b"] + llr["c"] * 2) / 3, 6)
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 3
+    assert out[1].avg_llr == exp1 and out[1].predicted is True
+    assert out[2].avg_llr == exp2 and out[2].predicted is False
+
+
 def test_gopher_rules_hand_computed(spark):
     """Micro-corpus where each rule flips for a known reason: doc 1
     passes all five; doc 2 fails the word-count floor; doc 3 fails the
