@@ -248,14 +248,12 @@ def kmeans_centroids(
 
 
 @functools.lru_cache(maxsize=8)
-def adaptive_ivf_params(
+def quantizer_sample(
     sf_dir: str, max_sample: int = 4096
-) -> tuple[tuple[tuple[float, ...], ...], int]:
-    """(centroids, num_cells) trained on the embeddings table of
-    ``sf_dir``: cell count scales with the corpus (√n — the standard IVF
-    sizing so per-cell scan work and cell-probe work balance), centroids
-    from deterministic stride-sampled spherical k-means. Cached per
-    (sf_dir, max_sample).
+) -> tuple[int, tuple[tuple[float, ...], ...]]:
+    """(corpus_rows, bounded deterministic sample of embedding vectors)
+    for quantizer training — shared by the adaptive IVF coarse quantizer
+    and the PQ codebook trainer so both train on the identical row set.
 
     Scale contract (round-8 rebuild of the round-7 driver-OOM path): the
     DRIVER never materializes the corpus. n comes from the parquet FOOTER
@@ -267,12 +265,11 @@ def adaptive_ivf_params(
     (import-time oracle generation in a bare process) a pyarrow BATCH
     STREAM applies the same filter incrementally — driver memory is
     O(n/stride) ≈ O(max_sample) kept rows, never the full column. Both
-    paths select the identical row set, so the centroids — and therefore
-    the SQL-literal oracle twin — are bit-identical regardless of which
-    path trained them. (On contiguous 0..n-1 vec_ids this equals the
-    positional every-stride-th sample of the id-sorted table.)"""
-    import math
-
+    paths select the identical row set, so trained quantizers — and
+    therefore their SQL-literal oracle twins — are bit-identical
+    regardless of which path trained them. (On contiguous 0..n-1 vec_ids
+    this equals the positional every-stride-th sample of the id-sorted
+    table.)"""
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/embeddings.parquet"
@@ -303,8 +300,24 @@ def adaptive_ivf_params(
             )
         kept.sort(key=lambda t: t[0])
         sample = [v for _, v in kept[:max_sample]]
+    return n, tuple(tuple(float(x) for x in row) for row in sample)
+
+
+@functools.lru_cache(maxsize=8)
+def adaptive_ivf_params(
+    sf_dir: str, max_sample: int = 4096
+) -> tuple[tuple[tuple[float, ...], ...], int]:
+    """(centroids, num_cells) trained on the embeddings table of
+    ``sf_dir``: cell count scales with the corpus (√n — the standard IVF
+    sizing so per-cell scan work and cell-probe work balance), centroids
+    from deterministic stride-sampled spherical k-means (see
+    ``quantizer_sample`` for the bounded-driver scale contract). Cached
+    per (sf_dir, max_sample)."""
+    import math
+
+    n, sample = quantizer_sample(sf_dir, max_sample)
     num_cells = max(4, round(math.sqrt(n)))
-    cents = kmeans_centroids(sample, num_cells)
+    cents = kmeans_centroids([list(r) for r in sample], num_cells)
     return tuple(tuple(row) for row in cents), num_cells
 
 
