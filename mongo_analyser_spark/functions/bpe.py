@@ -85,13 +85,23 @@ def load_fixture_merges() -> list[tuple[str, str]]:
 #: space/contraction/punct branches are vacuous after normalization).
 #: Merges never cross a pre-token boundary — "abc123" can never produce
 #: a mixed "c1" token, matching the real tokenizer's behavior.
-_PRETOK_RE = re.compile(r"[0-9]+|[a-z]+|[^0-9a-z]+")
+#:
+#: Boundaries are EXACTLY the letter<->digit transitions — the same two
+#: classes the Column/SQL twins and train_bpe's splitter use. Out-of-
+#: alphabet characters introduce NO boundary (they simply never match a
+#: transition), so all four surfaces agree even on un-normalized input
+#: like "a-b" (previously this function isolated "-" as its own
+#: pre-token while the replace-chain twins did not — advice r8 #2).
+_PRETOK_RE = re.compile(r"(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])")
 
 
 def pretokenize_word(word: str) -> list[str]:
-    """Split one word into GPT-2-style pre-tokens (letter runs / digit
-    runs; any out-of-alphabet run stays together)."""
-    return _PRETOK_RE.findall(word)
+    """Split one word into GPT-2-style pre-tokens at letter<->digit
+    transitions (identical boundary set to ``bpe_segment_expr``/
+    ``bpe_segment_sql`` with ``pretokenize=True``)."""
+    if not word:
+        return []
+    return _PRETOK_RE.split(word)
 
 
 def _merge_word(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:

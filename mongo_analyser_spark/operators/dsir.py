@@ -60,7 +60,11 @@ def _features(
     c = F.col(text_col)
     return docs.select(
         F.col(id_col),
-        target.alias("__t"),
+        # NULL target labels count as RAW on both engines (a NULL
+        # boolean would otherwise fall out of BOTH classes here while
+        # the oracle's CASE ... ELSE counts it as raw) — same coalesce
+        # contract as nb_classifier's label.
+        F.coalesce(target, F.lit(False)).alias("__t"),
         F.explode(F.concat(tokens(c), shingles(c, 2))).alias("g"),
     ).select(id_col, "__t", md5_bucket(F.col("g"), buckets).alias("b"))
 

@@ -180,6 +180,13 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytearray]:
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker — skip them instead of reading a bogus 0xFF "marker"
+        # and unpacking garbage as a segment length (advice r8 #3)
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(b):
+            break
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -234,6 +241,18 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytearray]:
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = data[0]
+            if ns > len(sof[2]):
+                raise ValueError("JPEG SOS lists more components than SOF")
+            if ns < len(sof[2]):
+                # a spec-legal stream may split components across
+                # several scans; this decoder handles the (dominant)
+                # single interleaved scan only — fail loudly instead of
+                # decoding partial planes as if complete (advice r8 #3)
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG: SOS "
+                    f"covers {ns} of {len(sof[2])} SOF components; plug "
+                    "a codec library via decoder= callables"
+                )
             scan_tables = {}
             for c in range(ns):
                 cs, td_ta = data[1 + 2 * c:3 + 2 * c]

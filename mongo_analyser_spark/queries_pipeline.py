@@ -2518,7 +2518,8 @@ def q_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DSIR_B = 4096
 _DSIR_CTES = f"""
-toks AS (SELECT doc_id, lang = 'en' AS is_t, string_split(text, ' ') AS t
+toks AS (SELECT doc_id, COALESCE(lang = 'en', FALSE) AS is_t,
+              string_split(text, ' ') AS t
          FROM documents),
 g AS (SELECT doc_id, is_t, unnest(t || {_BIGRAMS_SQL}) AS g FROM toks),
 b AS (SELECT doc_id, is_t,

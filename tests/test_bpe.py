@@ -106,6 +106,11 @@ def test_pretokenize_word_runs():
     assert bpe.pretokenize_word("2024") == ["2024"]
     assert bpe.pretokenize_word("word") == ["word"]
     assert bpe.pretokenize_word("") == []
+    # out-of-alphabet chars introduce NO boundary (advice r8 #2): the
+    # boundary set is exactly letter<->digit, same as the SQL/Column
+    # twins and train_bpe's splitter
+    assert bpe.pretokenize_word("a-b") == ["a-b"]
+    assert bpe.pretokenize_word("a-1b") == ["a-1", "b"]
 
 
 def test_pretok_arrow_expr_and_python_paths_agree(spark):

@@ -100,3 +100,26 @@ def test_empty_target_still_well_defined(spark):
     rows = dsir_weights(_df(spark), F.lit(False), buckets=B).collect()
     assert len(rows) == len(DOCS)
     assert all(math.isfinite(r["dsir_logratio"]) for r in rows)
+
+
+def test_null_target_label_counts_as_raw(spark):
+    """A NULL boolean target (e.g. ``lang == 'en'`` over a NULL lang)
+    must count as RAW — the oracle's CASE WHEN is_t THEN 0 ELSE 1 END
+    semantics — not fall out of both classes (advice r8 #1). The NULL-
+    label doc gets a weight row and its features feed the raw counts."""
+    rows = DOCS + [(6, "the cat sat", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = {
+        r["doc_id"]: r["n_feats"]
+        for r in dsir_weights(df, F.col("is_t"), buckets=B).collect()
+    }
+    # doc 6 is scored as raw, with the same feature count as its twin 3
+    assert 6 in got and got[6] == got[3]
+    # and its features changed the raw totals: doc 3's weight differs
+    # from the NULL-free corpus
+    base = _py_weights()
+    with_null = {
+        r["doc_id"]: r["dsir_logratio"]
+        for r in dsir_weights(df, F.col("is_t"), buckets=B).collect()
+    }
+    assert with_null[3] != base[3][1]

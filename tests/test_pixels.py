@@ -230,6 +230,61 @@ def test_jpeg_progressive_still_gated():
         jpeg.decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
 
 
+def test_jpeg_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2 permits any number of 0xFF fill bytes before a
+    marker; a padded stream must decode identically (advice r8 #3)."""
+    from mongo_analyser_spark.operators import jpeg
+
+    px = bytes((x * 7 + y * 3) % 256 for y in range(16) for x in range(16))
+    blob = jpeg.encode_jpeg(16, 16, 1, px)
+    want = jpeg.decode_jpeg(blob)
+    # pad every marker in the segment stream (skip SOI at 0; never pad
+    # inside the entropy stream, so stop at SOS)
+    padded = bytearray()
+    i = 0
+    while i < len(blob):
+        if (
+            blob[i] == 0xFF
+            and i + 1 < len(blob)
+            and blob[i + 1] not in (0x00,)
+            and i > 0
+        ):
+            padded.extend(b"\xff\xff\xff")
+            padded.append(blob[i])
+            padded.append(blob[i + 1])
+            if blob[i + 1] == 0xDA:  # SOS: copy the rest verbatim
+                padded.extend(blob[i + 2:])
+                break
+            i += 2
+            continue
+        padded.append(blob[i])
+        i += 1
+    assert jpeg.decode_jpeg(bytes(padded)) == want
+
+
+def test_jpeg_partial_scan_gated():
+    """A SOS covering fewer components than SOF (non-interleaved
+    multi-scan) must fail loudly, not decode partial planes."""
+    import struct
+
+    from mongo_analyser_spark.operators import jpeg
+
+    px = bytes(range(0, 192, 3)) * 3  # 8x8 rgb
+    blob = bytearray(jpeg.encode_jpeg(8, 8, 3, px))
+    i = blob.find(b"\xff\xda")
+    assert i >= 0
+    (seglen,) = struct.unpack(">H", blob[i + 2:i + 4])
+    # rewrite the SOS header to list only the FIRST component
+    ns = blob[i + 4]
+    assert ns == 3
+    new_hdr = struct.pack(">H", 2 + 1 + 2 * 1 + 3) + b"\x01" + bytes(
+        blob[i + 5:i + 7]
+    ) + bytes(blob[i + 2 + seglen - 3:i + 2 + seglen])
+    mutated = bytes(blob[:i + 2]) + new_hdr + bytes(blob[i + 2 + seglen:])
+    with pytest.raises(NotImplementedError, match="1 of 3"):
+        jpeg.decode_jpeg(mutated)
+
+
 def test_jpeg_through_pixel_dispatch_and_stats():
     from mongo_analyser_spark.operators import jpeg
 

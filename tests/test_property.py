@@ -249,12 +249,15 @@ def test_bpe_replace_chain_equals_sequential_encoder(word, merges):
 
 # pretokenize mode: tokens may be digit runs, letter runs, or (adversarial)
 # mixed-class strings that a pretokenized corpus can never produce — the
-# chain must no-op on those exactly like the encoder does
-bpe_pretok_token = st.text(alphabet="ab01", min_size=1, max_size=4)
+# chain must no-op on those exactly like the encoder does. The alphabet
+# includes an OUT-OF-ALPHABET char ('-', advice r8 #2): boundaries are
+# exactly the letter<->digit transitions on every surface, so '-' gets
+# no boundary and merges touching it apply identically in both forms.
+bpe_pretok_token = st.text(alphabet="ab01-", min_size=1, max_size=4)
 
 
 @given(
-    st.text(alphabet="ab01", max_size=12),
+    st.text(alphabet="ab01-", max_size=12),
     st.lists(st.tuples(bpe_pretok_token, bpe_pretok_token), max_size=8),
 )
 @settings(max_examples=500)
@@ -286,6 +289,8 @@ def test_bpe_pretok_chain_equals_pretok_encoder(word, merges):
     n_ws = len(s) - len(s.replace(bpe.WORDSEP, ""))
     assert max(0, n_sep // 2 - 1 - n_ws) == len(got)
     assert "".join(got) == word
-    # no token ever crosses a letter/digit boundary
+    # no token ever contains a letter ADJACENT to a digit (that pair is
+    # always separated by a pre-token boundary; non-adjacent mixes via
+    # an out-of-alphabet char, e.g. "a-1", are legal in both forms)
     for t in got:
-        assert not (_re.search("[a-z]", t) and _re.search("[0-9]", t))
+        assert not _re.search("[a-z][0-9]|[0-9][a-z]", t)
