@@ -1,0 +1,235 @@
+"""Embedding decorrelation tier: exact covariance, PCA projection, and
+Johnson-Lindenstrauss random projection (north-star similarity/
+curation support — dimensionality reduction is the standard pre-pass
+before clustering/ANN at corpus scale).
+
+Reference parity: none (the reference has no vector analytics); this
+extends the embeddings tier. Public lineage: PCA via the covariance
+method; JL per Achlioptas (2003) database-friendly projections — the
+same fixture-seeded deterministic-plane construction as
+similarity.srp_planes.
+
+100-TB shape: the covariance sums are ONE corpus pass — per row the
+upper-triangle products expand INSIDE the task and collapse to at most
+d(d+1)/2 partial rows per task via map-side combine (the kmeans_step
+posexplode-groupBy shape), so the shuffle carries O(d^2) rows total,
+never O(n). The eigendecomposition runs driver-side on the collected
+d x d matrix — a BOUNDED artifact (like the per-field summaries,
+engine.py:183) — and the components return to the executors as one
+broadcast DATA row. JL needs no data pass at all: planes are seeded
+constants, projection is a shuffle-free fold per vector.
+
+Exactness: covariance sums are float-order dependent — ROUND absorbs
+(the house avg contract); counts are exact. PCA projections depend on
+the eigendecomposition, which has no SQL twin — the registry row is
+DECLARED rows-only and pytest pins the math against a direct numpy
+reference instead. JL projections fold in explicit order over seeded
+plane constants, so they hash-match exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _fold_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def covariance_upper(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """(i, j, n, cov) for 1 <= i <= j <= dim: the exact sample
+    covariance cov_ij = S_ij/n - (S_i/n)(S_j/n) over all vectors (the
+    population form). One corpus pass as an Arrow-batched partial-Gram
+    kernel: each batch emits ONE d x d matmul's upper triangle —
+    d(d+1)/2 skinny partial rows per batch regardless of batch size —
+    and the only shuffle is the O(d^2)-row (i, j) merge. (An
+    expression-only flatten/explode twin was 25 s at sf0.1 vs ~1 s
+    here: 2080 struct allocations per row don't codegen well; the
+    matmul is exactly what BLAS is for.) Float summation order differs
+    from the SQL twin — ROUND absorbs it; counts are exact."""
+    import numpy as np
+    import pandas as pd
+
+    iu, ju = np.triu_indices(dim)
+
+    def partial_gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            g = X.T @ X
+            s = X.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": (iu + 1).astype("int32"),
+                    "j": (ju + 1).astype("int32"),
+                    "n": np.full(len(iu), len(X), dtype="int64"),
+                    "sxy": g[iu, ju],
+                    "sxi": s[iu],
+                    "sxj": s[ju],
+                }
+            )
+
+    sums = (
+        df.select(vec_col)
+        .mapInPandas(
+            partial_gram,
+            "i int, j int, n long, sxy double, sxi double, sxj double",
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sxy").alias("sxy"),
+            F.sum("sxi").alias("sxi"),
+            F.sum("sxj").alias("sxj"),
+        )
+    )
+    return sums.select(
+        "i",
+        "j",
+        "n",
+        F.round(
+            F.col("sxy") / F.col("n")
+            - (F.col("sxi") / F.col("n")) * (F.col("sxj") / F.col("n")),
+            round_to,
+        ).alias("cov"),
+    ).orderBy("i", "j")
+
+
+def covariance_matrix(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, round_to: int = 6
+):
+    """Driver-side d x d numpy matrix from ``covariance_upper`` — a
+    bounded collect (d^2 doubles), the legitimate driver artifact class.
+    Returns (matrix, n)."""
+    import numpy as np
+
+    rows = covariance_upper(df, id_col, vec_col, dim, round_to).collect()
+    m = np.zeros((dim, dim))
+    n = 0
+    for r in rows:
+        m[r["i"] - 1, r["j"] - 1] = r["cov"]
+        m[r["j"] - 1, r["i"] - 1] = r["cov"]
+        n = r["n"]
+    return m, n
+
+
+def pca_components(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, k: int
+):
+    """Top-k principal components (rows) + explained-variance ratios,
+    driver-side numpy eigh on the ROUNDED covariance matrix. Signs are
+    fixed deterministically (largest-|component| entry positive) so the
+    output is reproducible across BLAS builds up to that convention."""
+    import numpy as np
+
+    m, _ = covariance_matrix(df, id_col, vec_col, dim)
+    vals, vecs = np.linalg.eigh(m)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    ratios = []
+    total = float(np.sum(np.clip(vals, 0.0, None))) or 1.0
+    for idx in order:
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+        ratios.append(float(max(vals[idx], 0.0) / total))
+    return comps, ratios
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, proj): each vector's coordinates on the top-k principal
+    components. The components travel as ONE broadcast DATA row;
+    projection is k sequential fold-dots, shuffle-free. DECLARED
+    rows-only in the registry (no SQL eigendecomposition); pytest pins
+    the projections against numpy directly."""
+    comps, _ = pca_components(df, id_col, vec_col, dim, k)
+    spark = df.sparkSession
+    comp_row = spark.createDataFrame(
+        [(comps,)], "comps array<array<double>>"
+    )
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        df.crossJoin(F.broadcast(comp_row))
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col("comps"),
+                lambda c: F.round(_fold_dot(vec, c), round_to),
+            ).alias("proj"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def jl_planes(out_dim: int, in_dim: int) -> list[list[float]]:
+    """Deterministic Achlioptas-style +/-1 projection rows scaled by
+    1/sqrt(out_dim), seeded from md5 like srp_planes — engine- and
+    session-independent constants, reproducible in SQL."""
+    planes = []
+    for r in range(out_dim):
+        row = []
+        for c in range(in_dim):
+            h = hashlib.md5(f"jl:{r}:{c}".encode()).digest()
+            (bit,) = struct.unpack(">B", h[:1])
+            row.append(
+                (1.0 if bit & 1 else -1.0) / (out_dim ** 0.5)
+            )
+        planes.append(row)
+    return planes
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, proj): Johnson-Lindenstrauss projection to ``out_dim`` dims
+    — the zero-training dimensionality cut (distance-preserving w.h.p.;
+    Achlioptas 2003). Planes ship as one broadcast DATA row built from
+    seeded constants; the per-vector fold order is explicit, so the
+    projection HASH-MATCHES its SQL twin."""
+    spark = df.sparkSession
+    plane_row = spark.createDataFrame(
+        [(jl_planes(out_dim, in_dim),)], "planes array<array<double>>"
+    )
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        df.crossJoin(F.broadcast(plane_row))
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col("planes"),
+                lambda p: F.round(_fold_dot(vec, p), round_to),
+            ).alias("proj"),
+        )
+        .orderBy(id_col)
+    )

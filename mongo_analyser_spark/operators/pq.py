@@ -1,0 +1,431 @@
+"""Product quantization (PQ): codebooks, vector encoding, and the
+asymmetric-distance (ADC) top-k scan (north-star similarity tier).
+
+Reference parity: none — the reference has no vector search at all;
+this extends the repo's ANN family (SRP-LSH, IVF) with the compressed-
+domain member every production vector store ships (Jégou, Douze &
+Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+2011 — public). A d-dim vector splits into m contiguous sub-vectors;
+each sub-vector is quantized to its nearest of k sub-centroids, so the
+corpus stores m small codes per vector (m bytes at k<=256 — a 32x cut
+at d=64 float32) and query distances are summed from an m x k lookup
+table instead of touching raw floats.
+
+Exactness contract: sub-centroids are the sub-slices of the k
+smallest-id corpus vectors (the seed_centroids_row init), so every
+centroid component is an exactly-cast float; L2 distances accumulate
+in explicit left-fold order, bit-identical to an unrolled SQL chain —
+assignments, codes and ADC distances are therefore engine-EXACT (not
+just round-absorbed), and the registry rows hash-match with ties
+broken on code/vector id.
+
+100-TB shape: codebooks travel as ONE broadcast DATA row (the
+similarity.py SRP-plane lesson — never k x d plan literals); encoding
+is a shuffle-free projection against that row; the ADC scan is one
+pass over (id, codes) rows — m bytes each — with the query's distance
+table folded per row from the same broadcast; top-k is TakeOrdered.
+Training on real corpora swaps the seeded init for kmeans_fit per
+subspace behind the same row shape (pq_refine below); the registry
+pins the seeded form because Lloyd means are float-summation-order
+dependent and PQ's plumbing, not its codebook quality, is what the
+oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sub_l2(a: Column, b: Column) -> Column:
+    """Left-fold squared L2 between two (sub-)vectors — sequential
+    accumulation, bit-identical to the unrolled SQL chain
+    ``(a[1]-b[1])^2 + ... + (a[n]-b[n])^2``."""
+    d = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _dsub(vec: Column, sub: Column, sub_dim: int) -> Column:
+    """The 1-based slice of ``vec`` for 0-based subspace ``sub``."""
+    return F.slice(vec, sub * sub_dim + 1, sub_dim)
+
+
+def pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+) -> DataFrame:
+    """ONE row: ``cents`` = array<struct<sub,cid,v>> of m*k
+    sub-centroids, seeded from the sub-slices of the k smallest-id
+    vectors (deterministic, engine-reproducible — see module doc),
+    sorted by (sub, cid). Broadcast DATA, not plan literals. Explicit
+    ``dim`` so sub_dim = dim // m is a plan-time constant."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    w = Window.orderBy("id")
+    seeds = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .orderBy("id")
+        .limit(k)
+        .select(F.row_number().over(w).alias("cid"), "vec")
+    )
+    per_sub = seeds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"), "cid", "vec"
+    ).select(
+        "sub",
+        "cid",
+        F.transform(
+            _dsub(F.col("vec"), F.col("sub"), sub_dim),
+            lambda x: x.cast("double"),
+        ).alias("v"),
+    )
+    return per_sub.agg(
+        F.sort_array(F.collect_list(F.struct("sub", "cid", "v"))).alias("cents")
+    )
+
+
+def _by_sub(cents_row: DataFrame, m: int) -> DataFrame:
+    """Reshape the codebook row to ``by_sub``: array (indexed by
+    sub, 1-based) of the sub's k centroid vectors in cid order. The
+    reshape is evaluated ONCE on the one-row broadcast side — per
+    corpus row the hot expression only does element_at + k folds
+    instead of re-filtering the m*k struct array per subspace."""
+    return cents_row.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.transform(
+                F.filter(F.col("cents"), lambda c: c["sub"] == s),
+                lambda c: c["v"],
+            ),
+        ).alias("by_sub")
+    )
+
+
+def _assigned_subvectors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents_row: DataFrame,
+    dim: int,
+    m: int,
+) -> DataFrame:
+    """(id, sub, cid, sv): every vector's sub-slices with their nearest
+    sub-centroid — the shared projection behind encode and refine."""
+    sub_dim = dim // m
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def assign(sub: Column) -> Column:
+        sv = _dsub(vec, sub, sub_dim)
+        cl = F.element_at(F.col("by_sub"), sub + 1)
+        dists = F.transform(cl, lambda cv: _sub_l2(sv, cv))
+        return F.struct(
+            sub.cast("int").alias("sub"),
+            F.array_position(dists, F.array_min(dists)).cast("int").alias("cid"),
+            sv.alias("sv"),
+        )
+
+    return (
+        df.crossJoin(F.broadcast(_by_sub(cents_row, m)))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(F.sequence(F.lit(0), F.lit(m - 1)), assign)
+            ).alias("a"),
+        )
+        .select("id", "a.sub", "a.cid", "a.sv")
+    )
+
+
+def pq_refine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents_row: DataFrame,
+    dim: int,
+    m: int = 8,
+    steps: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lloyd refinement of the codebook, one row out per call chain:
+    assign every sub-vector to its nearest sub-centroid, recompute each
+    cell as the per-position member mean ROUNDED to ``round_to`` (the
+    kmeans_step trick — rounding makes the new centroids
+    engine-independent again, so codes stay hash-oracle-able), keep the
+    old centroid for empty cells. Shuffle budget per step: ONE
+    (sub, cid, pos) aggregate bounded at m*k*sub_dim rows by map-side
+    combine, plus the m*k-row rebuild joins."""
+    sub_dim = dim // m
+    for _ in range(steps):
+        assigned = _assigned_subvectors(df, id_col, vec_col, cents_row, dim, m)
+        means = (
+            assigned.select(
+                "sub", "cid", F.posexplode("sv").alias("pos", "val")
+            )
+            .groupBy("sub", "cid", "pos")
+            .agg(F.round(F.avg("val"), round_to).alias("mv"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "mv"))),
+                    lambda s: s["mv"],
+                ).alias("nv")
+            )
+        )
+        old = cents_row.select(
+            F.explode("cents").alias("c")
+        ).select("c.sub", "c.cid", "c.v")
+        cents_row = (
+            old.join(means, ["sub", "cid"], "left")
+            .select(
+                "sub", "cid", F.coalesce(F.col("nv"), F.col("v")).alias("v")
+            )
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("sub", "cid", "v"))
+                ).alias("cents")
+            )
+        )
+    return cents_row
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents_row: DataFrame,
+    dim: int,
+    m: int = 8,
+) -> DataFrame:
+    """(id, codes): per subspace the cid of the nearest sub-centroid
+    (squared L2, ties to the lowest cid — array_position finds the
+    FIRST min in cid order because ``cents`` is sorted). Shuffle-free
+    projection against the one-row broadcast codebook."""
+    sub_dim = dim // m
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def code_for(sub: Column) -> Column:
+        cl = F.element_at(F.col("by_sub"), sub + 1)
+        dists = F.transform(
+            cl, lambda cv: _sub_l2(_dsub(vec, sub, sub_dim), cv)
+        )
+        return F.array_position(dists, F.array_min(dists)).cast("int")
+
+    return (
+        df.crossJoin(F.broadcast(_by_sub(cents_row, m)))
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)), code_for
+            ).alias("codes"),
+        )
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    dim: int,
+    m: int = 8,
+    k_cent: int = 16,
+    k: int = 5,
+    round_to: int = 6,
+    refine_steps: int = 0,
+) -> DataFrame:
+    """(qid, vid, adc_dist, rnk): for each query vector, the k corpus
+    vectors with smallest ADC distance — the query's EXACT sub-slices
+    scored against each vector's quantized sub-centroids:
+    adc(q, x) = sum_s ||q_s - c[s, codes(x)[s]]||^2.
+
+    The corpus side touches only (id, codes) — m small ints per vector;
+    distances fold from the broadcast codebook + broadcast query rows.
+    Distances are engine-exact with ``refine_steps=0`` and
+    engine-equal-after-rounding with refined (rounded-mean) centroids
+    (see module doc); ROUND + (dist, vid) tie-break keep the rank cut
+    stable either way."""
+    sub_dim = dim // m
+    cents_row = pq_codebooks(df, id_col, vec_col, dim, m, k_cent)
+    if refine_steps:
+        cents_row = pq_refine(
+            df, id_col, vec_col, cents_row, dim, m, refine_steps, round_to
+        )
+    encoded = pq_encode(df, id_col, vec_col, cents_row, dim, m)
+    queries = (
+        df.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("qid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+        )
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(queries))
+        .crossJoin(F.broadcast(_by_sub(cents_row, m)))
+        .where(F.col("id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("id").alias("vid"),
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + _sub_l2(
+                        _dsub(F.col("qv"), s, sub_dim),
+                        F.element_at(
+                            F.element_at(F.col("by_sub"), s + 1),
+                            F.element_at(F.col("codes"), s + 1),
+                        ),
+                    ),
+                ),
+                round_to,
+            ).alias("adc_dist"),
+        )
+    )
+    win = Window.partitionBy("qid").orderBy("adc_dist", "vid")
+    return (
+        scored.withColumn("rnk", F.row_number().over(win).cast("int"))
+        .where(F.col("rnk") <= k)
+        .orderBy("qid", "rnk")
+    )
+
+
+def pq_adc_rerank_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    dim: int,
+    m: int = 8,
+    k_cent: int = 16,
+    shortlist: int = 50,
+    k: int = 5,
+    refine_steps: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """(qid, vid, l2, rnk): the production IVFADC shape — ADC ranks a
+    SHORTLIST of candidates from codes alone (m bytes/vector touched),
+    then only shortlist raw vectors are fetched for an exact-L2
+    re-rank. Compressed-domain scan cost + exact final ordering; the
+    recall gate measures how often the true top-k survives the
+    shortlist cut (data-dependent: near-uniform corpora need a larger
+    shortlist because ADC's quantization error rivals the
+    inter-neighbor gaps)."""
+    short = pq_adc_topk(
+        df, id_col, vec_col, query_ids, dim, m, k_cent,
+        k=shortlist, round_to=round_to, refine_steps=refine_steps,
+    ).select("qid", "vid")
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    queries = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    rer = (
+        short.join(vecs, "vid")
+        .join(F.broadcast(queries), "qid")
+        .select(
+            "qid",
+            "vid",
+            F.round(_sub_l2(F.col("v"), F.col("qv")), round_to).alias("l2"),
+        )
+    )
+    win = Window.partitionBy("qid").orderBy("l2", "vid")
+    return (
+        rer.withColumn("rnk", F.row_number().over(win).cast("int"))
+        .where(F.col("rnk") <= k)
+        .orderBy("qid", "rnk")
+    )
+
+
+def pq_exact_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Ground truth for the recall gate: exact squared-L2 top-k over the
+    raw vectors (one corpus scan, queries broadcast — the brute-force
+    baseline shape)."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    queries = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    scored = (
+        df.select(F.col(id_col).alias("vid"), vec.alias("v"))
+        .crossJoin(F.broadcast(queries))
+        .where(F.col("vid") != F.col("qid"))
+        .select(
+            "qid",
+            "vid",
+            F.round(_sub_l2(F.col("v"), F.col("qv")), round_to).alias("l2"),
+        )
+    )
+    win = Window.partitionBy("qid").orderBy("l2", "vid")
+    return (
+        scored.withColumn("rnk", F.row_number().over(win).cast("int"))
+        .where(F.col("rnk") <= k)
+        .orderBy("qid", "rnk")
+    )
+
+
+def pq_recall_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    dim: int,
+    m: int = 8,
+    k_cent: int = 16,
+    k: int = 5,
+    refine_steps: int = 0,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """(qid, hits, recall_at_k): overlap between the ADC top-k (or,
+    with ``shortlist``, the ADC-shortlist + exact-rerank top-k) and the
+    exact-L2 top-k per query — the ann_recall_report contract for the
+    compressed-domain scan. Counts are exact ints; recall hash-matches."""
+    if shortlist:
+        adc = pq_adc_rerank_topk(
+            df, id_col, vec_col, query_ids, dim, m, k_cent,
+            shortlist=shortlist, k=k, refine_steps=refine_steps,
+        )
+    else:
+        adc = pq_adc_topk(
+            df, id_col, vec_col, query_ids, dim, m, k_cent, k,
+            refine_steps=refine_steps,
+        )
+    exact = pq_exact_topk(df, id_col, vec_col, query_ids, k)
+    hits = (
+        exact.select("qid", "vid")
+        .join(adc.select("qid", "vid"), ["qid", "vid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        exact.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.col("k"),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )

@@ -260,6 +260,36 @@ def lint_plan(df: DataFrame) -> list[Finding]:
                     "can't express the semantics).",
                 )
             )
+
+    # A bare keyed repartition (REPARTITION_BY_COL) is an AQE
+    # re-coalesce target: a few MB of input collapses to ONE
+    # post-shuffle partition. Harmless before a JVM projection, but a
+    # Python stage fed by it serializes entirely (round-9 finding:
+    # jpeg_pixel_stats ran 17.1 s single-task vs 1.7 s with an
+    # explicit-N repartition, which AQE must honor). Postorder ids
+    # associate: the exchange must sit BELOW some Python op.
+    py_ids, bycol_ids = [], []
+    for section in re.split(r"\n\n", plan):
+        head = re.match(r"\((\d+)\) (\w+)", section.strip())
+        if not head:
+            continue
+        node_id, op = int(head.group(1)), head.group(2)
+        if op in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            py_ids.append(node_id)
+        elif op == "Exchange" and "REPARTITION_BY_COL" in section:
+            bycol_ids.append(node_id)
+    if any(any(p > e for p in py_ids) for e in bycol_ids):
+        findings.append(
+            Finding(
+                "warning",
+                "coalescible-python-fanout",
+                "a bare keyed repartition (REPARTITION_BY_COL) feeds an "
+                "Arrow Python stage: AQE may coalesce the shuffle to one "
+                "partition and serialize the Python work. Use an "
+                "explicit-N repartition (REPARTITION_BY_NUM, exempt from "
+                "coalescing) sized from spark.sql.shuffle.partitions.",
+            )
+        )
     findings.append(
         Finding("info", "exchanges", f"{num_exchanges(df, plan=plan)} shuffle exchange(s)")
     )

@@ -2693,6 +2693,23 @@ TAIL_QUERIES = (
     # round-6 (cont.): Morton key for the Z-order clustered sink
     # (multi-dim data skipping; bit-identical integer oracle)
     "zorder_key_events",
+    # round-9: sparse TF-IDF tier — per-doc keyword sketch, the
+    # prefix-filtered cosine similarity join (AllPairs lineage; fourth
+    # near-dup modality), and its recall gate on the validation slice
+    "tfidf_topk_terms_documents",
+    "tfidf_cosine_pairs_documents",
+    "tfidf_pairs_recall_report",
+    # round-9: product-quantization tier — codes, compressed-domain
+    # ADC+rerank top-k, and its recall gate (third ANN recall gate)
+    "pq_encode_embeddings",
+    "pq_adc_rerank_topk_embeddings",
+    "pq_recall_report_embeddings",
+    # round-9: decorrelation tier — exact covariance (hash-oracled),
+    # PCA projection (declared rows-only: driver-side eigh, no SQL
+    # twin), and the JL random projection (hash-oracled)
+    "embedding_covariance_upper",
+    "pca_project_embeddings",
+    "jl_project_embeddings",
 )
 
 

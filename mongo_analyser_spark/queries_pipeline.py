@@ -2608,9 +2608,17 @@ def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        # no explicit N: inherits spark.sql.shuffle.partitions, so the
-        # stage widens with the cluster instead of pinning local[32]'s 32
-        .repartition("doc_id")
+        # explicit N resolved from the session conf AT PLAN TIME: a bare
+        # keyed repartition is an AQE re-coalesce target, and ~1.5 MB of
+        # text collapses to ONE post-shuffle partition, serializing the
+        # whole Python codec stage (measured 17.1 s vs 2.1 s solo at
+        # sf0.1). An explicit-N repartition is exempt from AQE
+        # coalescing, and the value still scales with cluster config
+        # instead of pinning local[32]'s 32.
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            "doc_id",
+        )
     )
 
     def run(batches):
@@ -2790,6 +2798,478 @@ def q_token_budget_select_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_select(
         scored, "doc_id", "quality", "n_tokens", 1, 2
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Sparse TF-IDF vectors + prefix-filtered cosine similarity join (round 9)
+# --------------------------------------------------------------------------
+
+#: the pairs tier runs on a deterministic corpus slice in the registry —
+#: the same contract as the ANN recall gates: exact ground truth (and
+#: this corpus's degenerate 31-term vocabulary, where the "rarest" term
+#: still hits ~5% of all docs, so rarity blocking cannot prune the way
+#: it does on a natural Zipf tail) bounds the validation join, while the
+#: operator itself is corpus-general
+_TFIDF_SLICE = "doc_id % 10 = 7"
+_TFIDF_THRESHOLD = 0.7
+_TFIDF_PREFIX = 2
+
+
+def _tfidf_w_ctes(where: str = "TRUE") -> str:
+    """Shared CTE chain: weighted postings + squared norms over an
+    optionally-sliced documents table — the SQL twin of
+    operators/tfidf.tfidf_postings (exact-int ln operands; see module
+    doc there)."""
+    return f"""
+d AS (SELECT doc_id, text FROM documents WHERE {where}),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d)
+  WHERE term <> '' GROUP BY doc_id, term),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+w AS (
+  SELECT doc_id, term, tf, df,
+         tf * (ln(n_docs + 1) - ln(df + 1)) AS w
+  FROM tf JOIN dft USING (term) CROSS JOIN nd),
+n2 AS (SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY doc_id)"""
+
+
+def _tfidf_pairs_ctes() -> str:
+    """Prefix-blocking + exact-verification chain over the slice."""
+    return f"""{_tfidf_w_ctes(_TFIDF_SLICE)},
+pref AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY df, term) AS rn
+    FROM w) WHERE rn <= {_TFIDF_PREFIX}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b USING (term) WHERE a.doc_id < b.doc_id),
+dots AS (
+  SELECT c.id_a, c.id_b, SUM(wa.w * wb.w) AS dot
+  FROM cand c
+  JOIN w wa ON wa.doc_id = c.id_a
+  JOIN w wb ON wb.doc_id = c.id_b AND wb.term = wa.term
+  GROUP BY c.id_a, c.id_b),
+found AS (
+  SELECT id_a, id_b,
+         ROUND(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+  FROM dots
+  JOIN n2 na ON na.doc_id = id_a
+  JOIN n2 nb ON nb.doc_id = id_b)"""
+
+
+@register(
+    "tfidf_topk_terms_documents",
+    f"""
+WITH {_tfidf_w_ctes()}
+SELECT doc_id, term, tf, df, ROUND(w, 6) AS w, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT doc_id, term, tf, df, w,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY ROUND(w, 6) DESC, term) AS rnk
+  FROM w)
+WHERE rnk <= 3 ORDER BY doc_id, rnk
+""",
+)
+def q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document's 3 highest-TF-IDF terms — the per-doc keyword
+    sketch (north-star text analysis; operators/tfidf.py, AllPairs
+    lineage per Bayardo et al. 2007). Three keyed shuffles total:
+    (doc, term) tf groupBy (map-side combine), term df groupBy DERIVED
+    from the shrunk postings, per-doc rank window; N is a one-row
+    broadcast. HASH-oracled: tf/df/N are exact ints so every weight is
+    engine-independent; rank on the ROUNDED weight with a term tiebreak
+    keeps the cut stable."""
+    from mongo_analyser_spark.operators.tfidf import tfidf_topk_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk_terms(docs, k=3)
+
+
+@register(
+    "tfidf_cosine_pairs_documents",
+    f"""
+WITH {_tfidf_pairs_ctes()}
+SELECT id_a, id_b, cosine FROM found
+WHERE cosine >= {_TFIDF_THRESHOLD} ORDER BY id_a, id_b
+""",
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-lexical near-dup pairs: rare-term prefix blocking (each
+    doc indexes only its p=2 globally-rarest terms) + EXACT TF-IDF
+    cosine verification on the candidates, thresholded on the ROUNDED
+    cosine. The fourth near-dup modality next to MinHash-Jaccard,
+    SimHash and embedding-cosine. At 100 TB the blocking join touches
+    only prefix postings (fanout df^2 for already-rare terms — the Zipf
+    head never joins); verification is two equi-joins bounded by
+    |candidates| x doc vocabulary. Registry row runs the validation
+    slice (see _TFIDF_SLICE note)."""
+    from mongo_analyser_spark.operators.tfidf import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(_TFIDF_SLICE)
+    return tfidf_cosine_pairs(
+        docs, threshold=_TFIDF_THRESHOLD, prefix=_TFIDF_PREFIX
+    )
+
+
+@register(
+    "tfidf_pairs_recall_report",
+    f"""
+WITH {_tfidf_pairs_ctes()},
+exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+truth AS (
+  SELECT id_a, id_b FROM exact
+  JOIN n2 na ON na.doc_id = id_a
+  JOIN n2 nb ON nb.doc_id = id_b
+  WHERE ROUND(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= {_TFIDF_THRESHOLD}),
+kept AS (SELECT id_a, id_b FROM found WHERE cosine >= {_TFIDF_THRESHOLD}),
+tp AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM truth),
+fp AS (SELECT CAST(count(*) AS BIGINT) AS found_pairs FROM kept),
+mt AS (SELECT CAST(count(*) AS BIGINT) AS matched
+       FROM truth SEMI JOIN kept USING (id_a, id_b))
+SELECT true_pairs, found_pairs, matched,
+       ROUND(CASE WHEN true_pairs = 0 THEN 1.0
+                  ELSE CAST(matched AS DOUBLE) / true_pairs END, 6) AS recall
+FROM tp, fp, mt
+""",
+)
+def q_tfidf_pairs_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall gate for the prefix-blocked join (the ann_recall
+    contract): exact inverted-index ground truth on the validation
+    slice vs the blocked result. Verification is exact, so found is a
+    subset of truth, precision 1 by construction; recall is the number
+    the blocking choice owns — and the recall VALUE itself
+    hash-matches."""
+    from mongo_analyser_spark.operators.tfidf import tfidf_pairs_recall_report
+
+    docs = load_table(spark, sf_dir, "documents").where(_TFIDF_SLICE)
+    return tfidf_pairs_recall_report(
+        docs, threshold=_TFIDF_THRESHOLD, prefix=_TFIDF_PREFIX
+    )
+
+
+# --------------------------------------------------------------------------
+# Product quantization: encode / ADC+rerank top-k / recall gate (round 9)
+# --------------------------------------------------------------------------
+
+_PQ_M = 8
+_PQ_SUBDIM = EMB_DIM // _PQ_M
+_PQ_K = 16
+_PQ_SHORTLIST = 50
+_PQ_TOPK = 5
+
+
+def _pq_subdist_sql(vec: str, sub: str, v: str, sub_dim: int = _PQ_SUBDIM) -> str:
+    """Unrolled squared-L2 between ``vec``'s (0-based) subspace ``sub``
+    slice and centroid list ``v`` — left-associated, bit-identical to
+    operators/pq._sub_l2's fold."""
+    t = [
+        f"(CAST({vec}[{sub}*{sub_dim}+{j}] AS DOUBLE) - {v}[{j}])"
+        f"*(CAST({vec}[{sub}*{sub_dim}+{j}] AS DOUBLE) - {v}[{j}])"
+        for j in range(1, sub_dim + 1)
+    ]
+    return " + ".join(t)
+
+
+def _pq_fulldist_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    t = [
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f"*(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, dim + 1)
+    ]
+    return " + ".join(t)
+
+
+def _pq_codes_ctes() -> str:
+    """Shared CTE chain: seeded codebook -> one rounded-mean Lloyd
+    refine -> per-vector codes. Twin of operators/pq.pq_codebooks +
+    pq_refine(steps=1) + pq_encode; distances unrolled in fold order so
+    assignments are engine-exact (refined centroids are ROUNDED means,
+    re-shared by both engines — the kmeans_step trick)."""
+    seed_v = ", ".join(
+        f"CAST(seeds.embedding[subs.sub*{_PQ_SUBDIM}+{j}] AS DOUBLE)"
+        for j in range(1, _PQ_SUBDIM + 1)
+    )
+    return f"""
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, embedding
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})),
+subs AS (SELECT CAST(r.range AS INT) AS sub FROM range({_PQ_M}) r),
+cb0 AS (
+  SELECT subs.sub, CAST(seeds.cid AS INT) AS cid, [{seed_v}] AS v
+  FROM seeds CROSS JOIN subs),
+asg0 AS (
+  SELECT e.vec_id, c.sub, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id, c.sub
+           ORDER BY {_pq_subdist_sql('e.embedding', 'c.sub', 'c.v')}, c.cid
+         ) AS rn
+  FROM embeddings e CROSS JOIN cb0 c),
+best0 AS (SELECT vec_id, sub, cid FROM asg0 WHERE rn = 1),
+mean1 AS (
+  SELECT b.sub, b.cid, t.j,
+         ROUND(AVG(CAST(e.embedding[b.sub*{_PQ_SUBDIM}+t.j] AS DOUBLE)), 6)
+           AS mv
+  FROM best0 b
+  JOIN embeddings e USING (vec_id)
+  CROSS JOIN generate_series(1, {_PQ_SUBDIM}) t(j)
+  GROUP BY b.sub, b.cid, t.j),
+ml AS (SELECT sub, cid, list(mv ORDER BY j) AS nv FROM mean1 GROUP BY sub, cid),
+cb AS (
+  SELECT c0.sub, c0.cid, COALESCE(ml.nv, c0.v) AS v
+  FROM cb0 c0 LEFT JOIN ml USING (sub, cid)),
+asg AS (
+  SELECT e.vec_id, c.sub, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id, c.sub
+           ORDER BY {_pq_subdist_sql('e.embedding', 'c.sub', 'c.v')}, c.cid
+         ) AS rn
+  FROM embeddings e CROSS JOIN cb c),
+codes AS (SELECT vec_id, sub, cid FROM asg WHERE rn = 1)"""
+
+
+def _pq_rerank_ctes() -> str:
+    """codes -> ADC shortlist -> exact-L2 rerank top-k for the 8 fixture
+    queries (the similarity_topk query-id contract)."""
+    return f"""{_pq_codes_ctes()},
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {len(ANN_QUERY_IDS)}),
+adc AS (
+  SELECT q.qid, cd.vec_id AS vid,
+         ROUND(SUM({_pq_subdist_sql('q.qv', 'cb.sub', 'cb.v')}), 6)
+           AS adc_dist
+  FROM codes cd
+  JOIN cb ON cb.sub = cd.sub AND cb.cid = cd.cid
+  CROSS JOIN q
+  WHERE cd.vec_id <> q.qid
+  GROUP BY q.qid, cd.vec_id),
+short AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid,
+           row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vid) AS rn
+    FROM adc) WHERE rn <= {_PQ_SHORTLIST}),
+rer AS (
+  SELECT s.qid, s.vid,
+         ROUND({_pq_fulldist_sql('qe.embedding', 've.embedding')}, 6) AS l2
+  FROM short s
+  JOIN embeddings qe ON qe.vec_id = s.qid
+  JOIN embeddings ve ON ve.vec_id = s.vid),
+topk AS (
+  SELECT qid, vid, l2, CAST(rn AS INT) AS rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY l2, vid) AS rn
+    FROM rer) WHERE rn <= {_PQ_TOPK})"""
+
+
+@register(
+    "pq_encode_embeddings",
+    f"""
+WITH {_pq_codes_ctes()}
+SELECT vec_id, string_agg(CAST(cid AS VARCHAR), ',' ORDER BY sub) AS codes_csv
+FROM codes GROUP BY vec_id ORDER BY vec_id
+""",
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011; operators/
+    pq.py): every vector compressed to m=8 sub-centroid codes — the
+    32x storage cut a 100-TB vector corpus runs before anything else.
+    Codebook = seeded sub-centroids + ONE rounded-mean Lloyd refine,
+    travelling as one broadcast DATA row (never k x d plan literals);
+    encoding is a shuffle-free projection. HASH-oracled: distances
+    accumulate in fold order over exactly-cast floats and refined
+    centroids are ROUNDED means, so codes are engine-exact (ties to the
+    lowest cid). CSV codes for hashable cells, like quantize_int8."""
+    from mongo_analyser_spark.operators.pq import (
+        pq_codebooks,
+        pq_encode,
+        pq_refine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_refine(
+        emb, "vec_id", "embedding",
+        pq_codebooks(emb, "vec_id", "embedding", EMB_DIM, _PQ_M, _PQ_K),
+        EMB_DIM, _PQ_M,
+    )
+    return (
+        pq_encode(emb, "vec_id", "embedding", cb, EMB_DIM, _PQ_M)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+                "codes_csv"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "pq_adc_rerank_topk_embeddings",
+    f"""
+WITH {_pq_rerank_ctes()}
+SELECT qid, vid, l2, rnk FROM topk ORDER BY qid, rnk
+""",
+)
+def q_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production compressed-domain ANN shape (IVFADC lineage): ADC
+    ranks a {_PQ_SHORTLIST}-candidate shortlist touching only the m-byte
+    codes + the broadcast codebook, then ONLY shortlist vectors are
+    fetched for an exact-L2 re-rank. At 100 TB the raw-vector fetch is
+    a keyed join bounded by |queries| x shortlist — the corpus scan
+    itself never reads a float."""
+    from mongo_analyser_spark.operators.pq import pq_adc_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_rerank_topk(
+        emb, "vec_id", "embedding", ANN_QUERY_IDS, EMB_DIM,
+        _PQ_M, _PQ_K, _PQ_SHORTLIST, _PQ_TOPK, refine_steps=1,
+    )
+
+
+@register(
+    "pq_recall_report_embeddings",
+    f"""
+WITH {_pq_rerank_ctes()},
+ex AS (
+  SELECT q.qid, e.vec_id AS vid,
+         ROUND({_pq_fulldist_sql('q.qv', 'e.embedding')}, 6) AS l2
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+ext AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid,
+           row_number() OVER (PARTITION BY qid ORDER BY l2, vid) AS rn
+    FROM ex) WHERE rn <= {_PQ_TOPK}),
+hits AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS hits
+  FROM ext SEMI JOIN topk USING (qid, vid) GROUP BY qid),
+ks AS (SELECT qid, CAST(count(*) AS BIGINT) AS k FROM ext GROUP BY qid)
+SELECT ks.qid, COALESCE(hits.hits, 0) AS hits,
+       ROUND(CAST(COALESCE(hits.hits, 0) AS DOUBLE) / ks.k, 6) AS recall_at_k
+FROM ks LEFT JOIN hits USING (qid) ORDER BY ks.qid
+""",
+)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the PQ tier (ann_recall contract, third member
+    next to the SRP and IVF gates): reranked ADC top-k vs exact-L2
+    top-k per query. The recall VALUE hash-matches. On this corpus the
+    shortlist cut is the honest cost of near-uniform embeddings —
+    measured 0.6-1.0 per query at shortlist={_PQ_SHORTLIST} (ADC alone
+    reads ~0.3; quantization error rivals the inter-neighbor gaps)."""
+    from mongo_analyser_spark.operators.pq import pq_recall_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_recall_report(
+        emb, "vec_id", "embedding", ANN_QUERY_IDS, EMB_DIM,
+        _PQ_M, _PQ_K, _PQ_TOPK, refine_steps=1, shortlist=_PQ_SHORTLIST,
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding decorrelation: covariance / PCA / JL projection (round 9)
+# --------------------------------------------------------------------------
+
+_JL_OUT_DIM = 16
+
+
+@register(
+    "embedding_covariance_upper",
+    f"""
+WITH p AS (
+  SELECT i.i, j.j,
+         CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[j.j] AS DOUBLE)
+           AS xy,
+         CAST(e.embedding[i.i] AS DOUBLE) AS xi,
+         CAST(e.embedding[j.j] AS DOUBLE) AS xj
+  FROM embeddings e
+  CROSS JOIN generate_series(1, {EMB_DIM}) i(i)
+  CROSS JOIN generate_series(1, {EMB_DIM}) j(j)
+  WHERE j.j >= i.i),
+s AS (
+  SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+         SUM(xy) AS sxy, SUM(xi) AS sxi, SUM(xj) AS sxj
+  FROM p GROUP BY i, j)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n,
+       ROUND(sxy/n - (sxi/n)*(sxj/n), 6) AS cov
+FROM s ORDER BY i, j
+""",
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact d x d sample covariance of the embedding corpus
+    (operators/pca.py — the PCA pre-pass): ONE corpus pass where each
+    row's upper-triangle products expand INSIDE the task and map-side
+    combine collapses them to <= d(d+1)/2 partial rows per task — the
+    shuffle carries O(d^2) rows total, never O(n). HASH-oracled via the
+    raw-moment identity with ROUND absorbing float summation order
+    (counts exact)."""
+    from mongo_analyser_spark.operators.pca import covariance_upper
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_upper(emb, "vec_id", "embedding", EMB_DIM)
+
+
+@register("pca_project_embeddings")
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-4 PCA coordinates per vector, long form (vec_id, pos, val).
+    DECLARED rows-only: the eigendecomposition runs driver-side (numpy
+    eigh on the collected, ROUNDED d x d matrix — a bounded artifact,
+    like the per-field summaries) and has no SQL twin; signs are fixed
+    deterministically and tests/test_pca.py pins the projections
+    against a direct numpy reference. Components return to executors
+    as ONE broadcast DATA row; projection is four fold-dots,
+    shuffle-free."""
+    from mongo_analyser_spark.operators.pca import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = pca_project(emb, "vec_id", "embedding", EMB_DIM, k=4)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("pos", "val")
+    ).select(
+        "vec_id", (F.col("pos") + 1).cast("int").alias("pos"), "val"
+    ).orderBy("vec_id", "pos")
+
+
+def _jl_sql() -> str:
+    from mongo_analyser_spark.operators.pca import jl_planes
+
+    planes = jl_planes(_JL_OUT_DIM, EMB_DIM)
+    values = ",\n    ".join(
+        f"({r + 1}, [{', '.join(repr(v) for v in row)}])"
+        for r, row in enumerate(planes)
+    )
+    chain = " + ".join(
+        f"CAST(e.embedding[{i}] AS DOUBLE)*pl.v[{i}]"
+        for i in range(1, EMB_DIM + 1)
+    )
+    return f"""
+WITH pl(pos, v) AS (VALUES
+    {values})
+SELECT e.vec_id, CAST(pl.pos AS INT) AS pos, ROUND({chain}, 6) AS val
+FROM embeddings e CROSS JOIN pl
+ORDER BY e.vec_id, pl.pos
+"""
+
+
+@register("jl_project_embeddings", _jl_sql())
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection to 16 dims, long form — the
+    zero-training distance-preserving dimensionality cut (Achlioptas
+    2003 +/-1 rows, md5-seeded like the SRP planes). Planes ship as one
+    broadcast DATA row (constants, reproducible in SQL); per-vector
+    fold order is explicit, so every coordinate HASH-MATCHES. At 100 TB
+    this is a shuffle-free projection fused into the scan."""
+    from mongo_analyser_spark.operators.pca import jl_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = jl_project(emb, "vec_id", "embedding", EMB_DIM, _JL_OUT_DIM)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("pos", "val")
+    ).select(
+        "vec_id", (F.col("pos") + 1).cast("int").alias("pos"), "val"
+    ).orderBy("vec_id", "pos")
 
 
 # re-run tail curation so the registry order is import-order-robust (this

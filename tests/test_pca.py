@@ -1,0 +1,110 @@
+"""Decorrelation tier (operators/pca.py): covariance against numpy,
+PCA projection against a direct numpy reference (the declared
+rows-only registry row's correctness evidence), JL determinism and
+distance preservation."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from mongo_analyser_spark.operators.pca import (
+    covariance_matrix,
+    covariance_upper,
+    jl_planes,
+    jl_project,
+    pca_components,
+    pca_project,
+)
+
+DIM = 6
+VECS = [
+    (i, [float(((i * 7 + k * 3) % 11) - 5) for k in range(DIM)])
+    for i in range(40)
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<double>")
+
+
+def _np_x():
+    return np.array([v for _, v in VECS])
+
+
+def test_covariance_matches_numpy(spark):
+    rows = covariance_upper(_df(spark), "vec_id", "embedding", DIM).collect()
+    X = _np_x()
+    want = np.cov(X, rowvar=False, bias=True)  # population covariance
+    assert len(rows) == DIM * (DIM + 1) // 2
+    for r in rows:
+        assert r["n"] == len(VECS)
+        assert math.isclose(
+            r["cov"], round(want[r["i"] - 1, r["j"] - 1], 6), abs_tol=1e-6
+        )
+
+
+def test_covariance_matrix_is_symmetric_collect(spark):
+    m, n = covariance_matrix(_df(spark), "vec_id", "embedding", DIM)
+    assert n == len(VECS)
+    assert np.allclose(m, m.T)
+
+
+def test_pca_projection_matches_numpy_reference(spark):
+    df = _df(spark)
+    k = 3
+    comps, ratios = pca_components(df, "vec_id", "embedding", DIM, k)
+    # reference eigh on the same rounded covariance
+    m, _ = covariance_matrix(df, "vec_id", "embedding", DIM)
+    vals, vecs = np.linalg.eigh(m)
+    order = np.argsort(vals)[::-1][:k]
+    X = _np_x()
+    got = {
+        r["vec_id"]: list(r["proj"])
+        for r in pca_project(df, "vec_id", "embedding", DIM, k).collect()
+    }
+    for c, idx in enumerate(order):
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        assert np.allclose(comps[c], v)
+        for vid, x in VECS:
+            assert math.isclose(
+                got[vid][c], round(float(np.dot(x, v)), 6), abs_tol=1e-6
+            )
+    # explained-variance ratios are sorted and sum <= 1
+    assert ratios == sorted(ratios, reverse=True)
+    assert sum(ratios) <= 1.0 + 1e-9
+
+
+def test_jl_planes_deterministic_and_scaled():
+    p1 = jl_planes(8, DIM)
+    p2 = jl_planes(8, DIM)
+    assert p1 == p2
+    scale = 1.0 / math.sqrt(8)
+    assert all(abs(abs(v) - scale) < 1e-12 for row in p1 for v in row)
+
+
+def test_jl_preserves_distances_in_expectation(spark):
+    """JL with +/-1/sqrt(k) rows is an unbiased estimator of squared
+    distances; at k=16 over 40 points the mean ratio must land near 1
+    (loose band — this is a sanity check, not a concentration proof)."""
+    df = _df(spark)
+    got = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in jl_project(df, "vec_id", "embedding", DIM, 16).collect()
+    }
+    X = {vid: np.array(v) for vid, v in VECS}
+    ratios = []
+    ids = list(got)
+    for a in ids[:10]:
+        for b in ids[10:20]:
+            d0 = float(np.sum((X[a] - X[b]) ** 2))
+            if d0 == 0:
+                continue
+            d1 = float(np.sum((got[a] - got[b]) ** 2))
+            ratios.append(d1 / d0)
+    mean = sum(ratios) / len(ratios)
+    assert 0.5 < mean < 1.5

@@ -49,6 +49,29 @@ def test_row_python_udf_is_error_arrow_is_info(spark):
     assert "arrow-python" in codes(found, "info")
 
 
+def test_bare_keyed_repartition_into_python_stage_warns(spark):
+    """REPARTITION_BY_COL feeding an Arrow Python stage is an AQE
+    coalesce target (the round-9 jpeg_pixel_stats 17s finding); an
+    explicit-N repartition is exempt and must stay silent."""
+
+    def passthru(batches):
+        for p in batches:
+            yield p[["doc_id"]]
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    bare = docs.repartition("doc_id").mapInPandas(passthru, "doc_id long")
+    assert "coalescible-python-fanout" in codes(lint_plan(bare), "warning")
+
+    explicit = docs.repartition(8, "doc_id").mapInPandas(
+        passthru, "doc_id long"
+    )
+    assert "coalescible-python-fanout" not in codes(lint_plan(explicit))
+
+    # a bare keyed repartition with NO python stage above it stays silent
+    jvm_only = docs.repartition("doc_id").select("doc_id")
+    assert "coalescible-python-fanout" not in codes(lint_plan(jvm_only))
+
+
 def test_global_sort_warns_but_take_ordered_does_not(spark):
     ev = load_table(spark, SF, "events")
     assert "global-sort" in codes(lint_plan(ev.orderBy("value")), "warning")

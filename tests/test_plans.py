@@ -398,6 +398,56 @@ def test_bpe_counts_arrow_stage_zero_join_shuffles(spark):
     assert num_exchanges(q) == 1  # output sort only
 
 
+def test_tfidf_pairs_keyed_joins_and_hashed_prefix_keys(spark):
+    """The prefix-blocked similarity join: every join is keyed (no
+    cartesian products), candidate prefix terms shuffle as xxhash64
+    longs, and the static plan stays within the postings-subtree
+    re-derivation budget (runtime exchange reuse dedupes the shared
+    subtrees — see test below)."""
+    q = QUERIES["tfidf_cosine_pairs_documents"](spark, SF)
+    plan = formatted_plan(q)
+    assert "CartesianProduct" not in plan
+    assert "xxhash64" in plan
+    assert num_exchanges(q) <= 30
+
+
+def test_tfidf_recall_report_runtime_reuses_postings_subtree(spark):
+    """The recall report derives truth + blocked sets from the SAME
+    postings table; the static plan repeats the subtree but the
+    executed adaptive plan must dedupe it via ReusedExchange — the
+    corpus is not re-scanned once per branch."""
+    q = QUERIES["tfidf_pairs_recall_report"](spark, SF)
+    q.collect()
+    p = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "isFinalPlan=true" in p
+    assert p.count("ReusedExchange") >= 20
+
+
+def test_pq_encode_is_broadcast_projection(spark):
+    """PQ encoding must never shuffle the corpus: the codebook arrives
+    as a one-row broadcast (BroadcastNestedLoopJoin), and the only
+    exchanges belong to the bounded codebook-derivation chain (seed
+    limit + refine aggregates over m*k rows)."""
+    q = QUERIES["pq_encode_embeddings"](spark, SF)
+    plan = formatted_plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert num_exchanges(q) <= 4
+
+
+def test_pq_rerank_joins_stay_keyed_and_bounded(spark):
+    """ADC shortlist + rerank: raw vectors are fetched by a KEYED join
+    on vid (bounded by |queries| x shortlist); nothing cartesian."""
+    q = QUERIES["pq_adc_rerank_topk_embeddings"](spark, SF)
+    plan = formatted_plan(q)
+    assert "CartesianProduct" not in plan
+    assert num_exchanges(q) <= 7
+
+
 def test_token_budget_bpe_keeps_two_level_prefix_shape(spark):
     """Swapping the weight column for the BPE Arrow count must not
     change the budget operator's shape: no cartesian products, the

@@ -1,0 +1,156 @@
+"""Product quantization (operators/pq.py): codebook seeding, encode
+argmin semantics, refine algebra, ADC distance math vs a pure-Python
+reference, and the rerank/recall contracts. Registry twins are
+hash-oracled against DuckDB at two scales; these pin the math on a
+hand-checkable corpus."""
+
+from __future__ import annotations
+
+import math
+
+from mongo_analyser_spark.operators.pq import (
+    pq_adc_rerank_topk,
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
+    pq_exact_topk,
+    pq_recall_report,
+    pq_refine,
+)
+
+DIM, M, SUBDIM, KC = 8, 4, 2, 3
+
+# 6 vectors of dim 8; ids 0..2 seed the 3 centroids per subspace
+VECS = [
+    (0, [0.0, 0.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0]),
+    (1, [10.0, 10.0, 11.0, 11.0, 12.0, 12.0, 13.0, 13.0]),
+    (2, [20.0, 20.0, 21.0, 21.0, 22.0, 22.0, 23.0, 23.0]),
+    (3, [0.4, 0.1, 1.2, 0.9, 2.1, 1.8, 3.3, 2.9]),
+    (4, [9.6, 10.2, 10.8, 11.1, 12.4, 11.9, 12.7, 13.2]),
+    (5, [19.5, 20.1, 21.4, 20.8, 22.2, 21.7, 23.1, 22.6]),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        VECS, "vec_id long, embedding array<double>"
+    )
+
+
+def _py_codes(cents=None):
+    seeds = [v for _, v in VECS[:KC]]
+    if cents is None:
+        cents = {
+            (s, c + 1): seeds[c][s * SUBDIM:(s + 1) * SUBDIM]
+            for s in range(M)
+            for c in range(KC)
+        }
+    out = {}
+    for vid, v in VECS:
+        codes = []
+        for s in range(M):
+            sv = v[s * SUBDIM:(s + 1) * SUBDIM]
+            best = min(
+                range(1, KC + 1),
+                key=lambda c: (
+                    sum((a - b) ** 2 for a, b in zip(sv, cents[(s, c)])),
+                    c,
+                ),
+            )
+            codes.append(best)
+        out[vid] = codes
+    return out, cents
+
+
+def test_codebooks_are_seed_subslices(spark):
+    [row] = pq_codebooks(_df(spark), "vec_id", "embedding", DIM, M, KC).collect()
+    cents = {(c["sub"], c["cid"]): list(c["v"]) for c in row["cents"]}
+    assert len(cents) == M * KC
+    for s in range(M):
+        for c in range(KC):
+            want = VECS[c][1][s * SUBDIM:(s + 1) * SUBDIM]
+            assert cents[(s, c + 1)] == want
+
+
+def test_encode_matches_python_argmin(spark):
+    df = _df(spark)
+    cb = pq_codebooks(df, "vec_id", "embedding", DIM, M, KC)
+    got = {
+        r["id"]: list(r["codes"])
+        for r in pq_encode(df, "vec_id", "embedding", cb, DIM, M).collect()
+    }
+    want, _ = _py_codes()
+    assert got == want
+    # seeds quantize to themselves
+    assert got[0] == [1] * M and got[1] == [2] * M and got[2] == [3] * M
+
+
+def test_refine_moves_centroids_to_rounded_member_means(spark):
+    df = _df(spark)
+    cb0 = pq_codebooks(df, "vec_id", "embedding", DIM, M, KC)
+    [row] = pq_refine(df, "vec_id", "embedding", cb0, DIM, M).collect()
+    cents = {(c["sub"], c["cid"]): list(c["v"]) for c in row["cents"]}
+    codes, seed_cents = _py_codes()
+    # python reference: rounded mean of members per cell, else old value
+    for s in range(M):
+        for c in range(1, KC + 1):
+            members = [
+                VECS[vid][1][s * SUBDIM:(s + 1) * SUBDIM]
+                for vid, cs in codes.items()
+                if cs[s] == c
+            ]
+            if members:
+                want = [
+                    round(sum(col) / len(col), 6) for col in zip(*members)
+                ]
+            else:
+                want = seed_cents[(s, c)]
+            assert cents[(s, c)] == want
+
+
+def test_adc_distance_is_sum_of_subspace_l2(spark):
+    df = _df(spark)
+    adc = pq_adc_topk(
+        df, "vec_id", "embedding", [0], DIM, M, KC, k=5
+    ).collect()
+    codes, cents = _py_codes()
+    by_vid = {r["vid"]: r["adc_dist"] for r in adc}
+    for vid, v in VECS:
+        if vid == 0 or vid not in by_vid:
+            continue
+        q = VECS[0][1]
+        want = sum(
+            sum(
+                (a - b) ** 2
+                for a, b in zip(
+                    q[s * SUBDIM:(s + 1) * SUBDIM],
+                    cents[(s, codes[vid][s])],
+                )
+            )
+            for s in range(M)
+        )
+        assert math.isclose(by_vid[vid], round(want, 6), abs_tol=1e-9)
+
+
+def test_rerank_orders_by_exact_l2(spark):
+    df = _df(spark)
+    rer = pq_adc_rerank_topk(
+        df, "vec_id", "embedding", [0], DIM, M, KC,
+        shortlist=5, k=3, refine_steps=0,
+    ).collect()
+    exact = pq_exact_topk(df, "vec_id", "embedding", [0], k=3).collect()
+    # shortlist covers the whole corpus here, so rerank == exact
+    assert [(r["vid"], r["l2"]) for r in rer] == [
+        (r["vid"], r["l2"]) for r in exact
+    ]
+
+
+def test_recall_report_bounds_and_full_shortlist_is_perfect(spark):
+    df = _df(spark)
+    rep = pq_recall_report(
+        df, "vec_id", "embedding", [0, 1], DIM, M, KC,
+        k=3, refine_steps=1, shortlist=5,
+    ).collect()
+    assert [r["qid"] for r in rep] == [0, 1]
+    for r in rep:
+        assert r["recall_at_k"] == 1.0  # shortlist spans the corpus

@@ -412,3 +412,47 @@ def test_token_budget_stream_matches_batch(spark):
     assert not batch.isStreaming
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(want) > 1
+
+
+def test_dedup_monitor_stream_matches_batch(spark):
+    """ST9: streaming per-source dedup health == the batch twin on the
+    same files, exact set equality (HLL insertion is order- and
+    partition-independent, so the approx_distinct partials agree
+    exactly — the ST7 contract)."""
+    from mongo_analyser_spark.streaming.dedup_monitor import dedup_rate_stream
+    from mongo_analyser_spark.streaming.tokens import stream_documents
+
+    sdf = dedup_rate_stream(stream_documents(spark, SF))
+    assert sdf.isStreaming
+    _run_stream_to_memory(sdf, "t_dedup_mon")
+    got = {tuple(r) for r in spark.table("t_dedup_mon").collect()}
+    batch = dedup_rate_stream(load_table(spark, SF, "documents"))
+    assert not batch.isStreaming
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 1
+    # rates are rates
+    assert all(0.0 <= t[-1] <= 1.0 for t in got)
+
+
+def test_dedup_monitor_checkpoint_restart(spark, tmp_path):
+    """ST9 restart story (the verdict-r7 #5 contract): stop/append/
+    restart on the same checkpoint — per-source totals and HLL
+    partials must converge to the batch twin over ALL files with no
+    double-count of the pre-restart files."""
+    from mongo_analyser_spark.streaming.dedup_monitor import dedup_rate_stream
+
+    docs = load_table(spark, SF, "documents")
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(in_dir)
+
+    def run(name):
+        sdf = spark.readStream.schema(docs.schema).parquet(in_dir)
+        return _run_monitor_with_checkpoint(
+            spark, dedup_rate_stream(sdf), name, ckpt
+        )
+
+    first = run("t_dm_ckpt_a")
+    batch_all = {tuple(r) for r in dedup_rate_stream(docs).collect()}
+    assert first != batch_all  # the split is real
+    docs.filter(F.col("doc_id") % 2 != 0).write.mode("append").parquet(in_dir)
+    assert run("t_dm_ckpt_b") == batch_all
