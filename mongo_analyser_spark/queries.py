@@ -2463,10 +2463,18 @@ WINDOW_QUERIES = (
     "dhash_pairs_documents",
     "pii_scrub_extended_documents",
     "bpe_token_counts_pretok_documents",
-    "schema_with_stats_documents",
-    "text_stats_documents",
+    # round-9 rotation: this round's flagship families go in-window for
+    # CORRECTNESS_r09 (prefix-blocked TF-IDF cosine join, PQ ADC+rerank,
+    # exact covariance, JL projection); four members with in-window
+    # siblings and recorded r08 green appearances ride the tail
+    # (schema_with_stats: J1 with schema_documents in-window; text_stats:
+    # text family with gopher_rules staying; fingerprint: dedup family
+    # keeps exact/minhash/near-dup reps; time_rollup: A12 family with
+    # grouping_sets in-window, green r07+r08)
+    "tfidf_cosine_pairs_documents",
+    "pq_adc_rerank_topk_embeddings",
     "gopher_rules_documents",
-    "fingerprint_documents",
+    "embedding_covariance_upper",
     "dedup_exact_documents",
     "dedup_minhash_pairs_documents",
     "embedding_near_dup_pairs",
@@ -2485,7 +2493,7 @@ WINDOW_QUERIES = (
     # rows-only row should be externally observed at least once)
     "bpe_token_counts_documents",
     "token_budget_select_bpe_documents",
-    "time_rollup_events",
+    "jl_project_embeddings",
     "salted_user_event_totals",
     # round-8 rotation (verdict-r7 #2): the HLL sketch had its one
     # external rows-only appearance in CORRECTNESS_r07 (err: no_oracle —
@@ -2693,23 +2701,24 @@ TAIL_QUERIES = (
     # round-6 (cont.): Morton key for the Z-order clustered sink
     # (multi-dim data skipping; bit-identical integer oracle)
     "zorder_key_events",
-    # round-9: sparse TF-IDF tier — per-doc keyword sketch, the
-    # prefix-filtered cosine similarity join (AllPairs lineage; fourth
-    # near-dup modality), and its recall gate on the validation slice
+    # round-9: sparse TF-IDF tier — per-doc keyword sketch and the
+    # recall gate ride the tail (the prefix-filtered cosine join is the
+    # in-window flagship and exercises the postings transitively)
     "tfidf_topk_terms_documents",
-    "tfidf_cosine_pairs_documents",
     "tfidf_pairs_recall_report",
-    # round-9: product-quantization tier — codes, compressed-domain
-    # ADC+rerank top-k, and its recall gate (third ANN recall gate)
+    # round-9: PQ tier — codes + recall gate ride the tail (ADC+rerank
+    # in-window shares the whole codebook/encode plan prefix)
     "pq_encode_embeddings",
-    "pq_adc_rerank_topk_embeddings",
     "pq_recall_report_embeddings",
-    # round-9: decorrelation tier — exact covariance (hash-oracled),
-    # PCA projection (declared rows-only: driver-side eigh, no SQL
-    # twin), and the JL random projection (hash-oracled)
-    "embedding_covariance_upper",
+    # round-9: PCA projection (declared rows-only: driver-side eigh, no
+    # SQL twin; covariance + JL are the in-window hash-strong reps)
     "pca_project_embeddings",
-    "jl_project_embeddings",
+    # round-9 rotation: r08-green family members out of the window
+    # (siblings remain in-window — see the WINDOW_QUERIES note)
+    "schema_with_stats_documents",
+    "text_stats_documents",
+    "fingerprint_documents",
+    "time_rollup_events",
 )
 
 

@@ -154,3 +154,36 @@ def test_recall_report_bounds_and_full_shortlist_is_perfect(spark):
     assert [r["qid"] for r in rep] == [0, 1]
     for r in rep:
         assert r["recall_at_k"] == 1.0  # shortlist spans the corpus
+
+
+def test_encode_matches_python_on_random_vectors(spark):
+    """Randomized argmin semantics: codes over a seeded random corpus
+    must equal the pure-Python nearest-sub-centroid with the same
+    lowest-cid tie rule (exercises tie-free and near-tie geometry the
+    handcrafted vectors don't)."""
+    import random
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [round(rng.uniform(-2, 2), 3) for _ in range(DIM)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cb = pq_codebooks(df, "vec_id", "embedding", DIM, M, KC)
+    [row] = cb.collect()
+    cents = {(c["sub"], c["cid"]): list(c["v"]) for c in row["cents"]}
+    got = {
+        r["id"]: list(r["codes"])
+        for r in pq_encode(df, "vec_id", "embedding", cb, DIM, M).collect()
+    }
+    for vid, v in vecs:
+        for s in range(M):
+            sv = v[s * SUBDIM:(s + 1) * SUBDIM]
+            want = min(
+                range(1, KC + 1),
+                key=lambda c: (
+                    sum((a - b) ** 2 for a, b in zip(sv, cents[(s, c)])),
+                    c,
+                ),
+            )
+            assert got[vid][s] == want

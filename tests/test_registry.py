@@ -37,7 +37,8 @@ MUST_BE_CHECKED = [
     # driver-green appearance (family siblings remain in-window)
     "bpe_token_counts_documents",
     "token_budget_select_bpe_documents",
-    "time_rollup_events",
+    # time_rollup_events: externally green r07+r08, rotated to the tail
+    # in round 9 (grouping_sets stays as the A12 family rep)
     "salted_user_event_totals",
     # round-8 rotation (verdict-r7 #2): HLL's deliberate rows-only
     # appearance is on record in CORRECTNESS_r07; back to the tail, and
@@ -52,6 +53,14 @@ MUST_BE_CHECKED = [
     "dhash_pairs_documents",
     "pii_scrub_extended_documents",
     "bpe_token_counts_pretok_documents",
+    # round-9 rotation: the new flagship families go in-window for
+    # CORRECTNESS_r09; schema_with_stats / text_stats / fingerprint /
+    # time_rollup ride the tail after recorded r08 green appearances
+    # (family siblings stay in-window — see queries.py note)
+    "tfidf_cosine_pairs_documents",
+    "pq_adc_rerank_topk_embeddings",
+    "embedding_covariance_upper",
+    "jl_project_embeddings",
 ]
 
 

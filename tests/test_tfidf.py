@@ -118,3 +118,28 @@ def test_empty_and_degenerate_corpora(spark):
     assert r["true_pairs"] == 0 and r["recall"] == 1.0
     solo = spark.createDataFrame([(1, "only one doc")], "doc_id long, text string")
     assert tfidf_cosine_pairs(solo, threshold=0.0).collect() == []
+
+
+def test_full_prefix_blocking_is_complete_on_random_corpus(spark):
+    """Randomized completeness: with prefix >= every doc's vocabulary
+    size, every exact pair shares a prefix term by construction, so the
+    blocked join must equal the exact join EXACTLY (ids and cosines) —
+    over a seeded random corpus far messier than the fixtures."""
+    import random
+
+    rng = random.Random(99)
+    words = ["w%d" % i for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(3, 12))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_exact_pairs(df, threshold=0.5).collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(df, threshold=0.5, prefix=12).collect()
+    }
+    assert found == exact and len(exact) > 0
