@@ -234,3 +234,44 @@ def token_budget_select(
             F.col("__w").alias(weight_col),
         )
     )
+
+
+def gumbel_weighted_topk(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    k: int,
+    salt: str = "gumbel",
+    round_to: int = 6,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via the
+    Gumbel-max trick (Efraimidis & Spirakis 2006 / Gumbel-top-k):
+    score_i = ln(w_i) + G_i with G_i = -ln(-ln(u_i)); the top-k scores
+    are an exact sample of k items with probability proportional to
+    their weights, drawn without replacement — the production answer to
+    "sample a token-budget-proportional subset reproducibly".
+
+    Engine-reproducible randomness, the md5 house trick: u_i derives
+    from the first 13 md5 hex chars of the salted id — an exact 52-bit
+    integer in both engines — mapped to (0,1) by (h+1)/(2^52+1).
+    Weights must be positive (rows with w <= 0 are excluded — they have
+    zero sampling probability). Ranking uses the ROUNDED score with an
+    id tiebreak so the cut is engine-stable.
+
+    Scale: one projection + TakeOrdered — the corpus is never shuffled
+    (same cost class as mixture_sample's md5 thresholds)."""
+    idc = F.col(id_col)
+    h = F.conv(
+        F.substring(F.md5(F.concat(idc.cast("string"), F.lit(":" + salt))), 1, 13),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float((1 << 52) + 1))
+    g = -F.log(-F.log(u))
+    score = F.round(F.log(weight.cast("double")) + g, round_to)
+    return (
+        df.where(weight > 0)
+        .select(idc, weight.alias("weight"), score.alias("gumbel_score"))
+        .orderBy(F.desc("gumbel_score"), id_col)
+        .limit(k)
+    )

@@ -2719,6 +2719,14 @@ TAIL_QUERIES = (
     "text_stats_documents",
     "fingerprint_documents",
     "time_rollup_events",
+    # round-9: count-min sketch tier — the mergeable frequency sketch
+    # next to KMV/HLL; the estimates row verifies the overestimate
+    # guarantee itself against the exact counts
+    "countmin_sketch_events",
+    "countmin_user_counts_events",
+    # round-9: Gumbel-top-k weighted sampling without replacement
+    # (md5-derived uniforms, score values themselves hash-oracled)
+    "gumbel_weighted_sample_documents",
 )
 
 

@@ -3272,6 +3272,131 @@ def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "pos")
 
 
+# --------------------------------------------------------------------------
+# Count-min sketch: mergeable heavy-hitter estimation (round 9)
+# --------------------------------------------------------------------------
+
+_CM_D = 3
+_CM_W = 256
+
+
+def _cm_bucket_sql(key_sql: str, row_sql: str, width: int = _CM_W) -> str:
+    """Twin of countmin._row_bucket: md5 52-bit bucket of the
+    row-salted key."""
+    return (
+        f"CAST(CAST('0x' || substr(md5('cm' || {row_sql} || ':' || "
+        f"CAST({key_sql} AS VARCHAR)), 1, 13) AS UBIGINT) % {width} AS BIGINT)"
+    )
+
+
+def _cm_ctes() -> str:
+    return f"""
+rs AS (SELECT CAST(t.r AS INT) AS r FROM generate_series(0, {_CM_D - 1}) t(r)),
+bkt AS (
+  SELECT rs.r AS row, {_cm_bucket_sql('e.user_id', 'rs.r')} AS bucket
+  FROM events e CROSS JOIN rs),
+sketch AS (
+  SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM bkt GROUP BY row, bucket)"""
+
+
+@register(
+    "countmin_sketch_events",
+    f"""
+WITH {_cm_ctes()}
+SELECT row, bucket, cnt FROM sketch ORDER BY row, bucket
+""",
+)
+def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch table itself (Cormode & Muthukrishnan 2005;
+    operators/countmin.py) over events.user_id: d={_CM_D} row-salted
+    md5 hash rows x w={_CM_W} buckets — the mergeable bounded artifact
+    a 1000-executor ingest ships instead of a corpus-sized groupBy.
+    ONE groupBy shuffle; map-side combine caps each task's output at
+    d*w rows. HASH-oracled: md5 52-bit buckets and integer counters
+    are engine-exact."""
+    from mongo_analyser_spark.operators.countmin import countmin_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    return countmin_sketch(ev, F.col("user_id"), _CM_D, _CM_W).orderBy(
+        "row", "bucket"
+    )
+
+
+@register(
+    "countmin_user_counts_events",
+    f"""
+WITH {_cm_ctes()},
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM events GROUP BY user_id),
+probe AS (
+  SELECT x.user_id, x.exact_cnt, rs.r AS row,
+         {_cm_bucket_sql('x.user_id', 'rs.r')} AS bucket
+  FROM exact x CROSS JOIN rs),
+est AS (
+  SELECT user_id, exact_cnt, MIN(cnt) AS cm_est
+  FROM probe JOIN sketch USING (row, bucket)
+  GROUP BY user_id, exact_cnt)
+SELECT user_id, exact_cnt, cm_est, cm_est - exact_cnt AS overestimate
+FROM est ORDER BY user_id
+""",
+)
+def q_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every user's exact event count next to its count-min estimate
+    and the guaranteed-nonnegative overestimate — the oracle verifies
+    the sketch GUARANTEE row by row (est >= exact always; error bounded
+    by eN/w w.h.p.). The exact side exists at fixture scale to certify
+    the sketch; production keeps only the d*w table and probes it
+    point-wise. Extends the sketch family (KMV, HLL) with the frequency
+    member."""
+    from mongo_analyser_spark.operators.countmin import countmin_estimates
+
+    ev = load_table(spark, sf_dir, "events")
+    return countmin_estimates(ev, F.col("user_id"), "user_id", _CM_D, _CM_W)
+
+
+_GUMBEL_DENOM = float((1 << 52) + 1)
+
+
+@register(
+    "gumbel_weighted_sample_documents",
+    f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS weight
+  FROM documents),
+s AS (
+  SELECT doc_id, weight,
+    ROUND(
+      ln(CAST(weight AS DOUBLE))
+      + -ln(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                || ':gumbel'), 1, 13) AS UBIGINT) AS DOUBLE) + 1.0)
+               / {_GUMBEL_DENOM!r})),
+      6) AS gumbel_score
+  FROM t WHERE weight > 0)
+SELECT doc_id, weight, gumbel_score FROM s
+ORDER BY gumbel_score DESC, doc_id LIMIT 200
+""",
+)
+def q_gumbel_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible weighted sampling WITHOUT replacement (Gumbel-top-k
+    / Efraimidis-Spirakis; operators/sampling.py): 200 documents drawn
+    with probability proportional to their token counts — the
+    "token-budget-proportional subset" draw a training-mix build wants,
+    deterministic across engines via md5-derived uniforms (52-bit exact
+    integers mapped to (0,1)). One projection + TakeOrdered; the corpus
+    is never shuffled. HASH-oracled including the score values (ln over
+    exact-integer weights and exact-rational uniforms; ROUND + id
+    tiebreak keep the cut stable)."""
+    from mongo_analyser_spark.functions.text import token_count
+    from mongo_analyser_spark.operators.sampling import gumbel_weighted_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gumbel_weighted_topk(
+        docs, "doc_id", token_count("text").cast("long"), k=200
+    )
+
+
 # re-run tail curation so the registry order is import-order-robust (this
 # module may be the first package import; see queries.curate_tail)
 from mongo_analyser_spark.queries import curate_tail as _curate_tail  # noqa: E402

@@ -121,3 +121,32 @@ def test_token_budget_select_no_corpus_global_window(spark):
     assert "HashAggregate" in plan
     # and the per-row boundary window must be partitioned by the score
     assert "windowspecdefinition(__score" in plan
+
+
+def test_gumbel_weighted_topk_deterministic_and_weight_biased(spark):
+    """Gumbel-top-k (operators/sampling.py): same salt => identical
+    draw; across many salts an item with 50x the weight must be drawn
+    far more often than a unit-weight item (the proportional-sampling
+    property, coarse check); zero/negative weights are excluded."""
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.operators.sampling import gumbel_weighted_topk
+
+    rows = [(1, 50), (2, 50), (3, 1), (4, 1), (5, 1), (6, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = gumbel_weighted_topk(df, "doc_id", F.col("w"), k=2).collect()
+    b = gumbel_weighted_topk(df, "doc_id", F.col("w"), k=2).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert all(r["doc_id"] != 6 for r in a)
+
+    heavy_hits = light_hits = 0
+    for salt in range(24):
+        got = {
+            r["doc_id"]
+            for r in gumbel_weighted_topk(
+                df, "doc_id", F.col("w"), k=2, salt=f"s{salt}"
+            ).collect()
+        }
+        heavy_hits += len(got & {1, 2})
+        light_hits += len(got & {3, 4, 5})
+    assert heavy_hits > 3 * light_hits
