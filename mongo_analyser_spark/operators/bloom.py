@@ -1,0 +1,185 @@
+"""Bloom-filter n-gram decontamination: the broadcast-bitmap form of
+the benchmark-decontamination rule (completes the mergeable-sketch
+family next to KMV/HLL distinct, count-min frequency — Bloom 1970,
+public).
+
+Reference parity: none directly (the reference has no corpus-curation
+surface); this is the at-scale sibling of
+`dedup.exact_ngram_contamination` — the exact form ships every held-out
+gram to the join, the Bloom form ships a FIXED-SIZE bitmap however
+large the held-out suite grows.
+
+Method: k independent md5-derived bit positions per gram over an m-bit
+filter. Build = held-out grams -> distinct positions (<= m rows) ->
+32-bit words OR-folded into ONE dense array row (m/32 ints, a few KB).
+Probe = pure Column expression over each training document's distinct
+gram array against the broadcast word array — membership for a gram is
+`forall` of its k positions' bits. No false negatives ever; false
+positives are bounded by (fill)^k.
+
+Exactness contract: positions are the md5 52-bit trick
+(`dsir.md5_bucket` — exact integers in both engines), words are exact
+integer bit_or folds, probes are integer shift/mask algebra — every
+per-document count HASH-MATCHES a DuckDB twin that models the filter as
+the equivalent distinct-position set (bitmap-word membership == set
+membership, so the physical bitmap needn't be mirrored). The exact-hit
+column rides along (hashed-gram equi-join, the round-7 keying rule) so
+the oracle verifies the no-false-negative guarantee row by row:
+n_bloom_hits >= n_exact_hits always.
+
+100-TB shape: the held-out side collapses to <= m distinct positions
+(one bounded groupBy) and then to ONE row of m/32 ints — a broadcast
+scalar, never a corpus-sized join side; the training corpus is probed
+entirely inside its scan's codegen (zero extra shuffle for the Bloom
+verdict). The exact-hit certification join exists at fixture scale to
+prove the fp accounting; a production run keeps only the bitmap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mongo_analyser_spark.functions.text import shingles
+from mongo_analyser_spark.operators.dsir import md5_bucket
+
+WORD_BITS = 32  # 32-bit filter words: 1<<31 fits signed 64-bit on both engines
+
+
+def bloom_positions(gram: Column, num_hashes: int, num_bits: int) -> Column:
+    """array<long> of k bit positions for one gram — hash i is
+    ``md5('bf<i>:' || gram)`` folded to 52 exact bits then mod m (twin:
+    ``CAST('0x'||substr(md5('bf'||i||':'||g),1,13) AS UBIGINT) % m``)."""
+    return F.array(
+        *[
+            md5_bucket(F.concat(F.lit(f"bf{i}:"), gram), num_bits)
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def bloom_filter_words(
+    df: DataFrame,
+    gram: Column,
+    num_hashes: int,
+    num_bits: int,
+) -> DataFrame:
+    """The filter itself as ONE dense row: ``words`` = array of
+    ``num_bits/WORD_BITS`` ints, word w = bit_or of ``1 << (pos % 32)``
+    over set positions with ``pos // 32 == w`` (zeros for untouched
+    words). Build cost: one explode fused into the scan, one groupBy
+    bounded at m rows, one single-row fold — merge with another
+    filter = element-wise ``|``, the sketch-family contract."""
+    n_words = -(-num_bits // WORD_BITS)
+    pos = df.select(
+        F.explode(bloom_positions(gram, num_hashes, num_bits)).alias("pos")
+    ).distinct()
+    # the Python shiftleft wrapper takes only literal shift counts;
+    # call_function passes the per-row shift column straight through
+    words = pos.groupBy((F.col("pos") / WORD_BITS).cast("long").alias("w")).agg(
+        F.bit_or(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("pos") % WORD_BITS).cast("int"),
+            )
+        ).alias("wv")
+    )
+    # densify: sorted (w, wv) entries -> map -> fixed-length array with
+    # zero-filled gaps, all inside one single-row aggregate
+    return words.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("w", "wv")))
+        ).alias("__m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+            lambda i: F.coalesce(
+                # __m is a MAP keyed by 0-based word index — element_at
+                # on a map is a key lookup, not a 1-based array index
+                F.element_at("__m", i),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("words")
+    )
+
+
+def bloom_member(gram: Column, words: Column, num_hashes: int, num_bits: int) -> Column:
+    """Membership probe as a pure expression: ALL k bits set. ``words``
+    is the broadcast dense array column."""
+    return F.forall(
+        bloom_positions(gram, num_hashes, num_bits),
+        lambda p: (
+            F.call_function(
+                "shiftrightunsigned",
+                F.element_at(words, (p / WORD_BITS).cast("int") + 1),
+                (p % WORD_BITS).cast("int"),
+            ).bitwiseAND(F.lit(1).cast("long"))
+            == 1
+        ),
+    )
+
+
+def bloom_ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    num_hashes: int = 2,
+    num_bits: int = 16384,
+) -> DataFrame:
+    """(train_id, n_grams, n_bloom_hits, n_exact_hits, n_false_pos,
+    bloom_flag): every training document's distinct-n-gram count, how
+    many grams the Bloom filter flags, how many are true held-out
+    collisions (certification join), and the guaranteed-nonnegative
+    false-positive count. ``n_false_pos >= 0`` is the no-false-negative
+    theorem, oracle-verified per row (the count-min `overestimate`
+    pattern)."""
+    gram_src = F.explode(
+        F.array_distinct(shingles(F.col(text_col), n))
+    ).alias("g")
+
+    words_row = bloom_filter_words(
+        test.select(gram_src), F.col("g"), num_hashes, num_bits
+    )
+
+    # Bloom verdict: expression-only over the broadcast one-row bitmap
+    grams = F.array_distinct(shingles(F.col(text_col), n))
+    bloomed = train.crossJoin(F.broadcast(words_row)).select(
+        F.col(id_col).alias("train_id"),
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(
+            F.filter(
+                grams,
+                lambda g: bloom_member(g, F.col("words"), num_hashes, num_bits),
+            )
+        )
+        .cast("long")
+        .alias("n_bloom_hits"),
+    )
+
+    # exact certification: hashed-gram equi-join (8-byte keys shuffle,
+    # never the gram text), held-out side distinct + broadcast
+    te = test.select(gram_src).select(F.xxhash64("g").alias("gh")).distinct()
+    tr = train.select(F.col(id_col).alias("train_id"), gram_src).select(
+        "train_id", F.xxhash64("g").alias("gh")
+    )
+    exact = (
+        tr.join(F.broadcast(te.withColumn("__hit", F.lit(1))), "gh", "left")
+        .groupBy("train_id")
+        .agg(F.count("__hit").alias("n_exact_hits"))
+    )
+
+    return (
+        bloomed.join(exact, "train_id")
+        .select(
+            "train_id",
+            "n_grams",
+            "n_bloom_hits",
+            "n_exact_hits",
+            (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias("n_false_pos"),
+            (F.col("n_bloom_hits") > 0).alias("bloom_flag"),
+        )
+        .orderBy("train_id")
+    )

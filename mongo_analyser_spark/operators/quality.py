@@ -131,6 +131,163 @@ def bigram_nll(
     )
 
 
+def _sorted_run_lengths(arr: Column) -> Column:
+    """array<int> of run lengths of a SORTED array — the multiplicity
+    multiset {n_v : v distinct in arr} — as a pure expression: boundary
+    indices are the 1-based positions where the value changes
+    (`greatest(i-1, 1)` keeps index arithmetic ANSI-safe at i=1, where
+    the `i == 1` disjunct already decides), then length = gap to the
+    next boundary. O(|arr| log |arr|) per row, zero shuffle."""
+    b = F.filter(
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda i: (i == F.lit(1))
+        | (F.element_at(arr, i) != F.element_at(arr, F.greatest(i - 1, F.lit(1)))),
+    )
+    nxt = F.concat(
+        F.slice(b, 2, F.greatest(F.size(b) - 1, F.lit(0))),
+        F.array(F.size(arr) + 1),
+    )
+    return F.zip_with(b, nxt, lambda s, e: e - s)
+
+
+def _entropy_nats(arr: Column, round_to: int) -> Column:
+    """Shannon entropy (nats) of the value distribution of ``arr``:
+    H = ln(L) - (1/L) * sum_v n_v ln(n_v) — every ln operand an exact
+    integer, so both engines feed ln identical doubles and ROUND only
+    absorbs summation order (the unigram_nll contract). NULL on empty."""
+    runs = _sorted_run_lengths(F.array_sort(arr))
+    s = F.aggregate(
+        runs,
+        F.lit(0.0),
+        lambda acc, n: acc + n.cast("double") * F.log(n.cast("double")),
+    )
+    length = F.size(arr)
+    return F.when(
+        length > 0,
+        F.round(F.log(length.cast("double")) - s / length.cast("double"), round_to),
+    )
+
+
+def char_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: Callable[[Column], Column] = tokens,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document character- and token-level Shannon entropy — the
+    expression-native stand-in for the zlib-compression-ratio junk
+    filter (low char entropy = repetitive/compressible boilerplate,
+    keyboard mashing, padded spam; token entropy adds the lexical-
+    diversity axis the type/token ratio only linearizes). Returns
+    (id, uniq_chars, char_entropy, token_entropy).
+
+    100-TB shape: ENTIRELY per-row expressions — sort the char/token
+    array, take run lengths at value-change boundaries, fold
+    sum n ln n — so the operator fuses into the scan with ZERO shuffle
+    and scales embarrassingly. The SQL twin group-bys an unnest instead
+    (same multiset, same integer ln operands)."""
+    chars = F.split(F.col(text_col), "")
+    toks = tokenizer(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(F.array_distinct(chars)).cast("long").alias("uniq_chars"),
+        _entropy_nats(chars, round_to).alias("char_entropy"),
+        _entropy_nats(toks, round_to).alias("token_entropy"),
+    )
+
+
+def kneser_ney_nll(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: Callable[[Column], Column] = tokens,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean NLL under an INTERPOLATED KNESER-NEY bigram
+    model with the classic fixed discount d = 3/4 — the smoothing the
+    CCNet production filter's KenLM actually uses (modified KN), one
+    rung above ``bigram_nll``'s add-one: instead of flattening toward
+    uniform, mass removed from seen bigrams is redistributed by each
+    word's CONTINUATION probability (how many distinct contexts it
+    follows), so boilerplate tokens that only ever appear in one frozen
+    phrase score as unlikely continuations even when frequent.
+
+        P(w2|w1) = (c(w1w2) - d)/c(w1)
+                 + d * N1+(w1,*)/c(w1) * N1+(*,w2)/N1+(*,*)
+
+    With d = 3/4 this collapses over the common denominator 4*c1*T to
+
+        P = ((4*c2 - 3)*T + 3*nw1*ncw2) / (4*c1*T)
+
+    — BOTH operands exact BIGINTs (c2 >= 1 keeps the numerator
+    positive), so token NLL = ln(denom) - ln(num) is engine-independent
+    and the final ROUND absorbs only per-doc summation order, the same
+    exactness contract as ``unigram_nll``/``bigram_nll``. Self-scoring
+    has no OOV; the integer form holds while 4*c1*T < 2^63 (~3e18 —
+    beyond that, split the ln into ln(4)+ln(c1)+ln(T)).
+
+    Plan shape: ONE bigram groupBy (map-side combine absorbs the Zipf
+    head); c1/N1+(w1,*) derive from that shrunk type table in one agg,
+    N1+(*,w2) in another, T is a one-row broadcast; the re-join onto the
+    bigram stream is keyed on the 8-byte xxhash64. No extra corpus pass
+    versus bigram_nll. Returns (id, n_bigrams, kn_avg_nll) for EVERY
+    doc — docs with <2 tokens carry n_bigrams=0 and NULL kn_avg_nll."""
+    toks = tokenizer(F.col(text_col))
+    bg_arr = F.slice(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.size(toks)),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        1,
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+    )
+    bgs = docs.select(F.col(id_col), F.explode(bg_arr).alias("bg")).select(
+        id_col,
+        F.xxhash64("bg").alias("g"),
+        F.split("bg", " ")[0].alias("w1"),
+        F.split("bg", " ")[1].alias("w2"),
+    )
+    c2 = bgs.groupBy("g", "w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("nw1")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("ncw2"))
+    tt = c2.agg(F.count(F.lit(1)).alias("t"))
+    scored = (
+        bgs.join(c2, ["g", "w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log((4 * F.col("c1") * F.col("t")).cast("double"))
+                    - F.log(
+                        (
+                            (4 * F.col("c2") - 3) * F.col("t")
+                            + 3 * F.col("nw1") * F.col("ncw2")
+                        ).cast("double")
+                    )
+                ),
+                round_to,
+            ).alias("kn_avg_nll"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            "kn_avg_nll",
+        )
+    )
+
+
 def nb_classifier(
     docs: DataFrame,
     label: Column,

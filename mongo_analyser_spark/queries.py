@@ -2727,6 +2727,18 @@ TAIL_QUERIES = (
     # round-9: Gumbel-top-k weighted sampling without replacement
     # (md5-derived uniforms, score values themselves hash-oracled)
     "gumbel_weighted_sample_documents",
+    # round-9: Bloom-filter decontamination — the broadcast-bitmap form
+    # of the exact 8-gram rule (in-window sibling:
+    # decontaminate_exact_ngram_documents); the oracle certifies the
+    # no-false-negative guarantee per row
+    "bloom_decontaminate_documents",
+    # round-9: interpolated Kneser-Ney bigram NLL (fixed d=3/4 collapses
+    # to all-BIGINT ln operands; in-window siblings: unigram_nll +
+    # bigram_nll)
+    "kneser_ney_nll_documents",
+    # round-9: char/token Shannon entropy (zero-shuffle per-row fold;
+    # in-window sibling: text_stats_documents)
+    "char_entropy_documents",
 )
 
 

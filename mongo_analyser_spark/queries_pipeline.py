@@ -219,6 +219,83 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "char_entropy_documents",
+    """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS v FROM documents),
+cc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY doc_id, v),
+ce AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS uniq_chars,
+         CAST(SUM(n) AS BIGINT) AS l,
+         SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS s
+       FROM cc GROUP BY doc_id),
+tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS v FROM documents),
+tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY doc_id, v),
+te AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS l,
+         SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS s
+       FROM tc GROUP BY doc_id)
+SELECT ce.doc_id, ce.uniq_chars,
+  ROUND(ln(CAST(ce.l AS DOUBLE)) - ce.s / ce.l, 6) AS char_entropy,
+  ROUND(ln(CAST(te.l AS DOUBLE)) - te.s / te.l, 6) AS token_entropy
+FROM ce JOIN te USING (doc_id) ORDER BY ce.doc_id
+""",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character/token Shannon-entropy junk filter (the expression-
+    native zlib-ratio proxy): ZERO-shuffle — the whole measure is a
+    per-row sorted-array run-length fold fused into the scan, where the
+    SQL twin needs two unnest+groupBy passes (see
+    operators/quality.char_entropy; H = ln(L) - (1/L) sum n ln n over
+    exact integer operands keeps it hash-oracle-able)."""
+    from mongo_analyser_spark.operators.quality import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs).orderBy("doc_id")
+
+
+@register(
+    "kneser_ney_nll_documents",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bgs AS (
+  SELECT doc_id, t[j] || ' ' || t[j+1] AS bg, t[j] AS w1, t[j+1] AS w2
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(j)
+  WHERE len(t) >= 2),
+c2 AS (SELECT bg, w1, w2, CAST(count(*) AS BIGINT) AS c2
+       FROM bgs GROUP BY bg, w1, w2),
+ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS nw1 FROM c2 GROUP BY w1),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncw2 FROM c2 GROUP BY w2),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c2),
+scored AS (
+  SELECT bgs.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+    ROUND(AVG(ln(CAST(4 * c1 * t AS DOUBLE))
+            - ln(CAST((4 * c2 - 3) * t + 3 * nw1 * ncw2 AS DOUBLE))), 6)
+      AS kn_avg_nll
+  FROM bgs JOIN c2 USING (bg, w1, w2) JOIN ctx USING (w1)
+           JOIN cont USING (w2), tt
+  GROUP BY bgs.doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  s.kn_avg_nll
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+""",
+)
+def q_kneser_ney_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram quality signal (fixed d = 3/4):
+    the smoothing family CCNet's production KenLM filter uses, made
+    hash-oracle-able by collapsing P(w2|w1) over the common denominator
+    4*c1*T so both ln operands are exact BIGINTs (see
+    operators/quality.kneser_ney_nll for the algebra and plan shape —
+    one bigram-type groupBy, all model tables derived from it, T as a
+    one-row broadcast)."""
+    from mongo_analyser_spark.operators.quality import kneser_ney_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kneser_ney_nll(docs).orderBy("doc_id")
+
+
+@register(
     "nb_quality_scores_documents",
     """
 WITH toks AS (
@@ -462,6 +539,59 @@ def q_decontaminate_exact_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 10 != 0)
     return exact_ngram_contamination(train, test, "doc_id", "text", n=8).orderBy(
         "train_id"
+    )
+
+
+_BLOOM_BITS = 16384
+_BLOOM_K = 2
+
+
+def _bloom_pos_sql(i: int, g: str = "g") -> str:
+    """DuckDB twin of operators/bloom.bloom_positions hash i."""
+    return (
+        f"CAST('0x'||substr(md5('bf{i}:'||{g}),1,13) AS UBIGINT) % {_BLOOM_BITS}"
+    )
+
+
+@register(
+    "bloom_decontaminate_documents",
+    f"""
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+dg AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct({{NGRAMS8}})) AS g FROM toks),
+te AS (SELECT DISTINCT g FROM dg WHERE doc_id % 10 = 0),
+bits AS MATERIALIZED (
+  SELECT DISTINCT pos FROM te, LATERAL unnest([
+    {", ".join(_bloom_pos_sql(i) for i in range(_BLOOM_K))}]) AS u(pos)),
+pg AS (
+  SELECT dg.doc_id, dg.g, (te.g IS NOT NULL) AS ex,
+    ({" AND ".join(f"{_bloom_pos_sql(i, 'dg.g')} IN (SELECT pos FROM bits)" for i in range(_BLOOM_K))}) AS bm
+  FROM dg LEFT JOIN te ON dg.g = te.g WHERE dg.doc_id % 10 <> 0)
+SELECT doc_id AS train_id,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN bm THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+  CAST(SUM(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits,
+  CAST(SUM(CASE WHEN bm THEN 1 ELSE 0 END)
+     - SUM(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+  (SUM(CASE WHEN bm THEN 1 ELSE 0 END) > 0) AS bloom_flag
+FROM pg GROUP BY doc_id ORDER BY train_id
+""".replace("{NGRAMS8}", _ngram_list_sql(8)),
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (broadcast-bitmap form of the exact
+    8-gram rule above): the held-out suite collapses to a fixed m-bit
+    bitmap shipped as ONE broadcast row; training docs are probed inside
+    their scan's codegen — zero extra shuffle for the Bloom verdict. The
+    exact-hit column rides along so the oracle certifies the
+    no-false-negative guarantee (n_false_pos >= 0) row by row
+    (operators/bloom.bloom_ngram_contamination)."""
+    from mongo_analyser_spark.operators.bloom import bloom_ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return bloom_ngram_contamination(
+        train, test, "doc_id", "text", n=8, num_hashes=_BLOOM_K, num_bits=_BLOOM_BITS
     )
 
 

@@ -302,6 +302,88 @@ def test_bigram_nll_hand_computed(spark):
     assert got[4]["n_bigrams"] == 0 and got[4]["avg_nll"] is None
 
 
+def test_char_entropy_hand_computed(spark):
+    """'aab b': chars a,a,b,' ',b -> counts {a:2, b:2, ' ':1}, L=5:
+    H = ln5 - (2ln2 + 2ln2)/5. Tokens {aab, b}: H = ln2. Uniform and
+    constant extremes pin the range ends; empty text follows the
+    split('','')=[''] convention of BOTH engines (one empty symbol,
+    entropy 0, never NULL)."""
+    import math
+
+    from mongo_analyser_spark.operators.quality import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aab b"), (2, ""), (3, "zzzz"), (4, "abcd")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert got[1]["uniq_chars"] == 3
+    assert got[1]["char_entropy"] == round(math.log(5) - 4 * math.log(2) / 5, 6)
+    assert got[1]["token_entropy"] == round(math.log(2), 6)
+    assert got[2]["char_entropy"] == 0.0 and got[2]["uniq_chars"] == 1
+    assert got[3]["char_entropy"] == 0.0  # constant run: zero entropy
+    assert got[4]["char_entropy"] == round(math.log(4), 6)  # uniform: ln L
+
+
+def test_char_entropy_ranks_mash_below_prose(spark):
+    """The curation use: repeated-key mashing compresses well -> low
+    char entropy; natural prose of the same length scores higher."""
+    from mongo_analyser_spark.operators.quality import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaaabbbbbaaaaabbbbb"), (2, "the quick brown fox!")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["char_entropy"] for r in char_entropy(df).collect()}
+    assert got[1] < got[2]
+
+
+def test_kneser_ney_nll_hand_computed(spark):
+    """Same tiny corpus as the bigram test, interpolated KN with d=3/4:
+    types (a b)->2, (a c)->1; T=2; c1(a)=3, N1+(a,*)=2; N1+(*,b)=1,
+    N1+(*,c)=1.
+    P(b|a) = (2-.75)/3 + .75*(2/3)*(1/2) = 2/3  (= 16/24 integer form)
+    P(c|a) = (1-.75)/3 + .75*(2/3)*(1/2) = 1/3  (=  8/24 integer form)
+    — the seen continuations sum to exactly 1, the KN mass-conservation
+    property the integer collapse must preserve."""
+    import math
+
+    from mongo_analyser_spark.operators.quality import kneser_ney_nll
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "z")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in kneser_ney_nll(df).collect()}
+    assert got[1]["n_bigrams"] == 1
+    assert got[1]["kn_avg_nll"] == round(-math.log(2 / 3), 6)
+    assert got[2]["kn_avg_nll"] == got[1]["kn_avg_nll"]
+    assert got[3]["kn_avg_nll"] == round(-math.log(1 / 3), 6)
+    assert got[4]["n_bigrams"] == 0 and got[4]["kn_avg_nll"] is None
+
+
+def test_kneser_ney_penalizes_single_context_words(spark):
+    """The continuation-probability signal add-one smoothing cannot
+    express: 'francisco' is FREQUENT but only ever follows 'san', so a
+    novel-context bigram ending in it ('new francisco') must score a
+    worse (higher-NLL) continuation than one ending in a word seen
+    after many contexts ('here', following 4 distinct words) — even
+    though c(francisco) > c(here) as unigrams. Both probe bigrams are
+    unseen with the same context word, isolating the N1+(*,w2) term.
+
+    Probes ride inside the corpus (self-scoring has no OOV path), each
+    as its own doc, so the per-doc avg isolates one bigram each."""
+    from mongo_analyser_spark.operators.quality import kneser_ney_nll
+
+    rows = [(i, "san francisco") for i in range(8)]
+    rows += [(10, "a here"), (11, "b here"), (12, "c here"), (13, "d here")]
+    rows.append((100, "new francisco"))  # probe: one-context continuation
+    rows.append((101, "new here"))  # probe: many-context continuation
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["kn_avg_nll"] for r in kneser_ney_nll(df).collect()}
+    assert got[100] > got[101]
+
+
 def test_bigram_nll_orders_shuffled_boilerplate_above_prose(spark):
     """The signal the unigram model cannot express: a doc whose words
     are common but whose ORDER is unusual scores higher than the
