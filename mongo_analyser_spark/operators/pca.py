@@ -104,10 +104,13 @@ def covariance_upper(
         "i",
         "j",
         "n",
-        F.round(
-            F.col("sxy") / F.col("n")
-            - (F.col("sxi") / F.col("n")) * (F.col("sxj") / F.col("n")),
-            round_to,
+        (
+            F.round(
+                F.col("sxy") / F.col("n")
+                - (F.col("sxi") / F.col("n")) * (F.col("sxj") / F.col("n")),
+                round_to,
+            )
+            + F.lit(0.0)  # IEEE -0.0 + 0.0 = +0.0: normalize signed zero
         ).alias("cov"),
     ).orderBy("i", "j")
 

@@ -241,14 +241,22 @@ FROM ce JOIN te USING (doc_id) ORDER BY ce.doc_id
 )
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character/token Shannon-entropy junk filter (the expression-
-    native zlib-ratio proxy): ZERO-shuffle — the whole measure is a
-    per-row sorted-array run-length fold fused into the scan, where the
-    SQL twin needs two unnest+groupBy passes (see
-    operators/quality.char_entropy; H = ln(L) - (1/L) sum n ln n over
-    exact integer operands keeps it hash-oracle-able)."""
+    native zlib-ratio proxy): shuffle-free after an explicit-N fanout —
+    the measure is a per-row STAGED sorted-array run-length fold (sorted
+    and boundary arrays materialized as projected columns; the round-9
+    inline form was O(L^2 log L)/row and timed out the bench — see
+    operators/quality.char_entropy), where the SQL twin needs two
+    unnest+groupBy passes. H = ln(L) - (1/L) sum n ln n over exact
+    integer operands keeps it hash-oracle-able. The single-file
+    documents scan is repartitioned explicit-N first so the per-row
+    stage uses every core (the jpeg_pixel_stats pattern; explicit-N is
+    exempt from AQE re-coalescing)."""
     from mongo_analyser_spark.operators.quality import char_entropy
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        "doc_id",
+    )
     return char_entropy(docs).orderBy("doc_id")
 
 
@@ -3323,7 +3331,7 @@ s AS (
          SUM(xy) AS sxy, SUM(xi) AS sxi, SUM(xj) AS sxj
   FROM p GROUP BY i, j)
 SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n,
-       ROUND(sxy/n - (sxi/n)*(sxj/n), 6) AS cov
+       ROUND(sxy/n - (sxi/n)*(sxj/n), 6) + 0 AS cov
 FROM s ORDER BY i, j
 """,
 )

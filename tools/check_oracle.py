@@ -39,6 +39,11 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # the driver's value-hash is repr-level, where '-0.0' != '0.0';
+        # Python tuple keys use ==, where -0.0 == 0.0 — surface the sign
+        # so this gate sees what the driver sees (round-9 covariance bug)
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
         return v
     return v
 

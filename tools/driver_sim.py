@@ -32,6 +32,9 @@ TABLES = [
 def norm(v):
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
+    # distinguish -0.0 from 0.0 like the driver's repr-level value hash
+    if isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0:
+        return "-0.0"
     return v
 
 
