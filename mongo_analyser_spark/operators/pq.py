@@ -228,6 +228,287 @@ def pq_encode(
     )
 
 
+# ---------------------------------------------------------------------------
+# Arrow kernel path (round 10): same math, vectorized per batch.
+#
+# The interpreted-HOF encode/ADC folds cost ~3 ms/vector (m*k*sub_dim = 1024
+# lambda evals each) — 8 s for 2,000 vectors; at 1e9 vectors the per-row
+# constant, not the shuffle shape, is the scale-killer. The kernels below are
+# the covariance partial-Gram / brute_force_topk_arrow precedent: one
+# vectorized numpy stage per batch. CRITICALLY they preserve the exactness
+# contract BIT-FOR-BIT, not just approximately: every accumulation below is
+# an elementwise `acc = acc + d*d` loop over components IN INDEX ORDER —
+# the same IEEE double ops, in the same order, as _sub_l2's left fold and
+# the unrolled SQL chain — so assignments, codes and raw ADC sums are
+# engine-EXACT and the registry rows keep hash-matching their DuckDB twins
+# (np.argmin returns the FIRST min = lowest cid, the array_position tie
+# rule; ROUND stays in Spark for HALF_UP parity). tests/test_pq.py pins the
+# Arrow forms equal to the fold forms on the fixture.
+# ---------------------------------------------------------------------------
+
+
+def collect_codebook(cents_row: DataFrame, dim: int, m: int):
+    """Collect the one-row codebook DataFrame to a numpy (m, k, sub_dim)
+    array — a BOUNDED driver artifact (m*k*sub_dim doubles; the
+    pca_components class), which then ships to executors inside the
+    kernel closure instead of as a per-row broadcast join."""
+    import numpy as np
+
+    cents = cents_row.collect()[0]["cents"]
+    k = len(cents) // m
+    sub_dim = dim // m
+    cb = np.zeros((m, k, sub_dim), dtype=np.float64)
+    for c in cents:
+        cb[c["sub"], c["cid"] - 1, :] = c["v"]
+    return cb
+
+
+def _assign_codes_np(X, cb):
+    """(n, m) int32 1-based nearest-sub-centroid codes for row-major
+    vectors ``X`` (n, dim) against codebook ``cb`` (m, k, sub_dim).
+    Accumulates (x_j - c_j)^2 per component IN ORDER — bit-identical to
+    _sub_l2's left fold; argmin takes the first (lowest-cid) minimum."""
+    import numpy as np
+
+    m, k, sub_dim = cb.shape
+    n = X.shape[0]
+    codes = np.empty((n, m), dtype=np.int32)
+    for s in range(m):
+        xs = X[:, s * sub_dim:(s + 1) * sub_dim]
+        acc = np.zeros((n, k), dtype=np.float64)
+        for j in range(sub_dim):
+            d = xs[:, j:j + 1] - cb[s, :, j][None, :]
+            acc = acc + d * d
+        codes[:, s] = np.argmin(acc, axis=1).astype(np.int32) + 1
+    return codes
+
+
+def pq_encode_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cb,
+    dim: int,
+    m: int = 8,
+) -> DataFrame:
+    """(id, codes): Arrow-batched twin of ``pq_encode`` — one vectorized
+    assignment per batch against the driver-collected codebook ``cb``
+    (numpy (m, k, sub_dim)). Codes are bit-identical to the fold form
+    (see the Arrow-kernel block comment)."""
+    import numpy as np
+    import pandas as pd
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = _assign_codes_np(X, cb)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kern, "id long, codes array<int>"
+    )
+
+
+def train_codebook(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    refine_steps: int = 1,
+    round_to: int = 6,
+):
+    """Seeded init + ``refine_steps`` Lloyd rounds, returning the
+    codebook as a numpy (m, k, sub_dim) array. Assignment runs in the
+    Arrow kernel; the member means stay a Spark groupBy with F.round
+    (HALF_UP, bounded at m*k*sub_dim rows by map-side combine), so the
+    refined centroids are the SAME rounded doubles the all-expression
+    pq_refine produces and the SQL twin re-derives. Empty cells keep
+    their seed row (never overwritten in the collected array)."""
+    import numpy as np
+    import pandas as pd
+
+    sub_dim = dim // m
+    cb = collect_codebook(
+        pq_codebooks(df, id_col, vec_col, dim, m, k), dim, m
+    )
+    for _ in range(refine_steps):
+        frozen = cb.copy()
+
+        def partial_sums(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                codes = _assign_codes_np(X, frozen) - 1  # 0-based
+                out = {"sub": [], "cid": [], "pos": [], "sv": [], "n": []}
+                for s in range(frozen.shape[0]):
+                    xs = X[:, s * sub_dim:(s + 1) * sub_dim]
+                    for c in range(frozen.shape[1]):
+                        mask = codes[:, s] == c
+                        nm = int(mask.sum())
+                        if not nm:
+                            continue
+                        sums = xs[mask].sum(axis=0)
+                        for j in range(sub_dim):
+                            out["sub"].append(s)
+                            out["cid"].append(c + 1)
+                            out["pos"].append(j)
+                            out["sv"].append(float(sums[j]))
+                            out["n"].append(nm)
+                yield pd.DataFrame(out)
+
+        means = (
+            df.select(id_col, vec_col)
+            .mapInPandas(
+                partial_sums,
+                "sub int, cid int, pos int, sv double, n long",
+            )
+            .groupBy("sub", "cid", "pos")
+            .agg(
+                F.round(F.sum("sv") / F.sum("n"), round_to).alias("mv")
+            )
+            .collect()
+        )
+        cb = cb.copy()
+        for r in means:
+            cb[r["sub"], r["cid"] - 1, r["pos"]] = r["mv"]
+    return cb
+
+
+def pq_adc_topk_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    dim: int,
+    m: int = 8,
+    k_cent: int = 16,
+    k: int = 5,
+    round_to: int = 6,
+    refine_steps: int = 0,
+    cb=None,
+) -> DataFrame:
+    """Arrow-batched twin of ``pq_adc_topk``: the query-side m x k
+    distance LUT is computed ONCE driver-side in exact fold order
+    (bounded: |queries| * m * k doubles), the corpus scan gathers+sums
+    LUT entries per code row in subspace order — bit-identical raw
+    sums; ROUND stays in Spark for HALF_UP parity."""
+    import numpy as np
+    import pandas as pd
+
+    sub_dim = dim // m
+    if cb is None:
+        cb = train_codebook(
+            df, id_col, vec_col, dim, m, k_cent, refine_steps, round_to
+        )
+    encoded = pq_encode_arrow(df, id_col, vec_col, cb, dim, m)
+    qrows = sorted(
+        df.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .collect(),
+        key=lambda r: r["qid"],
+    )
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    n_q, n_k = len(qrows), cb.shape[1]
+    lut = np.zeros((n_q, m, n_k), dtype=np.float64)
+    for qi, r in enumerate(qrows):
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        for s in range(m):
+            acc = np.zeros(n_k, dtype=np.float64)
+            for j in range(sub_dim):
+                d = qv[s * sub_dim + j] - cb[s, :, j]
+                acc = acc + d * d
+            lut[qi, s] = acc
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()) - 1  # (n, m) 0-based
+            vids = pdf["id"].to_numpy()
+            for qi in range(n_q):
+                acc = lut[qi, 0, codes[:, 0]]
+                for s in range(1, m):
+                    acc = acc + lut[qi, s, codes[:, s]]
+                yield pd.DataFrame(
+                    {
+                        "qid": np.full(len(vids), qids[qi]),
+                        "vid": vids,
+                        "adc_raw": acc,
+                    }
+                )
+
+    scored = (
+        encoded.mapInPandas(kern, "qid long, vid long, adc_raw double")
+        .where(F.col("vid") != F.col("qid"))
+        .select(
+            "qid", "vid", F.round("adc_raw", round_to).alias("adc_dist")
+        )
+    )
+    win = Window.partitionBy("qid").orderBy("adc_dist", "vid")
+    return (
+        scored.withColumn("rnk", F.row_number().over(win).cast("int"))
+        .where(F.col("rnk") <= k)
+        .orderBy("qid", "rnk")
+    )
+
+
+def pq_adc_rerank_topk_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    dim: int,
+    m: int = 8,
+    k_cent: int = 16,
+    shortlist: int = 50,
+    k: int = 5,
+    refine_steps: int = 1,
+    round_to: int = 6,
+    cb=None,
+) -> DataFrame:
+    """Arrow-batched twin of ``pq_adc_rerank_topk``: ADC shortlist from
+    the kernel scan, exact-L2 rerank over only |queries| x shortlist
+    fetched vectors (the fold form is fine at that bounded size)."""
+    short = pq_adc_topk_arrow(
+        df, id_col, vec_col, query_ids, dim, m, k_cent,
+        k=shortlist, round_to=round_to, refine_steps=refine_steps, cb=cb,
+    ).select("qid", "vid")
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    queries = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    rer = (
+        short.join(vecs, "vid")
+        .join(F.broadcast(queries), "qid")
+        .select(
+            "qid",
+            "vid",
+            F.round(_sub_l2(F.col("v"), F.col("qv")), round_to).alias("l2"),
+        )
+    )
+    win = Window.partitionBy("qid").orderBy("l2", "vid")
+    return (
+        rer.withColumn("rnk", F.row_number().over(win).cast("int"))
+        .where(F.col("rnk") <= k)
+        .orderBy("qid", "rnk")
+    )
+
+
 def pq_adc_topk(
     df: DataFrame,
     id_col: str,
@@ -392,12 +673,25 @@ def pq_recall_report(
     k: int = 5,
     refine_steps: int = 0,
     shortlist: int | None = None,
+    cb=None,
 ) -> DataFrame:
     """(qid, hits, recall_at_k): overlap between the ADC top-k (or,
     with ``shortlist``, the ADC-shortlist + exact-rerank top-k) and the
     exact-L2 top-k per query — the ann_recall_report contract for the
-    compressed-domain scan. Counts are exact ints; recall hash-matches."""
-    if shortlist:
+    compressed-domain scan. Counts are exact ints; recall hash-matches.
+    Pass a driver-collected ``cb`` to take the Arrow kernel path (and
+    share the trained codebook with the tier's other rows)."""
+    if cb is not None and shortlist:
+        adc = pq_adc_rerank_topk_arrow(
+            df, id_col, vec_col, query_ids, dim, m, k_cent,
+            shortlist=shortlist, k=k, refine_steps=refine_steps, cb=cb,
+        )
+    elif cb is not None:
+        adc = pq_adc_topk_arrow(
+            df, id_col, vec_col, query_ids, dim, m, k_cent, k,
+            refine_steps=refine_steps, cb=cb,
+        )
+    elif shortlist:
         adc = pq_adc_rerank_topk(
             df, id_col, vec_col, query_ids, dim, m, k_cent,
             shortlist=shortlist, k=k, refine_steps=refine_steps,

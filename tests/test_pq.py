@@ -9,13 +9,18 @@ from __future__ import annotations
 import math
 
 from mongo_analyser_spark.operators.pq import (
+    collect_codebook,
     pq_adc_rerank_topk,
+    pq_adc_rerank_topk_arrow,
     pq_adc_topk,
+    pq_adc_topk_arrow,
     pq_codebooks,
     pq_encode,
+    pq_encode_arrow,
     pq_exact_topk,
     pq_recall_report,
     pq_refine,
+    train_codebook,
 )
 
 DIM, M, SUBDIM, KC = 8, 4, 2, 3
@@ -154,6 +159,74 @@ def test_recall_report_bounds_and_full_shortlist_is_perfect(spark):
     assert [r["qid"] for r in rep] == [0, 1]
     for r in rep:
         assert r["recall_at_k"] == 1.0  # shortlist spans the corpus
+
+
+def _random_df(spark, n=40, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    vecs = [
+        (i, [round(rng.uniform(-2, 2), 3) for _ in range(DIM)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+
+def test_arrow_encode_bit_identical_to_fold(spark):
+    """The Arrow kernel accumulates (x-c)^2 per component in index
+    order — the exact fold — so codes must be EQUAL, not close, on a
+    corpus with near-tie geometry."""
+    df = _random_df(spark)
+    cents = pq_codebooks(df, "vec_id", "embedding", DIM, M, KC)
+    cb = collect_codebook(cents, DIM, M)
+    fold = {
+        r["id"]: list(r["codes"])
+        for r in pq_encode(df, "vec_id", "embedding", cents, DIM, M).collect()
+    }
+    arrow = {
+        r["id"]: list(r["codes"])
+        for r in pq_encode_arrow(
+            df, "vec_id", "embedding", cb, DIM, M
+        ).collect()
+    }
+    assert arrow == fold
+
+
+def test_train_codebook_matches_pq_refine(spark):
+    """train_codebook (Arrow assignment + partial-sum means) must land
+    on the SAME rounded centroids as the all-expression pq_refine."""
+    df = _random_df(spark)
+    cb0 = pq_codebooks(df, "vec_id", "embedding", DIM, M, KC)
+    want = collect_codebook(
+        pq_refine(df, "vec_id", "embedding", cb0, DIM, M, steps=1), DIM, M
+    )
+    got = train_codebook(
+        df, "vec_id", "embedding", DIM, M, KC, refine_steps=1
+    )
+    assert got.shape == want.shape
+    assert (got == want).all()
+
+
+def test_arrow_adc_and_rerank_match_fold(spark):
+    df = _random_df(spark)
+    cb = train_codebook(df, "vec_id", "embedding", DIM, M, KC, refine_steps=1)
+    fold = pq_adc_topk(
+        df, "vec_id", "embedding", [0, 1], DIM, M, KC, k=5, refine_steps=1
+    ).collect()
+    arrow = pq_adc_topk_arrow(
+        df, "vec_id", "embedding", [0, 1], DIM, M, KC, k=5,
+        refine_steps=1, cb=cb,
+    ).collect()
+    assert [tuple(r) for r in arrow] == [tuple(r) for r in fold]
+    fold_r = pq_adc_rerank_topk(
+        df, "vec_id", "embedding", [0, 1], DIM, M, KC,
+        shortlist=10, k=3, refine_steps=1,
+    ).collect()
+    arrow_r = pq_adc_rerank_topk_arrow(
+        df, "vec_id", "embedding", [0, 1], DIM, M, KC,
+        shortlist=10, k=3, refine_steps=1, cb=cb,
+    ).collect()
+    assert [tuple(r) for r in arrow_r] == [tuple(r) for r in fold_r]
 
 
 def test_encode_matches_python_on_random_vectors(spark):
