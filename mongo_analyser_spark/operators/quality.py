@@ -245,18 +245,27 @@ def kneser_ney_nll(
 
         P = ((4*c2 - 3)*T + 3*nw1*ncw2) / (4*c1*T)
 
-    — BOTH operands exact BIGINTs (c2 >= 1 keeps the numerator
-    positive), so token NLL = ln(denom) - ln(num) is engine-independent
-    and the final ROUND absorbs only per-doc summation order, the same
-    exactness contract as ``unigram_nll``/``bigram_nll``. Self-scoring
-    has no OOV; the integer form holds while 4*c1*T < 2^63 (~3e18 —
-    beyond that, split the ln into ln(4)+ln(c1)+ln(T)).
+    (c2 >= 1 keeps the numerator positive). Token NLL is computed in
+    the overflow-safe split form
+
+        ln(4*c1) + ln(T) - ln((4*c2-3)*T + 3*nw1*ncw2)
+
+    where the denominator logs take exact BIGINT operands (4*c1 and T
+    are each < 2^63 at any real corpus — it was their PRODUCT that
+    wrapped int64 once c1*T > 2.3e18, i.e. at modest real corpora) and
+    the numerator's two products are evaluated in DOUBLE with a fixed
+    mul-mul-add order — IEEE-deterministic, so both engines still feed
+    ln the identical double and the final ROUND absorbs only per-doc
+    summation order, the same contract as ``unigram_nll``/``bigram_nll``.
+    Self-scoring has no OOV.
 
     Plan shape: ONE bigram groupBy (map-side combine absorbs the Zipf
     head); c1/N1+(w1,*) derive from that shrunk type table in one agg,
-    N1+(*,w2) in another, T is a one-row broadcast; the re-join onto the
-    bigram stream is keyed on the 8-byte xxhash64. No extra corpus pass
-    versus bigram_nll. Returns (id, n_bigrams, kn_avg_nll) for EVERY
+    N1+(*,w2) in another, T is a one-row broadcast. The ctx/cont factor
+    tables PRE-FOLD onto the SHRUNK c2 type table first, so the corpus
+    bigram stream takes ONE wide re-join (keyed on the 8-byte xxhash64
+    + both words) instead of three (round-9 advice; pinned in
+    tests/test_plans.py). Returns (id, n_bigrams, kn_avg_nll) for EVERY
     doc — docs with <2 tokens carry n_bigrams=0 and NULL kn_avg_nll."""
     toks = tokenizer(F.col(text_col))
     bg_arr = F.slice(
@@ -280,22 +289,24 @@ def kneser_ney_nll(
     )
     cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("ncw2"))
     tt = c2.agg(F.count(F.lit(1)).alias("t"))
+    c2f = c2.join(ctx, "w1").join(cont, "w2").select(
+        "g", "w1", "w2", "c2", "c1", "nw1", "ncw2"
+    )
     scored = (
-        bgs.join(c2, ["g", "w1", "w2"])
-        .join(ctx, "w1")
-        .join(cont, "w2")
+        bgs.join(c2f, ["g", "w1", "w2"])
         .crossJoin(F.broadcast(tt))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(
                 F.avg(
-                    F.log((4 * F.col("c1") * F.col("t")).cast("double"))
+                    F.log((4 * F.col("c1")).cast("double"))
+                    + F.log(F.col("t").cast("double"))
                     - F.log(
-                        (
-                            (4 * F.col("c2") - 3) * F.col("t")
-                            + 3 * F.col("nw1") * F.col("ncw2")
-                        ).cast("double")
+                        (4 * F.col("c2") - 3).cast("double")
+                        * F.col("t").cast("double")
+                        + (3 * F.col("nw1")).cast("double")
+                        * F.col("ncw2").cast("double")
                     )
                 ),
                 round_to,

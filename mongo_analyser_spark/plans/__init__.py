@@ -4,6 +4,7 @@ from mongo_analyser_spark.plans.inspect import (
     has_sort_merge_join,
     num_broadcast_hints,
     num_exchanges,
+    num_raw_stream_equijoins,
     num_wholestage_codegen,
     plan_report,
     pushed_filters,

@@ -97,6 +97,57 @@ def num_broadcast_hints(df: DataFrame) -> int:
     return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", analyzed))
 
 
+def num_raw_stream_equijoins(df: DataFrame) -> int:
+    """Count of equi-join operators (SMJ/SHJ/BHJ) that consume a RAW
+    exploded stream — i.e. have a Generate descendant reachable without
+    crossing an aggregate. Each such join re-shuffles or re-probes the
+    full corpus-sized stream; joins below an aggregate only touch the
+    shrunk type tables. The Kneser-Ney pre-fold pin asserts exactly ONE
+    such join (round-9 advice: three corpus-stream joins collapsed to
+    one by folding the factor tables onto the shrunk c2 first).
+
+    Parses the simple-mode physical plan tree by indentation (3 chars
+    per level; AQE off so the final operators are visible)."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        replanned = DataFrame(df._jdf.toDF(), spark)
+        plan = formatted_plan(replanned, mode="simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+    nodes = []  # (depth, name)
+    for line in plan.splitlines():
+        m = re.match(r"^([ :+|-]*)(?:\*\(\d+\) )?([A-Za-z][A-Za-z0-9]*)", line)
+        if not m:
+            continue
+        nodes.append((len(m.group(1)) // 3, m.group(2)))
+
+    joins = 0
+    for i, (d, name) in enumerate(nodes):
+        if name not in (
+            "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"
+        ):
+            continue
+        blocked_below: int | None = None
+        for dd, nn in nodes[i + 1:]:
+            if dd <= d:
+                break
+            if blocked_below is not None:
+                if dd > blocked_below:
+                    continue
+                blocked_below = None
+            if nn in ("HashAggregate", "ObjectHashAggregate",
+                      "SortAggregate"):
+                blocked_below = dd
+                continue
+            if nn == "Generate":
+                joins += 1
+                break
+    return joins
+
+
 def plan_report(df: DataFrame) -> dict:
     """One-call summary used by tests and by humans iterating on a plan."""
     return {

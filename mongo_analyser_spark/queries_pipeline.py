@@ -276,8 +276,9 @@ cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncw2 FROM c2 GROUP BY w2),
 tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c2),
 scored AS (
   SELECT bgs.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-    ROUND(AVG(ln(CAST(4 * c1 * t AS DOUBLE))
-            - ln(CAST((4 * c2 - 3) * t + 3 * nw1 * ncw2 AS DOUBLE))), 6)
+    ROUND(AVG(ln(CAST(4 * c1 AS DOUBLE)) + ln(CAST(t AS DOUBLE))
+            - ln(CAST(4 * c2 - 3 AS DOUBLE) * CAST(t AS DOUBLE)
+                 + CAST(3 * nw1 AS DOUBLE) * CAST(ncw2 AS DOUBLE))), 6)
       AS kn_avg_nll
   FROM bgs JOIN c2 USING (bg, w1, w2) JOIN ctx USING (w1)
            JOIN cont USING (w2), tt
@@ -293,10 +294,12 @@ def q_kneser_ney_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram quality signal (fixed d = 3/4):
     the smoothing family CCNet's production KenLM filter uses, made
     hash-oracle-able by collapsing P(w2|w1) over the common denominator
-    4*c1*T so both ln operands are exact BIGINTs (see
+    4*c1*T, with the logs SPLIT (ln(4c1) + ln(T) - ln(double-form
+    numerator)) so nothing wraps int64 at real corpus scale (see
     operators/quality.kneser_ney_nll for the algebra and plan shape —
-    one bigram-type groupBy, all model tables derived from it, T as a
-    one-row broadcast)."""
+    one bigram-type groupBy, all model tables derived from it, factor
+    tables pre-folded onto the shrunk type table so the corpus stream
+    takes ONE wide re-join, T as a one-row broadcast)."""
     from mongo_analyser_spark.operators.quality import kneser_ney_nll
 
     docs = load_table(spark, sf_dir, "documents")

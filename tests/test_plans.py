@@ -459,3 +459,14 @@ def test_token_budget_bpe_keeps_two_level_prefix_shape(spark):
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_kneser_ney_single_corpus_stream_join(spark):
+    """Round-9 advice: the KN factor tables (ctx/cont) pre-fold onto the
+    SHRUNK c2 type table, so the corpus bigram stream takes exactly ONE
+    wide equi-join — not three. num_raw_stream_equijoins counts equi-joins
+    with an un-aggregated Generate (explode) descendant."""
+    from mongo_analyser_spark.plans import num_raw_stream_equijoins
+
+    q = QUERIES["kneser_ney_nll_documents"](spark, SF)
+    assert num_raw_stream_equijoins(q) == 1
