@@ -23,9 +23,10 @@ integer bit_or folds, probes are integer shift/mask algebra — every
 per-document count HASH-MATCHES a DuckDB twin that models the filter as
 the equivalent distinct-position set (bitmap-word membership == set
 membership, so the physical bitmap needn't be mirrored). The exact-hit
-column rides along (hashed-gram equi-join, the round-7 keying rule) so
-the oracle verifies the no-false-negative guarantee row by row:
-n_bloom_hits >= n_exact_hits always.
+column rides along (hashed-gram equi-join + post-join TEXT-equality
+confirmation, so a 64-bit hash collision can never masquerade as an
+exact hit) and the oracle verifies the no-false-negative guarantee row
+by row: n_bloom_hits >= n_exact_hits always.
 
 100-TB shape: the held-out side collapses to <= m distinct positions
 (one bounded groupBy) and then to ONE row of m/32 ints — a broadcast
@@ -44,6 +45,43 @@ from mongo_analyser_spark.functions.text import shingles
 from mongo_analyser_spark.operators.dsir import md5_bucket
 
 WORD_BITS = 32  # 32-bit filter words: 1<<31 fits signed 64-bit on both engines
+
+
+def bloom_bits_for(
+    n_grams: int, target_fp: float = 0.01, num_hashes: int = 2
+) -> int:
+    """Filter size (bits, rounded up to a WORD_BITS multiple) for an
+    expected ``n_grams`` distinct held-out grams at ``target_fp`` with
+    ``num_hashes`` hashes: fp ≈ (1 - e^(-k·n/m))^k, solved for m. THE
+    REGISTRY DEFAULTS (num_bits=16384, k=2) ARE FIXTURE-SCALE — a real
+    held-out suite of millions of grams saturates a 16 Kbit filter
+    (fill → 1, fp → 1, every training doc flagged); production callers
+    must size from the held-out gram count, e.g.
+    ``num_bits=bloom_bits_for(held_out_count, 0.01, k)``."""
+    import math
+
+    if not 0 < target_fp < 1:
+        raise ValueError(f"target_fp must be in (0,1), got {target_fp}")
+    # invert fp = (1 - exp(-k n / m))^k  =>  m = -k n / ln(1 - fp^(1/k))
+    m = -num_hashes * n_grams / math.log(1.0 - target_fp ** (1.0 / num_hashes))
+    return -(-max(int(math.ceil(m)), WORD_BITS) // WORD_BITS) * WORD_BITS
+
+
+def bloom_fill_fraction(words_row: DataFrame, num_bits: int) -> DataFrame:
+    """ONE row (bits_set, fill): popcount of the dense word array over
+    m — the saturation monitor. fill > ~0.5 means the filter is
+    undersized for its held-out suite and the fp bound (fill^k) is
+    collapsing; re-size with ``bloom_bits_for``."""
+    return words_row.select(
+        F.aggregate(
+            "words",
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.bit_count(w).cast("long"),
+        ).alias("bits_set")
+    ).select(
+        "bits_set",
+        F.round(F.col("bits_set") / F.lit(float(num_bits)), 6).alias("fill"),
+    )
 
 
 def bloom_positions(gram: Column, num_hashes: int, num_bits: int) -> Column:
@@ -135,7 +173,10 @@ def bloom_ngram_contamination(
     collisions (certification join), and the guaranteed-nonnegative
     false-positive count. ``n_false_pos >= 0`` is the no-false-negative
     theorem, oracle-verified per row (the count-min `overestimate`
-    pattern)."""
+    pattern). The ``num_bits``/``num_hashes`` DEFAULTS ARE
+    FIXTURE-SCALE — size production filters from the held-out gram
+    count with ``bloom_bits_for`` and watch ``bloom_fill_fraction``
+    (fill > ~0.5 collapses the fp bound)."""
     gram_src = F.explode(
         F.array_distinct(shingles(F.col(text_col), n))
     ).alias("g")
@@ -159,16 +200,32 @@ def bloom_ngram_contamination(
         .alias("n_bloom_hits"),
     )
 
-    # exact certification: hashed-gram equi-join (8-byte keys shuffle,
-    # never the gram text), held-out side distinct + broadcast
-    te = test.select(gram_src).select(F.xxhash64("g").alias("gh")).distinct()
+    # exact certification: hashed-gram equi-join with a TEXT-equality
+    # confirmation post-join — keying on xxhash64 alone would count a
+    # 64-bit collision between a training gram and a DISTINCT held-out
+    # gram as an exact hit, which can push n_false_pos negative and
+    # silently break the no-false-negative invariant (the colliding
+    # gram need not be in the filter). The held-out side is broadcast
+    # (bounded), so carrying its gram text costs no shuffle; the
+    # train-side text is already in flight for the hash.
+    te = test.select(gram_src).distinct()
     tr = train.select(F.col(id_col).alias("train_id"), gram_src).select(
-        "train_id", F.xxhash64("g").alias("gh")
+        "train_id", "g", F.xxhash64("g").alias("gh")
     )
     exact = (
-        tr.join(F.broadcast(te.withColumn("__hit", F.lit(1))), "gh", "left")
+        tr.join(
+            F.broadcast(
+                te.select(F.col("g").alias("__tg"), F.xxhash64("g").alias("gh"))
+            ),
+            "gh",
+            "left",
+        )
         .groupBy("train_id")
-        .agg(F.count("__hit").alias("n_exact_hits"))
+        .agg(
+            F.count(F.when(F.col("g") == F.col("__tg"), 1)).alias(
+                "n_exact_hits"
+            )
+        )
     )
 
     return (

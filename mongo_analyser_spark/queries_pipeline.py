@@ -2950,8 +2950,12 @@ def q_token_budget_select_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: this corpus's degenerate 31-term vocabulary, where the "rarest" term
 #: still hits ~5% of all docs, so rarity blocking cannot prune the way
 #: it does on a natural Zipf tail) bounds the validation join, while the
-#: operator itself is corpus-general
-_TFIDF_SLICE = "doc_id % 10 = 7"
+#: operator itself is corpus-general. The doc_id < 5000 cap makes the
+#: slice CONSTANT-SIZED above sf0.1 (round-9 advice: a percentage slice
+#: still carries the by-design-quadratic ground truth into bigger scale
+#: factors; identical rows at sf0.01/sf0.1, where all doc_ids are
+#: already < 5000)
+_TFIDF_SLICE = "doc_id % 10 = 7 AND doc_id < 5000"
 _TFIDF_THRESHOLD = 0.7
 _TFIDF_PREFIX = 2
 

@@ -111,3 +111,37 @@ def test_contamination_counts_and_guarantee(spark):
     for r in out.values():  # no-false-negative theorem
         assert r["n_false_pos"] >= 0
         assert r["n_bloom_hits"] >= r["n_exact_hits"]
+
+
+def test_bloom_bits_for_sizing():
+    """Standard Bloom sizing algebra: the returned m keeps the
+    theoretical fp at or under target, rounds to whole words, and
+    scales linearly in n."""
+    import math
+
+    from mongo_analyser_spark.operators.bloom import WORD_BITS, bloom_bits_for
+
+    for n, fp, k in [(1000, 0.01, 2), (10_000, 0.001, 4), (5, 0.5, 1)]:
+        m = bloom_bits_for(n, fp, k)
+        assert m % WORD_BITS == 0
+        got_fp = (1.0 - math.exp(-k * n / m)) ** k
+        assert got_fp <= fp * 1.0001
+    assert bloom_bits_for(2_000_000, 0.01, 2) >= 100 * bloom_bits_for(
+        20_000, 0.01, 2
+    ) * 0.99
+
+
+def test_bloom_fill_fraction_counts_set_bits(spark):
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.operators.bloom import (
+        bloom_filter_words,
+        bloom_fill_fraction,
+    )
+
+    df = spark.createDataFrame([(f"g{i}",) for i in range(50)], "g string")
+    words = bloom_filter_words(df, F.col("g"), num_hashes=2, num_bits=1024)
+    [row] = bloom_fill_fraction(words, 1024).collect()
+    # <= 100 positions over 1024 bits, > 0, fill = bits/1024
+    assert 0 < row["bits_set"] <= 100
+    assert row["fill"] == round(row["bits_set"] / 1024.0, 6)
