@@ -290,6 +290,59 @@ def lint_plan(df: DataFrame) -> list[Finding]:
                 "coalescing) sized from spark.sql.shuffle.partitions.",
             )
         )
+    # Per-row-expensive stages whose input partitioning is whatever the
+    # file layout gives: with no shuffle exchange BELOW them, their
+    # parallelism equals the scan's split count — ONE task on a
+    # single-small-file table (the round-9 char_entropy bench-killer ran
+    # its O(L^2 log L) projection on a 1-partition 580 KB parquet; the
+    # round-10 fix fans out with an explicit-N repartition first). A
+    # static linter cannot price per-row cost (that is the bench gate's
+    # job — every registry row needs a BASELINE.md solo row and a full
+    # sf0.1 bench pass before it ships), so both findings are INFO:
+    # calibration over the 146-query registry tripped 15 healthy
+    # lambda-dense rows (jl_project 1.5 s, gopher <1 s …) — as a
+    # warning the rule would train people to ignore it. Postorder ids:
+    # an exchange below a node always has a smaller id; a sibling
+    # branch's exchange can too — rare false negative, never a false
+    # positive.
+    LAMBDA_DENSE = 3
+    hof_ids, py_noex_ids, ex_ids = [], [], []
+    for section in re.split(r"\n\n", plan):
+        head = re.match(r"\((\d+)\) (\w+)", section.strip())
+        if not head:
+            continue
+        node_id, op = int(head.group(1)), head.group(2)
+        if op == "Exchange":
+            ex_ids.append(node_id)
+        elif op == "Project" and section.count("lambdafunction(") >= LAMBDA_DENSE:
+            hof_ids.append(node_id)
+        elif op in ("ArrowEvalPython", "MapInPandas"):
+            py_noex_ids.append(node_id)
+    if any(not any(e < h for e in ex_ids) for h in hof_ids):
+        findings.append(
+            Finding(
+                "info",
+                "hof-over-unfanned-scan",
+                "a lambda-dense interpreted-HOF projection has no shuffle "
+                "below it: its parallelism is the scan's file-split count "
+                "— ONE task over a single small file, and interpreted "
+                "lambda cost is per-row. Materialize repeated "
+                "sub-expressions as projected columns and add an "
+                "explicit-N repartition before the heavy stage (or solo-"
+                "bench the row to prove the per-row cost is trivial).",
+            )
+        )
+    if any(not any(e < p for e in ex_ids) for p in py_noex_ids):
+        findings.append(
+            Finding(
+                "info",
+                "python-over-unfanned-scan",
+                "an Arrow Python stage inherits the scan's file-split "
+                "parallelism (no shuffle below it): fine on a real multi-"
+                "split table, serial over a single small file. If the "
+                "per-batch work is heavy, repartition explicit-N first.",
+            )
+        )
     findings.append(
         Finding("info", "exchanges", f"{num_exchanges(df, plan=plan)} shuffle exchange(s)")
     )

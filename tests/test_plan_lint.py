@@ -211,3 +211,59 @@ def test_entire_registry_is_scale_safe(spark):
         if errs - DECLARED.get(name, set()):
             offenders[name] = sorted(errs)
     assert not offenders, offenders
+
+
+def test_unfanned_hof_and_python_stages_get_info_findings(spark):
+    """The round-9 char_entropy signature: a lambda-dense HOF projection
+    (or a Python stage) with no shuffle below inherits the scan's
+    file-split parallelism — one task over a single small file. Both
+    findings are INFO (a static linter cannot price per-row cost; the
+    bench gate does), and an explicit-N repartition silences the HOF
+    one."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], "doc_id long, text string"
+    )
+    sc = F.array_sort(F.split("text", " "))
+    heavy = docs.withColumn("__sc", sc).select(
+        "doc_id",
+        F.aggregate(
+            F.filter(
+                F.transform(F.col("__sc"), lambda x: F.length(x)),
+                lambda n: n > 0,
+            ),
+            F.lit(0),
+            lambda a, b: a + b,
+        ).alias("s"),
+    )
+    codes = {f.code for f in lint_plan(heavy)}
+    assert "hof-over-unfanned-scan" in codes
+
+    fanned = docs.repartition(8, "doc_id").withColumn("__sc", sc).select(
+        "doc_id",
+        F.aggregate(
+            F.filter(
+                F.transform(F.col("__sc"), lambda x: F.length(x)),
+                lambda n: n > 0,
+            ),
+            F.lit(0),
+            lambda a, b: a + b,
+        ).alias("s"),
+    )
+    codes = {f.code for f in lint_plan(fanned)}
+    assert "hof-over-unfanned-scan" not in codes
+
+    def ident(batches):
+        for pdf in batches:
+            yield pdf
+
+    py = docs.mapInPandas(ident, "doc_id long, text string")
+    codes = {f.code for f in lint_plan(py)}
+    assert "python-over-unfanned-scan" in codes
+    py_fanned = docs.repartition(8, "doc_id").mapInPandas(
+        ident, "doc_id long, text string"
+    )
+    codes = {f.code for f in lint_plan(py_fanned)}
+    assert "python-over-unfanned-scan" not in codes
