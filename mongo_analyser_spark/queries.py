@@ -2451,18 +2451,19 @@ WINDOW_QUERIES = (
     "decontaminate_exact_ngram_documents",
     "grouping_sets_orders",
     "dynamic_schema_histogram_events",
-    # round-8 rotation (cont.): the round-8 flagships come IN so the
-    # driver's CORRECTNESS_r08 records each new family (DSIR selection,
-    # image near-dup, extended PII, pretokenized BPE); four members with
-    # in-window siblings and recorded r07 green appearances ride the
-    # tail (pivot: A-family with grouping_sets in-window; int8 quantize:
-    # conversion family with convert_export in-window; char chunking:
-    # token-window sibling of the BPE tier; scalar subquery: correlated
-    # family with q2/q21 in-window)
-    "dsir_weights_documents",
-    "dhash_pairs_documents",
-    "pii_scrub_extended_documents",
-    "bpe_token_counts_pretok_documents",
+    # round-10 rotation (verdict-r9 #8): the round-9 sketch/quality
+    # families get their external verification — count-min, Bloom
+    # decontamination, Kneser-Ney, and the FIXED char_entropy (plus
+    # embedding_covariance_upper staying until hash-green, below). The
+    # round-8 flagships ride the tail after TWO recorded driver-green
+    # appearances each (r08+r09; siblings in-window: multimodal_metadata
+    # for dhash_pairs, pii_scrub in tail + text reps for pii_extended,
+    # bpe_token_counts_documents for the pretok twin, dsir_select in
+    # tail sharing dsir_weights' plan prefix)
+    "countmin_user_counts_events",
+    "bloom_decontaminate_documents",
+    "kneser_ney_nll_documents",
+    "char_entropy_documents",
     # round-9 rotation: this round's flagship families go in-window for
     # CORRECTNESS_r09 (prefix-blocked TF-IDF cosine join, PQ ADC+rerank,
     # exact covariance, JL projection); four members with in-window
@@ -2719,26 +2720,21 @@ TAIL_QUERIES = (
     "text_stats_documents",
     "fingerprint_documents",
     "time_rollup_events",
-    # round-9: count-min sketch tier — the mergeable frequency sketch
-    # next to KMV/HLL; the estimates row verifies the overestimate
-    # guarantee itself against the exact counts
+    # round-9: count-min sketch tier — the raw sketch rides the tail
+    # (the estimates row countmin_user_counts_events rotated IN-window
+    # round 10 and exercises the sketch transitively)
     "countmin_sketch_events",
-    "countmin_user_counts_events",
+    # round-10 rotation: the round-8 flagships after two driver-green
+    # appearances each (r08 + r09)
+    "dsir_weights_documents",
+    "dhash_pairs_documents",
+    "pii_scrub_extended_documents",
+    "bpe_token_counts_pretok_documents",
     # round-9: Gumbel-top-k weighted sampling without replacement
     # (md5-derived uniforms, score values themselves hash-oracled)
     "gumbel_weighted_sample_documents",
-    # round-9: Bloom-filter decontamination — the broadcast-bitmap form
-    # of the exact 8-gram rule (in-window sibling:
-    # decontaminate_exact_ngram_documents); the oracle certifies the
-    # no-false-negative guarantee per row
-    "bloom_decontaminate_documents",
-    # round-9: interpolated Kneser-Ney bigram NLL (fixed d=3/4 collapses
-    # to all-BIGINT ln operands; in-window siblings: unigram_nll +
-    # bigram_nll)
-    "kneser_ney_nll_documents",
-    # round-9: char/token Shannon entropy (zero-shuffle per-row fold;
-    # in-window sibling: text_stats_documents)
-    "char_entropy_documents",
+    # (bloom_decontaminate / kneser_ney_nll / char_entropy /
+    # countmin_user_counts rotated IN-window round 10)
 )
 
 

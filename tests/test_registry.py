@@ -44,15 +44,15 @@ MUST_BE_CHECKED = [
     # appearance is on record in CORRECTNESS_r07; back to the tail, and
     # the never-driver-seen round-7 flagship takes the slot
     "remove_repeated_spans_documents",
-    # round-8 rotation (cont.): this round's flagship families go
-    # in-window for CORRECTNESS_r08; chunk_documents (token-window
-    # sibling in), quantize_embeddings_int8 (conversion sibling in),
-    # pivot / scalar-subquery (A-family + correlated siblings in) ride
-    # the tail after recorded r07 green appearances
-    "dsir_weights_documents",
-    "dhash_pairs_documents",
-    "pii_scrub_extended_documents",
-    "bpe_token_counts_pretok_documents",
+    # round-10 rotation (verdict-r9 #8): the round-9 sketch/quality
+    # families in for external verification; the round-8 flagships
+    # (dsir_weights / dhash_pairs / pii_scrub_extended /
+    # bpe_token_counts_pretok) ride the tail after two recorded
+    # driver-green appearances each (r08 + r09)
+    "countmin_user_counts_events",
+    "bloom_decontaminate_documents",
+    "kneser_ney_nll_documents",
+    "char_entropy_documents",
     # round-9 rotation: the new flagship families go in-window for
     # CORRECTNESS_r09; schema_with_stats / text_stats / fingerprint /
     # time_rollup ride the tail after recorded r08 green appearances
