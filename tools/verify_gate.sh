@@ -32,16 +32,30 @@ PYTHONPATH="$PWD" python tools/check_oracle.py "$SF_DIR"
 echo "== [3/4] foreign-session gate (bare SparkSession, non-UTC TZ) =="
 TZ=America/Chicago python tools/driver_sim.py "$SF_DIR"
 
-echo "== [4/4] bench completes and prints one JSON line =="
+echo "== [4/4] bench completes under budget and prints one JSON line =="
+# MEASURED WALL BUDGET (round-10, after BENCH_r09 rc=124): the full bench
+# (warm-up + SPARK_GRAFT_BENCH_REPS timed reps of all ~146 queries) must
+# finish inside BENCH_BUDGET_S or the gate is RED — one per-row-expensive
+# registry row is exactly what this catches (char_entropy cost ~16 min/pass
+# in round 9 and the driver recorded no bench at all). `timeout` turns a
+# hang into rc=124 instead of a stuck gate.
 # NB: capture into a variable — piping into `python - <<EOF` would let the
 # heredoc replace the piped stdin and json.loads('') always fails.
-BENCH_OUT="$(python bench.py 2>/dev/null | tail -1)"
-python - "$BENCH_OUT" <<'EOF'
+BENCH_BUDGET_S="${BENCH_BUDGET_S:-600}"
+T0=$(date +%s)
+BENCH_OUT="$(timeout "$BENCH_BUDGET_S" python bench.py 2>/dev/null | tail -1)"
+WALL=$(( $(date +%s) - T0 ))
+python - "$BENCH_OUT" "$WALL" "$BENCH_BUDGET_S" <<'EOF'
 import json, sys
 d = json.loads(sys.argv[1])
+wall, budget = int(sys.argv[2]), int(sys.argv[3])
 assert d["value"] > 0 and d["queries"], "bench produced no timings"
 assert not [q for q, t in d["queries"].items() if t < 0], "negative timing"
-print(f"bench OK: {len(d['queries'])} queries, {d['value']}s total at sf={d['sf']}")
+assert wall <= budget, f"bench wall {wall}s exceeds budget {budget}s"
+slow = {q: t for q, t in d["queries"].items() if t > 5}
+assert not slow, f"rows over the 5 s single-row ceiling: {slow}"
+print(f"bench OK: {len(d['queries'])} queries, {d['value']}s summed, "
+      f"{wall}s wall (budget {budget}s) at sf={d['sf']}")
 EOF
 
 echo "VERIFY GATE: all green"
