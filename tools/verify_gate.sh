@@ -35,13 +35,15 @@ TZ=America/Chicago python tools/driver_sim.py "$SF_DIR"
 echo "== [4/4] bench completes under budget and prints one JSON line =="
 # MEASURED WALL BUDGET (round-10, after BENCH_r09 rc=124): the full bench
 # (warm-up + SPARK_GRAFT_BENCH_REPS timed reps of all ~146 queries) must
-# finish inside BENCH_BUDGET_S or the gate is RED — one per-row-expensive
+# finish inside BENCH_BUDGET_S (default 1200 s — the healthy r10 full run
+# measured ~14 min wall for warm-up + 3 reps x 146 queries, matching the
+# r7/r8 rc=0 driver runs; the r9 failure mode was ~65 min) or the gate is RED — one per-row-expensive
 # registry row is exactly what this catches (char_entropy cost ~16 min/pass
 # in round 9 and the driver recorded no bench at all). `timeout` turns a
 # hang into rc=124 instead of a stuck gate.
 # NB: capture into a variable — piping into `python - <<EOF` would let the
 # heredoc replace the piped stdin and json.loads('') always fails.
-BENCH_BUDGET_S="${BENCH_BUDGET_S:-600}"
+BENCH_BUDGET_S="${BENCH_BUDGET_S:-1200}"
 T0=$(date +%s)
 BENCH_OUT="$(timeout "$BENCH_BUDGET_S" python bench.py 2>/dev/null | tail -1)"
 WALL=$(( $(date +%s) - T0 ))
