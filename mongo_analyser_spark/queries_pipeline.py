@@ -600,7 +600,14 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     test = docs.filter(F.col("doc_id") % 10 == 0)
-    train = docs.filter(F.col("doc_id") % 10 != 0)
+    # explicit-N fanout before the probe: the Bloom verdict evaluates
+    # 2 md5 hashes per distinct 8-gram per training doc inside the scan
+    # projection — per-row-heavy work that would otherwise run on the
+    # single-file scan's ONE partition (the char_entropy/jpeg pattern)
+    train = docs.filter(F.col("doc_id") % 10 != 0).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        "doc_id",
+    )
     return bloom_ngram_contamination(
         train, test, "doc_id", "text", n=8, num_hashes=_BLOOM_K, num_bits=_BLOOM_BITS
     )
