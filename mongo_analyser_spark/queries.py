@@ -2735,6 +2735,13 @@ TAIL_QUERIES = (
     "gumbel_weighted_sample_documents",
     # (bloom_decontaminate / kneser_ney_nll / char_entropy /
     # countmin_user_counts rotated IN-window round 10)
+    # round-10: bottom-k quantile sketch — the mergeable-sketch family's
+    # quantile member (KMV exactness trick: deterministic md5-ranked
+    # bottom-k sample, so the APPROXIMATE quantiles themselves
+    # hash-match, unlike the rows-only t-digest twin); the report row
+    # oracle-verifies the accuracy against the exact percentile
+    "quantile_sketch_events",
+    "quantile_sketch_report_events",
 )
 
 

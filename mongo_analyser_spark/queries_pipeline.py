@@ -3569,6 +3569,93 @@ def q_gumbel_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Bottom-k quantile sketch: deterministic hash-oracle-able quantiles (r10)
+# --------------------------------------------------------------------------
+
+_BK_K = 256
+_BK_QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _bk_sample_ctes() -> str:
+    """Twin of operators/quantiles.bottomk_sample + the one-row sorted
+    collapse: md5 52-bit rank (the dsir bucket trick without the
+    modulus), (rank, key) total-order cut, LIMIT k."""
+    return f"""
+s AS (
+  SELECT value AS v FROM events
+  WHERE value IS NOT NULL
+  ORDER BY CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13)
+             AS UBIGINT),
+           event_id
+  LIMIT {_BK_K}),
+a AS (SELECT list(v ORDER BY v) AS vs, CAST(count(*) AS BIGINT) AS n FROM s),
+qv AS (SELECT CAST(t.q AS DOUBLE) AS q
+       FROM (VALUES {", ".join(f"({q})" for q in _BK_QS)}) t(q))"""
+
+
+@register(
+    "quantile_sketch_events",
+    f"""
+WITH {_bk_sample_ctes()}
+SELECT q,
+       vs[GREATEST(1, CAST(CEIL(q * n) AS INT))] AS est,
+       n
+FROM a, qv ORDER BY q
+""",
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k quantile sketch over events.value (operators/
+    quantiles.py; Cohen & Kaplan 2007 bottom-k lineage): rows ranked by
+    an md5 52-bit integer of event_id — a DETERMINISTIC uniform
+    permutation — the k={_BK_K} smallest kept (TakeOrderedAndProject:
+    per-task heaps, never a global sort; plan-pinned), type-1 sample
+    quantiles read straight out of the sorted sample. The mergeable-
+    sketch family's quantile member next to KMV/HLL/count-min/Bloom —
+    and unlike the t-digest twin (value_percentiles_events_approx,
+    declared rows-only), every cell here is a raw data value indexed by
+    one IEEE multiply, so the row HASH-matches its DuckDB twin."""
+    from mongo_analyser_spark.operators.quantiles import bottomk_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return bottomk_quantiles(ev, "value", "event_id", _BK_K, _BK_QS)
+
+
+@register(
+    "quantile_sketch_report_events",
+    f"""
+WITH {_bk_sample_ctes()},
+est AS (
+  SELECT q, vs[GREATEST(1, CAST(CEIL(q * n) AS INT))] AS est
+  FROM a, qv),
+exl AS (
+  SELECT quantile_cont(value, [{", ".join(str(q) for q in _BK_QS)}]) AS ps
+  FROM events WHERE value IS NOT NULL),
+ex AS (
+  SELECT CAST(u.q AS DOUBLE) AS q, ROUND(ps[u.i], 4) AS exact_p
+  FROM exl,
+       (VALUES {", ".join(f"({i + 1}, {q})" for i, q in enumerate(_BK_QS))})
+         u(i, q))
+SELECT est.q AS q, est.est AS est, ex.exact_p AS exact_p,
+       ROUND(ABS(est.est - ex.exact_p), 4) AS abs_err
+FROM est JOIN ex USING (q) ORDER BY q
+""",
+)
+def q_quantile_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the bottom-k quantile sketch (the recall-gate
+    contract): estimate vs the EXACT interpolated percentile of the
+    full column (ROUND(4), the value_percentiles_events cross-engine
+    contract), error computed from the rounded exact so every cell is
+    engine-deterministic. The exact side is the declared validation
+    cost; production keeps only the k-row sample."""
+    from mongo_analyser_spark.operators.quantiles import (
+        bottomk_quantile_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return bottomk_quantile_report(ev, "value", "event_id", _BK_K, _BK_QS)
+
+
 # re-run tail curation so the registry order is import-order-robust (this
 # module may be the first package import; see queries.curate_tail)
 from mongo_analyser_spark.queries import curate_tail as _curate_tail  # noqa: E402
