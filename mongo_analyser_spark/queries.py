@@ -2742,6 +2742,12 @@ TAIL_QUERIES = (
     # oracle-verifies the accuracy against the exact percentile
     "quantile_sketch_events",
     "quantile_sketch_report_events",
+    # round-10: theta/KMV sketch set algebra — per-source shingle-set
+    # sketches + pairwise union/intersection/Jaccard ESTIMATES with the
+    # exact-intersection certification (cross-source duplication
+    # analytics that never joins the corpora)
+    "theta_sketch_sources_documents",
+    "theta_overlap_pairs_documents",
 )
 
 

@@ -3656,6 +3656,122 @@ def q_quantile_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bottomk_quantile_report(ev, "value", "event_id", _BK_K, _BK_QS)
 
 
+# --------------------------------------------------------------------------
+# Theta/KMV sketch set algebra: cross-source shingle overlap (round 10)
+# --------------------------------------------------------------------------
+
+_THETA_K = 128
+_TWO52 = 1 << 52
+
+
+def _theta_sk_ctes() -> str:
+    """Twin of operators/theta.theta_sketches over per-source word
+    3-gram shingle sets (the minhash shingle unit)."""
+    return f"""
+toksrc AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+grs AS (SELECT DISTINCT source, unnest({_SHINGLES_SQL}) AS g FROM toksrc),
+rk AS (SELECT DISTINCT source,
+         CAST(CAST('0x' || substr(md5(g), 1, 13) AS UBIGINT) AS BIGINT) AS h
+       FROM grs),
+bk AS (SELECT source, h FROM (
+         SELECT source, h,
+                row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         FROM rk) WHERE rn <= {_THETA_K}),
+sk AS (SELECT source, list(h ORDER BY h) AS hs FROM bk GROUP BY source)"""
+
+
+@register(
+    "theta_sketch_sources_documents",
+    f"""
+WITH {_theta_sk_ctes()}
+SELECT source AS grp, CAST(len(hs) AS BIGINT) AS n_sketch,
+  CASE WHEN len(hs) >= {_THETA_K} THEN hs[{_THETA_K}]
+       ELSE {_TWO52} END AS theta,
+  ROUND(CASE WHEN len(hs) >= {_THETA_K}
+             THEN {_THETA_K - 1} * {_TWO52} / hs[{_THETA_K}]
+             ELSE CAST(len(hs) AS DOUBLE) END, 6) AS est_distinct
+FROM sk ORDER BY grp
+""",
+)
+def q_theta_sketch_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV/theta sketch of the word-3-gram shingle set
+    (operators/theta.py; Bar-Yossef 2002 / Cohen-Kaplan 2007 /
+    DataSketches theta lineage): each data provider collapses to k=128
+    8-byte ranks + a theta — the mergeable artifact cross-source
+    overlap analytics run on instead of joining corpora. HASH-oracled
+    including the distinct ESTIMATE ((k-1)·2^52/theta — one exact
+    integer multiply, one IEEE division, ROUND(6))."""
+    from mongo_analyser_spark.functions.text import shingles
+    from mongo_analyser_spark.operators.theta import theta_sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    items = docs.select(
+        "source", F.explode(shingles(F.col("text"), 3)).alias("sh")
+    )
+    return (
+        theta_sketches(items, "source", F.col("sh"), _THETA_K)
+        .select(
+            F.col("group").alias("grp"), "n_sketch", "theta", "est_distinct"
+        )
+        .orderBy("grp")
+    )
+
+
+@register(
+    "theta_overlap_pairs_documents",
+    f"""
+WITH {_theta_sk_ctes()},
+p AS (SELECT a.source AS group_a, b.source AS group_b, a.hs AS ha, b.hs AS hb
+      FROM sk a JOIN sk b ON a.source < b.source),
+c AS (SELECT group_a, group_b,
+        LEAST(CASE WHEN len(ha) >= {_THETA_K} THEN ha[{_THETA_K}]
+                   ELSE {_TWO52} END,
+              CASE WHEN len(hb) >= {_THETA_K} THEN hb[{_THETA_K}]
+                   ELSE {_TWO52} END) AS th,
+        ha, hb FROM p),
+f AS (SELECT group_a, group_b, th,
+        list_filter(ha, x -> x < th) AS sa,
+        list_filter(hb, x -> x < th) AS sb FROM c),
+m AS (SELECT group_a, group_b, th,
+        CAST(len(list_intersect(sa, sb)) AS BIGINT) AS n_common,
+        CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS BIGINT)
+          AS n_union
+      FROM f),
+ex AS (SELECT a.source AS group_a, b.source AS group_b,
+         CAST(count(*) AS BIGINT) AS exact_inter
+       FROM grs a JOIN grs b ON a.g = b.g AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT m.group_a, m.group_b, n_common, n_union,
+  ROUND(n_common * {_TWO52} / th, 6) AS est_inter,
+  ROUND(n_union * {_TWO52} / th, 6) AS est_union,
+  CASE WHEN n_union > 0 THEN ROUND(n_common / n_union, 6) END AS est_jaccard,
+  COALESCE(ex.exact_inter, 0) AS exact_inter,
+  ROUND(ROUND(n_common * {_TWO52} / th, 6) - COALESCE(ex.exact_inter, 0), 6)
+    AS err
+FROM m LEFT JOIN ex USING (group_a, group_b)
+ORDER BY group_a, group_b
+""",
+)
+def q_theta_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set expressions between every source pair:
+    intersection / union / Jaccard ESTIMATES of the shingle sets from
+    the k-long sketches alone (samples filtered below min(theta),
+    scaled by 2^52/theta — the Theta-Sketch Framework estimators), next
+    to the exact intersection and the signed error (the countmin/bloom
+    certification contract; the exact join is fixture-scale validation,
+    not the production path — 190 pairs of 128-long arrays never touch
+    the corpus). Every cell hash-matches: counts exact, estimates one
+    integer multiply + one IEEE division, ROUND(6)."""
+    from mongo_analyser_spark.functions.text import shingles
+    from mongo_analyser_spark.operators.theta import theta_overlap_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    items = docs.select(
+        "source", F.explode(shingles(F.col("text"), 3)).alias("sh")
+    )
+    return theta_overlap_report(items, "source", F.col("sh"), _THETA_K)
+
+
 # re-run tail curation so the registry order is import-order-robust (this
 # module may be the first package import; see queries.curate_tail)
 from mongo_analyser_spark.queries import curate_tail as _curate_tail  # noqa: E402
