@@ -1,0 +1,179 @@
+"""Audio tier: REAL stdlib WAV/PCM16 codec + Arrow-batched feature
+extraction — the audio sibling of the PNG/BMP/JPEG pixel tier
+(operators/pixels.py, operators/jpeg.py).
+
+The reference treats every non-document payload as an opaque binary to
+hex-dump (reference: mongo_analyser/core/extractor.py:199-200,
+mongo_analyser/core/shared.py:8-14 — binary subtype map); the north-star
+multimodal mandate (BASELINE.json) asks for decode/feature-extract over
+audio columns with the Spark plumbing real even where codecs are absent.
+PCM WAV needs NO codec: the RIFF container is a struct-framed chunk walk
+and the samples are raw little-endian int16 — so, like the PNG path, the
+decode here is genuinely real, and the NotImplementedError gate narrows
+to genuinely codec-bound audio (MP3/AAC/Opus/float-PCM).
+
+Features are chosen to be integer-exact or IEEE-deterministic so the
+whole decode path can be hash-oracled against DuckDB computing the same
+numbers straight from the source data:
+
+- ``n_samples``, ``sample_rate``, ``peak`` (max |s|), ``zero_crossings``
+  (adjacent pairs with strictly negative product) are exact integers;
+- ``rms`` = sqrt(sum(s^2)/n) — the sum is an exact int64, the division is
+  one IEEE double op, and sqrt is correctly rounded by IEEE 754 in both
+  engines (the mixture_plan precedent), then quantized with the shared
+  floor(x*1e4+0.5)/1e4 convention (no engine ROUND tie rules);
+- ``duration_s`` = n/rate quantized the same way.
+
+100-TB shape: the codec runs inside ``mapInPandas`` over an explicit-N
+repartition (the coalescible-python-fanout rule, plans/lint.py) and emits
+one fixed-width row per payload — no shuffle besides the fanout, no
+driver involvement, state O(batch).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Iterable, List, Tuple
+
+_PCM_FORMAT = 1  # WAVE_FORMAT_PCM
+
+
+def encode_wav(sample_rate: int, samples: List[int]) -> bytes:
+    """Mono PCM16 WAV bytes from integer samples (each clamped to int16).
+
+    Canonical minimal layout: RIFF header, one 'fmt ' chunk (PCM, 1
+    channel, 16-bit), one 'data' chunk. Pure stdlib struct packing.
+    """
+    clamped = [max(-32768, min(32767, int(s))) for s in samples]
+    data = struct.pack("<%dh" % len(clamped), *clamped)
+    byte_rate = sample_rate * 2
+    fmt = struct.pack(
+        "<HHIIHH", _PCM_FORMAT, 1, sample_rate, byte_rate, 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> Tuple[int, List[int]]:
+    """(sample_rate, samples) from mono PCM16 WAV bytes.
+
+    Chunk-order tolerant (walks every chunk, honoring word alignment);
+    anything that is not integer PCM 16-bit mono raises
+    NotImplementedError — compressed / float / multichannel audio is the
+    genuinely codec-bound remainder, the same narrow-gate discipline as
+    progressive JPEG in operators/pixels.py.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sample_rate = None
+    bits = channels = fmt_tag = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, sample_rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if fmt_tag != _PCM_FORMAT or bits != 16 or channels != 1:
+        raise NotImplementedError(
+            "only mono 16-bit integer PCM decodes here; compressed "
+            "(MP3/AAC/Opus), float-PCM, and multichannel audio need a "
+            "codec library this container does not ship"
+        )
+    n = len(data) // 2
+    samples = list(struct.unpack("<%dh" % n, data[: 2 * n]))
+    return sample_rate, samples
+
+
+def _q4(x: float) -> float:
+    """Shared cross-engine quantizer: floor(x*1e4 + 0.5)/1e4."""
+    return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+
+def wav_features(payload: bytes) -> dict:
+    """Decode + per-clip features, every one either integer-exact or one
+    deterministic IEEE op away from exact integers (see module doc)."""
+    rate, s = decode_wav(payload)
+    n = len(s)
+    sum_sq = sum(v * v for v in s)  # exact: Python int
+    zc = sum(1 for i in range(1, n) if s[i - 1] * s[i] < 0)
+    return {
+        "sample_rate": rate,
+        "n_samples": n,
+        "duration_s": _q4(n / rate) if rate else 0.0,
+        "rms": _q4(math.sqrt(sum_sq / n)) if n else 0.0,
+        "peak": max((abs(v) for v in s), default=0),
+        "zero_crossings": zc,
+    }
+
+
+def wav_features_frame(
+    df,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fanout: int | None = None,
+):
+    """(id, sample_rate, n_samples, duration_s, rms, peak, zero_crossings)
+    via one Arrow-batched mapInPandas over an explicit-N fanout — the
+    same stage shape as extract_pixel_stats (operators/multimodal.py).
+    """
+    import pandas as pd  # noqa: F401
+
+    spark = df.sparkSession
+    n_part = fanout or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    src = df.select(id_col, payload_col).repartition(n_part, id_col)
+
+    def run(batches: Iterable["pd.DataFrame"]):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                f = wav_features(bytes(payload))
+                rows.append(
+                    (
+                        rid,
+                        f["sample_rate"],
+                        f["n_samples"],
+                        f["duration_s"],
+                        f["rms"],
+                        f["peak"],
+                        f["zero_crossings"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "sample_rate",
+                    "n_samples",
+                    "duration_s",
+                    "rms",
+                    "peak",
+                    "zero_crossings",
+                ],
+            )
+
+    return src.mapInPandas(
+        run,
+        f"{id_col} long, sample_rate int, n_samples int, duration_s double,"
+        " rms double, peak int, zero_crossings int",
+    )

@@ -267,6 +267,59 @@ def sample_frame_indices(n_frames: Column, k: int = 4) -> Column:
     return F.array_sort(F.array_distinct(idx))
 
 
+def frame_sample(
+    df: DataFrame, id_col: str, media_col: str, k: int = 4
+) -> DataFrame:
+    """Frame-sampling stage for multi-frame media (the video/animation
+    member of the decode / feature-extract / resize / frame-sample
+    quartet): (id, n_frames, frame_idx, frame_luma) — one row per
+    sampled frame, indices evenly spread by ``sample_frame_indices``.
+
+    The frame-count header and per-frame luma use the deterministic
+    fake-codec contract (md5-digest-derived, matching ``fake_decode``):
+    real multi-frame pixel decoding (APNG/GIF/video) is genuinely
+    codec-bound in this container (see ``real_decode``'s gate), so the
+    per-frame decode is a deterministic stand-in — which keeps the whole
+    stage hash-oracle-able — while everything AROUND it (header fields,
+    index selection, the explode fan-out, one row per sampled frame) is
+    the real production plumbing. A real codec slots in by replacing
+    the luma expression with an Arrow stage shaped exactly like
+    ``extract_pixel_stats``.
+
+    Pure Column expressions end-to-end: frame selection fuses into the
+    scan projection, the explode multiplies rows k-fold BEFORE any
+    shuffle, and nothing touches Python row-at-a-time."""
+    data = F.col(media_col).getField("data")
+    h = F.md5(data)
+    n = (
+        F.lit(1) + (F.conv(F.substring(h, 5, 2), 16, 10).cast("int") % 32)
+    ).cast("int")
+    ex = df.select(
+        F.col(id_col),
+        h.alias("__h"),
+        n.alias("n_frames"),
+        F.explode(sample_frame_indices(n, k)).alias("frame_idx"),
+    )
+    luma = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("__h"),
+                    F.lit(":"),
+                    F.col("frame_idx").cast("string"),
+                )
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("int")
+    return ex.select(
+        id_col, "n_frames", "frame_idx", luma.alias("frame_luma")
+    )
+
+
 def resize_media(
     df: DataFrame,
     id_col: str,

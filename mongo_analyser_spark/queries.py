@@ -2748,6 +2748,27 @@ TAIL_QUERIES = (
     # analytics that never joins the corpora)
     "theta_sketch_sources_documents",
     "theta_overlap_pairs_documents",
+    # round-10: REAL stdlib WAV/PCM16 audio round trip — the audio
+    # sibling of pixel_roundtrip (decode gate narrows to genuinely
+    # codec-bound formats: MP3/AAC/float-PCM/multichannel)
+    "wav_audio_features_documents",
+    # round-10: mergeable Misra-Gries — the UNDERestimate dual of the
+    # count-min row, completing the two-sided frequency-sketch bracket;
+    # guarantee booleans oracle-verified per row
+    "mg_heavy_hitters_events",
+    # round-10: triangle counts + local clustering coefficient over the
+    # near-dup graph (clique-ness vs chain-shaped banding false
+    # positives — the third graph operator beside CC and PageRank)
+    "triangle_count_near_dup",
+    # round-10: time-series tier over events — EWMA smoother (α=0.5
+    # power-of-two folds, bit-identical across engines) and population
+    # z-score outlier flags (ROUND-gated, the gopher discipline)
+    "ewma_smooth_events",
+    "zscore_outliers_events",
+    # round-10: frame sampling for multi-frame media — the video member
+    # of the decode/feature-extract/resize/frame-sample quartet (real
+    # explode/selection plumbing, documented deterministic fake decode)
+    "frame_sample_documents",
 )
 
 

@@ -1236,6 +1236,58 @@ def q_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_GENERATORS["pagerank_near_dup"] = _pagerank_sql
 
 
+def _triangle_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Ordered-wedge triangle twin over the same near-dup CTE chain;
+    MATERIALIZED ed for the same reason as the pagerank oracle (three
+    self-references would re-run the banding subtree inlined)."""
+    head = _near_dup_ctes(sf_dir)
+    return f"""WITH {head},
+ed AS MATERIALIZED (SELECT vec_a AS a, vec_b AS b FROM nd),
+tri AS MATERIALIZED (
+  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+  FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+tcnt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+    SELECT ta AS node FROM tri
+    UNION ALL SELECT tb FROM tri
+    UNION ALL SELECT tc FROM tri)
+  GROUP BY node),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM ed UNION ALL SELECT b FROM ed)
+  GROUP BY node)
+SELECT deg.node, deg.deg,
+  COALESCE(tcnt.n_tri, CAST(0 AS BIGINT)) AS n_triangles,
+  CASE WHEN deg.deg >= 2
+    THEN ROUND(2.0 * COALESCE(tcnt.n_tri, 0) / (deg.deg * (deg.deg - 1)), 6)
+    ELSE 0.0 END AS clustering_coeff
+FROM deg LEFT JOIN tcnt USING (node) ORDER BY deg.node
+"""
+
+
+@register("triangle_count_near_dup", _triangle_sql())
+def q_triangle_count_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    near-dup graph (operators/graph.triangle_counts): the clique-ness
+    signal that separates true duplicate clusters (coefficient → 1)
+    from chain-shaped banding false positives (→ 0) — the graph-side
+    quality check a curation run reads next to pagerank_near_dup's
+    canonical-copy ranks. Exact integer counts + one ROUND(6) rational,
+    hash-oracled; two equi-joins, no cartesian."""
+    from mongo_analyser_spark.operators.dedup import cosine_near_dup_pairs
+    from mongo_analyser_spark.operators.graph import triangle_counts
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", EMB_DIM, threshold=0.3, block_col="label"
+    )
+    return triangle_counts(pairs.select("id_a", "id_b"))
+
+
+ORACLE_GENERATORS["triangle_count_near_dup"] = _triangle_sql
+
+
 def _ann_recall_sql() -> str:
     """Recall@3 of the SRP ANN against the exact top-3: both CTEs are
     built from the SAME dot/norm fragments their standalone oracles use,
@@ -3528,6 +3580,65 @@ def q_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_estimates(ev, F.col("user_id"), "user_id", _CM_D, _CM_W)
 
 
+@register(
+    "mg_heavy_hitters_events",
+    """
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_key,
+         CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM events GROUP BY 1),
+gb AS (
+  SELECT user_key, exact_cnt,
+    CAST(CAST('0x' || substr(md5('mg:' || user_key), 1, 13) AS UBIGINT)
+         % 8 AS BIGINT) AS g
+  FROM counts),
+rnk AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY g ORDER BY exact_cnt DESC, user_key ASC) AS rn
+  FROM gb),
+thr AS (
+  SELECT g, COALESCE(MAX(CASE WHEN rn = 17 THEN exact_cnt END),
+                     CAST(0 AS BIGINT)) AS t_g
+  FROM rnk GROUP BY g),
+summ AS (
+  SELECT rnk.user_key, rnk.g, rnk.exact_cnt, thr.t_g,
+         rnk.exact_cnt - thr.t_g AS weight
+  FROM rnk JOIN thr USING (g)
+  WHERE rnk.rn <= 16 AND rnk.exact_cnt - thr.t_g > 0),
+frk AS (
+  SELECT *, row_number() OVER (ORDER BY weight DESC, user_key ASC) AS frn
+  FROM summ),
+tf AS (
+  SELECT COALESCE(MAX(CASE WHEN frn = 17 THEN weight END),
+                  CAST(0 AS BIGINT)) AS t_final FROM frk)
+SELECT user_key,
+  weight - t_final AS mg_est,
+  exact_cnt,
+  exact_cnt - (weight - t_final) AS deficit,
+  t_g + t_final AS deficit_bound,
+  (weight - t_final) <= exact_cnt AS underestimate_ok,
+  exact_cnt - (weight - t_final) <= t_g + t_final AS deficit_ok
+FROM frk CROSS JOIN tf
+WHERE frn <= 16 AND weight - t_final > 0
+ORDER BY mg_est DESC, user_key
+""",
+)
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over events.user_id in the MERGEABLE,
+    order-free form (operators/heavyhitters.py; Agarwal et al. 2012) —
+    the UNDERestimate dual of countmin_user_counts_events: md5-sharded
+    exact counts compressed to <=16 entries per shard ("subtract the
+    17th-largest, keep positive"), shard summaries merged and compressed
+    once more; every weight is integer algebra over exact counts so the
+    estimates AND the guarantee booleans (est <= exact; deficit <= t_g
+    + t_final) hash-match DuckDB. One groupBy shuffle with map-side
+    combine; only G*k bounded summary rows reach the final merge."""
+    from mongo_analyser_spark.operators.heavyhitters import mg_heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return mg_heavy_hitters(ev, F.col("user_id"), "user_key", 16, 8)
+
+
 _GUMBEL_DENOM = float((1 << 52) + 1)
 
 
@@ -3770,6 +3881,226 @@ def q_theta_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(shingles(F.col("text"), 3)).alias("sh")
     )
     return theta_overlap_report(items, "source", F.col("sh"), _THETA_K)
+
+
+@register(
+    "wav_audio_features_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+s AS (SELECT doc_id, list_transform(codes, c -> (c - 64) * 256) AS smp FROM a),
+f AS (
+  SELECT doc_id,
+    COALESCE(len(smp), 0) AS n,
+    COALESCE(list_sum(list_transform(smp, v -> v * v)), 0) AS sum_sq,
+    COALESCE(list_max(list_transform(smp, v -> abs(v))), 0) AS peak,
+    COALESCE(len(list_filter(smp, (x, i) -> i > 1 AND smp[i-1] * x < 0)), 0) AS zc
+  FROM s)
+SELECT doc_id,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST(n AS INTEGER) AS n_samples,
+  FLOOR(CAST(n AS DOUBLE) / 8000.0 * 10000.0 + 0.5) / 10000.0 AS duration_s,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE FLOOR(sqrt(CAST(sum_sq AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0
+  END AS rms,
+  CAST(peak AS INTEGER) AS peak,
+  CAST(zc AS INTEGER) AS zero_crossings
+FROM f ORDER BY doc_id
+""",
+)
+def q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec round trip, hash-oracled (the WAV sibling of
+    pixel_roundtrip_documents): each document's printable-ASCII codes
+    become mono PCM16 samples ((c-64)*256, well inside int16), encoded
+    as an actual RIFF/WAVE payload and decoded back sample-by-sample
+    inside the Arrow stage (operators/audio.py — stdlib struct framing,
+    no codec library); the emitted per-clip features (duration, RMS,
+    peak, zero crossings) must equal what DuckDB computes directly from
+    the text, so a bug anywhere in the chunk walk, the int16 packing, or
+    the feature math breaks the hash. Integer-exact except one IEEE
+    division + correctly-rounded sqrt, quantized floor(x*1e4+0.5)/1e4.
+
+    Reference parity: the reference can only hex-dump binary subtypes
+    (core/extractor.py:199-200); this is the north-star decode path.
+    100-TB shape: explicit-N fanout + one fixed-width row per payload,
+    no shuffle after the fanout."""
+    import pandas as pd  # noqa: F401
+
+    from mongo_analyser_spark.operators.audio import encode_wav, wav_features
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            "doc_id",
+        )
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    b
+                    for b in (text or "").encode("ascii", "ignore")
+                    if 1 <= b <= 127
+                ]
+                payload = encode_wav(8000, [(c - 64) * 256 for c in codes])
+                f = wav_features(payload)
+                rows.append(
+                    (
+                        doc_id,
+                        f["sample_rate"],
+                        f["n_samples"],
+                        f["duration_s"],
+                        f["rms"],
+                        f["peak"],
+                        f["zero_crossings"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "duration_s",
+                    "rms", "peak", "zero_crossings",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, sample_rate int, n_samples int, duration_s double,"
+        " rms double, peak int, zero_crossings int",
+    ).orderBy("doc_id")
+
+
+@register(
+    "ewma_smooth_events",
+    """
+WITH w AS (
+  SELECT event_id, user_id, value,
+    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l,
+    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING) AS lp
+  FROM events)
+SELECT event_id, user_id, value,
+  FLOOR(list_reduce(l, (a, b) -> 0.5*a + 0.5*b) * 1000000.0 + 0.5)
+    / 1000000.0 AS ewma,
+  CASE WHEN COALESCE(len(lp), 0) = 0 THEN 0.0
+       ELSE FLOOR((value - list_reduce(lp, (a, b) -> 0.5*a + 0.5*b))
+                  * 1000000.0 + 0.5) / 1000000.0
+  END AS residual
+FROM w ORDER BY event_id
+""",
+)
+def q_ewma_smooth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoother + one-step-ahead residual over the event
+    stream (operators/timeseries.ewma_smooth): α=0.5 exactly, so every
+    fold step is a power-of-two multiply + add — bit-identical left
+    folds in Spark's aggregate HOF and DuckDB's list_reduce over the
+    same uniquely-ordered trailing frame (ts, event_id). One hash
+    partition by user (the trailing_window_range exchange); HASH-oracled
+    including the smoothed values."""
+    from mongo_analyser_spark.operators.timeseries import ewma_smooth
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return (
+        ewma_smooth(ev, "user_id", ["ts", "event_id"], "value", k=16)
+        .select("event_id", "user_id", "value", "ewma", "residual")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "frame_sample_documents",
+    """
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+f AS (
+  SELECT doc_id, h,
+    1 + CAST('0x' || substr(h, 5, 2) AS INTEGER) % 32 AS n_frames
+  FROM m),
+idx AS (
+  SELECT doc_id, h, n_frames,
+    list_sort(list_distinct(list_transform(
+      generate_series(0, 3),
+      j -> CAST(FLOOR(CAST(j AS DOUBLE) * (n_frames - 1) / 3) AS INTEGER)
+    ))) AS frames
+  FROM f),
+e AS (
+  SELECT doc_id, CAST(n_frames AS INTEGER) AS n_frames,
+         u.fi AS frame_idx,
+         CAST('0x' || substr(md5(h || ':' || CAST(u.fi AS VARCHAR)), 1, 2)
+              AS INTEGER) AS frame_luma
+  FROM idx, LATERAL unnest(frames) AS u(fi))
+SELECT doc_id, n_frames, frame_idx, frame_luma
+FROM e ORDER BY doc_id, frame_idx
+""",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over multi-frame media
+    (operators/multimodal.frame_sample): each document's bytes stand in
+    for a video/animation payload; the digest-derived frame count (the
+    fake-codec contract — real APNG/GIF/video pixel decode is
+    codec-bound in this container) feeds ``sample_frame_indices``'s
+    evenly-spread pure-Column selection, and one row per sampled frame
+    carries the deterministic per-frame luma. The sampling/explode
+    plumbing is the real production shape; only the innermost decode is
+    the documented stand-in — which makes the whole stage hash-oracled
+    (md5 arithmetic is engine-exact)."""
+    from mongo_analyser_spark.operators.multimodal import (
+        frame_sample,
+        pack_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        pack_media(F.encode(F.col("text"), "UTF-8"), "video/fake").alias(
+            "media"
+        ),
+    )
+    return frame_sample(docs, "doc_id", "media", k=4).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@register(
+    "zscore_outliers_events",
+    """
+WITH s AS (
+  SELECT event_type, SUM(value) AS s, SUM(value*value) AS s2,
+         COUNT(value) AS n
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+  CASE WHEN s2/n - (s/n)*(s/n) <= 0 THEN 0.0
+       ELSE ROUND((e.value - s/n) / sqrt(s2/n - (s/n)*(s/n)), 4)
+  END AS z_score,
+  abs(CASE WHEN s2/n - (s/n)*(s/n) <= 0 THEN 0.0
+       ELSE ROUND((e.value - s/n) / sqrt(s2/n - (s/n)*(s/n)), 4)
+  END) >= 3.0 AS is_outlier
+FROM events e JOIN s USING (event_type) ORDER BY e.event_id
+""",
+)
+def q_zscore_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score outlier flags per event_type
+    (operators/timeseries.zscore_outliers): stats from ONE grouped
+    SUM/SUM²/COUNT aggregate broadcast back (5 rows), score quantized
+    ROUND(4) and the flag gating on the ROUNDED score (the gopher_rules
+    IEEE-boundary discipline; the ROUND absorbs cross-engine double
+    summation order, the q1 contract). Zero-variance groups emit 0.0."""
+    from mongo_analyser_spark.operators.timeseries import zscore_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return zscore_outliers(ev, "event_type", "value").orderBy("event_id")
 
 
 # re-run tail curation so the registry order is import-order-robust (this

@@ -1,0 +1,100 @@
+"""Audio tier (operators/audio.py): WAV/PCM16 codec truth tables,
+feature math, gate behavior, and the Arrow stage shape."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+
+from mongo_analyser_spark.operators.audio import (
+    decode_wav,
+    encode_wav,
+    wav_features,
+    wav_features_frame,
+)
+
+
+def test_roundtrip_exact():
+    samples = [0, 1, -1, 32767, -32768, 12345, -54, 64]
+    rate, out = decode_wav(encode_wav(8000, samples))
+    assert rate == 8000
+    assert out == samples
+
+
+def test_roundtrip_empty_and_clamp():
+    rate, out = decode_wav(encode_wav(44100, []))
+    assert (rate, out) == (44100, [])
+    # out-of-range inputs clamp to int16 at encode time
+    _, out = decode_wav(encode_wav(8000, [99999, -99999]))
+    assert out == [32767, -32768]
+
+
+def test_decode_chunk_order_and_alignment():
+    """Decoder must walk chunks, not assume fmt-then-data at fixed
+    offsets: insert an odd-length junk chunk (word alignment) first."""
+    base = encode_wav(16000, [5, -3, 2])
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    body = b"WAVE" + junk + base[12:]
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, out = decode_wav(payload)
+    assert (rate, out) == (16000, [5, -3, 2])
+
+
+def test_gates():
+    with pytest.raises(ValueError):
+        decode_wav(b"\x00" * 20)
+    # stereo payload: rewrite the channel count in the fmt chunk
+    b = bytearray(encode_wav(8000, [1, 2]))
+    # fmt chunk body starts at offset 20; channels at +2
+    b[22:24] = struct.pack("<H", 2)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(b))
+    # float PCM (format tag 3)
+    b = bytearray(encode_wav(8000, [1, 2]))
+    b[20:22] = struct.pack("<H", 3)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(b))
+
+
+def test_features_truth_table():
+    # samples: [5,-3,0,2,-1,-4,6] -> zc pairs with product<0:
+    # (5,-3), (2,-1), (-4,6) = 3; (−3,0),(0,2) do NOT count (product 0)
+    s = [5, -3, 0, 2, -1, -4, 6]
+    f = wav_features(encode_wav(8000, s))
+    assert f["n_samples"] == 7
+    assert f["zero_crossings"] == 3
+    assert f["peak"] == 6
+    assert f["duration_s"] == math.floor(7 / 8000 * 1e4 + 0.5) / 1e4
+    assert f["rms"] == math.floor(math.sqrt(91 / 7) * 1e4 + 0.5) / 1e4
+
+
+def test_features_empty():
+    f = wav_features(encode_wav(8000, []))
+    assert f == {
+        "sample_rate": 8000,
+        "n_samples": 0,
+        "duration_s": 0.0,
+        "rms": 0.0,
+        "peak": 0,
+        "zero_crossings": 0,
+    }
+
+
+def test_frame_stage(spark):
+    rows = [
+        (1, bytearray(encode_wav(8000, [100, -100, 100]))),
+        (2, bytearray(encode_wav(16000, list(range(-50, 50))))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in wav_features_frame(df, "payload", "doc_id").collect()
+    }
+    assert out[1]["zero_crossings"] == 2
+    assert out[1]["peak"] == 100
+    assert out[2]["sample_rate"] == 16000
+    assert out[2]["n_samples"] == 100
+    # one sign flip (-1 -> 0 doesn't count; -1*0 == 0)
+    assert out[2]["zero_crossings"] == 0

@@ -176,3 +176,42 @@ def test_resize_real_is_explicit_stub(spark, media_df):
 
     with pytest.raises(Exception, match="NotImplementedError|real resize"):
         resize_media(media_df, "id", "media", 10, 10, resizer="real").collect()
+
+
+def test_frame_sample_rows(spark):
+    """One row per sampled frame: evenly-spread indices, deterministic
+    digest-derived frame count and luma, single-frame clips yield one
+    row at index 0."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.operators.multimodal import (
+        frame_sample,
+        pack_media,
+    )
+
+    payloads = [b"hello world", b"x"]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "id long, data binary",
+    ).select("id", pack_media(F.col("data"), "video/fake").alias("media"))
+    rows = frame_sample(df, "id", "media", k=4).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    for i, p in enumerate(payloads):
+        d = hashlib.md5(p)
+        n = 1 + d.digest()[2] % 32
+        want = sorted({int(j * (n - 1) / 3) for j in range(4)}) if n > 1 else [0]
+        got = sorted(r["frame_idx"] for r in by_id[i])
+        assert by_id[i][0]["n_frames"] == n
+        assert got == want
+        for r in by_id[i]:
+            expect = int(
+                hashlib.md5(
+                    f"{d.hexdigest()}:{r['frame_idx']}".encode()
+                ).hexdigest()[:2],
+                16,
+            )
+            assert r["frame_luma"] == expect

@@ -428,15 +428,18 @@ def test_tfidf_recall_report_runtime_reuses_postings_subtree(spark):
 
 
 def test_pq_encode_is_broadcast_projection(spark):
-    """PQ encoding must never shuffle the corpus: the codebook arrives
-    as a one-row broadcast (BroadcastNestedLoopJoin), and the only
-    exchanges belong to the bounded codebook-derivation chain (seed
-    limit + refine aggregates over m*k rows)."""
+    """PQ encoding must never shuffle the corpus: since the round-10
+    Arrow kernel the trained codebook ships to executors inside the
+    mapInPandas closure (a BOUNDED driver artifact, the pca_components
+    class) instead of a per-row broadcast join, so the encode plan is
+    ONE Arrow stage over the scan — no join of any kind, and the only
+    exchange is the output sort."""
     q = QUERIES["pq_encode_embeddings"](spark, SF)
     plan = formatted_plan(q)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan
-    assert num_exchanges(q) <= 4
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert num_exchanges(q) <= 2
 
 
 def test_pq_rerank_joins_stay_keyed_and_bounded(spark):

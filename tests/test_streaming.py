@@ -456,3 +456,48 @@ def test_dedup_monitor_checkpoint_restart(spark, tmp_path):
     assert first != batch_all  # the split is real
     docs.filter(F.col("doc_id") % 2 != 0).write.mode("append").parquet(in_dir)
     assert run("t_dm_ckpt_b") == batch_all
+
+
+def test_countmin_monitor_stream_matches_batch_exactly(spark):
+    """ST10: the count-min sketch is an additive (row, bucket) counter
+    table — order/partition-independent, so streaming complete-mode
+    output equals the batch sketch EXACTLY (no HLL caveat: every cell
+    is an exact integer)."""
+    from mongo_analyser_spark.streaming.countmin_monitor import countmin_stream
+    from mongo_analyser_spark.streaming.windows import stream_events
+
+    sdf = countmin_stream(stream_events(spark, SF), F.col("user_id"))
+    assert sdf.isStreaming
+    _run_stream_to_memory(sdf, "t_cm_mon")
+    got = {tuple(r) for r in spark.table("t_cm_mon").collect()}
+    batch = countmin_stream(load_table(spark, SF, "events"), F.col("user_id"))
+    assert not batch.isStreaming
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 10
+    # bounded-state invariant: at most d*w cells
+    assert len(got) <= 3 * 64
+
+
+def test_countmin_monitor_checkpoint_restart(spark, tmp_path):
+    """ST10 restart story: stop/append/restart on the same checkpoint —
+    sketch cells converge to the batch twin over ALL files with no
+    double-count (additive counters make any drift visible)."""
+    from mongo_analyser_spark.streaming.countmin_monitor import countmin_stream
+
+    ev = load_table(spark, SF, "events")
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(in_dir)
+
+    def run(name):
+        sdf = spark.readStream.schema(ev.schema).parquet(in_dir)
+        return _run_monitor_with_checkpoint(
+            spark, countmin_stream(sdf, F.col("user_id")), name, ckpt
+        )
+
+    first = run("t_cm_ckpt_a")
+    batch_all = {
+        tuple(r) for r in countmin_stream(ev, F.col("user_id")).collect()
+    }
+    assert first != batch_all  # the split is real
+    ev.filter(F.col("event_id") % 2 != 0).write.mode("append").parquet(in_dir)
+    assert run("t_cm_ckpt_b") == batch_all
