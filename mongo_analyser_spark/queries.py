@@ -2450,7 +2450,16 @@ WINDOW_QUERIES = (
     "q2_min_cost_supplier",
     "decontaminate_exact_ngram_documents",
     "grouping_sets_orders",
-    "dynamic_schema_histogram_events",
+    # late-round-10 rotation: this round's own flagship families go
+    # in-window for external verification (the round-9 policy): audio
+    # codec round trip, mergeable Misra-Gries, bottom-k quantile report,
+    # theta set algebra, near-dup triangles. Five thrice-green rows with
+    # in-window siblings ride the tail (see TAIL_QUERIES note).
+    "wav_audio_features_documents",
+    "mg_heavy_hitters_events",
+    "quantile_sketch_report_events",
+    "theta_overlap_pairs_documents",
+    "triangle_count_near_dup",
     # round-10 rotation (verdict-r9 #8): the round-9 sketch/quality
     # families get their external verification — count-min, Bloom
     # decontamination, Kneser-Ney, and the FIXED char_entropy (plus
@@ -2483,8 +2492,6 @@ WINDOW_QUERIES = (
     "ann_srp_topk_embeddings",
     "multimodal_metadata_documents",
     "tumbling_hourly_events",
-    "similarity_topk_embeddings",
-    "pack_sequences_documents",
     "dedup_first_event_per_user_type",
     # round-7 rotation (verdict-r6 #6): the round-7 flagships (BPE token
     # math) come IN, plus the three registry families that had never
@@ -2492,10 +2499,8 @@ WINDOW_QUERIES = (
     # HLL sketch twin — the last is rows-only by design and the driver
     # records the weaker check, which is the point: every declared
     # rows-only row should be externally observed at least once)
-    "bpe_token_counts_documents",
     "token_budget_select_bpe_documents",
     "jl_project_embeddings",
-    "salted_user_event_totals",
     # round-8 rotation (verdict-r7 #2): the HLL sketch had its one
     # external rows-only appearance in CORRECTNESS_r07 (err: no_oracle —
     # deliberate); it rotates back to the tail so the driver window is
@@ -2735,31 +2740,13 @@ TAIL_QUERIES = (
     "gumbel_weighted_sample_documents",
     # (bloom_decontaminate / kneser_ney_nll / char_entropy /
     # countmin_user_counts rotated IN-window round 10)
-    # round-10: bottom-k quantile sketch — the mergeable-sketch family's
-    # quantile member (KMV exactness trick: deterministic md5-ranked
-    # bottom-k sample, so the APPROXIMATE quantiles themselves
-    # hash-match, unlike the rows-only t-digest twin); the report row
-    # oracle-verifies the accuracy against the exact percentile
+    # round-10: bottom-k quantile sketch — the raw sketch rides the tail
+    # (the report row, which also oracle-verifies accuracy vs the exact
+    # percentile, rotated in-window late round 10)
     "quantile_sketch_events",
-    "quantile_sketch_report_events",
-    # round-10: theta/KMV sketch set algebra — per-source shingle-set
-    # sketches + pairwise union/intersection/Jaccard ESTIMATES with the
-    # exact-intersection certification (cross-source duplication
-    # analytics that never joins the corpora)
+    # round-10: theta/KMV per-source sketches (the overlap-pairs row
+    # with its exact-intersection certification rotated in-window)
     "theta_sketch_sources_documents",
-    "theta_overlap_pairs_documents",
-    # round-10: REAL stdlib WAV/PCM16 audio round trip — the audio
-    # sibling of pixel_roundtrip (decode gate narrows to genuinely
-    # codec-bound formats: MP3/AAC/float-PCM/multichannel)
-    "wav_audio_features_documents",
-    # round-10: mergeable Misra-Gries — the UNDERestimate dual of the
-    # count-min row, completing the two-sided frequency-sketch bracket;
-    # guarantee booleans oracle-verified per row
-    "mg_heavy_hitters_events",
-    # round-10: triangle counts + local clustering coefficient over the
-    # near-dup graph (clique-ness vs chain-shaped banding false
-    # positives — the third graph operator beside CC and PageRank)
-    "triangle_count_near_dup",
     # round-10: time-series tier over events — EWMA smoother (α=0.5
     # power-of-two folds, bit-identical across engines) and population
     # z-score outlier flags (ROUND-gated, the gopher discipline)
@@ -2769,6 +2756,21 @@ TAIL_QUERIES = (
     # of the decode/feature-extract/resize/frame-sample quartet (real
     # explode/selection plumbing, documented deterministic fake decode)
     "frame_sample_documents",
+    # late-round-10 rotation: thrice-green (r07+r08+r09) rows whose
+    # families keep in-window representatives —
+    #   similarity_topk — exact-cosine twin; ann_srp + pq_adc stay
+    #   pack_sequences — two-level prefix sum; token_budget_select_bpe
+    #     runs the same shape in-window
+    #   bpe_token_counts — the Arrow BPE stage rides in-window inside
+    #     token_budget_select_bpe
+    #   salted_user_event_totals — J2 skew twin; q1/q3/q21 keep equi-agg
+    #     shapes, user_totals in tail
+    #   dynamic_schema_histogram — A4; type_histogram_events stays
+    "similarity_topk_embeddings",
+    "pack_sequences_documents",
+    "bpe_token_counts_documents",
+    "salted_user_event_totals",
+    "dynamic_schema_histogram_events",
 )
 
 

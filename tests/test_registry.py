@@ -15,7 +15,6 @@ MUST_BE_CHECKED = [
     "kmeans_step_embeddings",
     "q21_waiting_suppliers",
     "decontaminate_exact_ngram_documents",
-    "pack_sequences_documents",
     "tumbling_hourly_events",
     "dedup_first_event_per_user_type",
     "multimodal_metadata_documents",
@@ -35,11 +34,9 @@ MUST_BE_CHECKED = [
     # never-externally-checked families; session_window / late_data_drop /
     # decontaminate(LSH) / simhash / join_semi moved out after their r6
     # driver-green appearance (family siblings remain in-window)
-    "bpe_token_counts_documents",
     "token_budget_select_bpe_documents",
     # time_rollup_events: externally green r07+r08, rotated to the tail
     # in round 9 (grouping_sets stays as the A12 family rep)
-    "salted_user_event_totals",
     # round-8 rotation (verdict-r7 #2): HLL's deliberate rows-only
     # appearance is on record in CORRECTNESS_r07; back to the tail, and
     # the never-driver-seen round-7 flagship takes the slot
@@ -61,6 +58,16 @@ MUST_BE_CHECKED = [
     "pq_adc_rerank_topk_embeddings",
     "embedding_covariance_upper",
     "jl_project_embeddings",
+    # late-round-10 rotation: the round's own flagship families in for
+    # external verification (pack_sequences / bpe_token_counts /
+    # salted_user_event_totals / similarity_topk / dynamic_schema_histogram
+    # ride the tail after three driver-green appearances each, family
+    # siblings staying in-window)
+    "wav_audio_features_documents",
+    "mg_heavy_hitters_events",
+    "quantile_sketch_report_events",
+    "theta_overlap_pairs_documents",
+    "triangle_count_near_dup",
 ]
 
 
