@@ -171,3 +171,61 @@ def bottomk_quantile_report(
         )
         .orderBy("q")
     )
+
+
+def grouped_bottomk_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    qs=DEFAULT_QS,
+) -> DataFrame:
+    """(group, q, est, n): the sketch SHARDED by a group key — per-group
+    bottom-k samples and type-1 quantiles, the profiling shape ("value
+    percentiles per event type / per source") the global cut can't
+    answer.
+
+    The global TakeOrderedAndProject cut becomes one row_number window
+    partitioned by the group (a single hash shuffle on the group key;
+    per-group state <= k rows), and every determinism property of the
+    global sketch carries over unchanged: membership is a pure function
+    of the data (md5 ranks, (rank, key) total order), estimates are raw
+    data values, the per-group samples merge by the same bottom-k law.
+    Groups with fewer than k present values degrade to EXACT type-1
+    quantiles (their sample is the whole group)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__g").orderBy("rank", "key")
+    sample = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("__g"),
+            md5_rank(F.col(key_col)).alias("rank"),
+            F.col(key_col).alias("key"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+    agg = sample.groupBy("__g").agg(
+        F.sort_array(F.collect_list("v")).alias("vs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    return (
+        agg.select("__g", F.explode(qarr).alias("q"), "vs", "n")
+        .select(
+            F.col("__g").alias(group_col),
+            "q",
+            F.element_at(
+                "vs",
+                F.greatest(
+                    F.lit(1).cast("int"),
+                    F.ceil(F.col("q") * F.col("n")).cast("int"),
+                ),
+            ).alias("est"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy(group_col, "q")
+    )

@@ -2756,6 +2756,13 @@ TAIL_QUERIES = (
     # of the decode/feature-extract/resize/frame-sample quartet (real
     # explode/selection plumbing, documented deterministic fake decode)
     "frame_sample_documents",
+    # round-10: SCD2 validity-interval build from the event stream
+    # (gaps-and-islands; the change-history table the as-of join
+    # consumes — asof_join_events_signup stays the in-window W rep)
+    "scd2_event_type_events",
+    # round-10: per-group bottom-k quantiles (the sketch sharded by a
+    # group key; the in-window report row certifies the global form)
+    "quantile_sketch_by_type_events",
     # late-round-10 rotation: thrice-green (r07+r08+r09) rows whose
     # families keep in-window representatives —
     #   similarity_topk — exact-cosine twin; ann_srp + pq_adc stay

@@ -9,7 +9,7 @@ the same Python constants and reproduce results bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongo_analyser_spark.functions.text import (
@@ -34,6 +34,7 @@ from mongo_analyser_spark.operators.similarity import (
     brute_force_topk,
     srp_planes,
 )
+from mongo_analyser_spark.operators.field_stats import TS_FMT
 from mongo_analyser_spark.queries import ORACLE_GENERATORS, register
 from mongo_analyser_spark.sources.parquet import load_table
 
@@ -3733,6 +3734,49 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_sketch_by_type_events",
+    f"""
+WITH r AS (
+  SELECT event_type, value AS v,
+    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13) AS UBIGINT)
+      AS rank,
+    event_id AS key
+  FROM events WHERE value IS NOT NULL),
+s AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY rank, key) AS rn
+  FROM r),
+g AS (
+  SELECT event_type, list(v ORDER BY v) AS vs, CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE rn <= {_BK_K} GROUP BY event_type),
+qv AS (SELECT CAST(t.q AS DOUBLE) AS q
+       FROM (VALUES {", ".join(f"({q})" for q in _BK_QS)}) t(q))
+SELECT event_type, q,
+       vs[GREATEST(1, CAST(CEIL(q * n) AS INT))] AS est,
+       n
+FROM g, qv ORDER BY event_type, q
+""",
+)
+def q_quantile_sketch_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group bottom-k quantile sketch (operators/quantiles.
+    grouped_bottomk_quantiles): value percentiles PER EVENT TYPE — the
+    global TakeOrdered cut becomes one row_number window partitioned by
+    the group (single hash shuffle, <= k rows of state per group), and
+    every determinism property carries over: md5-ranked membership is a
+    pure function of the data, estimates are raw values, per-group
+    samples merge by the bottom-k law. HASH-oracled like the global
+    row."""
+    from mongo_analyser_spark.operators.quantiles import (
+        grouped_bottomk_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_bottomk_quantiles(
+        ev, "event_type", "value", "event_id", _BK_K, _BK_QS
+    )
+
+
+@register(
     "quantile_sketch_report_events",
     f"""
 WITH {_bk_sample_ctes()},
@@ -4016,6 +4060,83 @@ def q_ewma_smooth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ewma_smooth(ev, "user_id", ["ts", "event_id"], "value", k=16)
         .select("event_id", "user_id", "value", "ewma", "residual")
         .orderBy("event_id")
+    )
+
+
+@register(
+    "scd2_event_type_events",
+    """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(event_type) OVER w IS NULL
+           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+i AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS version
+  FROM o),
+iv AS (
+  SELECT user_id, version, MIN(event_type) AS event_type,
+         MIN(ts) AS vf, CAST(count(*) AS BIGINT) AS n_events
+  FROM i GROUP BY user_id, version)
+SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+  strftime(CAST(vf AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+  COALESCE(strftime(CAST(lead(vf) OVER pw AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S.%f'), '') AS valid_to,
+  lead(vf) OVER pw IS NULL AS is_current,
+  n_events
+FROM iv
+WINDOW pw AS (PARTITION BY user_id ORDER BY version)
+ORDER BY user_id, version
+""",
+)
+def q_scd2_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from the event stream
+    (gaps-and-islands): per user, consecutive runs of the same
+    event_type collapse into validity intervals (version, valid_from,
+    valid_to, is_current, n_events) — the change-history table an as-of
+    join (asof_join_events_signup) consumes, built here from raw facts.
+    Change flags via lag, island ids via a running sum, interval close
+    via lead over the SHRUNK per-island table — integer-exact, so the
+    whole history hash-matches DuckDB. One hash partition by user
+    carries all three windows (same exchange reused); the island
+    aggregate shrinks the stream before the lead join.
+
+    Reference parity: [EXT] — the reference has no temporal modeling;
+    this rounds out the window-function tier (SURVEY §2.5 W4)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_t = F.lag("event_type").over(w)
+    chg = F.when(
+        lag_t.isNull() | (lag_t != F.col("event_type")), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    staged = ev.withColumn("__chg", chg).withColumn(
+        "version", F.sum("__chg").over(run)
+    )
+    iv = staged.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("__vf"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    pw = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("__vf").over(pw)
+    return (
+        iv.select(
+            "user_id",
+            F.col("version").cast("long").alias("version"),
+            "event_type",
+            F.date_format("__vf", TS_FMT).alias("valid_from"),
+            F.coalesce(F.date_format(nxt, TS_FMT), F.lit("")).alias(
+                "valid_to"
+            ),
+            nxt.isNull().alias("is_current"),
+            "n_events",
+        )
+        .orderBy("user_id", "version")
     )
 
 

@@ -97,3 +97,48 @@ def test_sketch_plans_take_ordered_not_global_sort(spark):
     q = QUERIES["quantile_sketch_events"](spark, "/root/testdata/sf0.001")
     plan = formatted_plan(q)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_grouped_quantiles_match_per_group_global(spark):
+    """The grouped sketch restricted to one group equals the global
+    sketch run on that group's rows alone — the sharding changes the
+    cut mechanics (window vs TakeOrdered), not the sample."""
+    from mongo_analyser_spark.operators.quantiles import (
+        grouped_bottomk_quantiles,
+    )
+
+    df = _df(spark, 200).withColumn(
+        "grp", (F.col("event_id") % 3).cast("string")
+    )
+    got = grouped_bottomk_quantiles(
+        df, "grp", "value", "event_id", 32, (0.25, 0.5, 0.75)
+    ).collect()
+    assert len(got) == 9
+    for g in ("0", "1", "2"):
+        solo = bottomk_quantiles(
+            df.where(F.col("grp") == g), "value", "event_id", 32,
+            (0.25, 0.5, 0.75),
+        ).collect()
+        mine = [r for r in got if r["grp"] == g]
+        assert [(r["q"], r["est"], r["n"]) for r in mine] == [
+            (r["q"], r["est"], r["n"]) for r in solo
+        ]
+
+
+def test_grouped_small_group_is_exact(spark):
+    """A group with fewer than k present values degrades to exact
+    type-1 quantiles of the whole group."""
+    from mongo_analyser_spark.operators.quantiles import (
+        grouped_bottomk_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "only", float(v)) for i, v in enumerate([5, 1, 9, 3, 7])],
+        "event_id long, grp string, value double",
+    )
+    rows = grouped_bottomk_quantiles(
+        df, "grp", "value", "event_id", 256, (0.5, 1.0)
+    ).collect()
+    by_q = {r["q"]: r["est"] for r in rows}
+    assert by_q[0.5] == 5.0  # ceil(0.5*5)=3rd of [1,3,5,7,9]
+    assert by_q[1.0] == 9.0
