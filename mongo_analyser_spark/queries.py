@@ -2326,6 +2326,77 @@ def q_dynamic_schema_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "schema_drift_events",
+    """
+WITH c AS (
+  SELECT CAST(count(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n0,
+         CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT) AS n1
+  FROM events)
+SELECT * FROM (
+  SELECT 'extra' AS path, 'bool' AS type_tag, CAST(0 AS BIGINT) AS n_old,
+         n1 AS n_new, 'added' AS status FROM c
+  UNION ALL SELECT 'k', 'int32', n0, CAST(0 AS BIGINT), 'removed' FROM c
+  UNION ALL SELECT 'k', 'str', CAST(0 AS BIGINT), n1, 'added' FROM c
+  UNION ALL SELECT 'n', 'dict', n0, CAST(0 AS BIGINT), 'removed' FROM c
+  UNION ALL SELECT 'n.u', 'int32', n0, CAST(0 AS BIGINT), 'removed' FROM c
+  UNION ALL SELECT 't', 'str', n0, n1, 'stable' FROM c
+) ORDER BY path, type_tag
+""",
+)
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema DRIFT detection between two corpus eras — the monitoring
+    capability the reference's one-shot inference implies but never
+    ships (analyser.py infers once; a production analyser wants "what
+    changed since yesterday"): per-(path, observed-type) histograms of
+    each era (melt_variant, all engine-side), full-outer joined into an
+    added / removed / stable report with per-era counts. Era documents
+    are derived deterministically from events (the
+    dynamic_schema_histogram trick) so the oracle can state the
+    expected drift from first principles: the new era renames k's type
+    int32→str, drops the nested n.u struct, and adds a bool field.
+    100-TB shape: two melt scans + one tiny (paths × types) join."""
+    from mongo_analyser_spark.operators.melt_variant import melt_variant
+
+    ev = load_table(spark, sf_dir, "events")
+    k_json = (
+        F.from_json("props", EVENTS_PROPS_SCHEMA).getField("k").cast("string")
+    )
+    old_doc = F.concat(
+        F.lit('{"t":"'), F.col("event_type"), F.lit('","k":'), k_json,
+        F.lit(',"n":{"u":'), F.col("user_id").cast("string"), F.lit("}}"),
+    )
+    new_doc = F.concat(
+        F.lit('{"t":"'), F.col("event_type"), F.lit('","k":"'),
+        F.col("event_type"), F.lit('","extra":true}'),
+    )
+    old = ev.filter(F.col("event_id") % 2 == 0).select(old_doc.alias("doc"))
+    new = ev.filter(F.col("event_id") % 2 == 1).select(new_doc.alias("doc"))
+    ha = (
+        melt_variant(old, "doc", adaptive=True)
+        .groupBy("path", "type_tag")
+        .agg(F.count(F.lit(1)).alias("n_old"))
+    )
+    hb = (
+        melt_variant(new, "doc", adaptive=True)
+        .groupBy("path", "type_tag")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    j = ha.join(hb, ["path", "type_tag"], "full_outer")
+    status = (
+        F.when(F.col("n_old").isNull(), "added")
+        .when(F.col("n_new").isNull(), "removed")
+        .otherwise("stable")
+    )
+    return j.select(
+        "path",
+        "type_tag",
+        F.coalesce(F.col("n_old"), F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+        status.alias("status"),
+    ).orderBy("path", "type_tag")
+
+
 _SCALAR_SUBQUERY_SQL = """
 SELECT c_custkey, c_name,
   ROUND(c_acctbal, 2) AS acctbal
@@ -2763,6 +2834,10 @@ TAIL_QUERIES = (
     # round-10: per-group bottom-k quantiles (the sketch sharded by a
     # group key; the in-window report row certifies the global form)
     "quantile_sketch_by_type_events",
+    # round-10: schema drift report between corpus eras (the monitoring
+    # extension of the reference's one-shot inference; type_histogram +
+    # dynamic_schema stay the in-window A4 reps)
+    "schema_drift_events",
     # late-round-10 rotation: thrice-green (r07+r08+r09) rows whose
     # families keep in-window representatives —
     #   similarity_topk — exact-cosine twin; ann_srp + pq_adc stay

@@ -294,3 +294,76 @@ def test_bpe_pretok_chain_equals_pretok_encoder(word, merges):
     # an out-of-alphabet char, e.g. "a-1", are legal in both forms)
     for t in got:
         assert not _re.search("[a-z][0-9]|[0-9][a-z]", t)
+
+
+# ---------------------------------------------------------------------------
+# round-10: audio codec + mergeable-MG invariants (pure Python — no Spark)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), max_size=400
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=200)
+def test_wav_roundtrip_is_identity(samples, rate):
+    """encode->decode is the identity on in-range int16 samples at any
+    sample rate (operators/audio.py — the codec the wav registry row
+    hash-oracles end-to-end)."""
+    from mongo_analyser_spark.operators.audio import decode_wav, encode_wav
+
+    got_rate, got = decode_wav(encode_wav(rate, samples))
+    assert got_rate == rate and got == samples
+
+
+@given(st.lists(st.integers(min_value=-32768, max_value=32767), max_size=200))
+@settings(max_examples=200)
+def test_wav_features_match_python_reference(samples):
+    """Feature math equals a direct reference computation: exact
+    integers + the shared floor-quantizer."""
+    import math
+
+    from mongo_analyser_spark.operators.audio import encode_wav, wav_features
+
+    f = wav_features(encode_wav(8000, samples))
+    n = len(samples)
+    assert f["n_samples"] == n
+    assert f["peak"] == max((abs(s) for s in samples), default=0)
+    assert f["zero_crossings"] == sum(
+        1 for i in range(1, n) if samples[i - 1] * samples[i] < 0
+    )
+    if n:
+        want = math.floor(
+            math.sqrt(sum(s * s for s in samples) / n) * 1e4 + 0.5
+        ) / 1e4
+        assert f["rms"] == want
+
+
+@given(
+    st.lists(
+        st.sampled_from([f"k{i}" for i in range(25)]), min_size=1,
+        max_size=300,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=100)
+def test_mg_compression_invariants_pure(items, k):
+    """The order-free MG compression ("subtract the (k+1)-th largest,
+    keep positive") over exact counts — the per-shard step of
+    operators/heavyhitters.py — satisfies the classical guarantees on
+    arbitrary multisets: at most k survivors, underestimates only, and
+    any item with count > N/(k+1) survives."""
+    from collections import Counter
+
+    c = Counter(items)
+    counts = sorted(c.values(), reverse=True)
+    t = counts[k] if len(counts) > k else 0
+    summary = {x: n - t for x, n in c.items() if n - t > 0}
+    assert len(summary) <= k
+    assert all(w <= c[x] for x, w in summary.items())
+    n_total = sum(c.values())
+    for x, n in c.items():
+        if n > n_total / (k + 1):
+            assert x in summary

@@ -501,3 +501,78 @@ def test_countmin_monitor_checkpoint_restart(spark, tmp_path):
     assert first != batch_all  # the split is real
     ev.filter(F.col("event_id") % 2 != 0).write.mode("append").parquet(in_dir)
     assert run("t_cm_ckpt_b") == batch_all
+
+
+def _derived_docs_expr():
+    """The dynamic_schema_histogram document derivation (a JSON doc per
+    event with a type-drifting field) as a reusable expression."""
+    from mongo_analyser_spark.queries import EVENTS_PROPS_SCHEMA
+
+    k_json = (
+        F.from_json("props", EVENTS_PROPS_SCHEMA).getField("k").cast("string")
+    )
+    return F.concat(
+        F.lit('{"t":"'), F.col("event_type"), F.lit('","k":'),
+        F.when(F.col("event_id") % 2 == 0, k_json).otherwise(
+            F.concat(F.lit('"'), F.col("event_type"), F.lit('"'))
+        ),
+        F.lit(',"n":{"u":'), F.col("user_id").cast("string"), F.lit("}}"),
+    ).alias("doc")
+
+
+def test_schema_monitor_stream_matches_batch_exactly(spark):
+    """ST11: the per-path observed-type histogram is an additive
+    counter over a stateless melt — streaming complete mode equals the
+    batch histogram exactly (the reference's core inference, live)."""
+    from mongo_analyser_spark.streaming.schema_monitor import (
+        schema_histogram_stream,
+    )
+    from mongo_analyser_spark.streaming.windows import stream_events
+
+    sdf = schema_histogram_stream(
+        stream_events(spark, SF).select(_derived_docs_expr()), "doc"
+    )
+    assert sdf.isStreaming
+    _run_stream_to_memory(sdf, "t_schema_mon")
+    got = {tuple(r) for r in spark.table("t_schema_mon").collect()}
+    batch = schema_histogram_stream(
+        load_table(spark, SF, "events").select(_derived_docs_expr()), "doc"
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    # the type-drifting field shows BOTH observed types, the reference's
+    # defining dynamic-schema behavior
+    k_types = {t for p, t, _ in got if p == "k"}
+    assert k_types == {"int32", "str"}
+
+
+def test_schema_monitor_checkpoint_restart(spark, tmp_path):
+    """ST11 restart story: stop/append/restart on the same checkpoint —
+    histogram counts converge to the batch twin over ALL files."""
+    from mongo_analyser_spark.streaming.schema_monitor import (
+        schema_histogram_stream,
+    )
+
+    ev = load_table(spark, SF, "events")
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(in_dir)
+
+    def run(name):
+        sdf = spark.readStream.schema(ev.schema).parquet(in_dir)
+        return _run_monitor_with_checkpoint(
+            spark,
+            schema_histogram_stream(sdf.select(_derived_docs_expr()), "doc"),
+            name,
+            ckpt,
+        )
+
+    first = run("t_sm_ckpt_a")
+    batch_all = {
+        tuple(r)
+        for r in schema_histogram_stream(
+            ev.select(_derived_docs_expr()), "doc"
+        ).collect()
+    }
+    assert first != batch_all  # the split is real
+    ev.filter(F.col("event_id") % 2 != 0).write.mode("append").parquet(in_dir)
+    assert run("t_sm_ckpt_b") == batch_all
