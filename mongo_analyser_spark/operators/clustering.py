@@ -245,6 +245,15 @@ def semantic_dedup(
             F.sqrt(_fold_dot(vec, vec)).alias("nrm"),
             F.array_position(scores, F.array_max(scores)).cast("int").alias("cell"),
         )
+        # referenced three ways below (both self-join sides + the final
+        # flag join): without materialization the interpreted k×dim
+        # assignment fold re-runs per reference (the triangle_counts
+        # lesson — measured 3.66 s -> 2.46 s solo at sf0.1). This
+        # checkpoints vectors too, the simple fixture-scale call; a
+        # 100-TB run would checkpoint only (id, nrm, cell) and re-join
+        # vectors from the scan, the cosine_near_dup_pairs fingerprint
+        # discipline.
+        .localCheckpoint()
     )
     a = vecs.select(
         F.col("id").alias("id_a"),
