@@ -82,6 +82,67 @@ def assign_cells(nv: DataFrame, cents_row: DataFrame) -> DataFrame:
     )
 
 
+def collect_cents(cents_row: DataFrame):
+    """Collect the one-row centroid table to (cids int32[], C float64
+    (k, dim)) — a BOUNDED driver artifact (k×dim doubles; the PQ
+    collect_codebook class), shipped to executors inside the Arrow
+    kernel closure."""
+    import numpy as np
+
+    cents = cents_row.collect()[0]["cents"]  # sorted by cid
+    cids = np.array([c["cid"] for c in cents], dtype=np.int32)
+    C = np.array([c["v"] for c in cents], dtype=np.float64)
+    return cids, C
+
+
+def assign_cells_arrow(
+    df: DataFrame, id_col: str, vec_col: str, cents_row: DataFrame
+) -> DataFrame:
+    """(id, v, cell): Arrow-batched twin of ``normalized_vectors`` +
+    ``assign_cells`` — one vectorized normalize+assign per batch against
+    the driver-collected centroids. BIT-identical to the fold forms
+    (pytest-pinned, tests/test_clustering.py): the norm and every dot
+    accumulate per COMPONENT IN INDEX ORDER (the operators/pq.py Arrow
+    contract — same IEEE double ops in the same order as the left
+    folds), the per-component division x/||x|| is the same single IEEE
+    op, and np.argmax takes the FIRST maximum = array_position's
+    first-equal rule with centroids in ascending-cid order. Kills the
+    interpreted k×dim lambda cost per vector (the round-9/10 per-row
+    constant lesson) without touching the oracle contract."""
+    import numpy as np
+    import pandas as pd
+
+    cids, C = collect_cents(cents_row)
+    k, dim = C.shape
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            acc = np.zeros(len(X), dtype=np.float64)
+            for j in range(dim):
+                acc = acc + X[:, j] * X[:, j]
+            V = X / np.sqrt(acc)[:, None]
+            S = np.zeros((len(X), k), dtype=np.float64)
+            for j in range(dim):
+                S = S + V[:, j : j + 1] * C[None, :, j]
+            cell = cids[np.argmax(S, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "v": list(V),
+                    "cell": cell,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kern, "id long, v array<double>, cell int"
+    )
+
+
 def kmeans_step(
     df: DataFrame,
     id_col: str,
@@ -89,6 +150,7 @@ def kmeans_step(
     k: int = 8,
     cents_row: DataFrame | None = None,
     round_to: int | None = 6,
+    arrow: bool = False,
 ) -> DataFrame:
     """One Lloyd iteration, long-form output (cell, pos, n_members,
     mean_val): assign every vector to its nearest centroid, then the
@@ -107,7 +169,13 @@ def kmeans_step(
     nv = normalized_vectors(df, id_col, vec_col)
     if cents_row is None:
         cents_row = seed_centroids_row(nv, k)
-    assigned = assign_cells(nv, cents_row)
+    if arrow:
+        # vectorized normalize+assign, bit-identical to the fold path
+        # (see assign_cells_arrow); reads the RAW vectors so the fold
+        # normalize doesn't run at all
+        assigned = assign_cells_arrow(df, id_col, vec_col, cents_row)
+    else:
+        assigned = assign_cells(nv, cents_row)
     mean_val = F.avg("val")
     if round_to is not None:
         mean_val = F.round(mean_val, round_to)

@@ -1699,13 +1699,19 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection against ONE broadcast row of k centroids (seeded from
     the k smallest ids); the only shuffle is the (cell, dim) mean
     aggregate, bounded at k×dim rows per map task by partial combine.
-    Dots/norms are sequential left-folds so the assignment is
-    bit-identical across engines; the iterative ``kmeans_fit`` loops
-    this step with lineage truncation (operators/clustering.py)."""
+    Dots/norms accumulate per component in index order, so the
+    assignment is bit-identical across engines — since round 10 through
+    the Arrow normalize+assign kernel (assign_cells_arrow: the PQ
+    per-row-constant fix applied to the last interpreted-HOF hot path;
+    fold twin pytest-pinned bit-identical); the iterative ``kmeans_fit``
+    loops the fold step with lineage truncation
+    (operators/clustering.py)."""
     from mongo_analyser_spark.operators.clustering import kmeans_step
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_step(emb, "vec_id", "embedding", k=8).orderBy("cell", "pos")
+    return kmeans_step(emb, "vec_id", "embedding", k=8, arrow=True).orderBy(
+        "cell", "pos"
+    )
 
 
 #: target within-cell population — cells of ~60 vectors keep the exact

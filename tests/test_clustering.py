@@ -133,3 +133,49 @@ def test_parameter_guards(spark):
     ev = spark.createDataFrame([(1, "2020-01-01 00:00:00")], "id long, ts string")
     with pytest.raises(ValueError):
         interval_join(ev, ev, [])
+
+
+def test_arrow_assignment_bit_identical_to_fold(spark):
+    """assign_cells_arrow == normalized_vectors + assign_cells, down to
+    the last bit of every normalized component (the operators/pq.py
+    Arrow contract: per-component index-order accumulation, same IEEE
+    ops) — this equality is what lets the Arrow path serve the
+    hash-oracled kmeans_step registry row."""
+    import random
+
+    from mongo_analyser_spark.operators.clustering import (
+        assign_cells,
+        assign_cells_arrow,
+        normalized_vectors,
+        seed_centroids_row,
+    )
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    nv = normalized_vectors(df, "id", "vec")
+    cents = seed_centroids_row(nv, 5).localCheckpoint()
+    fold = {
+        r["id"]: (r["cell"], tuple(r["v"]))
+        for r in assign_cells(nv, cents).collect()
+    }
+    arrow = {
+        r["id"]: (r["cell"], tuple(r["v"]))
+        for r in assign_cells_arrow(df, "id", "vec", cents).collect()
+    }
+    assert fold == arrow  # cells AND every double, exactly
+
+
+def test_kmeans_step_arrow_flag_same_output(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float((i * 3) % 7), 1.0]) for i in range(60)],
+        "id long, vec array<float>",
+    )
+    a = kmeans_step(df, "id", "vec", k=3).collect()
+    b = kmeans_step(df, "id", "vec", k=3, arrow=True).collect()
+    key = lambda r: (r["cell"], r["pos"])  # noqa: E731
+    assert sorted(map(tuple, a), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, b), key=lambda t: (t[0], t[1])
+    )
