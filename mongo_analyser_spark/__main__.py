@@ -104,6 +104,33 @@ def _build_parser() -> argparse.ArgumentParser:
         help="train a fresh merge table of this size on the collection "
         "instead of using the committed fixture",
     )
+
+    p_dr = sub.add_parser(
+        "drift",
+        help="schema drift report: per-(path, observed-type) histogram "
+        "diff between two collections (added/removed/stable)",
+    )
+    p_dr.add_argument("--data", required=True,
+                      help="directory of <name>.parquet collections")
+    p_dr.add_argument("--collection", required=True, help="the OLD era")
+    p_dr.add_argument("--against", required=True, help="the NEW era")
+    p_dr.add_argument("--out", default=None, help="output path (default: stdout)")
+
+    p_qt = sub.add_parser(
+        "quantiles",
+        help="deterministic bottom-k quantile sketch for a numeric "
+        "column, optionally per group",
+    )
+    add_common(p_qt)
+    p_qt.add_argument("--value-col", default="value")
+    p_qt.add_argument("--key-col", required=True,
+                      help="unique row key the md5 sample ranks on")
+    p_qt.add_argument("--by", default=None, help="optional group column")
+    p_qt.add_argument("--k", type=int, default=256, help="sample size")
+    p_qt.add_argument(
+        "--q", default="0.25,0.5,0.75,0.9",
+        help="comma-separated quantiles (default 0.25,0.5,0.75,0.9)",
+    )
     return parser
 
 
@@ -260,6 +287,76 @@ def cmd_tokens(args, spark) -> dict:
     return payload
 
 
+def cmd_drift(args, spark) -> dict:
+    """Per-(path, observed-type) histogram diff between two collections
+    — the monitoring form of schema inference (the
+    schema_drift_events registry row generalized to any two eras)."""
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.operators.field_stats import type_histogram
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    old = type_histogram(load_table(spark, args.data, args.collection))
+    new = type_histogram(load_table(spark, args.data, args.against))
+    j = (
+        old.withColumnRenamed("cnt", "n_old")
+        .join(
+            new.withColumnRenamed("cnt", "n_new"),
+            ["field", "type_tag"],
+            "full_outer",
+        )
+        .select(
+            "field",
+            "type_tag",
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.when(F.col("n_old").isNull(), "added")
+            .when(F.col("n_new").isNull(), "removed")
+            .otherwise("stable")
+            .alias("status"),
+        )
+        .orderBy("field", "type_tag")
+    )
+    rows = [r.asDict() for r in j.collect()]
+    payload = {
+        "old": args.collection,
+        "new": args.against,
+        "drift": rows,
+        "n_added": sum(1 for r in rows if r["status"] == "added"),
+        "n_removed": sum(1 for r in rows if r["status"] == "removed"),
+    }
+    _emit(payload, args.out)
+    return payload
+
+
+def cmd_quantiles(args, spark) -> dict:
+    """Bottom-k quantile sketch (operators/quantiles.py): deterministic,
+    mergeable, exact below k — global or per group."""
+    from mongo_analyser_spark.operators.quantiles import (
+        bottomk_quantiles,
+        grouped_bottomk_quantiles,
+    )
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    qs = tuple(float(x) for x in args.q.split(","))
+    df = load_table(spark, args.data, args.collection)
+    if args.by:
+        out = grouped_bottomk_quantiles(
+            df, args.by, args.value_col, args.key_col, args.k, qs
+        )
+    else:
+        out = bottomk_quantiles(df, args.value_col, args.key_col, args.k, qs)
+    payload = {
+        "collection": args.collection,
+        "value_col": args.value_col,
+        "k": args.k,
+        "by": args.by,
+        "quantiles": [r.asDict() for r in out.collect()],
+    }
+    _emit(payload, args.out)
+    return payload
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     from mongo_analyser_spark import get_spark
@@ -267,7 +364,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         spark = get_spark("mongo_analyser_spark_cli", cpus=args.cpus)
         {"analyze": cmd_analyze, "export": cmd_export, "stats": cmd_stats,
-         "lint": cmd_lint, "tokens": cmd_tokens}[
+         "lint": cmd_lint, "tokens": cmd_tokens, "drift": cmd_drift,
+         "quantiles": cmd_quantiles}[
             args.command
         ](args, spark)
     except SystemExit:

@@ -96,3 +96,39 @@ def test_cli_tokens_reports_ws_and_bpe_budgets(tmp_path):
     # than whitespace — the budget gap the subcommand exists to expose
     assert payload["bpe_tokens"] > payload["ws_tokens"] > 0
     assert 1.0 < payload["bpe_to_ws_ratio"] < 3.0
+
+
+def test_cli_drift_between_collections(tmp_path):
+    out = tmp_path / "drift.json"
+    r = run_cli(
+        "drift", "--data", SF, "--collection", "events",
+        "--against", "documents", "--out", str(out),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(out.read_text())
+    by_path = {(d["field"], d["status"]) for d in payload["drift"]}
+    # events-only paths read as removed, documents-only as added
+    assert ("event_type", "removed") in by_path
+    assert ("text", "added") in by_path
+    assert payload["n_added"] > 0 and payload["n_removed"] > 0
+
+
+def test_cli_quantiles_global_and_grouped(tmp_path):
+    out = tmp_path / "q.json"
+    r = run_cli(
+        "quantiles", "--data", SF, "--collection", "events",
+        "--value-col", "value", "--key-col", "event_id",
+        "--q", "0.5,0.9", "--out", str(out),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(out.read_text())
+    assert [q["q"] for q in payload["quantiles"]] == [0.5, 0.9]
+    assert all(q["est"] > 0 for q in payload["quantiles"])
+    r2 = run_cli(
+        "quantiles", "--data", SF, "--collection", "events",
+        "--value-col", "value", "--key-col", "event_id",
+        "--by", "event_type", "--q", "0.5", "--out", str(out),
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    grouped = json.loads(out.read_text())["quantiles"]
+    assert len(grouped) == 5  # one median per event type
