@@ -2838,6 +2838,10 @@ TAIL_QUERIES = (
     # extension of the reference's one-shot inference; type_histogram +
     # dynamic_schema stay the in-window A4 reps)
     "schema_drift_events",
+    # round-10: MinHash estimate-vs-exact certification (the
+    # countmin/theta/MG contract applied to the first sketch family;
+    # dedup_minhash_pairs stays the in-window flagship)
+    "minhash_estimate_error_pairs",
     # late-round-10 rotation: thrice-green (r07+r08+r09) rows whose
     # families keep in-window representatives —
     #   similarity_topk — exact-cosine twin; ann_srp + pq_adc stay

@@ -615,6 +615,107 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_estimate_error_pairs",
+    f"""
+WITH {_TOKS_CTE}, {_SH_CTE}, {_MINS_CTE}, {_BANDS_CTE},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id),
+matches AS (
+  SELECT doc_a, doc_b,
+    CAST({" + ".join(f"CASE WHEN ma.m{i} = mb.m{i} THEN 1 ELSE 0 END" for i in range(NUM_MINHASH))}
+      AS BIGINT) AS n_match
+  FROM pairs JOIN mins ma ON ma.doc_id = doc_a
+             JOIN mins mb ON mb.doc_id = doc_b),
+sets AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s FROM toks),
+ex AS (
+  SELECT doc_a, doc_b, n_match,
+    ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (CAST(len(sa.s) + len(sb.s) AS DOUBLE)
+             - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)), 6)
+      AS exact_jaccard
+  FROM matches JOIN sets sa ON sa.doc_id = doc_a
+               JOIN sets sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, n_match,
+  CAST(n_match AS DOUBLE) / {NUM_MINHASH} AS minhash_est,
+  exact_jaccard,
+  ROUND(CAST(n_match AS DOUBLE) / {NUM_MINHASH} - exact_jaccard, 6) AS err
+FROM ex ORDER BY doc_a, doc_b
+""",
+)
+def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATE certification (the countmin/theta/MG contract
+    applied to the first sketch family): for every LSH candidate pair,
+    the unbiased Jaccard estimate read off the signatures alone
+    (matching components / k — one exact integer count and one IEEE
+    division) next to the exact shingle-set Jaccard and the signed
+    error. At corpus scale only the signature match count exists (k
+    strings per doc); the exact side is the fixture-scale certification
+    join, the recall-gate pattern. Every cell hash-matches: md5 min
+    signatures are engine-exact, counts are integers, ROUND(6) on the
+    two derived cells."""
+    from mongo_analyser_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_band_hashes,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # signatures feed the banding AND both probe sides; pairs feed the
+    # match count AND the exact verify — both are FIXED-WIDTH artifacts
+    # (k strings/doc; 2 ids/pair), so materialize each once (the
+    # triangle_counts rule; unmaterialized this row measured 5.9 s solo
+    # — over the bench ceiling — vs 3.25 s)
+    sigs_c = minhash_signatures(
+        docs, "doc_id", "text", NUM_MINHASH
+    ).localCheckpoint()
+    bands = lsh_band_hashes(sigs_c, "doc_id", LSH_BANDS, LSH_ROWS)
+    pairs = lsh_candidate_pairs(bands, "doc_id").localCheckpoint()
+    n_match = (
+        pairs.join(
+            sigs_c.select(
+                F.col("doc_id").alias("doc_a"),
+                "hash_idx",
+                F.col("minhash").alias("__ma"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sigs_c.select(
+                F.col("doc_id").alias("doc_b"),
+                "hash_idx",
+                F.col("minhash").alias("__mb"),
+            ),
+            ["doc_b", "hash_idx"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("__ma") == F.col("__mb"), 1).otherwise(0)
+            ).alias("n_match")
+        )
+    )
+    exact = jaccard_verify(docs, pairs, "doc_id", "text", 3).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("exact_jaccard")
+    )
+    est = F.col("n_match").cast("double") / F.lit(NUM_MINHASH)
+    return (
+        n_match.join(exact, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_match").cast("long").alias("n_match"),
+            est.alias("minhash_est"),
+            "exact_jaccard",
+            F.round(est - F.col("exact_jaccard"), 6).alias("err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
     "dedup_jaccard_pairs_documents",
     f"""
 WITH {_TOKS_CTE}, {_SH_CTE},
