@@ -154,3 +154,16 @@ def test_registry_order_is_import_order_invariant():
             capture_output=True, text=True, check=True, cwd="/root/repo",
         ).stdout.strip()
         assert out == canonical, f"order diverges when {mod} imported first"
+
+
+def test_every_registry_row_has_a_baseline_entry():
+    """The round-10 measured gate: NO registry row ships without a
+    BASELINE.md sf0.1 timing row (BENCH_r09 timed out on exactly such an
+    unbenched row). This makes the discipline mechanical instead of a
+    SKILL.md instruction."""
+    import re
+
+    txt = open("/root/repo/BASELINE.md").read()
+    names = set(re.findall(r"^\| (\w+) \| 0\.1 \|", txt, re.M))
+    missing = [q for q in QUERIES if q not in names]
+    assert not missing, f"registry rows without a BASELINE.md entry: {missing}"
