@@ -723,3 +723,142 @@ def pq_recall_report(
         )
         .orderBy("qid")
     )
+
+
+def ivfpq_topk_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    dim: int,
+    centroids: list[list[float]],
+    m: int = 8,
+    k_cent: int = 16,
+    shortlist: int = 50,
+    k: int = 5,
+    refine_steps: int = 1,
+    round_to: int = 6,
+    cb=None,
+) -> DataFrame:
+    """IVFADC, the full production ANN shape (Jégou et al. 2011): IVF
+    coarse cells GATE the scan (nprobe=1 — only same-cell codes are
+    scored), PQ/ADC ranks the gated candidates from m-byte codes, exact
+    L2 reranks the bounded shortlist. Composes the two oracle-proven
+    stages: the cell id is the SAME Column expression the ann_ivf row
+    hash-verifies (fold dots over literal planes, first-max ties), and
+    the ADC LUT kernel is the SAME index-order gather pq_adc uses —
+    the composition stays engine-exact.
+
+    100-TB shape: the corpus-side scan touches (id, codes, cell) — m
+    small ints + one int per vector, never a float; the cell gate cuts
+    scored candidates by ~|cells| before any ranking; the rerank
+    fetches |queries| × shortlist raw vectors by key."""
+    import numpy as np
+    import pandas as pd
+
+    from mongo_analyser_spark.operators.similarity import ivf_cell
+
+    sub_dim = dim // m
+    if cb is None:
+        cb = train_codebook(
+            df, id_col, vec_col, dim, m, k_cent, refine_steps, round_to
+        )
+    cell_col = ivf_cell(F.col(vec_col), centroids)
+    src = df.select(id_col, vec_col, cell_col.alias("cell"))
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = _assign_codes_np(X, cb)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "codes": list(codes),
+                    "cell": pdf["cell"].to_numpy(),
+                }
+            )
+
+    encoded = src.mapInPandas(enc, "id long, codes array<int>, cell int")
+
+    qrows = sorted(
+        src.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "cell")
+        .collect(),
+        key=lambda r: r["qid"],
+    )
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qcells = np.array([r["cell"] for r in qrows], dtype=np.int32)
+    n_q, n_k = len(qrows), cb.shape[1]
+    lut = np.zeros((n_q, m, n_k), dtype=np.float64)
+    for qi, r in enumerate(qrows):
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        for s in range(m):
+            acc = np.zeros(n_k, dtype=np.float64)
+            for j in range(sub_dim):
+                d = qv[s * sub_dim + j] - cb[s, :, j]
+                acc = acc + d * d
+            lut[qi, s] = acc
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()) - 1
+            vids = pdf["id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            for qi in range(n_q):
+                mask = cells == qcells[qi]
+                if not mask.any():
+                    continue
+                mc = codes[mask]
+                acc = lut[qi, 0, mc[:, 0]]
+                for s in range(1, m):
+                    acc = acc + lut[qi, s, mc[:, s]]
+                yield pd.DataFrame(
+                    {
+                        "qid": np.full(int(mask.sum()), qids[qi]),
+                        "vid": vids[mask],
+                        "adc_raw": acc,
+                    }
+                )
+
+    scored = (
+        encoded.mapInPandas(kern, "qid long, vid long, adc_raw double")
+        .where(F.col("vid") != F.col("qid"))
+        .select(
+            "qid", "vid", F.round("adc_raw", round_to).alias("adc_dist")
+        )
+    )
+    win = Window.partitionBy("qid").orderBy("adc_dist", "vid")
+    short = (
+        scored.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= shortlist)
+        .select("qid", "vid")
+    )
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    queries = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    rer = (
+        short.join(vecs, "vid")
+        .join(F.broadcast(queries), "qid")
+        .select(
+            "qid",
+            "vid",
+            F.round(_sub_l2(F.col("v"), F.col("qv")), round_to).alias("l2"),
+        )
+    )
+    win2 = Window.partitionBy("qid").orderBy("l2", "vid")
+    return (
+        rer.withColumn("rnk", F.row_number().over(win2).cast("int"))
+        .where(F.col("rnk") <= k)
+        .orderBy("qid", "rnk")
+    )

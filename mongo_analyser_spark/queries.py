@@ -2842,6 +2842,10 @@ TAIL_QUERIES = (
     # countmin/theta/MG contract applied to the first sketch family;
     # dedup_minhash_pairs stays the in-window flagship)
     "minhash_estimate_error_pairs",
+    # round-10: IVFADC composed end-to-end (IVF cell gate + PQ/ADC +
+    # exact rerank — the production ANN shape; pq_adc_rerank stays the
+    # in-window PQ rep)
+    "ivfpq_topk_embeddings",
     # late-round-10 rotation: thrice-green (r07+r08+r09) rows whose
     # families keep in-window representatives —
     #   similarity_topk — exact-cosine twin; ann_srp + pq_adc stay

@@ -3500,6 +3500,71 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_sql() -> str:
+    """IVFADC twin: the ann_ivf cell CTE composed with the PQ
+    codes/ADC/rerank chain — candidates gated to the query's cell
+    (nprobe=1) before ADC scoring."""
+    from mongo_analyser_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(IVF_CELLS, EMB_DIM)
+    scores = ", ".join(f"({_plane_dot_sql('embedding', row)})" for row in cents)
+    return f"""
+WITH {_pq_codes_ctes()},
+cells AS (
+  SELECT vec_id, list_position([{scores}], list_max([{scores}])) AS cell
+  FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {len(ANN_QUERY_IDS)}),
+qc AS (SELECT q.qid, q.qv, cells.cell FROM q
+       JOIN cells ON cells.vec_id = q.qid),
+adc AS (
+  SELECT qc.qid, cd.vec_id AS vid,
+         ROUND(SUM({_pq_subdist_sql('qc.qv', 'cb.sub', 'cb.v')}), 6)
+           AS adc_dist
+  FROM codes cd
+  JOIN cells cl ON cl.vec_id = cd.vec_id
+  JOIN cb ON cb.sub = cd.sub AND cb.cid = cd.cid
+  CROSS JOIN qc
+  WHERE cd.vec_id <> qc.qid AND cl.cell = qc.cell
+  GROUP BY qc.qid, cd.vec_id),
+short AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid,
+           row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vid) AS rn
+    FROM adc) WHERE rn <= {_PQ_SHORTLIST}),
+rer AS (
+  SELECT s.qid, s.vid,
+         ROUND({_pq_fulldist_sql('qe.embedding', 've.embedding')}, 6) AS l2
+  FROM short s
+  JOIN embeddings qe ON qe.vec_id = s.qid
+  JOIN embeddings ve ON ve.vec_id = s.vid)
+SELECT qid, vid, l2, CAST(rn AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY l2, vid) AS rn
+  FROM rer) WHERE rn <= {_PQ_TOPK} ORDER BY qid, rnk
+"""
+
+
+@register("ivfpq_topk_embeddings", _ivfpq_sql())
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC end-to-end — the production ANN shape (Jégou 2011) the PQ
+    tier's docstrings point at, now composed: IVF coarse cells GATE the
+    candidate set (nprobe=1, the ann_ivf oracle-pure form), PQ/ADC
+    ranks the gated m-byte codes (operators/pq.ivfpq_topk_arrow — the
+    same index-order LUT kernel as pq_adc), exact L2 reranks the
+    bounded shortlist. Corpus scan reads codes + one cell int per
+    vector; HASH-oracled through both composed stages."""
+    from mongo_analyser_spark.operators.pq import ivfpq_topk_arrow
+    from mongo_analyser_spark.operators.similarity import ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk_arrow(
+        emb, "vec_id", "embedding", ANN_QUERY_IDS, EMB_DIM,
+        ivf_centroids(IVF_CELLS, EMB_DIM), _PQ_M, _PQ_K,
+        shortlist=_PQ_SHORTLIST, k=_PQ_TOPK, refine_steps=1,
+        cb=_pq_trained_cb(spark, sf_dir),
+    )
+
+
 # --------------------------------------------------------------------------
 # Embedding decorrelation: covariance / PCA / JL projection (round 9)
 # --------------------------------------------------------------------------

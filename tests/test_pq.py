@@ -260,3 +260,41 @@ def test_encode_matches_python_on_random_vectors(spark):
                 ),
             )
             assert got[vid][s] == want
+
+
+def test_ivfpq_returns_only_same_cell_neighbors(spark):
+    """IVFADC composition: with nprobe=1 every returned neighbor must
+    share the query's IVF cell, and the rerank keeps (l2, vid) order."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.operators.pq import ivfpq_topk_arrow
+    from mongo_analyser_spark.operators.similarity import (
+        ivf_cell,
+        ivf_centroids,
+    )
+
+    rnd = random.Random(11)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_centroids(3, 16)
+    out = ivfpq_topk_arrow(
+        emb, "vec_id", "embedding", [0, 1], 16, cents,
+        m=4, k_cent=4, shortlist=10, k=3, refine_steps=0,
+    ).collect()
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id", ivf_cell(F.col("embedding"), cents).alias("cell")
+        ).collect()
+    }
+    assert out, "no neighbors returned"
+    for r in out:
+        assert cells[r["vid"]] == cells[r["qid"]]
+    for qid in {r["qid"] for r in out}:
+        mine = [r for r in out if r["qid"] == qid]
+        assert [r["rnk"] for r in mine] == list(range(1, len(mine) + 1))
+        assert mine == sorted(mine, key=lambda r: (r["l2"], r["vid"]))
