@@ -862,3 +862,51 @@ def ivfpq_topk_arrow(
         .where(F.col("rnk") <= k)
         .orderBy("qid", "rnk")
     )
+
+
+def ivfpq_recall_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    dim: int,
+    centroids: list[list[float]],
+    m: int = 8,
+    k_cent: int = 16,
+    shortlist: int = 50,
+    k: int = 5,
+    refine_steps: int = 1,
+    cb=None,
+) -> DataFrame:
+    """(qid, hits, recall_at_k): the fourth recall gate (SRP, IVF, PQ,
+    now IVFADC) — overlap of the composed cell-gated top-k with the
+    exact-L2 top-k. The cell gate ADDS a recall cost on top of
+    quantization (neighbors outside the query's cell are unreachable at
+    nprobe=1), which is exactly what this row quantifies; counts are
+    exact ints, the recall value hash-matches."""
+    approx = ivfpq_topk_arrow(
+        df, id_col, vec_col, query_ids, dim, centroids, m, k_cent,
+        shortlist=shortlist, k=k, refine_steps=refine_steps, cb=cb,
+    )
+    exact = pq_exact_topk(df, id_col, vec_col, query_ids, k)
+    hits = (
+        exact.select("qid", "vid")
+        .join(approx.select("qid", "vid"), ["qid", "vid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        exact.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.col("k"),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )

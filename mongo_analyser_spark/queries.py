@@ -2844,8 +2844,10 @@ TAIL_QUERIES = (
     "minhash_estimate_error_pairs",
     # round-10: IVFADC composed end-to-end (IVF cell gate + PQ/ADC +
     # exact rerank — the production ANN shape; pq_adc_rerank stays the
-    # in-window PQ rep)
+    # in-window PQ rep) + its recall gate (the fourth, quantifying the
+    # nprobe=1 cell-gate cost on top of quantization)
     "ivfpq_topk_embeddings",
+    "ivfpq_recall_report_embeddings",
     # late-round-10 rotation: thrice-green (r07+r08+r09) rows whose
     # families keep in-window representatives —
     #   similarity_topk — exact-cosine twin; ann_srp + pq_adc stay

@@ -3500,16 +3500,15 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_sql() -> str:
-    """IVFADC twin: the ann_ivf cell CTE composed with the PQ
-    codes/ADC/rerank chain — candidates gated to the query's cell
-    (nprobe=1) before ADC scoring."""
+def _ivfpq_ctes() -> str:
+    """IVFADC CTE chain (ends at ``topk``): the ann_ivf cell CTE
+    composed with the PQ codes/ADC/rerank chain — candidates gated to
+    the query's cell (nprobe=1) before ADC scoring."""
     from mongo_analyser_spark.operators.similarity import ivf_centroids
 
     cents = ivf_centroids(IVF_CELLS, EMB_DIM)
     scores = ", ".join(f"({_plane_dot_sql('embedding', row)})" for row in cents)
-    return f"""
-WITH {_pq_codes_ctes()},
+    return f"""{_pq_codes_ctes()},
 cells AS (
   SELECT vec_id, list_position([{scores}], list_max([{scores}])) AS cell
   FROM embeddings),
@@ -3537,10 +3536,17 @@ rer AS (
          ROUND({_pq_fulldist_sql('qe.embedding', 've.embedding')}, 6) AS l2
   FROM short s
   JOIN embeddings qe ON qe.vec_id = s.qid
-  JOIN embeddings ve ON ve.vec_id = s.vid)
-SELECT qid, vid, l2, CAST(rn AS INT) AS rnk FROM (
-  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY l2, vid) AS rn
-  FROM rer) WHERE rn <= {_PQ_TOPK} ORDER BY qid, rnk
+  JOIN embeddings ve ON ve.vec_id = s.vid),
+topk AS (
+  SELECT qid, vid, l2, CAST(rn AS INT) AS rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY l2, vid) AS rn
+    FROM rer) WHERE rn <= {_PQ_TOPK})"""
+
+
+def _ivfpq_sql() -> str:
+    return f"""
+WITH {_ivfpq_ctes()}
+SELECT qid, vid, l2, rnk FROM topk ORDER BY qid, rnk
 """
 
 
@@ -3558,6 +3564,46 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivfpq_topk_arrow(
+        emb, "vec_id", "embedding", ANN_QUERY_IDS, EMB_DIM,
+        ivf_centroids(IVF_CELLS, EMB_DIM), _PQ_M, _PQ_K,
+        shortlist=_PQ_SHORTLIST, k=_PQ_TOPK, refine_steps=1,
+        cb=_pq_trained_cb(spark, sf_dir),
+    )
+
+
+@register(
+    "ivfpq_recall_report_embeddings",
+    f"""
+WITH {_ivfpq_ctes()},
+ex AS (
+  SELECT q.qid, e.vec_id AS vid,
+         ROUND({_pq_fulldist_sql('q.qv', 'e.embedding')}, 6) AS l2
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+ext AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid,
+           row_number() OVER (PARTITION BY qid ORDER BY l2, vid) AS rn
+    FROM ex) WHERE rn <= {_PQ_TOPK}),
+hits AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS hits
+  FROM ext SEMI JOIN topk USING (qid, vid) GROUP BY qid),
+ks AS (SELECT qid, CAST(count(*) AS BIGINT) AS k FROM ext GROUP BY qid)
+SELECT ks.qid, COALESCE(hits.hits, 0) AS hits,
+       ROUND(CAST(COALESCE(hits.hits, 0) AS DOUBLE) / ks.k, 6) AS recall_at_k
+FROM ks LEFT JOIN hits USING (qid) ORDER BY ks.qid
+""",
+)
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the composed IVFADC path — the FOURTH gate (SRP,
+    IVF, PQ, IVFADC): quantifies the extra recall cost the nprobe=1
+    cell gate adds on top of PQ quantization (out-of-cell true
+    neighbors are unreachable by construction). Exact-int hit counts;
+    the recall VALUE hash-matches."""
+    from mongo_analyser_spark.operators.pq import ivfpq_recall_report
+    from mongo_analyser_spark.operators.similarity import ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_recall_report(
         emb, "vec_id", "embedding", ANN_QUERY_IDS, EMB_DIM,
         ivf_centroids(IVF_CELLS, EMB_DIM), _PQ_M, _PQ_K,
         shortlist=_PQ_SHORTLIST, k=_PQ_TOPK, refine_steps=1,
