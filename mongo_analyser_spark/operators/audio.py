@@ -177,3 +177,33 @@ def wav_features_frame(
         f"{id_col} long, sample_rate int, n_samples int, duration_s double,"
         " rms double, peak int, zero_crossings int",
     )
+
+
+def wav_frame_features(payload: bytes, frame_len: int = 160) -> list[dict]:
+    """Per-frame features over fixed-length sample windows (the audio
+    analog of video frame sampling): for each ``frame_len``-sample
+    window (last frame ragged), the same integer-exact feature set as
+    ``wav_features`` — n_samples, RMS (floor-quantized), peak, and
+    zero crossings counted WITHIN the frame (adjacent pairs whose
+    product is negative; frame-local, so frames are independently
+    recomputable and the per-frame rows merge to a clip by plain
+    concatenation)."""
+    rate, s = decode_wav(payload)
+    out = []
+    for fi in range(0, max(len(s), 1), frame_len):
+        w = s[fi : fi + frame_len]
+        if not w and fi > 0:
+            break
+        n = len(w)
+        sum_sq = sum(v * v for v in w)
+        zc = sum(1 for i in range(1, n) if w[i - 1] * w[i] < 0)
+        out.append(
+            {
+                "frame_idx": fi // frame_len,
+                "n_samples": n,
+                "rms": _q4(math.sqrt(sum_sq / n)) if n else 0.0,
+                "peak": max((abs(v) for v in w), default=0),
+                "zero_crossings": zc,
+            }
+        )
+    return out

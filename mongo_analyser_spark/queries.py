@@ -2848,6 +2848,10 @@ TAIL_QUERIES = (
     # nprobe=1 cell-gate cost on top of quantization)
     "ivfpq_topk_embeddings",
     "ivfpq_recall_report_embeddings",
+    # round-10: per-frame audio features (frame-local RMS/peak/ZC over
+    # 64-sample windows — the frame-level member of the audio tier;
+    # wav_audio_features is the in-window clip-level rep)
+    "wav_frame_features_documents",
     # late-round-10 rotation: thrice-green (r07+r08+r09) rows whose
     # families keep in-window representatives —
     #   similarity_topk — exact-cosine twin; ann_srp + pq_adc stay

@@ -4442,6 +4442,102 @@ def q_zscore_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_outliers(ev, "event_type", "value").orderBy("event_id")
 
 
+@register(
+    "wav_frame_features_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+s AS (SELECT doc_id, list_transform(codes, c -> (c - 64) * 256) AS smp FROM a),
+f AS (
+  SELECT doc_id, smp, COALESCE(len(smp), 0) AS n,
+         GREATEST(1, CAST(ceil(COALESCE(len(smp), 0) / 64.0) AS BIGINT)) AS nf
+  FROM s),
+fr AS (
+  SELECT doc_id, CAST(u.fi AS INTEGER) AS frame_idx,
+         list_slice(smp, u.fi*64 + 1, LEAST(n, (u.fi+1)*64)) AS w
+  FROM f, LATERAL unnest(generate_series(0, nf - 1)) AS u(fi)),
+g AS (
+  SELECT doc_id, frame_idx,
+    COALESCE(len(w), 0) AS wn,
+    COALESCE(list_sum(list_transform(w, v -> v*v)), 0) AS ss,
+    COALESCE(list_max(list_transform(w, v -> abs(v))), 0) AS pk,
+    COALESCE(len(list_filter(w, (x, i) -> i > 1 AND w[i-1]*x < 0)), 0) AS zc
+  FROM fr)
+SELECT doc_id, frame_idx, CAST(wn AS INTEGER) AS n_samples,
+  CASE WHEN wn = 0 THEN 0.0
+       ELSE FLOOR(sqrt(CAST(ss AS DOUBLE) / wn) * 10000.0 + 0.5) / 10000.0
+  END AS rms,
+  CAST(pk AS INTEGER) AS peak, CAST(zc AS INTEGER) AS zero_crossings
+FROM g ORDER BY doc_id, frame_idx
+""",
+)
+def q_wav_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio analysis (operators/audio.wav_frame_features —
+    the frame-level member of the audio tier, the decode/feature-
+    extract/frame-sample quartet's audio analog): each document's
+    synthesized PCM16 clip decoded and windowed into 64-sample frames,
+    one row per frame with frame-local RMS / peak / zero crossings —
+    the shape a speech-segmentation or silence-trimming stage consumes.
+    Same exactness contract as wav_audio_features; frames are
+    independent so the Arrow stage emits them with zero cross-row
+    state. HASH-oracled per frame."""
+    import pandas as pd  # noqa: F401
+
+    from mongo_analyser_spark.operators.audio import (
+        encode_wav,
+        wav_frame_features,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            "doc_id",
+        )
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    b
+                    for b in (text or "").encode("ascii", "ignore")
+                    if 1 <= b <= 127
+                ]
+                payload = encode_wav(8000, [(c - 64) * 256 for c in codes])
+                for fr in wav_frame_features(payload, frame_len=64):
+                    rows.append(
+                        (
+                            doc_id,
+                            fr["frame_idx"],
+                            fr["n_samples"],
+                            fr["rms"],
+                            fr["peak"],
+                            fr["zero_crossings"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_samples", "rms", "peak",
+                    "zero_crossings",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, frame_idx int, n_samples int, rms double,"
+        " peak int, zero_crossings int",
+    ).orderBy("doc_id", "frame_idx")
+
+
 # re-run tail curation so the registry order is import-order-robust (this
 # module may be the first package import; see queries.curate_tail)
 from mongo_analyser_spark.queries import curate_tail as _curate_tail  # noqa: E402

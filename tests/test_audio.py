@@ -98,3 +98,34 @@ def test_frame_stage(spark):
     assert out[2]["n_samples"] == 100
     # one sign flip (-1 -> 0 doesn't count; -1*0 == 0)
     assert out[2]["zero_crossings"] == 0
+
+
+def test_frame_features_truth_table():
+    """Frame windowing: 5 samples at frame_len=2 -> frames [2,2,1];
+    frame-local ZC doesn't count across frame boundaries."""
+    from mongo_analyser_spark.operators.audio import (
+        encode_wav,
+        wav_frame_features,
+    )
+
+    s = [100, -100, 100, -100, 100]
+    frames = wav_frame_features(encode_wav(8000, s), frame_len=2)
+    assert [f["n_samples"] for f in frames] == [2, 2, 1]
+    assert [f["frame_idx"] for f in frames] == [0, 1, 2]
+    # within-frame sign flips only: [100,-100]=1, [100,-100]=1, [100]=0
+    assert [f["zero_crossings"] for f in frames] == [1, 1, 0]
+    assert all(f["peak"] == 100 for f in frames)
+    assert frames[0]["rms"] == 100.0
+
+
+def test_frame_features_empty_clip():
+    from mongo_analyser_spark.operators.audio import (
+        encode_wav,
+        wav_frame_features,
+    )
+
+    frames = wav_frame_features(encode_wav(8000, []), frame_len=64)
+    assert frames == [
+        {"frame_idx": 0, "n_samples": 0, "rms": 0.0, "peak": 0,
+         "zero_crossings": 0}
+    ]
