@@ -46,6 +46,9 @@ echo "== [4/4] bench completes under budget and prints one JSON line =="
 BENCH_BUDGET_S="${BENCH_BUDGET_S:-1200}"
 T0=$(date +%s)
 BENCH_OUT="$(timeout "$BENCH_BUDGET_S" python bench.py 2>/dev/null | tail -1)"
+# persist the per-query timings so tools/bench_compare.py can run a
+# vs-BASELINE regression report on the SAME run the gate graded
+printf '%s\n' "$BENCH_OUT" > .bench_last.json
 WALL=$(( $(date +%s) - T0 ))
 python - "$BENCH_OUT" "$WALL" "$BENCH_BUDGET_S" <<'EOF'
 import json, sys
