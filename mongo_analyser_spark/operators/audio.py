@@ -207,3 +207,16 @@ def wav_frame_features(payload: bytes, frame_len: int = 160) -> list[dict]:
             }
         )
     return out
+
+
+def resample_decimate(payload: bytes, factor: int) -> bytes:
+    """Integer-factor decimation — the audio "resize": keep every
+    ``factor``-th sample (no anti-alias filter: nearest-neighbor, the
+    same honest-simple policy as resize_media's pixel path) and scale
+    the sample rate down so duration is preserved. Deterministic pure
+    selection, so a resampled clip's features stay hash-oracle-able
+    from the source samples."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    rate, s = decode_wav(payload)
+    return encode_wav(max(1, rate // factor), s[::factor])

@@ -2852,6 +2852,10 @@ TAIL_QUERIES = (
     # 64-sample windows — the frame-level member of the audio tier;
     # wav_audio_features is the in-window clip-level rep)
     "wav_frame_features_documents",
+    # round-10: audio resize round trip (decimate-by-4 resample between
+    # a real encode and a real decode, features oracled from the 1-in-4
+    # selection directly)
+    "wav_resample_features_documents",
     # late-round-10 rotation: thrice-green (r07+r08+r09) rows whose
     # families keep in-window representatives —
     #   similarity_topk — exact-cosine twin; ann_srp + pq_adc stay

@@ -4443,6 +4443,102 @@ def q_zscore_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wav_resample_features_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    list_filter(list_transform(codes, c -> (c - 64) * 256),
+                (x, i) -> i % 4 = 1) AS smp
+  FROM a),
+f AS (
+  SELECT doc_id,
+    COALESCE(len(smp), 0) AS n,
+    COALESCE(list_sum(list_transform(smp, v -> v * v)), 0) AS sum_sq,
+    COALESCE(list_max(list_transform(smp, v -> abs(v))), 0) AS peak,
+    COALESCE(len(list_filter(smp, (x, i) -> i > 1 AND smp[i-1] * x < 0)), 0) AS zc
+  FROM s)
+SELECT doc_id,
+  CAST(2000 AS INTEGER) AS sample_rate,
+  CAST(n AS INTEGER) AS n_samples,
+  FLOOR(CAST(n AS DOUBLE) / 2000.0 * 10000.0 + 0.5) / 10000.0 AS duration_s,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE FLOOR(sqrt(CAST(sum_sq AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0
+  END AS rms,
+  CAST(peak AS INTEGER) AS peak,
+  CAST(zc AS INTEGER) AS zero_crossings
+FROM f ORDER BY doc_id
+""",
+)
+def q_wav_resample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resize round trip: synthesize each document's PCM16 clip,
+    DECIMATE by 4 (operators/audio.resample_decimate — every 4th
+    sample, rate 8000→2000, duration preserved), then re-decode and
+    extract the clip features. The oracle computes the same features
+    from the 1-in-4 sample selection directly, so a bug anywhere in the
+    resampler, the re-encode, or the second decode breaks the hash —
+    the pixel_roundtrip contract applied to the audio resize path."""
+    import pandas as pd  # noqa: F401
+
+    from mongo_analyser_spark.operators.audio import (
+        encode_wav,
+        resample_decimate,
+        wav_features,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            "doc_id",
+        )
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    b
+                    for b in (text or "").encode("ascii", "ignore")
+                    if 1 <= b <= 127
+                ]
+                clip = encode_wav(8000, [(c - 64) * 256 for c in codes])
+                f = wav_features(resample_decimate(clip, 4))
+                rows.append(
+                    (
+                        doc_id,
+                        f["sample_rate"],
+                        f["n_samples"],
+                        f["duration_s"],
+                        f["rms"],
+                        f["peak"],
+                        f["zero_crossings"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "duration_s",
+                    "rms", "peak", "zero_crossings",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, sample_rate int, n_samples int, duration_s double,"
+        " rms double, peak int, zero_crossings int",
+    ).orderBy("doc_id")
+
+
+@register(
     "wav_frame_features_documents",
     """
 WITH a AS (

@@ -129,3 +129,23 @@ def test_frame_features_empty_clip():
         {"frame_idx": 0, "n_samples": 0, "rms": 0.0, "peak": 0,
          "zero_crossings": 0}
     ]
+
+
+def test_resample_decimate():
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav,
+        encode_wav,
+        resample_decimate,
+    )
+
+    clip = encode_wav(8000, list(range(10)))
+    rate, s = decode_wav(resample_decimate(clip, 4))
+    assert rate == 2000
+    assert s == [0, 4, 8]
+    # factor 1 is the identity
+    rate1, s1 = decode_wav(resample_decimate(clip, 1))
+    assert (rate1, s1) == (8000, list(range(10)))
+    import pytest
+
+    with pytest.raises(ValueError):
+        resample_decimate(clip, 0)

