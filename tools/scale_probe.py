@@ -43,6 +43,16 @@ HEADLINE = [
     "pagerank_near_dup",
     "bpe_token_counts_documents",
     "token_budget_select_bpe_documents",
+    # round-10 tiers (SCALE.md round-10 step table): sketch, codec,
+    # window, composed-ANN, and certification families
+    "wav_audio_features_documents",
+    "mg_heavy_hitters_events",
+    "triangle_count_near_dup",
+    "ewma_smooth_events",
+    "scd2_event_type_events",
+    "ivfpq_topk_embeddings",
+    "minhash_estimate_error_pairs",
+    "quantile_sketch_by_type_events",
 ]
 
 
