@@ -576,3 +576,76 @@ def test_schema_monitor_checkpoint_restart(spark, tmp_path):
     assert first != batch_all  # the split is real
     ev.filter(F.col("event_id") % 2 != 0).write.mode("append").parquet(in_dir)
     assert run("t_sm_ckpt_b") == batch_all
+
+
+def test_exactly_once_sink_replay_is_idempotent(spark, tmp_path):
+    """The foreachBatch contract: replaying a micro-batch (the
+    at-least-once crash case) must overwrite its own __batch_id
+    partition, not append duplicates."""
+    from mongo_analyser_spark.streaming.sink import (
+        exactly_once_parquet_writer,
+        write_batch_idempotent,
+    )
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "value"
+    )
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev.write.mode("append").parquet(in_dir)
+
+    sdf = spark.readStream.schema(
+        ev.schema
+    ).parquet(in_dir)
+    q = (
+        exactly_once_parquet_writer(sdf, out_dir, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    total = ev.count()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == total
+    # simulate the crash-replay: re-run the LAST committed batch body
+    # with the same batch_id and the same data — row count must not move
+    last_bid = got.agg(F.max("__batch_id")).collect()[0][0]
+    replay = got.where(F.col("__batch_id") == last_bid).drop("__batch_id")
+    write_batch_idempotent(replay, int(last_bid), out_dir)
+    again = spark.read.parquet(out_dir)
+    assert again.count() == total
+    assert {r["event_id"] for r in again.collect()} == {
+        r["event_id"] for r in ev.collect()
+    }
+
+
+def test_exactly_once_sink_restart_appends_new_batches(spark, tmp_path):
+    """Stop/append/restart on the same checkpoint: committed source
+    offsets mean the first files are not re-emitted; the second run
+    lands only the new files, each under a fresh __batch_id."""
+    from mongo_analyser_spark.streaming.sink import exactly_once_parquet_writer
+
+    ev = load_table(spark, SF, "events").select("event_id", "value")
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(in_dir)
+
+    def drain():
+        sdf = spark.readStream.schema(ev.schema).parquet(in_dir)
+        q = (
+            exactly_once_parquet_writer(sdf, out_dir, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    half = spark.read.parquet(out_dir).count()
+    ev.filter(F.col("event_id") % 2 != 0).write.mode("append").parquet(in_dir)
+    drain()
+    got = spark.read.parquet(out_dir)
+    assert half < got.count() == ev.count()
+    assert {r["event_id"] for r in got.collect()} == {
+        r["event_id"] for r in ev.collect()
+    }
