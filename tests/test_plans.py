@@ -473,3 +473,61 @@ def test_kneser_ney_single_corpus_stream_join(spark):
 
     q = QUERIES["kneser_ney_nll_documents"](spark, SF)
     assert num_raw_stream_equijoins(q) == 1
+
+
+def test_scd2_reuses_one_user_exchange(spark):
+    """Gaps-and-islands SCD2: all three windows (lag flags, running-sum
+    islands, lead interval-close) plus the island aggregate must ride
+    ONE user-keyed exchange — the plan may add only the output sort."""
+    q = QUERIES["scd2_event_type_events"](spark, SF)
+    plan = formatted_plan(q)
+    assert "CartesianProduct" not in plan
+    assert num_exchanges(q) <= 3
+
+
+def test_ewma_single_series_exchange(spark):
+    """Both trailing frames share the (user) partition: one hash
+    exchange + the output sort, nothing else."""
+    q = QUERIES["ewma_smooth_events"](spark, SF)
+    plan = formatted_plan(q)
+    assert "CartesianProduct" not in plan
+    assert num_exchanges(q) <= 2
+
+
+def test_mg_heavy_hitters_bounded_plan(spark):
+    """Mergeable MG: one corpus-counts aggregate; everything after runs
+    on bounded shard summaries. The only nested-loop is the one-row
+    t_final broadcast."""
+    import re
+
+    q = QUERIES["mg_heavy_hitters_events"](spark, SF)
+    plan = formatted_plan(q)
+    assert "CartesianProduct" not in plan
+    # exactly one BNL node header (the tree echo doubles raw counts)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+
+
+def test_ivfpq_scan_reads_codes_not_floats(spark):
+    """IVFADC: the scored scan is the Arrow encode stage feeding the
+    ADC kernel — no join between the corpus scan and the ranking (the
+    codebook and LUT ship in kernel closures), and the rerank join is
+    keyed, not cartesian."""
+    q = QUERIES["ivfpq_topk_embeddings"](spark, SF)
+    plan = formatted_plan(q)
+    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") >= 2  # encode stage + ADC kernel
+
+
+def test_wav_rows_fan_out_before_python(spark):
+    """The audio Arrow stages must not inherit the single-file scan's
+    parallelism (the round-9 char_entropy/jpeg signature): an explicit
+    exchange sits below every mapInPandas."""
+    for name in (
+        "wav_audio_features_documents",
+        "wav_frame_features_documents",
+        "wav_resample_features_documents",
+    ):
+        q = QUERIES[name](spark, SF)
+        plan = formatted_plan(q)
+        assert "MapInPandas" in plan
+        assert num_exchanges(q) >= 2, name  # fanout + output sort
