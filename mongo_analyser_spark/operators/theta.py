@@ -194,3 +194,103 @@ def theta_overlap_report(
         )
         .orderBy("group_a", "group_b")
     )
+
+
+def theta_pair_difference(sketches: DataFrame) -> DataFrame:
+    """(group_a, group_b, n_a_only, n_b_only, est_a_only, est_b_only):
+    set-DIFFERENCE estimates for every unordered group pair, completing
+    the theta set algebra (union/intersection/Jaccard in
+    ``theta_pair_overlap``): below the shared theta, the A\\B sample is
+    the retained A ranks absent from B, and the estimate scales by
+    2^52/theta like every other theta set expression. Same bounded
+    algebra — |groups| sketch rows, nothing corpus-sized."""
+    a = sketches.select(
+        F.col("group").alias("group_a"),
+        F.col("hs").alias("ha"),
+        F.col("theta").alias("ta"),
+    )
+    b = sketches.select(
+        F.col("group").alias("group_b"),
+        F.col("hs").alias("hb"),
+        F.col("theta").alias("tb"),
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    below = lambda hs: F.filter(hs, lambda x: x < F.col("th"))  # noqa: E731
+    staged = pairs.withColumn("th", F.least("ta", "tb")).select(
+        "group_a",
+        "group_b",
+        "th",
+        below(F.col("ha")).alias("sa"),
+        below(F.col("hb")).alias("sb"),
+    )
+    n_inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+    n_a = (F.size("sa").cast("long") - n_inter).alias("n_a_only")
+    n_b = (F.size("sb").cast("long") - n_inter).alias("n_b_only")
+    scale = F.lit(TWO52).cast("long") / F.col("th")
+    return (
+        staged.select("group_a", "group_b", "th", n_a, n_b)
+        .select(
+            "group_a",
+            "group_b",
+            "n_a_only",
+            "n_b_only",
+            F.round(F.col("n_a_only") * scale, 6).alias("est_a_only"),
+            F.round(F.col("n_b_only") * scale, 6).alias("est_b_only"),
+        )
+        .orderBy("group_a", "group_b")
+    )
+
+
+def theta_difference_report(
+    df: DataFrame,
+    group_col: str,
+    item: Column,
+    k: int = 128,
+    round_to: int = 6,
+) -> DataFrame:
+    """Difference estimates PLUS the exact |A\\B| / |B\\A| counts and
+    signed errors — the certification form (countmin/bloom contract):
+    exact distinct-per-group minus exact intersection, both fixture-
+    scale validation sides."""
+    est = theta_pair_difference(theta_sketches(df, group_col, item, k))
+    items = df.select(
+        F.col(group_col).alias("group"), item.alias("it")
+    ).distinct()
+    nd = items.groupBy("group").agg(F.count(F.lit(1)).alias("nd"))
+    ia = items.select(F.col("group").alias("group_a"), "it")
+    ib = items.select(F.col("group").alias("group_b"), "it")
+    exact_i = (
+        ia.join(ib, "it")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    ei = F.coalesce(F.col("exact_inter"), F.lit(0)).cast("long")
+    return (
+        est.join(exact_i, ["group_a", "group_b"], "left")
+        .join(
+            nd.select(F.col("group").alias("group_a"), F.col("nd").alias("nda")),
+            "group_a",
+        )
+        .join(
+            nd.select(F.col("group").alias("group_b"), F.col("nd").alias("ndb")),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_a_only",
+            "n_b_only",
+            "est_a_only",
+            "est_b_only",
+            (F.col("nda") - ei).alias("exact_a_only"),
+            (F.col("ndb") - ei).alias("exact_b_only"),
+            F.round(F.col("est_a_only") - (F.col("nda") - ei), round_to).alias(
+                "err_a"
+            ),
+            F.round(F.col("est_b_only") - (F.col("ndb") - ei), round_to).alias(
+                "err_b"
+            ),
+        )
+        .orderBy("group_a", "group_b")
+    )

@@ -2856,6 +2856,10 @@ TAIL_QUERIES = (
     # a real encode and a real decode, features oracled from the 1-in-4
     # selection directly)
     "wav_resample_features_documents",
+    # round-10: theta set DIFFERENCE estimates — the missing member of
+    # the sketch set algebra (theta_overlap_pairs in-window covers
+    # union/intersection/Jaccard)
+    "theta_difference_pairs_documents",
     # late-round-10 rotation: thrice-green (r07+r08+r09) rows whose
     # families keep in-window representatives —
     #   similarity_topk — exact-cosine twin; ann_srp + pq_adc stay

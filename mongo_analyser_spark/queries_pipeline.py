@@ -4146,6 +4146,65 @@ def q_theta_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "theta_difference_pairs_documents",
+    f"""
+WITH {_theta_sk_ctes()},
+p AS (SELECT a.source AS group_a, b.source AS group_b, a.hs AS ha, b.hs AS hb
+      FROM sk a JOIN sk b ON a.source < b.source),
+c AS (SELECT group_a, group_b,
+        LEAST(CASE WHEN len(ha) >= {_THETA_K} THEN ha[{_THETA_K}]
+                   ELSE {_TWO52} END,
+              CASE WHEN len(hb) >= {_THETA_K} THEN hb[{_THETA_K}]
+                   ELSE {_TWO52} END) AS th,
+        ha, hb FROM p),
+f AS (SELECT group_a, group_b, th,
+        list_filter(ha, x -> x < th) AS sa,
+        list_filter(hb, x -> x < th) AS sb FROM c),
+m AS (SELECT group_a, group_b, th,
+        CAST(len(sa) - len(list_intersect(sa, sb)) AS BIGINT) AS n_a_only,
+        CAST(len(sb) - len(list_intersect(sa, sb)) AS BIGINT) AS n_b_only
+      FROM f),
+nd AS (SELECT source, CAST(count(*) AS BIGINT) AS nd FROM grs GROUP BY source),
+ex AS (SELECT a.source AS group_a, b.source AS group_b,
+         CAST(count(*) AS BIGINT) AS exact_inter
+       FROM grs a JOIN grs b ON a.g = b.g AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT m.group_a, m.group_b, n_a_only, n_b_only,
+  ROUND(n_a_only * {_TWO52} / th, 6) AS est_a_only,
+  ROUND(n_b_only * {_TWO52} / th, 6) AS est_b_only,
+  da.nd - COALESCE(ex.exact_inter, 0) AS exact_a_only,
+  db.nd - COALESCE(ex.exact_inter, 0) AS exact_b_only,
+  ROUND(ROUND(n_a_only * {_TWO52} / th, 6)
+        - (da.nd - COALESCE(ex.exact_inter, 0)), 6) AS err_a,
+  ROUND(ROUND(n_b_only * {_TWO52} / th, 6)
+        - (db.nd - COALESCE(ex.exact_inter, 0)), 6) AS err_b
+FROM m
+LEFT JOIN ex USING (group_a, group_b)
+JOIN nd da ON da.source = m.group_a
+JOIN nd db ON db.source = m.group_b
+ORDER BY group_a, group_b
+""",
+)
+def q_theta_difference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set DIFFERENCE between every source pair — the
+    missing member of the sketch set algebra (union / intersection /
+    Jaccard in theta_overlap_pairs): |A\\B| and |B\\A| estimated from
+    the k-long sketches alone, next to the exact differences (exact
+    per-source distinct minus exact intersection — fixture-scale
+    certification, the countmin/bloom contract) and signed errors.
+    Every cell hash-matches: sample counts exact, estimates one integer
+    multiply + one IEEE division, ROUND(6)."""
+    from mongo_analyser_spark.functions.text import shingles
+    from mongo_analyser_spark.operators.theta import theta_difference_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    items = docs.select(
+        "source", F.explode(shingles(F.col("text"), 3)).alias("sh")
+    )
+    return theta_difference_report(items, "source", F.col("sh"), _THETA_K)
+
+
+@register(
     "wav_audio_features_documents",
     """
 WITH a AS (

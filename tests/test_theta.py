@@ -124,3 +124,25 @@ def test_report_err_is_est_minus_exact(spark):
     by = {(r["group_a"], r["group_b"]): r for r in rep}
     assert by[("A", "B")]["exact_inter"] == 100
     assert by[("A", "C")]["exact_inter"] == 10
+
+
+def test_difference_estimates_and_certification(spark):
+    """A={1..60}, B={41..100}: exact |A\\B| = 40, |B\\A| = 40; below
+    capacity the sketch is the whole set, so estimates are EXACT and
+    the errors zero."""
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.operators.theta import theta_difference_report
+
+    rows = [("a", str(i)) for i in range(1, 61)] + [
+        ("b", str(i)) for i in range(41, 101)
+    ]
+    df = spark.createDataFrame(rows, "grp string, it string")
+    out = theta_difference_report(
+        df, "grp", F.col("it"), k=256
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["exact_a_only"], r["exact_b_only"]) == (40, 40)
+    assert r["est_a_only"] == 40.0 and r["est_b_only"] == 40.0
+    assert r["err_a"] == 0.0 and r["err_b"] == 0.0
