@@ -82,7 +82,15 @@ def decode_wav(payload: bytes) -> Tuple[int, List[int]]:
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
+        # declared sizes are untrusted: a fmt chunk shorter than the
+        # 16-byte PCM header or a data chunk overrunning the payload
+        # must fail as the documented ValueError gate, not a raw
+        # struct.error / silent truncation deep in an Arrow batch
+        if len(body) != size:
+            raise ValueError("truncated chunk")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated chunk")
             fmt_tag, channels, sample_rate = struct.unpack("<HHI", body[:8])
             (bits,) = struct.unpack("<H", body[14:16])
         elif cid == b"data":

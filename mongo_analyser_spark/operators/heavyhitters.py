@@ -69,7 +69,15 @@ def mg_summary(
     w = Window.partitionBy("g").orderBy(
         F.desc("exact_cnt"), F.asc(key_name)
     )
-    ranked = counts.withColumn("rn", F.row_number().over(w))
+    # materialize the bounded ≤ G·(k+1)-row slice ONCE: both consumers
+    # below (the rn<=k survivors and the rn==k+1 threshold aggregate)
+    # read it, so the corpus groupBy + window never re-runs on exchange-
+    # reuse luck (the triangle_counts/minhash discipline)
+    ranked = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k + 1)
+        .localCheckpoint(eager=False)
+    )
     thr = ranked.groupBy("g").agg(
         F.coalesce(
             F.max(F.when(F.col("rn") == k + 1, F.col("exact_cnt"))),

@@ -226,7 +226,11 @@ def theta_pair_difference(sketches: DataFrame) -> DataFrame:
     n_inter = F.size(F.array_intersect("sa", "sb")).cast("long")
     n_a = (F.size("sa").cast("long") - n_inter).alias("n_a_only")
     n_b = (F.size("sb").cast("long") - n_inter).alias("n_b_only")
-    scale = F.lit(TWO52).cast("long") / F.col("th")
+    # multiply-then-divide: one exact long multiply + ONE IEEE division,
+    # mirroring theta_pair_overlap and the SQL twin's op order (a
+    # divide-first form adds a second rounding and can differ by 1 ulp
+    # on ROUND(6) boundaries in estimation mode)
+    two52 = F.lit(TWO52).cast("long")
     return (
         staged.select("group_a", "group_b", "th", n_a, n_b)
         .select(
@@ -234,8 +238,12 @@ def theta_pair_difference(sketches: DataFrame) -> DataFrame:
             "group_b",
             "n_a_only",
             "n_b_only",
-            F.round(F.col("n_a_only") * scale, 6).alias("est_a_only"),
-            F.round(F.col("n_b_only") * scale, 6).alias("est_b_only"),
+            F.round(F.col("n_a_only") * two52 / F.col("th"), 6).alias(
+                "est_a_only"
+            ),
+            F.round(F.col("n_b_only") * two52 / F.col("th"), 6).alias(
+                "est_b_only"
+            ),
         )
         .orderBy("group_a", "group_b")
     )

@@ -2363,7 +2363,11 @@ def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json("props", EVENTS_PROPS_SCHEMA).getField("k").cast("string")
     )
     old_doc = F.concat(
-        F.lit('{"t":"'), F.col("event_type"), F.lit('","k":'), k_json,
+        # concat is null-propagating: a props JSON without 'k' must
+        # degrade to a JSON null field, not silently drop the whole doc
+        # (which would shrink n0 under the hand-derived oracle counts)
+        F.lit('{"t":"'), F.col("event_type"), F.lit('","k":'),
+        F.coalesce(k_json, F.lit("null")),
         F.lit(',"n":{"u":'), F.col("user_id").cast("string"), F.lit("}}"),
     )
     new_doc = F.concat(
