@@ -2879,6 +2879,11 @@ TAIL_QUERIES = (
     "bpe_token_counts_documents",
     "salted_user_event_totals",
     "dynamic_schema_histogram_events",
+    # round-11: REAL multi-frame pixel decode (operators/frames.py —
+    # APNG fcTL/fdAT recomposition and the full GIF LZW codec); the
+    # APNG composition row rotates in-window with the round-11 curation
+    "frame_pixel_stats_documents",
+    "gif_frame_pixels_documents",
 )
 
 

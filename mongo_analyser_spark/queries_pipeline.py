@@ -616,8 +616,12 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_estimate_error_pairs",
+    # certification row: the whole chain runs on the doc_id<2000 slice
+    # (constant-sized above sf0.04; sf0.001/sf0.01 byte-identical) —
+    # see the Spark docstring
     f"""
-WITH {_TOKS_CTE}, {_SH_CTE}, {_MINS_CTE}, {_BANDS_CTE},
+WITH {_TOKS_CTE.replace("FROM documents", "FROM documents WHERE doc_id < 2000")},
+ {_SH_CTE}, {_MINS_CTE}, {_BANDS_CTE},
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh
@@ -654,7 +658,14 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings per doc); the exact side is the fixture-scale certification
     join, the recall-gate pattern. Every cell hash-matches: md5 min
     signatures are engine-exact, counts are integers, ROUND(6) on the
-    two derived cells."""
+    two derived cells.
+
+    Slice-bounded (round-10 verdict #5): candidate-pair population and
+    the exact-Jaccard join grow with sf (2.2x on the 10x step), so the
+    certification runs on the deterministic `doc_id < 2000` slice —
+    constant-sized above sf0.04, byte-identical at sf0.001/sf0.01. The
+    production near-dup flagship (dedup_minhash_pairs_documents) stays
+    corpus-wide; only this estimate-vs-exact evaluation row is capped."""
     from mongo_analyser_spark.operators.dedup import (
         jaccard_verify,
         lsh_band_hashes,
@@ -662,7 +673,9 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 2000
+    )
     # signatures feed the banding AND both probe sides; pairs feed the
     # match count AND the exact verify — both are FIXED-WIDTH artifacts
     # (k strings/doc; 2 ids/pair), so materialize each once (the
@@ -1039,12 +1052,20 @@ def _emb_rows(sf_dir: str) -> int:
         raise
 
 
-def _near_dup_ctes(sf_dir: str = ORACLE_SF_DIR) -> str:
+def _near_dup_ctes(sf_dir: str = ORACLE_SF_DIR, cap: int | None = None) -> str:
     """Shared CTE chain (e → sig → banded → cand → nd = verified pairs)
-    for the near-dup pair query and its connected-components extension."""
+    for the near-dup pair query and its connected-components extension.
+    ``cap`` slices the vector population to vec_id < cap (certification
+    rows whose downstream work grows with the pair population — the
+    _TFIDF_SLICE discipline); band params then scale with the SLICED
+    count, matching cosine_near_dup_pairs' df.count() on the same
+    slice (vec_ids are dense 0..n-1)."""
     from mongo_analyser_spark.operators.dedup import srp_band_params
 
-    r, b = srp_band_params(_emb_rows(sf_dir))
+    n = _emb_rows(sf_dir)
+    if cap is not None:
+        n = min(n, cap)
+    r, b = srp_band_params(n)
     planes = srp_planes(r * b, EMB_DIM)
     sig = " || ".join(
         f"(CASE WHEN ({_plane_dot_sql('embedding', row)}) >= 0 THEN '1' ELSE '0' END)"
@@ -1055,7 +1076,8 @@ def _near_dup_ctes(sf_dir: str = ORACLE_SF_DIR) -> str:
         for i in range(b)
     )
     return f"""
-e AS (SELECT vec_id, embedding, label FROM embeddings),
+e AS (SELECT vec_id, embedding, label FROM embeddings
+      WHERE {f"vec_id < {cap}" if cap is not None else "TRUE"}),
 sig AS (SELECT vec_id, label, {sig} AS sig FROM e),
 banded AS ({bands}),
 cand AS (
@@ -1338,11 +1360,18 @@ def q_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_GENERATORS["pagerank_near_dup"] = _pagerank_sql
 
 
+_TRI_CAP = 1000  # wedge-input slice: constant-sized above sf0.05
+
+
 def _triangle_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     """Ordered-wedge triangle twin over the same near-dup CTE chain;
     MATERIALIZED ed for the same reason as the pagerank oracle (three
-    self-references would re-run the banding subtree inlined)."""
-    head = _near_dup_ctes(sf_dir)
+    self-references would re-run the banding subtree inlined). The
+    wedge input is slice-bounded to vec_id < _TRI_CAP (round-10 verdict
+    #5): the wedge join grows with the near-dup pair population, and
+    the graph-quality signal needs a representative sample, not the
+    whole corpus — sf0.001/sf0.01 (500 vectors) are byte-identical."""
+    head = _near_dup_ctes(sf_dir, cap=_TRI_CAP)
     return f"""WITH {head},
 ed AS MATERIALIZED (SELECT vec_a AS a, vec_b AS b FROM nd),
 tri AS MATERIALIZED (
@@ -1376,11 +1405,16 @@ def q_triangle_count_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chain-shaped banding false positives (→ 0) — the graph-side
     quality check a curation run reads next to pagerank_near_dup's
     canonical-copy ranks. Exact integer counts + one ROUND(6) rational,
-    hash-oracled; two equi-joins, no cartesian."""
+    hash-oracled; two equi-joins, no cartesian. Wedge input is the
+    vec_id < _TRI_CAP slice (see _triangle_sql — the certification-row
+    bounding discipline; band params auto-scale from the sliced count
+    on both engines)."""
     from mongo_analyser_spark.operators.dedup import cosine_near_dup_pairs
     from mongo_analyser_spark.operators.graph import triangle_counts
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _TRI_CAP
+    )
     pairs = cosine_near_dup_pairs(
         emb, "vec_id", "embedding", EMB_DIM, threshold=0.3, block_col="label"
     )
@@ -4037,11 +4071,14 @@ _THETA_K = 128
 _TWO52 = 1 << 52
 
 
-def _theta_sk_ctes() -> str:
+def _theta_sk_ctes(where: str = "TRUE") -> str:
     """Twin of operators/theta.theta_sketches over per-source word
-    3-gram shingle sets (the minhash shingle unit)."""
+    3-gram shingle sets (the minhash shingle unit). ``where`` slices the
+    corpus for certification rows whose EXACT side would otherwise grow
+    with sf (the _TFIDF_SLICE discipline)."""
     return f"""
-toksrc AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+toksrc AS (SELECT source, string_split(text, ' ') AS t
+           FROM documents WHERE {where}),
 grs AS (SELECT DISTINCT source, unnest({_SHINGLES_SQL}) AS g FROM toksrc),
 rk AS (SELECT DISTINCT source,
          CAST(CAST('0x' || substr(md5(g), 1, 13) AS UBIGINT) AS BIGINT) AS h
@@ -4148,7 +4185,7 @@ def q_theta_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "theta_difference_pairs_documents",
     f"""
-WITH {_theta_sk_ctes()},
+WITH {_theta_sk_ctes(where="doc_id < 2000")},
 p AS (SELECT a.source AS group_a, b.source AS group_b, a.hs AS ha, b.hs AS hb
       FROM sk a JOIN sk b ON a.source < b.source),
 c AS (SELECT group_a, group_b,
@@ -4193,11 +4230,22 @@ def q_theta_difference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source distinct minus exact intersection — fixture-scale
     certification, the countmin/bloom contract) and signed errors.
     Every cell hash-matches: sample counts exact, estimates one integer
-    multiply + one IEEE division, ROUND(6)."""
+    multiply + one IEEE division, ROUND(6).
+
+    Certification row, slice-bounded (round-10 verdict #5): the exact
+    differences need the full distinct-shingle population + an
+    intersection self-join, which grew 2.2-2.8x on the 10x step — the
+    `doc_id < 2000` cap (the _TFIDF_SLICE discipline) keeps the exact
+    side CONSTANT-SIZED above sf0.04 while sf0.001/sf0.01 outputs are
+    byte-identical (all doc_ids there are < 500). The production path —
+    the sketches and their estimate algebra — is bounded by design and
+    needs no slice."""
     from mongo_analyser_spark.functions.text import shingles
     from mongo_analyser_spark.operators.theta import theta_difference_report
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 2000
+    )
     items = docs.select(
         "source", F.explode(shingles(F.col("text"), 3)).alias("sh")
     )
@@ -4690,6 +4738,191 @@ def q_wav_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, frame_idx int, n_samples int, rms double,"
         " peak int, zero_crossings int",
+    ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "frame_pixel_stats_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id, codes, COALESCE(len(codes),0) AS L,
+             1 + COALESCE(len(codes),0) % 8 AS n FROM a),
+rs AS (
+  SELECT doc_id, L, n,
+    list_transform(generate_series(0,7), r ->
+      COALESCE(list_sum(list_transform(generate_series(0,7), i ->
+        CASE WHEN r*8+i < L THEN codes[r*8+i+1] ELSE 0 END)), 0)) AS row0,
+    list_transform(generate_series(1,7), j ->
+      COALESCE(list_sum(list_transform(generate_series(0,7), i ->
+        CASE WHEN 64+(j-1)*8+i < L THEN codes[64+(j-1)*8+i+1] ELSE 0 END)), 0)) AS upd
+  FROM b),
+idx AS (
+  SELECT doc_id, n, row0, upd,
+    list_sort(list_distinct(list_transform(generate_series(0,3),
+      t -> CAST(FLOOR(CAST(t AS DOUBLE)*(n-1)/3) AS INTEGER)))) AS fis
+  FROM rs),
+e AS (
+  SELECT doc_id, CAST(n AS INTEGER) AS n_frames, u.fi AS frame_idx,
+    list_sum(row0)
+      - COALESCE(list_sum(list_transform(generate_series(1, u.fi), j -> row0[j])), 0)
+      + COALESCE(list_sum(list_transform(generate_series(1, u.fi), j -> upd[j])), 0)
+      AS s
+  FROM idx, LATERAL unnest(fis) AS u(fi))
+SELECT doc_id, n_frames, frame_idx,
+  FLOOR(CAST(s AS DOUBLE)/64*10000.0 + 0.5)/10000.0 AS frame_luma
+FROM e ORDER BY doc_id, frame_idx
+""",
+)
+def q_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame pixel round trip (round-10 verdict #2 — the
+    video member of the multimodal quartet graduates from plumbing to
+    decode): each document's ASCII codes become a REAL APNG — an 8×8
+    grayscale first frame plus one single-ROW fcTL/fdAT update per
+    later frame (1 + len%8 frames, dispose NONE / blend SOURCE), so
+    a sampled frame's pixels depend on COMPOSING every prior region
+    update. The stage then runs the production sampling path
+    (operators/multimodal.sample_frame_pixel_rows → frames.decode_apng):
+    zlib-decode + unfilter each region, compose offsets onto the canvas,
+    pick k=4 evenly-spread frame indices, and emit the per-frame mean
+    luma. The oracle derives every composed frame sum directly from the
+    codes (frame 0's row sums, each update's row sum), so a bug in the
+    encoder, the fcTL walk, the unfilter loop, the composition order, or
+    the sampling law breaks the hash. Luma is exact: 64 = 2^6 divides
+    exactly, then the shared floor(x*1e4+0.5)/1e4."""
+    import pandas as pd  # noqa: F401
+
+    from mongo_analyser_spark.operators.frames import encode_apng
+    from mongo_analyser_spark.operators.multimodal import (
+        sample_frame_pixel_rows,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            "doc_id",
+        )
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                n = 1 + len(codes) % 8
+                f0 = bytes((codes[:64] + [0] * 64)[:64])
+                frames = [(0, 0, 8, 8, f0)]
+                for j in range(1, n):
+                    seg = codes[64 + 8 * (j - 1) : 64 + 8 * j]
+                    frames.append((0, j - 1, 8, 1, bytes((seg + [0] * 8)[:8])))
+                payload = encode_apng(8, 8, 1, frames)
+                for nf, fi, luma in sample_frame_pixel_rows(payload, 4):
+                    rows.append((doc_id, nf, fi, luma))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "frame_idx", "frame_luma"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_frames int, frame_idx int, frame_luma double",
+    ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "gif_frame_pixels_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id, codes, COALESCE(len(codes),0) AS L,
+             1 + COALESCE(len(codes),0) % 4 AS n FROM a),
+idx AS (SELECT doc_id, codes, L, n,
+  list_sort(list_distinct(list_transform(generate_series(0,3),
+    t -> CAST(FLOOR(CAST(t AS DOUBLE)*(n-1)/3) AS INTEGER)))) AS fis FROM b),
+sums AS (SELECT doc_id, n, fis,
+   list_transform(generate_series(0,3), j ->
+     CASE WHEN L=0 THEN 0 ELSE COALESCE(list_sum(list_transform(generate_series(0,63),
+       i -> codes[((i + 8*j) % L) + 1])),0) END) AS fsum
+   FROM idx),
+e AS (SELECT doc_id, CAST(n AS INTEGER) AS n_frames, u.fi AS frame_idx,
+      fsum[u.fi + 1] AS s FROM sums, LATERAL unnest(fis) AS u(fi))
+SELECT doc_id, n_frames, frame_idx,
+  FLOOR(CAST(s AS DOUBLE)/64*10000.0 + 0.5)/10000.0 AS frame_luma
+FROM e ORDER BY doc_id, frame_idx
+""",
+)
+def q_gif_frame_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF LZW round trip, hash-oracled: each document's ASCII codes
+    become a REAL GIF89a — 1 + len%4 full-canvas 8×8 frames over the
+    256-entry grayscale table (entry i = (i,i,i)), frame j's indices the
+    codes cyclically shifted by 8·j, every frame a REAL LZW stream
+    (variable code width, CLEAR/EOI — operators/frames.lzw_encode). The
+    production sampling path (sample_frame_pixel_rows →
+    frames.decode_gif) LZW-decodes, maps through the color table,
+    composes, samples k=4 indices, and emits Rec.601 mean luma — which
+    for a grayscale table collapses to the exact index mean, so the
+    oracle states it directly from the cyclic shift. A bit anywhere in
+    either LZW direction breaks the hash."""
+    import pandas as pd  # noqa: F401
+
+    from mongo_analyser_spark.operators.frames import encode_gif
+    from mongo_analyser_spark.operators.multimodal import (
+        sample_frame_pixel_rows,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            "doc_id",
+        )
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                ln = len(codes)
+                n = 1 + ln % 4
+                frames = [
+                    [codes[(i + 8 * j) % ln] for i in range(64)]
+                    if ln
+                    else [0] * 64
+                    for j in range(n)
+                ]
+                payload = encode_gif(8, 8, frames, palette_bits=8)
+                for nf, fi, luma in sample_frame_pixel_rows(payload, 4):
+                    rows.append((doc_id, nf, fi, luma))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "frame_idx", "frame_luma"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_frames int, frame_idx int, frame_luma double",
     ).orderBy("doc_id", "frame_idx")
 
 

@@ -1,0 +1,283 @@
+"""Multi-frame codecs (operators/frames.py): LZW, GIF composition,
+APNG fcTL/fdAT recomposition — round trips plus hand-built payloads for
+the decode-only paths (transparency, disposal, interlace)."""
+
+import math
+import struct
+
+import pytest
+
+from mongo_analyser_spark.operators.frames import (
+    decode_apng,
+    decode_frames,
+    decode_gif,
+    encode_apng,
+    encode_gif,
+    frame_mean_luma,
+    lzw_decode,
+    lzw_encode,
+)
+
+
+# ---------------------------------------------------------------- LZW
+@pytest.mark.parametrize("mcs", [2, 4, 7, 8])
+def test_lzw_roundtrip_random(mcs):
+    import random
+
+    rng = random.Random(42 + mcs)
+    for n in (0, 1, 2, 64, 500, 5000):
+        seq = [rng.randrange(1 << mcs) for _ in range(n)]
+        assert lzw_decode(lzw_encode(seq, mcs), mcs) == seq
+
+
+def test_lzw_dictionary_pressure():
+    # repetitive inputs build long dictionary chains (KwKwK cases) and,
+    # for small alphabets, push past the 4096-entry freeze point
+    for mcs, seq in [
+        (2, [0] * 20000),
+        (2, [0, 1, 2, 3] * 6000),
+        (8, list(range(256)) * 40),
+        (3, [0, 0, 1, 1, 0, 0, 1, 1] * 4000),
+    ]:
+        assert lzw_decode(lzw_encode(seq, mcs), mcs) == seq
+
+
+def test_lzw_kwkwk_classic():
+    # the textbook cScSc pattern that forces code == len(table)
+    seq = [0, 1, 0, 1, 0, 1, 0, 1, 0]
+    assert lzw_decode(lzw_encode(seq, 2), 2) == seq
+
+
+def test_lzw_corrupt_raises():
+    with pytest.raises(ValueError):
+        lzw_decode(b"\xff\xff\xff\xff", 2)
+
+
+# ---------------------------------------------------------------- GIF
+def test_gif_full_frame_roundtrip():
+    w, h = 8, 8
+    frames = [[(i * (k + 3)) % 128 for i in range(w * h)] for k in range(4)]
+    gw, gh, out = decode_gif(encode_gif(w, h, frames, palette_bits=8))
+    assert (gw, gh, len(out)) == (w, h, 4)
+    for f_in, f_out in zip(frames, out):
+        assert [f_out[3 * i] for i in range(w * h)] == f_in
+        # 256-entry grayscale table: all three channels equal the index
+        assert all(
+            f_out[3 * i] == f_out[3 * i + 1] == f_out[3 * i + 2]
+            for i in range(w * h)
+        )
+
+
+def test_gif_small_palette_scaling():
+    # non-256 tables scale entries to 0..255
+    w = h = 2
+    _, _, out = decode_gif(encode_gif(w, h, [[0, 1, 2, 3]], palette_bits=2))
+    assert [out[0][3 * i] for i in range(4)] == [0, 85, 170, 255]
+
+
+def _gif_with_gce(disposal, transparent_idx, frames_spec, w=4, h=4, bits=8):
+    """Hand-build a GIF89a with a Graphic Control Extension per frame.
+    frames_spec: list of (x, y, fw, fh, indices); disposal may be an int
+    (all frames) or a per-frame list."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (bits - 1))
+    out += b"\x00\x00"
+    n_colors = 1 << bits
+    for i in range(n_colors):
+        out += bytes((i, i, i)) if n_colors == 256 else bytes(
+            ((i * 255) // (n_colors - 1),) * 3
+        )
+    disposals = (
+        disposal if isinstance(disposal, list)
+        else [disposal] * len(frames_spec)
+    )
+    for (fx, fy, fw, fh, idx), disp in zip(frames_spec, disposals):
+        flags = (disp << 2) | (1 if transparent_idx is not None else 0)
+        out += bytes((0x21, 0xF9, 4, flags, 0, 0, transparent_idx or 0, 0))
+        out += b"\x2c" + struct.pack("<HHHH", fx, fy, fw, fh) + b"\x00"
+        mcs = max(2, bits)
+        out.append(mcs)
+        data = lzw_encode(idx, mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_transparency_preserves_canvas():
+    # frame 0 paints the canvas; frame 1 is all-transparent => identical
+    f0 = [7] * 16
+    f1 = [255] * 16
+    payload = _gif_with_gce(0, 255, [(0, 0, 4, 4, f0), (0, 0, 4, 4, f1)])
+    _, _, out = decode_gif(payload)
+    assert bytes(out[1]) == bytes(out[0])
+    assert out[0][0] == 7
+
+
+def test_gif_partial_frame_offsets():
+    f0 = [1] * 16
+    patch = [9] * 4  # 2x2 patch at (1,1)
+    payload = _gif_with_gce(0, None, [(0, 0, 4, 4, f0), (1, 1, 2, 2, patch)])
+    _, _, out = decode_gif(payload)
+    px = out[1]
+    for y in range(4):
+        for x in range(4):
+            expect = 9 if 1 <= x <= 2 and 1 <= y <= 2 else 1
+            assert px[(y * 4 + x) * 3] == expect
+
+
+def test_gif_dispose_background_and_previous():
+    f0 = [5] * 16
+    patch = [9] * 16
+    # frame 1 disposal 2: after it shows, its region clears to background
+    p2 = _gif_with_gce([0, 2, 0], None,
+                       [(0, 0, 4, 4, f0), (0, 0, 4, 4, patch),
+                        (0, 0, 1, 1, [3])])
+    _, _, out = decode_gif(p2)
+    assert out[1][0] == 9        # patch visible in its own frame
+    assert out[2][3] == 0        # then region cleared before frame 2
+    # frame 1 disposal 3: restore previous -> frame 2 sees f0 again
+    p3 = _gif_with_gce([0, 3, 0], None,
+                       [(0, 0, 4, 4, f0), (0, 0, 4, 4, patch),
+                        (0, 0, 1, 1, [3])])
+    _, _, out = decode_gif(p3)
+    assert out[2][3] == 5        # frame 0 content restored
+
+
+def test_gif_interlaced_frame():
+    # interlace flag reorders rows by the 8/8/4/2 pass schedule; build
+    # an 8-row frame whose row r is constant value r, stored in pass
+    # order, and check the decoder puts rows back
+    w, h = 2, 8
+    row_order = [0, 4, 2, 6, 1, 3, 5, 7]  # pass-order for h=8
+    stored = []
+    for r in row_order:
+        stored += [r] * w
+    out = bytearray(b"GIF89a") + struct.pack("<HH", w, h)
+    out.append(0x80 | 7)
+    out += b"\x00\x00"
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes((0x40,))
+    out.append(8)
+    data = lzw_encode(stored, 8)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    out += b"\x3b"
+    _, _, frames = decode_gif(bytes(out))
+    px = frames[0]
+    for r in range(8):
+        assert px[r * w * 3] == r, f"row {r} misplaced"
+
+
+def test_gif_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF")
+
+
+# --------------------------------------------------------------- APNG
+def test_apng_source_compose_roundtrip():
+    w, h = 8, 8
+    f0 = bytes(range(64))
+    ups = [
+        (0, 2, 8, 1, bytes([200] * 8)),
+        (3, 5, 4, 2, bytes([90] * 8)),
+    ]
+    aw, ah, ch, comp = decode_apng(encode_apng(w, h, 1, [(0, 0, w, h, f0)] + ups))
+    assert (aw, ah, ch, len(comp)) == (8, 8, 1, 3)
+    assert bytes(comp[0]) == f0
+    canvas = bytearray(f0)
+    canvas[2 * 8 : 3 * 8] = bytes([200] * 8)
+    assert bytes(comp[1]) == bytes(canvas)
+    for r in range(2):
+        canvas[(5 + r) * 8 + 3 : (5 + r) * 8 + 7] = bytes([90] * 4)
+    assert bytes(comp[2]) == bytes(canvas)
+
+
+def test_apng_rgb_and_rgba_channels():
+    w = h = 2
+    f0 = bytes([10, 20, 30] * 4)
+    _, _, ch, comp = decode_apng(encode_apng(w, h, 3, [(0, 0, w, h, f0)]))
+    assert ch == 3 and bytes(comp[0]) == f0
+
+
+def test_apng_over_blend_integer_compositing():
+    w = h = 2
+    f0 = bytes([10, 20, 30, 255] * 4)
+    up = (0, 0, 2, 2, bytes([100, 100, 100, 128] * 4))
+    _, _, _, comp = decode_apng(
+        encode_apng(w, h, 4, [(0, 0, w, h, f0), up], blend=1)
+    )
+    px = comp[1]
+    assert px[0] == (100 * 128 + 10 * 127 + 127) // 255
+    assert px[1] == (100 * 128 + 20 * 127 + 127) // 255
+    # full-alpha overwrite fast path
+    up2 = (0, 0, 2, 2, bytes([1, 2, 3, 255] * 4))
+    _, _, _, comp = decode_apng(
+        encode_apng(w, h, 4, [(0, 0, w, h, f0), up2], blend=1)
+    )
+    assert bytes(comp[1][:4]) == bytes([1, 2, 3, 255])
+
+
+def test_apng_dispose_background_and_previous():
+    w = h = 2
+    f0 = bytes([50] * 4)
+    up = (0, 0, 1, 1, bytes([200]))
+    # frame 1 dispose=1 (background): ITS region zeroes after rendering
+    _, _, _, comp = decode_apng(
+        encode_apng(w, h, 1, [(0, 0, w, h, f0), up, up],
+                    dispose=[0, 1, 0])
+    )
+    assert comp[1][0] == 200 and comp[1][1] == 50
+    assert comp[2][0] == 200      # frame 2 repaints the cleared (0,0)
+    assert comp[2][1] == 50       # outside frame 1's region: untouched
+    # frame 1 dispose=2 (previous): canvas reverts, frame 2 sees f0
+    # everywhere except its own fresh paint
+    _, _, _, comp = decode_apng(
+        encode_apng(w, h, 1, [(0, 0, w, h, f0), up, up],
+                    dispose=[0, 2, 0])
+    )
+    assert comp[2][0] == 200 and comp[2][1] == 50
+    # first-frame PREVIOUS degrades to BACKGROUND (spec rule)
+    _, _, _, comp = decode_apng(
+        encode_apng(w, h, 1, [(0, 0, w, h, f0), up], dispose=[2, 0])
+    )
+    assert comp[1][0] == 200 and comp[1][1] == 0
+
+
+def test_plain_png_is_one_frame():
+    from mongo_analyser_spark.operators.pixels import encode_png
+
+    p = encode_png(3, 2, 1, bytes([1, 2, 3, 4, 5, 6]))
+    w, h, ch, fr = decode_frames(p)
+    assert (w, h, ch, len(fr)) == (3, 2, 1, 1)
+    assert bytes(fr[0]) == bytes([1, 2, 3, 4, 5, 6])
+
+
+def test_decode_frames_gif_and_unknown():
+    payload = encode_gif(2, 2, [[0, 1, 2, 3]], palette_bits=8)
+    w, h, ch, fr = decode_frames(payload)
+    assert (w, h, ch, len(fr)) == (2, 2, 3, 1)
+    with pytest.raises(NotImplementedError):
+        decode_frames(b"\x00\x00\x00\x18ftypmp42 not a decodable container")
+
+
+def test_frame_mean_luma_conventions():
+    # gray: plain mean; RGB: Rec.601 integer weights; quantized 1e-4
+    assert frame_mean_luma(bytes([10, 20]), 1) == 15.0
+    rgb = bytes([100, 50, 25] * 2)
+    expect = math.floor((299 * 100 + 587 * 50 + 114 * 25) / 1000 * 1e4 + 0.5) / 1e4
+    assert frame_mean_luma(rgb, 3) == expect
+    assert frame_mean_luma(b"", 1) == 0.0
+
+
+def test_apng_first_frame_must_be_full_canvas():
+    with pytest.raises(ValueError):
+        encode_apng(4, 4, 1, [(1, 1, 2, 2, bytes(4))])

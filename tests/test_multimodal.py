@@ -215,3 +215,73 @@ def test_frame_sample_rows(spark):
                 16,
             )
             assert r["frame_luma"] == expect
+
+
+def test_sample_frame_pixel_rows_real_apng():
+    """Real-decode sampling: composed APNG frames, even-spread indices,
+    exact luma (64-pixel canvas => sum/64 exact)."""
+    from mongo_analyser_spark.operators.frames import encode_apng
+    from mongo_analyser_spark.operators.multimodal import (
+        sample_frame_pixel_rows,
+    )
+
+    f0 = bytes(range(64))
+    ups = [(0, r, 8, 1, bytes([200] * 8)) for r in range(5)]
+    payload = encode_apng(8, 8, 1, [(0, 0, 8, 8, f0)] + ups)
+    rows = sample_frame_pixel_rows(payload, k=4)
+    # 6 frames, k=4 -> floor(i*5/3) = 0,1,3,5
+    assert [(n, fi) for n, fi, _ in rows] == [(6, 0), (6, 1), (6, 3), (6, 5)]
+    import math
+
+    def luma(upto):
+        canvas = bytearray(f0)
+        for r in range(upto):
+            canvas[r * 8:(r + 1) * 8] = bytes([200] * 8)
+        return math.floor(sum(canvas) / 64 * 1e4 + 0.5) / 1e4
+
+    assert [l for _, _, l in rows] == [luma(0), luma(1), luma(3), luma(5)]
+
+
+def test_sample_frame_pixel_rows_video_fallback_matches_fake_contract():
+    """True video containers keep the md5 stand-in, bit-compatible with
+    the Column-expression frame_sample (fake contract)."""
+    from mongo_analyser_spark.operators.multimodal import (
+        sample_frame_pixel_rows,
+    )
+
+    payload = b"\x00\x00\x00\x18ftypmp42-fake-video-bytes"
+    h = hashlib.md5(payload).hexdigest()
+    n = 1 + int(h[4:6], 16) % 32
+    rows = sample_frame_pixel_rows(payload, k=4)
+    assert all(r[0] == n for r in rows)
+    for _, fi, luma in rows:
+        exp = int(hashlib.md5(f"{h}:{fi}".encode()).hexdigest()[:2], 16)
+        assert luma == float(exp)
+
+
+def test_frame_pixel_sample_dataframe_stage(spark):
+    """The DataFrame operator: Arrow stage over packed media, one row
+    per sampled frame, luma double."""
+    from mongo_analyser_spark.operators.frames import encode_gif
+    from mongo_analyser_spark.operators.multimodal import (
+        frame_pixel_sample,
+        sample_frame_pixel_rows,
+    )
+
+    payloads = [
+        (1, encode_gif(8, 8, [[i % 128 for i in range(64)],
+                              [(i + 7) % 128 for i in range(64)]],
+                       palette_bits=8)),
+        (2, encode_gif(4, 4, [[5] * 16], palette_bits=8)),
+    ]
+    df = spark.createDataFrame(payloads, "id long, data binary").select(
+        "id", pack_media(F.col("data"), "image/gif").alias("media")
+    )
+    out = frame_pixel_sample(df, "id", "media", k=4).collect()
+    got = sorted((r["id"], r["n_frames"], r["frame_idx"], r["frame_luma"])
+                 for r in out)
+    exp = []
+    for rid, p in payloads:
+        for n, fi, luma in sample_frame_pixel_rows(p, 4):
+            exp.append((rid, n, fi, luma))
+    assert got == sorted(exp)

@@ -5,7 +5,19 @@ rows) once per-job fixed overhead (~0.2-0.3 s in local mode) is
 subtracted; super-linear growth flags a plan that won't survive 100 TB.
 
 Usage: python tools/scale_probe.py [query ...]   (default: headline set)
+       python tools/scale_probe.py --long-docs [query ...]
 Prints a markdown table + one JSON line.
+
+--long-docs probes the DOC-LENGTH axis (round-10 verdict #1): the
+driver corpus varies doc COUNT but every document is ~300 chars, so a
+text operator superlinear in L — exactly how round 9's char_entropy
+blew up — is invisible to the count-axis table. This mode synthesizes
+a deterministic long-doc tier (300 docs of 10–100 KB built by cyclic
+concatenation of the sf0.1 corpus, ~16 MB vs the 1.5 MB baseline; other
+tables symlinked from sf0.1) under .scale/longdocs/ and reports each
+text family's cost normalized PER MEGABYTE of corpus text at both
+lengths. per-MB ratio ≈ 1 means linear in L; >2 flags superlinearity
+the count axis cannot see.
 """
 
 from __future__ import annotations
@@ -56,11 +68,140 @@ HEADLINE = [
 ]
 
 
+# text-heavy families whose per-row cost grows with doc LENGTH: regex
+# chains, HOF stacks, sorted/boundary arrays, gram explodes, Arrow BPE
+LONGDOC_QUERIES = [
+    "text_stats_documents",
+    "gopher_rules_documents",
+    "char_entropy_documents",
+    "pii_scrub_extended_documents",
+    "fingerprint_documents",
+    "unigram_nll_documents",
+    "kneser_ney_nll_documents",
+    "bpe_token_counts_documents",
+    "chunk_tokens_documents",
+    "remove_repeated_ngrams_documents",
+    "remove_repeated_spans_documents",
+    "minhash_signatures_documents",
+    "lang_histogram_documents",
+]
+
+LONGDOC_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scale",
+    "longdocs",
+)
+
+
+def build_longdocs(base_sf: str = "/root/testdata/sf0.1") -> tuple[str, float]:
+    """Deterministic long-doc tier: 300 documents whose doc i has target
+    length (i%10+1)*10 KB, built by cyclically concatenating the base
+    corpus texts starting at offset i (so content varies per doc but is
+    fully reproducible). Returns (dir, corpus_megabytes)."""
+    import duckdb
+
+    os.makedirs(LONGDOC_DIR, exist_ok=True)
+    out = os.path.join(LONGDOC_DIR, "documents.parquet")
+    if not os.path.exists(out):
+        con = duckdb.connect()
+        texts = [
+            t[0]
+            for t in con.execute(
+                "SELECT text FROM read_parquet(?) ORDER BY doc_id",
+                [os.path.join(base_sf, "documents.parquet")],
+            ).fetchall()
+        ]
+        rows = []
+        for i in range(300):
+            target = (i % 10 + 1) * 10_000
+            parts, size, j = [], 0, i
+            while size < target:
+                parts.append(texts[j % len(texts)] or "")
+                size += len(parts[-1]) + 1
+                j += 1
+            doc = " ".join(parts)[:target]
+            rows.append((i, doc, ["en", "de", "zh"][i % 3], f"src{i % 4}",
+                         len(doc)))
+        con.execute(
+            "CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+            " source VARCHAR, n_chars BIGINT)"
+        )
+        con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", rows)
+        con.execute(f"COPY t TO '{out}' (FORMAT PARQUET)")
+    # the text families only read documents, but symlink the rest so any
+    # load_table call resolves
+    for f in os.listdir(base_sf):
+        dst = os.path.join(LONGDOC_DIR, f)
+        if f != "documents.parquet" and not os.path.exists(dst):
+            os.symlink(os.path.join(base_sf, f), dst)
+    import duckdb as d
+
+    mb = d.sql(
+        f"SELECT sum(length(text))/1e6 FROM read_parquet('{out}')"
+    ).fetchone()[0]
+    return LONGDOC_DIR, float(mb)
+
+
+def main_longdocs(names: list[str]) -> None:
+    from mongo_analyser_spark import get_spark
+    from mongo_analyser_spark.queries import QUERIES
+
+    base_sf = "/root/testdata/sf0.1"
+    long_dir, long_mb = build_longdocs(base_sf)
+    import duckdb
+
+    base_mb = float(
+        duckdb.sql(
+            "SELECT sum(length(text))/1e6 FROM "
+            f"read_parquet('{base_sf}/documents.parquet')"
+        ).fetchone()[0]
+    )
+    spark = get_spark(
+        "scale_probe_L", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    names = names or LONGDOC_QUERIES
+    for n in names:  # warm-up: codegen + Arrow init at the small scale
+        QUERIES[n](spark, base_sf).collect()
+    print(
+        f"| query | sf0.1 {base_mb:.1f} MB (s) | longdocs {long_mb:.1f} MB (s)"
+        " | s/MB base | s/MB long | per-MB ratio |"
+    )
+    print("|---|---|---|---|---|---|")
+    results = {}
+    oh = 0.2  # fixed per-job overhead in local mode
+    for n in names:
+        t0 = time.time()
+        QUERIES[n](spark, base_sf).collect()
+        tb = time.time() - t0
+        t0 = time.time()
+        QUERIES[n](spark, long_dir).collect()
+        tl = time.time() - t0
+        pb = max(tb - oh, 0.01) / base_mb
+        pl = max(tl - oh, 0.01) / long_mb
+        results[n] = {
+            "base_s": round(tb, 3), "long_s": round(tl, 3),
+            "per_mb_base": round(pb, 4), "per_mb_long": round(pl, 4),
+            "ratio": round(pl / pb, 2),
+        }
+        print(
+            f"| {n} | {tb:.2f} | {tl:.2f} | {pb:.3f} | {pl:.3f} |"
+            f" {pl / pb:.2f}× |"
+        )
+    print(json.dumps({
+        "metric": "longdoc_probe", "base_mb": round(base_mb, 2),
+        "long_mb": round(long_mb, 2), "results": results,
+    }))
+
+
 def main() -> None:
     from mongo_analyser_spark import get_spark
     from mongo_analyser_spark.queries import QUERIES
 
-    names = sys.argv[1:] or HEADLINE
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--long-docs":
+        main_longdocs(argv[1:])
+        return
+    names = argv or HEADLINE
     spark = get_spark("scale_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
 
     # warm-up at the largest sf so codegen/classloading is paid up front
