@@ -190,6 +190,141 @@ def pca_project(
     )
 
 
+def _qfloor(x: float, scale: float = 1e9) -> float:
+    """The shared cross-engine quantizer (pixel/audio convention):
+    floor(x*scale + 0.5)/scale — FLOOR is tie-convention-free and
+    bit-identical between Python, Spark, and DuckDB doubles."""
+    import math
+
+    return math.floor(x * scale + 0.5) / scale
+
+
+def pca_power_start(dim: int) -> float:
+    """Deterministic start-vector entry 1/sqrt(dim), floor-quantized at
+    1e-9 so its repr round-trips into a SQL literal exactly (0.125
+    exactly for dim=64)."""
+    import math
+
+    return _qfloor(1.0 / math.sqrt(dim))
+
+
+def pca_power_components(
+    C: list[list[float]], k: int = 4, iters: int = 16
+) -> tuple[list[list[float]], list[float]]:
+    """Top-k spectrum directions via DEFLATED POWER ITERATION with
+    floor-quantized re-synchronization — every op in a fixed order
+    (left-fold dots, one division, FLOOR(x*1e9+0.5)/1e9 after each
+    normalize / Rayleigh / deflation) so an unrolled SQL twin computes
+    BIT-IDENTICAL doubles (the kmeans_step re-sync trick; prototype
+    verified 0 mismatches vs DuckDB). Returns (components, rayleighs).
+
+    Honest semantics: this is the fixed-iteration recurrence, not exact
+    eigh — on a flat spectrum (this corpus: top eigen-gap ~1%) T
+    iterations land in the TOP SUBSPACE rather than the exact
+    eigenvector, and the hash contract covers the recurrence itself;
+    tests/test_pca.py cross-checks the weak properties (unit norm,
+    Rayleigh quotient inside the spectrum's top range) against numpy.
+    Runs driver-side on the collected ROUNDED covariance — a bounded
+    d x d artifact — in ~d^2·T·k float ops (milliseconds)."""
+    import math
+
+    d = len(C)
+    v0 = pca_power_start(d)
+    comps: list[list[float]] = []
+    lams: list[float] = []
+    Cw = [list(row) for row in C]
+    for _ in range(k):
+        v = [v0] * d
+        for _t in range(iters):
+            w = []
+            for r in range(d):
+                s = Cw[r][0] * v[0]
+                for c in range(1, d):
+                    s = s + Cw[r][c] * v[c]
+                w.append(s)
+            n2 = w[0] * w[0]
+            for c in range(1, d):
+                n2 = n2 + w[c] * w[c]
+            nrm = math.sqrt(n2)
+            v = [_qfloor(x / nrm) for x in w]
+        cw = []
+        for r in range(d):
+            s = Cw[r][0] * v[0]
+            for c in range(1, d):
+                s = s + Cw[r][c] * v[c]
+            cw.append(s)
+        lam = v[0] * cw[0]
+        for c in range(1, d):
+            lam = lam + v[c] * cw[c]
+        lam = _qfloor(lam)
+        comps.append(v)
+        lams.append(lam)
+        Cw = [
+            [_qfloor(Cw[r][c] - lam * v[r] * v[c]) for c in range(d)]
+            for r in range(d)
+        ]
+    return comps, lams
+
+
+def pca_power_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 4,
+    iters: int = 16,
+) -> DataFrame:
+    """(id, pos, val): coordinates on the k power-iteration directions,
+    long form, floor-quantized at 1e-6. The 100-TB shape is unchanged
+    from pca_project: one distributed covariance pass (O(d^2) shuffle
+    rows), a driver-side iteration on the bounded matrix, and one
+    shuffle-free broadcast projection — but every value now has an
+    exact SQL twin (queries_pipeline._pca_power_sql)."""
+    comps, _lams = pca_power_components(
+        covariance_as_matrix(df, id_col, vec_col, dim), k, iters
+    )
+    spark = df.sparkSession
+    comp_row = spark.createDataFrame(
+        [(comps,)], "comps array<array<double>>"
+    )
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        df.crossJoin(F.broadcast(comp_row))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.col("comps"),
+                    lambda c: F.floor(
+                        _fold_dot(vec, c) * F.lit(1000000.0) + F.lit(0.5)
+                    ).cast("double")
+                    / F.lit(1000000.0),
+                )
+            ).alias("pos", "val"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("pos") + 1).cast("int").alias("pos"),
+            "val",
+        )
+        .orderBy(id_col, "pos")
+    )
+
+
+def covariance_as_matrix(
+    df: DataFrame, id_col: str, vec_col: str, dim: int
+) -> list[list[float]]:
+    """Plain-Python d x d matrix of the ROUNDED covariance (the SQL-twin
+    doubles) — pure floats so the power-iteration arithmetic has no
+    numpy summation-order ambiguity."""
+    rows = covariance_upper(df, id_col, vec_col, dim).collect()
+    m = [[0.0] * dim for _ in range(dim)]
+    for r in rows:
+        m[r["i"] - 1][r["j"] - 1] = r["cov"]
+        m[r["j"] - 1][r["i"] - 1] = r["cov"]
+    return m
+
+
 def jl_planes(out_dim: int, in_dim: int) -> list[list[float]]:
     """Deterministic Achlioptas-style +/-1 projection rows scaled by
     1/sqrt(out_dim), seeded from md5 like srp_planes — engine- and

@@ -426,38 +426,68 @@ def gopher_rules(
     scan's whole-stage codegen, so at 100 TB this is a free rider on
     whatever pass reads the corpus anyway.
 
+    Doc-LENGTH scaling (round-11 long-doc probe): the original
+    top_word_frac re-scanned all N tokens once per DISTINCT token
+    (O(U·N) nested interpreted HOFs — minutes per 100 KB doc), and
+    alpha_word_frac ran a regex per token. Now top_word_frac is the max
+    RUN LENGTH of the staged sorted token array (identical value —
+    O(N log N), the char_entropy discipline: sorted + boundary arrays
+    materialized as projected columns before any lambda indexes them)
+    and the alpha test is one ascii() range check per token (codepoints
+    65-90/97-122 are exactly [A-Za-z], including the empty-token case).
+
     Thresholds compare against the ROUNDED signal columns (the values
     the caller sees), so the verdict can never disagree with the emitted
     signals on an IEEE boundary — and the oracle twin gates on
     identically rounded values.
     """
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    sig = docs.select(
+    staged = docs.select(
+        id_col,
+        F.length(text_col).alias("__len"),
+        tokens(F.col(text_col)).alias("__t"),
+    )
+    with_sorted = staged.select(
+        id_col, "__len", "__t", F.array_sort("__t").alias("__st")
+    )
+    bounded = with_sorted.select(
+        id_col,
+        "__len",
+        "__t",
+        F.size("__t").alias("__n"),
+        _boundaries(F.col("__st")).alias("__bt"),
+    )
+    n = F.col("__n")
+    nxt = F.concat(
+        F.slice(F.col("__bt"), 2, F.greatest(F.size("__bt") - 1, F.lit(0))),
+        F.array(n + 1),
+    )
+    top_cnt = F.array_max(
+        F.zip_with(F.col("__bt"), nxt, lambda s0, e: e - s0)
+    )
+    is_alpha_first = lambda x: (  # noqa: E731
+        ((F.ascii(x) >= 65) & (F.ascii(x) <= 90))
+        | ((F.ascii(x) >= 97) & (F.ascii(x) <= 122))
+    )
+    sig = bounded.select(
         id_col,
         n.cast("long").alias("n_words"),
-        F.round((F.length(text_col) - n + 1).cast("double") / n, 4).alias(
+        F.round((F.col("__len") - n + 1).cast("double") / n, 4).alias(
             "mean_word_len"
         ),
         F.round(
-            F.size(F.filter(toks, lambda x: x.rlike("^[a-zA-Z]"))).cast("double") / n,
+            F.size(F.filter(F.col("__t"), is_alpha_first)).cast("double")
+            / n,
             4,
         ).alias("alpha_word_frac"),
         F.size(
-            F.filter(F.array_distinct(toks), lambda x: x.isin(GOPHER_STOPWORDS))
+            F.filter(
+                F.array_distinct(F.col("__t")),
+                lambda x: x.isin(GOPHER_STOPWORDS),
+            )
         )
         .cast("long")
         .alias("n_stopwords"),
-        F.round(
-            F.array_max(
-                F.transform(
-                    F.array_distinct(toks),
-                    lambda w: F.size(F.filter(toks, lambda x: x == w)),
-                )
-            ).cast("double")
-            / n,
-            4,
-        ).alias("top_word_frac"),
+        F.round(top_cnt.cast("double") / n, 4).alias("top_word_frac"),
     )
     passes = (
         F.col("n_words").between(min_words, max_words)

@@ -108,3 +108,81 @@ def test_jl_preserves_distances_in_expectation(spark):
             ratios.append(d1 / d0)
     mean = sum(ratios) / len(ratios)
     assert 0.5 < mean < 1.5
+
+
+def test_pca_power_components_deterministic_and_unit_norm():
+    """The power-iteration recurrence: bit-identical across runs, unit
+    norm within quantization, Rayleigh quotients inside the spectrum's
+    range (the weak numpy cross-check — the hash ORACLE is the
+    contract; see q_pca_project's docstring on the flat spectrum)."""
+    import numpy as np
+
+    from mongo_analyser_spark.operators.pca import pca_power_components
+
+    rng = np.random.RandomState(11)
+    A = rng.randn(12, 12)
+    C = np.round((A @ A.T) / 12.0, 6)
+    Cl = [[float(x) for x in row] for row in C]
+    c1, l1 = pca_power_components(Cl, k=3, iters=16)
+    c2, l2 = pca_power_components(Cl, k=3, iters=16)
+    assert c1 == c2 and l1 == l2  # bit-identical determinism
+    vals = np.linalg.eigvalsh(C)
+    for v, lam in zip(c1, l1):
+        n = float(np.linalg.norm(v))
+        assert abs(n - 1.0) < 1e-6
+        # Rayleigh quotient of any unit vector lies in [λmin, λmax];
+        # after 16 deflated iterations it should sit in the top half
+        assert lam <= vals[-1] + 1e-6
+        assert lam >= float(np.median(vals)) - 1e-6
+
+
+def test_pca_power_converges_on_separated_spectrum():
+    """On a well-separated spectrum the fixed-iteration form DOES
+    recover the numpy eigenvectors — the flat-spectrum caveat is about
+    the corpus, not the algorithm."""
+    import numpy as np
+
+    from mongo_analyser_spark.operators.pca import pca_power_components
+
+    rng = np.random.RandomState(5)
+    Q, _ = np.linalg.qr(rng.randn(10, 10))
+    C = np.round(Q @ np.diag([9.0, 4.0, 2.0] + [0.1] * 7) @ Q.T, 6)
+    comps, lams = pca_power_components(
+        [[float(x) for x in r] for r in C], k=3, iters=16
+    )
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1]
+    for i, (v, lam) in enumerate(zip(comps, lams)):
+        ref = vecs[:, order[i]]
+        assert abs(float(np.dot(v, ref))) > 0.999
+        assert abs(lam - vals[order[i]]) < 0.01
+
+
+def test_pca_power_project_matches_driver_recurrence(spark):
+    """The distributed projection equals a hand fold over the same
+    components (exact — floor quantizer both sides)."""
+    import math
+
+    import numpy as np
+
+    from mongo_analyser_spark.operators.pca import (
+        covariance_as_matrix,
+        pca_power_components,
+        pca_power_project,
+    )
+
+    rng = np.random.RandomState(3)
+    data = [
+        (i, [float(x) for x in rng.randn(6)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    out = pca_power_project(df, "vec_id", "embedding", 6, k=2, iters=8)
+    got = {(r["vec_id"], r["pos"]): r["val"] for r in out.collect()}
+    C = covariance_as_matrix(df, "vec_id", "embedding", 6)
+    comps, _ = pca_power_components(C, k=2, iters=8)
+    for vid, vec in data:
+        for p, comp in enumerate(comps, start=1):
+            s = vec[0] * comp[0]
+            for c in range(1, 6):
+                s = s + vec[c] * comp[c]
+            assert got[(vid, p)] == math.floor(s * 1e6 + 0.5) / 1e6

@@ -92,11 +92,9 @@ ROWS_ONLY = {
     # PNG roundtrip twin stays hash-oracled and DC-only fixtures are
     # pinned exactly in tests/test_pixels.py
     "jpeg_pixel_stats_documents",
-    # round-9: PCA projection — the eigendecomposition is a driver-side
-    # numpy eigh with no SQL twin; tests/test_pca.py pins the
-    # projections against numpy directly, and the covariance input is
-    # itself hash-oracled (embedding_covariance_upper)
-    "pca_project_embeddings",
+    # (pca_project_embeddings graduated to hash-oracled in round 11:
+    # fixed-iteration quantization-synced power iteration with an
+    # unrolled SQL twin — verdict-r10 #4)
 }
 
 
