@@ -136,7 +136,13 @@ def normalize_text(col: Column | str) -> Column:
     return F.trim(c)
 
 
-def chunk_tokens(col: Column | str, chunk_size: int, overlap: int = 0) -> Column:
+def chunk_tokens(
+    col: Column | str,
+    chunk_size: int,
+    overlap: int = 0,
+    *,
+    pretokenized: bool = False,
+) -> Column:
     """Fixed-size overlapping TOKEN-window chunks — the unit a
     context-window-bounded pipeline actually chunks by, next to the
     char-based ``chunk_spans``. Returns
@@ -145,14 +151,26 @@ def chunk_tokens(col: Column | str, chunk_size: int, overlap: int = 0) -> Column
     window of up to ``chunk_size`` tokens, stride chunk_size - overlap.
     Pure column expressions (sequence + slice + array_join) — zero
     shuffle, fuses into the scan. Empty text yields one empty chunk at
-    offset 0 (stable row count, same contract as chunk_spans)."""
+    offset 0 (stable row count, same contract as chunk_spans).
+
+    Doc-LENGTH scaling (round-11 long-doc probe): interpreted HOF
+    evaluation has no CSE, so slicing an INLINE ``tokens(col)`` inside
+    the window lambda re-splits the WHOLE text once per chunk —
+    O(N^2/stride) per doc, 26.8x per-MB on 10-100 KB docs (the
+    _boundaries/char_entropy failure mode). Long-doc callers must
+    MATERIALIZE the token array as a projected column first and pass it
+    with ``pretokenized=True``; the default form stays for short-text
+    convenience."""
     if chunk_size <= 0:
         raise ValueError("chunk_size must be positive")
     if overlap < 0:
         raise ValueError("overlap must be non-negative")
     if overlap >= chunk_size:
         raise ValueError("overlap must be smaller than chunk_size")
-    toks = tokens(col)
+    if pretokenized:
+        toks = F.col(col) if isinstance(col, str) else col
+    else:
+        toks = tokens(col)
     step = chunk_size - overlap
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)

@@ -100,9 +100,10 @@ def decode_wav(payload: bytes) -> Tuple[int, List[int]]:
         raise ValueError("missing fmt/data chunk")
     if fmt_tag != _PCM_FORMAT or bits != 16 or channels != 1:
         raise NotImplementedError(
-            "only mono 16-bit integer PCM decodes here; compressed "
-            "(MP3/AAC/Opus), float-PCM, and multichannel audio need a "
-            "codec library this container does not ship"
+            "only mono 16-bit integer PCM decodes here (float32 and "
+            "multichannel decode via decode_wav_ex since round 11); "
+            "compressed (MP3/AAC/Opus) audio needs a codec library "
+            "this container does not ship"
         )
     n = len(data) // 2
     samples = list(struct.unpack("<%dh" % n, data[: 2 * n]))
@@ -112,6 +113,127 @@ def decode_wav(payload: bytes) -> Tuple[int, List[int]]:
 def _q4(x: float) -> float:
     """Shared cross-engine quantizer: floor(x*1e4 + 0.5)/1e4."""
     return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+
+_FLOAT_FORMAT = 3  # WAVE_FORMAT_IEEE_FLOAT
+
+
+def encode_wav_ex(
+    sample_rate: int, channels: List[List[float]], fmt: int = _FLOAT_FORMAT
+) -> bytes:
+    """Multichannel WAV writer: ``channels`` is a list of per-channel
+    sample lists (equal lengths), interleaved frame-by-frame into one
+    'data' chunk. fmt 3 writes IEEE float32; fmt 1 writes PCM16 (values
+    taken as ints, clamped). Round-10 verdict #7: both are struct-only
+    extensions of the RIFF walk."""
+    n_ch = len(channels)
+    if n_ch == 0:
+        raise ValueError("need at least one channel")
+    n = len(channels[0])
+    if any(len(c) != n for c in channels):
+        raise ValueError("channels must have equal lengths")
+    inter: list = []
+    for i in range(n):
+        for c in channels:
+            inter.append(c[i])
+    if fmt == _FLOAT_FORMAT:
+        bits = 32
+        data = struct.pack("<%df" % len(inter), *inter)
+    elif fmt == _PCM_FORMAT:
+        bits = 16
+        clamped = [max(-32768, min(32767, int(s))) for s in inter]
+        data = struct.pack("<%dh" % len(clamped), *clamped)
+    else:
+        raise ValueError(f"unsupported format tag {fmt}")
+    block = n_ch * bits // 8
+    fmt_chunk = struct.pack(
+        "<HHIIHH", fmt, n_ch, sample_rate, sample_rate * block, block, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt_chunk))
+        + fmt_chunk
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_ex(payload: bytes) -> Tuple[int, List[List[float]]]:
+    """(sample_rate, per-channel sample lists) from integer-PCM16 or
+    IEEE-float32 WAV bytes, ANY channel count (de-interleaved) — the
+    round-11 widening of ``decode_wav``'s mono-PCM16 gate. The
+    NotImplementedError gate now covers only genuinely compressed audio
+    (MP3/AAC/Opus) and exotic widths (float64, 24-bit PCM). Same
+    untrusted-size validation as decode_wav."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sample_rate = None
+    bits = n_ch = fmt_tag = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated chunk")
+            fmt_tag, n_ch, sample_rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if sample_rate is None or data is None or not n_ch:
+        raise ValueError("missing fmt/data chunk")
+    if fmt_tag == _PCM_FORMAT and bits == 16:
+        n = len(data) // 2
+        flat = [float(v) for v in struct.unpack("<%dh" % n, data[: 2 * n])]
+    elif fmt_tag == _FLOAT_FORMAT and bits == 32:
+        n = len(data) // 4
+        flat = list(struct.unpack("<%df" % n, data[: 4 * n]))
+    else:
+        raise NotImplementedError(
+            "only integer PCM16 and IEEE float32 decode here; compressed "
+            "(MP3/AAC/Opus), float64, and 24-bit audio need a codec "
+            "library this container does not ship"
+        )
+    frames = len(flat) // n_ch
+    return sample_rate, [
+        [flat[i * n_ch + c] for i in range(frames)] for c in range(n_ch)
+    ]
+
+
+def wav_multichannel_features(payload: bytes) -> List[dict]:
+    """Per-CHANNEL clip features over a decoded multichannel/float WAV:
+    (channel, n_samples, mean, rms, peak, zero_crossings). For samples
+    of dyadic-rational form k/2^m every sum below is exact in double
+    regardless of order (the hash-oracle design point of the float row:
+    the synthesized samples are (c-64)/128), so mean/rms stay
+    engine-deterministic; peak and zero crossings are exact
+    comparisons. All floats quantized with the shared _q4."""
+    _rate, chans = decode_wav_ex(payload)
+    out = []
+    for ci, s in enumerate(chans):
+        n = len(s)
+        sum_v = sum(s)
+        sum_sq = sum(v * v for v in s)
+        zc = sum(1 for i in range(1, n) if s[i - 1] * s[i] < 0)
+        out.append(
+            {
+                "channel": ci,
+                "n_samples": n,
+                "mean": _q4(sum_v / n) if n else 0.0,
+                "rms": _q4(math.sqrt(sum_sq / n)) if n else 0.0,
+                "peak": _q4(max((abs(v) for v in s), default=0.0)),
+                "zero_crossings": zc,
+            }
+        )
+    return out
 
 
 def wav_features(payload: bytes) -> dict:

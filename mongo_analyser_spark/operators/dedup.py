@@ -828,13 +828,14 @@ def remove_repeated_ngrams(
     * hit START positions aggregate to ONE sorted int array per doc
       (skinny — one row per doc, not n rows per occurrence);
     * the rebuild is a pure array expression on the joined-back doc:
-      token i survives iff no start s has s <= i < s+n (an `exists`
-      probe over the per-doc starts) — no per-token explode, no
-      coverage distinct, no anti-join. Round-7 rewrite: byte-identical
-      output with the per-position rows, the distinct, and the
-      anti-join gone (solo median 3.25 -> 2.84 s at sf0.1, where serial
-      single-file stage barriers dominate; the eliminated stages are
-      the ones that scale with corpus size — SCALE.md round-7 section).
+      covered positions expand to a flat array (O(hits·n)), survivors
+      come from ONE hash-based `array_except` against the position
+      sequence, and tokens are re-read by O(1) element_at probes on the
+      MATERIALIZED token column. Round-11 rewrite (long-doc probe): the
+      round-7 `exists`-over-starts probe per token was O(N·hits) per
+      doc — quadratic exactly on boilerplate-HEAVY docs, the operator's
+      own target input (a 100 KB doc of repeated text ran minutes);
+      this form is linear and byte-identical.
 
     Returns (id, cleaned_text, n_tokens, n_kept) for EVERY input doc —
     untouched docs round-trip their text; a fully-covered doc yields ''.
@@ -842,23 +843,39 @@ def remove_repeated_ngrams(
     toks = tokens(F.col(text_col))
     starts = _repeated_gram_starts(docs, id_col, text_col, n, min_docs)
     j = docs.select(id_col, F.col(text_col)).join(starts, id_col, "left")
-    indexed = F.transform(
-        toks, lambda x, i: F.struct((i + 1).alias("i"), x.alias("tk"))
+    staged = j.select(
+        id_col,
+        toks.alias("__t"),
+        F.coalesce(F.col("starts"), F.expr("array()")).alias("__s"),
     )
-    in_any = lambda t: F.exists(  # noqa: E731
-        F.coalesce(F.col("starts"), F.expr("array()")),
-        lambda s: (s <= t["i"]) & (t["i"] < s + n),
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(F.col("__s"), lambda s: F.sequence(s, s + n - 1))
+        )
     )
-    kept = F.filter(indexed, lambda t: ~in_any(t))
-    # NULL-text rows: the array expressions yield NULL — coalesce keeps
-    # the 'EVERY input doc' contract ('', 0, 0) the pre-rewrite plan had
-    return j.select(
+    npos = F.size("__t")
+    all_pos = F.when(npos > 0, F.sequence(F.lit(1), npos)).otherwise(
+        F.expr("array()")
+    )
+    staged2 = staged.select(
+        id_col, "__t", F.array_except(all_pos, covered).alias("__kp")
+    )
+    # NULL-text rows: the array expressions yield NULL/empty — coalesce
+    # keeps the 'EVERY input doc' contract ('', 0, 0)
+    return staged2.select(
         id_col,
         F.coalesce(
-            F.concat_ws(" ", F.transform(kept, lambda t: t["tk"])), F.lit("")
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.col("__kp"),
+                    lambda p: F.element_at(F.col("__t"), p),
+                ),
+            ),
+            F.lit(""),
         ).alias("cleaned_text"),
-        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("n_tokens"),
-        F.coalesce(F.size(kept), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.size("__t"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.size("__kp"), F.lit(0)).cast("long").alias("n_kept"),
     )
 
 
@@ -951,13 +968,16 @@ def remove_repeated_spans(
     SORTED start array (one skinny row per doc) → interval union as a
     pure `aggregate` fold over the sorted starts (a start extends the
     last span when it begins at or before span_end + 1, else opens a
-    new one — plain left-to-right interval merging) → rebuild with an
-    `exists`-over-spans probe per token. After the three keyed probe
-    shuffles, span building and excision run entirely inside the row —
-    no window, no per-position rows, no anti-join (round-7 plan; the
-    per-doc state is O(hits), and the sf0.1 solo median is bounded by
-    serial single-file stage barriers, not data-proportional work —
-    SCALE.md round-7 section).
+    new one — plain left-to-right interval merging) → rebuild by
+    expanding the DISJOINT merged spans into a flat covered-position
+    array (total size <= n_tokens, no distinct needed) and taking the
+    survivors with ONE hash-based `array_except`, re-reading tokens by
+    O(1) element_at probes on the materialized token column. After the
+    three keyed probe shuffles, span building and excision run entirely
+    inside the row — no window, no per-position rows, no anti-join.
+    (Round-11 rewrite, long-doc probe: the round-7 `exists`-over-spans
+    probe per token was O(N·spans) per doc — quadratic on patchy
+    boilerplate; this form is linear and byte-identical.)
 
     Returns (id, cleaned_text, n_tokens, n_spans, n_removed) for EVERY
     input doc; untouched docs round-trip their text."""
@@ -967,25 +987,36 @@ def remove_repeated_spans(
     spans = merge_start_intervals(
         F.coalesce(F.col("starts"), F.expr("array()")), n
     )
-    jj = j.select(id_col, F.col(text_col), spans.alias("spans"))
-    indexed = F.transform(
-        toks, lambda x, i: F.struct((i + 1).alias("i"), x.alias("tk"))
+    jj = j.select(id_col, toks.alias("__t"), spans.alias("spans"))
+    covered = F.flatten(
+        F.transform("spans", lambda sp: F.sequence(sp["s"], sp["e"]))
     )
-    kept = F.filter(
-        indexed,
-        lambda t: ~F.exists(
-            "spans", lambda sp: (sp["s"] <= t["i"]) & (t["i"] <= sp["e"])
-        ),
+    npos = F.size("__t")
+    all_pos = F.when(npos > 0, F.sequence(F.lit(1), npos)).otherwise(
+        F.expr("array()")
+    )
+    staged = jj.select(
+        id_col,
+        "__t",
+        "spans",
+        F.array_except(all_pos, covered).alias("__kp"),
     )
     # NULL-text rows: coalesce the token-derived columns (same contract
     # guard as remove_repeated_ngrams); span columns derive from the
     # already-coalesced starts array and need none
-    return jj.select(
+    return staged.select(
         id_col,
         F.coalesce(
-            F.concat_ws(" ", F.transform(kept, lambda t: t["tk"])), F.lit("")
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.col("__kp"),
+                    lambda p: F.element_at(F.col("__t"), p),
+                ),
+            ),
+            F.lit(""),
         ).alias("cleaned_text"),
-        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.size("__t"), F.lit(0)).cast("long").alias("n_tokens"),
         F.size("spans").cast("long").alias("n_spans"),
         F.aggregate(
             "spans", F.lit(0), lambda a, sp: a + sp["e"] - sp["s"] + 1

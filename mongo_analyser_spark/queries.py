@@ -2503,14 +2503,10 @@ WINDOW_QUERIES = (
     "type_histogram_events",
     "top_values_events",
     "array_stats_embeddings",
-    "distinct_kmv_events",
     "sample_events_deterministic",
     "list_collections",
     "describe_collection_events",
     "convert_export_events",
-    "bm25_topk_documents",
-    "unigram_nll_documents",
-    "semantic_dedup_embeddings",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q21_waiting_suppliers",
@@ -2519,12 +2515,9 @@ WINDOW_QUERIES = (
     "asof_join_events_signup",
     "window_top3_orders_per_customer",
     "trailing_window_range_events",
-    "setops_nation_coverage",
-    "value_percentiles_events",
     "schema_documents",
     "q2_min_cost_supplier",
     "decontaminate_exact_ngram_documents",
-    "grouping_sets_orders",
     # late-round-10 rotation: this round's own flagship families go
     # in-window for external verification (the round-9 policy): audio
     # codec round trip, mergeable Misra-Gries, bottom-k quantile report,
@@ -2574,8 +2567,6 @@ WINDOW_QUERIES = (
     # HLL sketch twin — the last is rows-only by design and the driver
     # records the weaker check, which is the point: every declared
     # rows-only row should be externally observed at least once)
-    "token_budget_select_bpe_documents",
-    "jl_project_embeddings",
     # round-8 rotation (verdict-r7 #2): the HLL sketch had its one
     # external rows-only appearance in CORRECTNESS_r07 (err: no_oracle —
     # deliberate); it rotates back to the tail so the driver window is
@@ -2583,6 +2574,30 @@ WINDOW_QUERIES = (
     # variable-length interval-union generalization of the Lee et al.
     # gram join, hash-oracled, never driver-seen) takes the slot.
     "remove_repeated_spans_documents",
+    # round-11 rotation (verdict-r10 #3): every round-10 family that has
+    # never been externally hash-checked gets its driver appearance —
+    # SCD2 gaps-and-islands, EWMA time-series, schema drift, composed
+    # IVFADC, the minhash estimate certification (now slice-bounded),
+    # per-group bottom-k quantiles, per-frame audio features, theta set
+    # differences (now slice-bounded), and the round-11 REAL APNG frame
+    # decode. OUT: nine rows with 2+ recorded driver-green appearances,
+    # each with an in-window family sibling (bm25->unigram family keeps
+    # kneser_ney + char_entropy; distinct_kmv -> quantile/countmin/MG
+    # sketch reps stay; grouping_sets/setops -> TPC-H q1/q3/q21 keep the
+    # agg shapes; value_percentiles -> quantile_sketch_report certifies
+    # vs the exact percentile in-window; token_budget_select_bpe ->
+    # sampling rep sample_events_deterministic; jl_project ->
+    # embedding_covariance_upper + pca_project stay; semantic_dedup ->
+    # embedding_near_dup_pairs + embedding_dedup_clusters stay)
+    "scd2_event_type_events",
+    "ewma_smooth_events",
+    "schema_drift_events",
+    "ivfpq_topk_embeddings",
+    "minhash_estimate_error_pairs",
+    "quantile_sketch_by_type_events",
+    "wav_frame_features_documents",
+    "theta_difference_pairs_documents",
+    "frame_pixel_stats_documents",
 )
 
 # Near-duplicates of an already-in-window sibling ride the tail (still
@@ -2617,6 +2632,18 @@ WINDOW_QUERIES = (
 #   user_totals_events        — ST5 stateful family keeps
 #                               dedup_first_event_per_user_type
 TAIL_QUERIES = (
+    # round-11 rotation: out of the window after 2+ recorded green
+    # driver appearances (in-window siblings noted at the WINDOW list)
+    "bm25_topk_documents",
+    "unigram_nll_documents",
+    "distinct_kmv_events",
+    "grouping_sets_orders",
+    "setops_nation_coverage",
+    "value_percentiles_events",
+    "token_budget_select_bpe_documents",
+    "jl_project_embeddings",
+    "semantic_dedup_embeddings",
+
     # round-7 rotation: r6-driver-green family members move out to make
     # room (all still judge/tool-checked via the full registry):
     #   decontaminate_documents — LSH variant; exact-ngram twin stays in
@@ -2825,7 +2852,6 @@ TAIL_QUERIES = (
     # round-10: time-series tier over events — EWMA smoother (α=0.5
     # power-of-two folds, bit-identical across engines) and population
     # z-score outlier flags (ROUND-gated, the gopher discipline)
-    "ewma_smooth_events",
     "zscore_outliers_events",
     # round-10: frame sampling for multi-frame media — the video member
     # of the decode/feature-extract/resize/frame-sample quartet (real
@@ -2834,28 +2860,22 @@ TAIL_QUERIES = (
     # round-10: SCD2 validity-interval build from the event stream
     # (gaps-and-islands; the change-history table the as-of join
     # consumes — asof_join_events_signup stays the in-window W rep)
-    "scd2_event_type_events",
     # round-10: per-group bottom-k quantiles (the sketch sharded by a
     # group key; the in-window report row certifies the global form)
-    "quantile_sketch_by_type_events",
     # round-10: schema drift report between corpus eras (the monitoring
     # extension of the reference's one-shot inference; type_histogram +
     # dynamic_schema stay the in-window A4 reps)
-    "schema_drift_events",
     # round-10: MinHash estimate-vs-exact certification (the
     # countmin/theta/MG contract applied to the first sketch family;
     # dedup_minhash_pairs stays the in-window flagship)
-    "minhash_estimate_error_pairs",
     # round-10: IVFADC composed end-to-end (IVF cell gate + PQ/ADC +
     # exact rerank — the production ANN shape; pq_adc_rerank stays the
     # in-window PQ rep) + its recall gate (the fourth, quantifying the
     # nprobe=1 cell-gate cost on top of quantization)
-    "ivfpq_topk_embeddings",
     "ivfpq_recall_report_embeddings",
     # round-10: per-frame audio features (frame-local RMS/peak/ZC over
     # 64-sample windows — the frame-level member of the audio tier;
     # wav_audio_features is the in-window clip-level rep)
-    "wav_frame_features_documents",
     # round-10: audio resize round trip (decimate-by-4 resample between
     # a real encode and a real decode, features oracled from the 1-in-4
     # selection directly)
@@ -2863,7 +2883,6 @@ TAIL_QUERIES = (
     # round-10: theta set DIFFERENCE estimates — the missing member of
     # the sketch set algebra (theta_overlap_pairs in-window covers
     # union/intersection/Jaccard)
-    "theta_difference_pairs_documents",
     # late-round-10 rotation: thrice-green (r07+r08+r09) rows whose
     # families keep in-window representatives —
     #   similarity_topk — exact-cosine twin; ann_srp + pq_adc stay
@@ -2882,8 +2901,11 @@ TAIL_QUERIES = (
     # round-11: REAL multi-frame pixel decode (operators/frames.py —
     # APNG fcTL/fdAT recomposition and the full GIF LZW codec); the
     # APNG composition row rotates in-window with the round-11 curation
-    "frame_pixel_stats_documents",
     "gif_frame_pixels_documents",
+    # round-11: float32 stereo WAV round trip (audio codec gate narrows
+    # to genuinely compressed formats — wav_audio_features stays the
+    # in-window audio rep)
+    "wav_multichannel_features_documents",
 )
 
 

@@ -1747,14 +1747,21 @@ def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     context-window-bounded sibling of the char chunker: what a RAG /
     training pipeline actually slices by. Same zero-shuffle shape
     (sequence + slice + array_join fused into the scan), token offsets
-    instead of char offsets (functions/text.chunk_tokens)."""
-    from mongo_analyser_spark.functions.text import chunk_tokens
+    instead of char offsets (functions/text.chunk_tokens). The token
+    array is STAGED as a projected column before the window lambda
+    slices it (round-11 long-doc probe: the inline form re-split the
+    whole text per chunk — 95 s / 26.8x per-MB on the 10-100 KB tier,
+    0.8 s staged)."""
+    from mongo_analyser_spark.functions.text import chunk_tokens, tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("__t"))
     return (
-        docs.select(
+        staged.select(
             "doc_id",
-            F.posexplode(chunk_tokens("text", 64, 16)).alias("chunk_idx", "sp"),
+            F.posexplode(
+                chunk_tokens(F.col("__t"), 64, 16, pretokenized=True)
+            ).alias("chunk_idx", "sp"),
         )
         .select(
             "doc_id",
@@ -4826,6 +4833,112 @@ def q_wav_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, frame_idx int, n_samples int, rms double,"
         " peak int, zero_crossings int",
     ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "wav_multichannel_features_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id, codes, COALESCE(len(codes),0) // 2 AS fl FROM a),
+s AS (SELECT doc_id, fl,
+  list_transform(list_filter(codes, (x,i) -> i % 2 = 1 AND i <= 2*fl),
+                 c -> (c - 64)/128.0) AS c0,
+  list_transform(list_filter(codes, (x,i) -> i % 2 = 0 AND i <= 2*fl),
+                 c -> (c - 64)/128.0) AS c1
+  FROM b),
+u AS (
+  SELECT doc_id, 0 AS channel, c0 AS smp FROM s
+  UNION ALL SELECT doc_id, 1, c1 FROM s),
+f AS (
+  SELECT doc_id, channel,
+    COALESCE(len(smp), 0) AS n,
+    COALESCE(list_sum(smp), 0) AS sv,
+    COALESCE(list_sum(list_transform(smp, v -> v * v)), 0) AS sq,
+    COALESCE(list_max(list_transform(smp, v -> abs(v))), 0.0) AS pk,
+    COALESCE(len(list_filter(smp, (x, i) -> i > 1 AND smp[i-1] * x < 0)), 0) AS zc
+  FROM u)
+SELECT doc_id, CAST(channel AS INT) AS channel, CAST(n AS INTEGER) AS n_samples,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE FLOOR(CAST(sv AS DOUBLE) / n * 10000.0 + 0.5) / 10000.0 END AS mean,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE FLOOR(sqrt(CAST(sq AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0
+  END AS rms,
+  FLOOR(CAST(pk AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS peak,
+  CAST(zc AS INTEGER) AS zero_crossings
+FROM f ORDER BY doc_id, channel
+""",
+)
+def q_wav_multichannel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEEE-FLOAT32 STEREO WAV round trip (round-10 verdict #7 — the
+    codec gate narrows to genuinely compressed audio): each document's
+    ASCII codes become interleaved stereo float frames ((c-64)/128 —
+    dyadic rationals exact in float32 AND double, so every sum below is
+    order-free exact), written as a REAL format-3 RIFF container
+    (operators/audio.encode_wav_ex), then decoded + de-interleaved
+    (decode_wav_ex) into per-CHANNEL clip features. The oracle computes
+    the same features from the odd/even code split directly — a bug in
+    the float packing, the fmt-chunk fields, the frame de-interleave,
+    or the feature math breaks the hash."""
+    import pandas as pd  # noqa: F401
+
+    from mongo_analyser_spark.operators.audio import (
+        encode_wav_ex,
+        wav_multichannel_features,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            "doc_id",
+        )
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                fl = len(codes) // 2
+                c0 = [(codes[2 * i] - 64) / 128.0 for i in range(fl)]
+                c1 = [(codes[2 * i + 1] - 64) / 128.0 for i in range(fl)]
+                payload = encode_wav_ex(8000, [c0, c1])
+                for ft in wav_multichannel_features(payload):
+                    rows.append(
+                        (
+                            doc_id,
+                            ft["channel"],
+                            ft["n_samples"],
+                            ft["mean"],
+                            ft["rms"],
+                            ft["peak"],
+                            ft["zero_crossings"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "channel", "n_samples", "mean", "rms",
+                    "peak", "zero_crossings",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, channel int, n_samples int, mean double, rms double,"
+        " peak double, zero_crossings int",
+    ).orderBy("doc_id", "channel")
 
 
 @register(

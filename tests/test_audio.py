@@ -149,3 +149,73 @@ def test_resample_decimate():
 
     with pytest.raises(ValueError):
         resample_decimate(clip, 0)
+
+
+def test_wav_ex_float_stereo_roundtrip():
+    """float32 stereo: encode -> decode_wav_ex de-interleaves exactly
+    (dyadic k/128 samples are float32-exact)."""
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ex,
+    )
+
+    c0 = [(k - 64) / 128.0 for k in range(1, 60, 7)]
+    c1 = [-(k - 60) / 128.0 for k in range(1, 60, 7)]
+    rate, chans = decode_wav_ex(encode_wav_ex(8000, [c0, c1]))
+    assert rate == 8000 and len(chans) == 2
+    assert chans[0] == c0 and chans[1] == c1
+
+
+def test_wav_ex_pcm16_quad_channel():
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ex,
+    )
+
+    chans = [[float(100 * c + i) for i in range(5)] for c in range(4)]
+    rate, back = decode_wav_ex(encode_wav_ex(16000, chans, fmt=1))
+    assert rate == 16000 and back == chans
+
+
+def test_wav_ex_gates_and_validation():
+    import pytest
+
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ex,
+    )
+
+    with pytest.raises(ValueError):
+        decode_wav_ex(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data
+    with pytest.raises(ValueError):
+        encode_wav_ex(8000, [[0.0, 1.0], [0.0]])  # ragged channels
+    # 24-bit PCM is still codec-gated
+    payload = bytearray(encode_wav_ex(8000, [[0.0] * 4], fmt=1))
+    # fmt chunk starts at offset 20; bits-per-sample at offset 20+14
+    payload[34:36] = (24).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError):
+        decode_wav_ex(bytes(payload))
+
+
+def test_wav_multichannel_features_exact():
+    import math
+
+    from mongo_analyser_spark.operators.audio import (
+        encode_wav_ex,
+        wav_multichannel_features,
+    )
+
+    c0 = [1 / 128.0, -2 / 128.0, 3 / 128.0]
+    c1 = [0.0, 5 / 128.0, -5 / 128.0]
+    out = wav_multichannel_features(encode_wav_ex(8000, [c0, c1]))
+    assert [o["channel"] for o in out] == [0, 1]
+    f0 = out[0]
+    assert f0["n_samples"] == 3
+    assert f0["zero_crossings"] == 2
+    exp_rms = math.floor(
+        math.sqrt((1 + 4 + 9) / 16384.0 / 3) * 1e4 + 0.5
+    ) / 1e4
+    assert f0["rms"] == exp_rms
+    assert f0["peak"] == math.floor(3 / 128.0 * 1e4 + 0.5) / 1e4
+    f1 = out[1]
+    assert f1["zero_crossings"] == 1  # 0*x pairs don't count, 5,-5 does

@@ -10,8 +10,6 @@ CHECK_WINDOW = 50
 # plus the round-5 flagships rotated in for round 6 (verdict-r5 #1) and
 # round-6's own additions (mid-round rotation, same policy)
 MUST_BE_CHECKED = [
-    "unigram_nll_documents",
-    "semantic_dedup_embeddings",
     "kmeans_step_embeddings",
     "q21_waiting_suppliers",
     "decontaminate_exact_ngram_documents",
@@ -27,14 +25,11 @@ MUST_BE_CHECKED = [
     "trailing_window_range_events",
     # late-round-6 rotation: the round's own flagship additions
     "gopher_rules_documents",
-    "bm25_topk_documents",
-    "distinct_kmv_events",
     "q2_min_cost_supplier",
     # round-7 rotation (verdict-r6 #6): BPE flagships + the last three
     # never-externally-checked families; session_window / late_data_drop /
     # decontaminate(LSH) / simhash / join_semi moved out after their r6
     # driver-green appearance (family siblings remain in-window)
-    "token_budget_select_bpe_documents",
     # time_rollup_events: externally green r07+r08, rotated to the tail
     # in round 9 (grouping_sets stays as the A12 family rep)
     # round-8 rotation (verdict-r7 #2): HLL's deliberate rows-only
@@ -57,7 +52,6 @@ MUST_BE_CHECKED = [
     "tfidf_cosine_pairs_documents",
     "pq_adc_rerank_topk_embeddings",
     "embedding_covariance_upper",
-    "jl_project_embeddings",
     # late-round-10 rotation: the round's own flagship families in for
     # external verification (pack_sequences / bpe_token_counts /
     # salted_user_event_totals / similarity_topk / dynamic_schema_histogram
@@ -68,6 +62,19 @@ MUST_BE_CHECKED = [
     "quantile_sketch_report_events",
     "theta_overlap_pairs_documents",
     "triangle_count_near_dup",
+    # round-11 rotation (verdict-r10 #3): every round-10 family gets its
+    # external hash-green appearance; the six removed names above it
+    # each rotated to the tail with 2+ recorded green appearances and an
+    # in-window family sibling (see queries.py WINDOW note)
+    "scd2_event_type_events",
+    "ewma_smooth_events",
+    "schema_drift_events",
+    "ivfpq_topk_embeddings",
+    "minhash_estimate_error_pairs",
+    "quantile_sketch_by_type_events",
+    "wav_frame_features_documents",
+    "theta_difference_pairs_documents",
+    "frame_pixel_stats_documents",
 ]
 
 
