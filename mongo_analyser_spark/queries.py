@@ -2906,6 +2906,9 @@ TAIL_QUERIES = (
     # to genuinely compressed formats — wav_audio_features stays the
     # in-window audio rep)
     "wav_multichannel_features_documents",
+    # round-11: point-in-time join against the SCD2 history (the as-of
+    # consumer; scd2_event_type_events is the in-window family rep)
+    "scd2_pit_join_events",
 )
 
 

@@ -649,3 +649,109 @@ def test_exactly_once_sink_restart_appends_new_batches(spark, tmp_path):
     assert {r["event_id"] for r in got.collect()} == {
         r["event_id"] for r in ev.collect()
     }
+
+
+def _latest_quantile_report(spark, name):
+    """Freshest (max-seq) report row per (group, q) from an update-mode
+    memory sink."""
+    rows = spark.table(name).collect()
+    best = {}
+    for r in rows:
+        key = (r["group"], r["q"])
+        if key not in best or r["seq"] > best[key]["seq"]:
+            best[key] = r
+    return {
+        (r["group"], r["q"], r["est"], r["n_sample"])
+        for r in best.values()
+    }
+
+
+def _batch_quantile_set(df):
+    from mongo_analyser_spark.operators.quantiles import (
+        grouped_bottomk_quantiles,
+    )
+
+    return {
+        (r["event_type"], r["q"], r["est"], r["n"])
+        for r in grouped_bottomk_quantiles(
+            df.select(
+                "event_type", F.col("value"), F.col("event_id")
+            ),
+            "event_type", "value", "event_id", k=64,
+        ).collect()
+    }
+
+
+def test_quantile_monitor_stream_matches_batch_exactly(spark):
+    """ST12: the bottom-k quantile sketch as a stateful streaming
+    operator — after the whole stream, the freshest per-group report
+    equals the batch grouped_bottomk_quantiles EXACTLY (membership is a
+    pure function of the data; estimates are raw data values)."""
+    from mongo_analyser_spark.streaming.quantile_monitor import (
+        bottomk_quantile_stream,
+    )
+    from mongo_analyser_spark.streaming.windows import stream_events
+
+    mon = bottomk_quantile_stream(
+        stream_events(spark, SF),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("event_id"),
+        k=64,
+    )
+    assert mon.isStreaming
+    _run_stream_to_memory(mon, "t_q_mon", output_mode="update")
+    got = _latest_quantile_report(spark, "t_q_mon")
+    want = _batch_quantile_set(load_table(spark, SF, "events"))
+    assert got == want and len(want) > 10
+
+
+def test_quantile_monitor_checkpoint_restart(spark, tmp_path):
+    """ST12 restart story: stop/append/restart on one checkpoint — the
+    ≤k-row keyed state survives (else the second run would only see the
+    appended files) and committed offsets prevent replay (else the
+    sample would hold duplicate items and the quantile indices would
+    shift). Final report == batch over ALL files."""
+    from mongo_analyser_spark.streaming.quantile_monitor import (
+        bottomk_quantile_stream,
+    )
+
+    ev = load_table(spark, SF, "events")
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(in_dir)
+
+    def run(name):
+        # memory sink can't recover an update-mode checkpoint; foreachBatch
+        # (the production sink shape, streaming/sink.py) can
+        sdf = spark.readStream.schema(ev.schema).parquet(in_dir)
+        mon = bottomk_quantile_stream(
+            sdf, F.col("event_type"), F.col("value"), F.col("event_id"),
+            k=64,
+        )
+        q = (
+            mon.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out_dir).collect()
+        best = {}
+        for r in rows:
+            key = (r["group"], r["q"])
+            if key not in best or r["seq"] > best[key]["seq"]:
+                best[key] = r
+        return {
+            (r["group"], r["q"], r["est"], r["n_sample"])
+            for r in best.values()
+        }
+
+    first = run("t_q_ckpt_a")
+    batch_all = _batch_quantile_set(ev)
+    assert first != batch_all  # the split is real
+    ev.filter(F.col("event_id") % 2 != 0).write.mode("append").parquet(in_dir)
+    assert run("t_q_ckpt_b") == batch_all
