@@ -172,11 +172,11 @@ def real_decode(payload: bytes) -> dict[str, Any]:
     if header is None:
         raise NotImplementedError(
             "payload is not a recognized PNG/JPEG/GIF/BMP header; "
-            "progressive-JPEG/GIF pixel decode and audio/video decode "
-            "require codecs (PIL/ffmpeg) not present in this container — "
-            "plug a decoder into extract_media_features(decoder=...) where "
-            "they exist (PNG/BMP/baseline-JPEG pixels decode in stdlib, "
-            "operators/pixels.py)"
+            "progressive-JPEG pixels and true video containers require "
+            "codecs (PIL/ffmpeg) not present here — plug a decoder into "
+            "extract_media_features(decoder=...) where they exist "
+            "(PNG/BMP/baseline-JPEG pixels: operators/pixels.py; "
+            "GIF/APNG frames: operators/frames.py since round 11)"
         )
     return {
         "media_len": len(payload),

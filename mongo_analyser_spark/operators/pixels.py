@@ -176,7 +176,8 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
         return decode_jpeg(payload)
     raise NotImplementedError(
         "pixel decode beyond PNG/BMP/baseline-JPEG requires an image "
-        "codec (PIL) not present in this container"
+        "codec (PIL) not present in this container (GIF/APNG FRAMES "
+        "decode in stdlib via operators/frames.decode_frames)"
     )
 
 

@@ -142,6 +142,122 @@ def build_longdocs(base_sf: str = "/root/testdata/sf0.1") -> tuple[str, float]:
     return LONGDOC_DIR, float(mb)
 
 
+SF1_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scale",
+    "sf1",
+)
+
+#: flagship families for the sf0.1 -> sf1 decade (verdict-r10 #6)
+SF1_QUERIES = [
+    "field_stats_events",
+    "dedup_minhash_pairs_documents",
+    "simhash_pairs_documents",
+    "ivfpq_topk_embeddings",
+    "remove_repeated_ngrams_documents",
+    "scd2_event_type_events",
+    "ewma_smooth_events",
+    "mg_heavy_hitters_events",
+    "quantile_sketch_by_type_events",
+    "wav_audio_features_documents",
+]
+
+
+def build_sf1(base_sf: str = "/root/testdata/sf0.1") -> str:
+    """Deterministic 10x tier (the driver ships no sf1): each base table
+    replicated 10x with re-keyed ids. Copies are DECORRELATED so the
+    synthetic growth matches a real corpus's structure, not a
+    pathological one: documents rotate their word order per copy (a
+    copy of doc A stays near-dup-similar to the same copy of its true
+    near-dups but NOT to other copies of A — cluster COUNT grows 10x,
+    cluster SIZE stays constant, so pair populations grow ~linearly as
+    they would in reality. Decorrelation is per-copy WORD SALTING, a
+    bijection on the shingle space: within-copy Jaccard is EXACTLY the
+    base corpus's, cross-copy shared shingles are zero. The first
+    attempt rotated word order instead — rotations preserve cyclic
+    shingles, so copies of one doc stayed near-dups of each other and
+    the pair population grew ~100x, which showed up immediately as a
+    phony 11.8x step on dedup_minhash_pairs); embeddings perturb one
+    dimension per copy;
+    events shift user_id per copy (10x users, same history depth per
+    user). TPC-H tables are symlinked (the flagship set doesn't read
+    them)."""
+    import duckdb
+
+    os.makedirs(SF1_DIR, exist_ok=True)
+    con = duckdb.connect()
+    ev = os.path.join(SF1_DIR, "events.parquet")
+    if not os.path.exists(ev):
+        con.execute(f"""
+COPY (
+  SELECT event_id + c.c * 100000 AS event_id, ts,
+         user_id + c.c * 1500 AS user_id, event_type, value, props
+  FROM read_parquet('{base_sf}/events.parquet')
+  CROSS JOIN generate_series(0, 9) c(c)
+) TO '{ev}' (FORMAT PARQUET)""")
+    dc = os.path.join(SF1_DIR, "documents.parquet")
+    if not os.path.exists(dc):
+        con.execute(f"""
+COPY (
+  SELECT doc_id + c.c * 5000 AS doc_id,
+         CASE WHEN c.c = 0 THEN text
+              ELSE array_to_string(list_transform(
+                     string_split(text, ' '), w -> w || '~' || c.c), ' ')
+         END AS text,
+         lang, source, n_chars
+  FROM read_parquet('{base_sf}/documents.parquet')
+  CROSS JOIN generate_series(0, 9) c(c)
+) TO '{dc}' (FORMAT PARQUET)""")
+    em = os.path.join(SF1_DIR, "embeddings.parquet")
+    if not os.path.exists(em):
+        con.execute(f"""
+COPY (
+  SELECT vec_id + c.c * 2000 AS vec_id,
+         list_transform(embedding, (x, i) ->
+           CAST(CASE WHEN i = (c.c % 64) + 1
+                     THEN x + 0.05 * (c.c + 1) ELSE x END AS FLOAT)
+         ) AS embedding,
+         label
+  FROM read_parquet('{base_sf}/embeddings.parquet')
+  CROSS JOIN generate_series(0, 9) c(c)
+) TO '{em}' (FORMAT PARQUET)""")
+    for f in os.listdir(base_sf):
+        dst = os.path.join(SF1_DIR, f)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(base_sf, f), dst)
+    return SF1_DIR
+
+
+def main_sf1(names: list[str]) -> None:
+    from mongo_analyser_spark import get_spark
+    from mongo_analyser_spark.queries import QUERIES
+
+    base_sf = "/root/testdata/sf0.1"
+    sf1 = build_sf1(base_sf)
+    spark = get_spark(
+        "scale_probe_sf1", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    names = names or SF1_QUERIES
+    for n in names:
+        QUERIES[n](spark, base_sf).collect()  # warm-up
+    print("| query | sf0.1 (s) | sf1-synth (s) | 10× step ratio |")
+    print("|---|---|---|---|")
+    results = {}
+    oh = 0.2
+    for n in names:
+        t0 = time.time()
+        QUERIES[n](spark, base_sf).collect()
+        tb = time.time() - t0
+        t0 = time.time()
+        QUERIES[n](spark, sf1).collect()
+        tl = time.time() - t0
+        ratio = (tl - oh) / max(tb - oh, 0.05)
+        results[n] = {"sf0.1_s": round(tb, 3), "sf1_s": round(tl, 3),
+                      "step": round(ratio, 2)}
+        print(f"| {n} | {tb:.2f} | {tl:.2f} | {ratio:.1f}× |")
+    print(json.dumps({"metric": "sf1_probe", "results": results}))
+
+
 def main_longdocs(names: list[str]) -> None:
     from mongo_analyser_spark import get_spark
     from mongo_analyser_spark.queries import QUERIES
@@ -200,6 +316,9 @@ def main() -> None:
     argv = sys.argv[1:]
     if argv and argv[0] == "--long-docs":
         main_longdocs(argv[1:])
+        return
+    if argv and argv[0] == "--sf1":
+        main_sf1(argv[1:])
         return
     names = argv or HEADLINE
     spark = get_spark("scale_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
