@@ -131,6 +131,26 @@ def _build_parser() -> argparse.ArgumentParser:
         "--q", default="0.25,0.5,0.75,0.9",
         help="comma-separated quantiles (default 0.25,0.5,0.75,0.9)",
     )
+
+    p_md = sub.add_parser(
+        "media",
+        help="multimodal feature extraction over a binary payload "
+        "column: container headers, real pixel stats (PNG/BMP/baseline-"
+        "JPEG), sampled multi-frame luma (APNG/GIF), or audio features "
+        "(PCM16/float32 WAV)",
+    )
+    add_common(p_md)
+    p_md.add_argument("--id-col", default="doc_id")
+    p_md.add_argument("--payload-col", required=True,
+                      help="binary column holding the media bytes")
+    p_md.add_argument(
+        "--kind", choices=["headers", "pixels", "frames", "audio"],
+        default="headers",
+    )
+    p_md.add_argument("--frames-k", type=int, default=4,
+                      help="sampled frames per clip (kind=frames)")
+    p_md.add_argument("--limit", type=int, default=100,
+                      help="max result rows collected into the report")
     return parser
 
 
@@ -357,6 +377,86 @@ def cmd_quantiles(args, spark) -> dict:
     return payload
 
 
+def cmd_media(args, spark) -> dict:
+    """Multimodal feature extraction over an opaque binary column — the
+    CLI face of the decode / pixel / frame-sample / audio operators
+    (operators/multimodal.py, pixels.py, frames.py, audio.py)."""
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.operators.multimodal import pack_media
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    df = load_table(spark, args.data, args.collection).select(
+        F.col(args.id_col),
+        pack_media(F.col(args.payload_col), "application/octet-stream").alias(
+            "media"
+        ),
+    )
+    if args.kind == "headers":
+        from mongo_analyser_spark.operators.multimodal import (
+            extract_media_features,
+        )
+
+        out = extract_media_features(df, args.id_col, "media", decoder="real")
+    elif args.kind == "pixels":
+        from mongo_analyser_spark.operators.multimodal import (
+            extract_pixel_stats,
+        )
+
+        out = extract_pixel_stats(df, args.id_col, "media")
+    elif args.kind == "frames":
+        from mongo_analyser_spark.operators.multimodal import (
+            frame_pixel_sample,
+        )
+
+        out = frame_pixel_sample(df, args.id_col, "media", k=args.frames_k)
+    else:  # audio
+        import pandas as pd  # noqa: F401
+
+        from mongo_analyser_spark.operators.audio import (
+            wav_multichannel_features,
+        )
+
+        narrowed = df.select(
+            args.id_col, F.col("media").getField("data").alias("__data")
+        ).repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            args.id_col,
+        )
+
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for rid, payload in zip(pdf[args.id_col], pdf["__data"]):
+                    for ft in wav_multichannel_features(bytes(payload)):
+                        rows.append(
+                            (rid, ft["channel"], ft["n_samples"],
+                             ft["mean"], ft["rms"], ft["peak"],
+                             ft["zero_crossings"])
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[args.id_col, "channel", "n_samples", "mean",
+                             "rms", "peak", "zero_crossings"],
+                )
+
+        out = narrowed.mapInPandas(
+            run,
+            f"{args.id_col} long, channel int, n_samples int, mean double,"
+            " rms double, peak double, zero_crossings int",
+        )
+    rows = out.orderBy(args.id_col).limit(args.limit).collect()
+    payload = {
+        "collection": args.collection,
+        "kind": args.kind,
+        "rows": [r.asDict() for r in rows],
+    }
+    _emit(payload, args.out)
+    return payload
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     from mongo_analyser_spark import get_spark
@@ -365,7 +465,7 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("mongo_analyser_spark_cli", cpus=args.cpus)
         {"analyze": cmd_analyze, "export": cmd_export, "stats": cmd_stats,
          "lint": cmd_lint, "tokens": cmd_tokens, "drift": cmd_drift,
-         "quantiles": cmd_quantiles}[
+         "quantiles": cmd_quantiles, "media": cmd_media}[
             args.command
         ](args, spark)
     except SystemExit:

@@ -132,3 +132,53 @@ def test_cli_quantiles_global_and_grouped(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     grouped = json.loads(out.read_text())["quantiles"]
     assert len(grouped) == 5  # one median per event type
+
+
+def test_cli_media_frames_and_audio(tmp_path):
+    """`media` subcommand: build a tiny payload collection (real APNG +
+    WAV bytes), then extract sampled-frame luma and per-channel audio
+    features through the CLI."""
+    import duckdb
+
+    from mongo_analyser_spark.operators.audio import encode_wav_ex
+    from mongo_analyser_spark.operators.frames import encode_apng
+
+    data = tmp_path / "data"
+    data.mkdir()
+    apng = encode_apng(
+        8, 8, 1,
+        [(0, 0, 8, 8, bytes(range(64))), (0, 1, 8, 1, bytes([200] * 8))],
+    )
+    wav = encode_wav_ex(8000, [[1 / 128.0, -2 / 128.0], [0.0, 5 / 128.0]])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE m (doc_id BIGINT, payload BLOB)"
+    )
+    con.execute("INSERT INTO m VALUES (1, ?), (2, ?)", [apng, apng])
+    con.execute(
+        f"COPY m TO '{data / 'media.parquet'}' (FORMAT PARQUET)"
+    )
+    con.execute("CREATE TABLE a (doc_id BIGINT, payload BLOB)")
+    con.execute("INSERT INTO a VALUES (1, ?)", [wav])
+    con.execute(f"COPY a TO '{data / 'clips.parquet'}' (FORMAT PARQUET)")
+
+    out = tmp_path / "media.json"
+    r = run_cli(
+        "media", "--data", str(data), "--collection", "media",
+        "--payload-col", "payload", "--kind", "frames",
+        "--out", str(out),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = json.loads(out.read_text())["rows"]
+    assert {row["doc_id"] for row in rows} == {1, 2}
+    assert all(row["n_frames"] == 2 for row in rows)
+
+    r2 = run_cli(
+        "media", "--data", str(data), "--collection", "clips",
+        "--payload-col", "payload", "--kind", "audio",
+        "--out", str(out),
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    rows = json.loads(out.read_text())["rows"]
+    assert [row["channel"] for row in rows] == [0, 1]
+    assert all(row["n_samples"] == 2 for row in rows)

@@ -281,3 +281,26 @@ def test_frame_mean_luma_conventions():
 def test_apng_first_frame_must_be_full_canvas():
     with pytest.raises(ValueError):
         encode_apng(4, 4, 1, [(1, 1, 2, 2, bytes(4))])
+
+
+def test_lzw_decode_mid_stream_clear():
+    """External GIF writers may emit CLEAR mid-stream (dictionary
+    reset); the encoder here defers clears, so exercise the decode
+    branch with a hand-built stream: encode two halves separately and
+    splice them with a CLEAR code between (width bookkeeping resets)."""
+    mcs = 2
+    clear, eoi = 4, 5
+    # hand-pack: CLEAR, 0, 1, CLEAR, 2, 3, EOI at width 3
+    codes = [clear, 0, 1, clear, 2, 3, eoi]
+    acc = bits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << bits
+        bits += 3
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 0xFF)
+    assert lzw_decode(bytes(out), mcs) == [0, 1, 2, 3]
