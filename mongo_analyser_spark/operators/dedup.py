@@ -916,35 +916,44 @@ def _repeated_gram_starts(
 
 
 def merge_start_intervals(starts: Column, n: int) -> Column:
-    """Interval union as a pure `aggregate` fold: given a SORTED int
-    array of occurrence start positions (each occurrence covering
-    [s, s+n-1]), return array<struct<s int, e int>> of MAXIMAL merged
-    spans — a start extends the last span when it begins at or before
-    span_end + 1 (overlap or token-adjacency), else opens a new span.
-    Left-to-right over a sorted array, this is exactly classic interval
-    merging; tests/test_dedup.py checks it against a Python reference
-    union on seeded random start sets."""
+    """Interval union over a SORTED int array of occurrence start
+    positions (each occurrence covering [s, s+n-1]): returns
+    array<struct<s int, e int>> of MAXIMAL merged spans — a start
+    extends the last span when it begins at or before span_end + 1
+    (overlap or token-adjacency), else opens a new span.
+
+    Round-11 linear form: with sorted starts and FIXED n, a new span
+    begins exactly where s[i] > s[i-1] + n, so the merged spans fall
+    out of one boundary-position filter (the _boundaries pattern) plus
+    a zip over consecutive boundaries — each span is
+    [s[b_j], s[b_{j+1} - 1] + n - 1]. The previous `aggregate` fold
+    copied the accumulated span array once per start (O(hits²) on
+    adversarial alternating hits); this is O(hits). tests/test_dedup.py
+    checks it against a Python reference union on seeded random start
+    sets."""
     empty = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
-
-    def merge(acc, s):
-        last = F.element_at(acc, -1)
-        extend = F.concat(
-            F.slice(acc, 1, F.size(acc) - 1),
-            F.array(
-                F.struct(
-                    last["s"].alias("s"),
-                    F.greatest(last["e"], s + n - 1).alias("e"),
-                )
-            ),
-        )
-        fresh = F.concat(
-            acc, F.array(F.struct(s.alias("s"), (s + n - 1).alias("e")))
-        )
-        return F.when((F.size(acc) > 0) & (s <= last["e"] + 1), extend).otherwise(
-            fresh
-        )
-
-    return F.aggregate(starts, empty, merge)
+    size = F.size(starts)
+    bidx = F.filter(
+        F.sequence(F.lit(1), size),
+        lambda i: (i == 1)
+        | (
+            F.element_at(starts, i)
+            > F.element_at(starts, F.greatest(i - 1, F.lit(1))) + n
+        ),
+    )
+    nxt = F.concat(
+        F.slice(bidx, 2, F.greatest(F.size(bidx) - 1, F.lit(0))),
+        F.array(size + 1),
+    )
+    spans = F.zip_with(
+        bidx,
+        nxt,
+        lambda b, e: F.struct(
+            F.element_at(starts, b).alias("s"),
+            (F.element_at(starts, e - 1) + F.lit(n - 1)).alias("e"),
+        ),
+    )
+    return F.when(size > 0, spans).otherwise(empty)
 
 
 def remove_repeated_spans(
