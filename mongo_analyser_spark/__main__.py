@@ -151,6 +151,20 @@ def _build_parser() -> argparse.ArgumentParser:
                       help="sampled frames per clip (kind=frames)")
     p_md.add_argument("--limit", type=int, default=100,
                       help="max result rows collected into the report")
+
+    p_ds = sub.add_parser(
+        "distinct",
+        help="theta/KMV distinct sketches per group, with optional "
+        "pairwise overlap estimates (union/intersection/Jaccard) — "
+        "cross-source duplication without ever joining the corpora",
+    )
+    add_common(p_ds)
+    p_ds.add_argument("--by", required=True, help="group column")
+    p_ds.add_argument("--item-col", required=True,
+                      help="the column whose distinct values are counted")
+    p_ds.add_argument("--k", type=int, default=128, help="sketch size")
+    p_ds.add_argument("--overlaps", action="store_true",
+                      help="also report pairwise set-overlap estimates")
     return parser
 
 
@@ -457,6 +471,37 @@ def cmd_media(args, spark) -> dict:
     return payload
 
 
+def cmd_distinct(args, spark) -> dict:
+    """Theta/KMV sketch surface (operators/theta.py): per-group distinct
+    estimates, optionally with pairwise overlap estimates — all bounded
+    sketch-array algebra, the corpora never join."""
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.operators.theta import (
+        theta_pair_overlap,
+        theta_sketches,
+    )
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    df = load_table(spark, args.data, args.collection)
+    sk = theta_sketches(df, args.by, F.col(args.item_col), args.k)
+    sk_rows = sk.select(
+        "group", "n_sketch", "theta", "est_distinct"
+    ).orderBy("group").collect()
+    payload = {
+        "collection": args.collection,
+        "by": args.by,
+        "item_col": args.item_col,
+        "k": args.k,
+        "groups": [r.asDict() for r in sk_rows],
+    }
+    if args.overlaps:
+        ov = theta_pair_overlap(sk, args.k).orderBy("group_a", "group_b")
+        payload["overlaps"] = [r.asDict() for r in ov.collect()]
+    _emit(payload, args.out)
+    return payload
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     from mongo_analyser_spark import get_spark
@@ -465,7 +510,8 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("mongo_analyser_spark_cli", cpus=args.cpus)
         {"analyze": cmd_analyze, "export": cmd_export, "stats": cmd_stats,
          "lint": cmd_lint, "tokens": cmd_tokens, "drift": cmd_drift,
-         "quantiles": cmd_quantiles, "media": cmd_media}[
+         "quantiles": cmd_quantiles, "media": cmd_media,
+         "distinct": cmd_distinct}[
             args.command
         ](args, spark)
     except SystemExit:

@@ -119,13 +119,17 @@ _FLOAT_FORMAT = 3  # WAVE_FORMAT_IEEE_FLOAT
 
 
 def encode_wav_ex(
-    sample_rate: int, channels: List[List[float]], fmt: int = _FLOAT_FORMAT
+    sample_rate: int,
+    channels: List[List[float]],
+    fmt: int = _FLOAT_FORMAT,
+    bits64: bool = False,
 ) -> bytes:
     """Multichannel WAV writer: ``channels`` is a list of per-channel
     sample lists (equal lengths), interleaved frame-by-frame into one
-    'data' chunk. fmt 3 writes IEEE float32; fmt 1 writes PCM16 (values
-    taken as ints, clamped). Round-10 verdict #7: both are struct-only
-    extensions of the RIFF walk."""
+    'data' chunk. fmt 3 writes IEEE float32 (float64 with
+    ``bits64=True``); fmt 1 writes PCM16 (values taken as ints,
+    clamped). Round-10 verdict #7: all struct-only extensions of the
+    RIFF walk."""
     n_ch = len(channels)
     if n_ch == 0:
         raise ValueError("need at least one channel")
@@ -136,7 +140,10 @@ def encode_wav_ex(
     for i in range(n):
         for c in channels:
             inter.append(c[i])
-    if fmt == _FLOAT_FORMAT:
+    if fmt == _FLOAT_FORMAT and bits64:
+        bits = 64
+        data = struct.pack("<%dd" % len(inter), *inter)
+    elif fmt == _FLOAT_FORMAT:
         bits = 32
         data = struct.pack("<%df" % len(inter), *inter)
     elif fmt == _PCM_FORMAT:
@@ -196,11 +203,14 @@ def decode_wav_ex(payload: bytes) -> Tuple[int, List[List[float]]]:
     elif fmt_tag == _FLOAT_FORMAT and bits == 32:
         n = len(data) // 4
         flat = list(struct.unpack("<%df" % n, data[: 4 * n]))
+    elif fmt_tag == _FLOAT_FORMAT and bits == 64:
+        n = len(data) // 8
+        flat = list(struct.unpack("<%dd" % n, data[: 8 * n]))
     else:
         raise NotImplementedError(
-            "only integer PCM16 and IEEE float32 decode here; compressed "
-            "(MP3/AAC/Opus), float64, and 24-bit audio need a codec "
-            "library this container does not ship"
+            "only integer PCM16 and IEEE float32/float64 decode here; "
+            "compressed (MP3/AAC/Opus) and 24-bit-packed audio need a "
+            "codec library this container does not ship"
         )
     frames = len(flat) // n_ch
     return sample_rate, [

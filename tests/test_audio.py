@@ -219,3 +219,20 @@ def test_wav_multichannel_features_exact():
     assert f0["peak"] == math.floor(3 / 128.0 * 1e4 + 0.5) / 1e4
     f1 = out[1]
     assert f1["zero_crossings"] == 1  # 0*x pairs don't count, 5,-5 does
+
+
+def test_wav_ex_float64_roundtrip():
+    """IEEE float64 WAV: exact round trip of arbitrary doubles (no
+    float32 narrowing)."""
+    import math
+
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ex,
+    )
+
+    c0 = [0.1, -0.2, math.pi, 1e-300]
+    c1 = [0.0, 1.5, -2.25, 3.0]
+    rate, chans = decode_wav_ex(encode_wav_ex(44100, [c0, c1], bits64=True))
+    assert rate == 44100
+    assert chans[0] == c0 and chans[1] == c1  # bit-exact doubles

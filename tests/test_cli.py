@@ -182,3 +182,22 @@ def test_cli_media_frames_and_audio(tmp_path):
     rows = json.loads(out.read_text())["rows"]
     assert [row["channel"] for row in rows] == [0, 1]
     assert all(row["n_samples"] == 2 for row in rows)
+
+
+def test_cli_distinct_sketches_and_overlaps(tmp_path):
+    """`distinct` subcommand: per-source KMV sketches over events, with
+    pairwise overlap estimates."""
+    out = tmp_path / "d.json"
+    r = run_cli(
+        "distinct", "--data", SF, "--collection", "events",
+        "--by", "event_type", "--item-col", "user_id",
+        "--k", "32", "--overlaps", "--out", str(out),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(out.read_text())
+    groups = payload["groups"]
+    assert len(groups) == 5
+    # 15 distinct users per type at sf0.001, below k=32: exact mode
+    assert all(g["n_sketch"] == 15 and g["est_distinct"] == 15.0
+               for g in groups)
+    assert len(payload["overlaps"]) == 10  # C(5,2) unordered pairs

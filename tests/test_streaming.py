@@ -755,3 +755,95 @@ def test_quantile_monitor_checkpoint_restart(spark, tmp_path):
     assert first != batch_all  # the split is real
     ev.filter(F.col("event_id") % 2 != 0).write.mode("append").parquet(in_dir)
     assert run("t_q_ckpt_b") == batch_all
+
+
+def _batch_theta_set(df, k=64):
+    from mongo_analyser_spark.operators.theta import theta_sketches
+
+    # item = event_id: unique per row, so every event_type group holds
+    # >= k distinct ranks at sf0.001 and ESTIMATION mode is exercised
+    return {
+        (r["group"], r["n_sketch"], r["theta"], r["est_distinct"])
+        for r in theta_sketches(
+            df.select(F.col("event_type").cast("string").alias("event_type"),
+                      "event_id"),
+            "event_type", F.col("event_id"), k,
+        ).collect()
+    }
+
+
+def test_theta_monitor_stream_matches_batch_exactly(spark):
+    """ST13: the KMV/theta sketch as a stateful streaming operator —
+    distinct-count estimates with the EXACT contract (state is the
+    bottom-k of distinct md5 ranks, a pure function of the data), the
+    deterministic sibling of ST9's HLL dedup monitor."""
+    from mongo_analyser_spark.streaming.theta_monitor import (
+        theta_distinct_stream,
+    )
+    from mongo_analyser_spark.streaming.windows import stream_events
+
+    mon = theta_distinct_stream(
+        stream_events(spark, SF), F.col("event_type"), F.col("event_id"),
+        k=64,
+    )
+    assert mon.isStreaming
+    _run_stream_to_memory(mon, "t_th_mon", output_mode="update")
+    rows = spark.table("t_th_mon").collect()
+    best = {}
+    for r in rows:
+        if r["group"] not in best or r["seq"] > best[r["group"]]["seq"]:
+            best[r["group"]] = r
+    got = {
+        (r["group"], r["n_sketch"], r["theta"], r["est_distinct"])
+        for r in best.values()
+    }
+    want = _batch_theta_set(load_table(spark, SF, "events"))
+    assert got == want and len(want) == 5
+    # estimation mode actually exercised: some group saturated its k
+    assert any(t[1] == 64 for t in want)
+
+
+def test_theta_monitor_checkpoint_restart(spark, tmp_path):
+    """ST13 restart story: the <=k-rank state survives a stop/append/
+    restart and committed offsets prevent replay (a replayed batch
+    would be absorbed by the set-union, so the real risk this pins is
+    LOST state yielding an underfull sketch)."""
+    from mongo_analyser_spark.streaming.theta_monitor import (
+        theta_distinct_stream,
+    )
+
+    ev = load_table(spark, SF, "events")
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(in_dir)
+
+    def run():
+        sdf = spark.readStream.schema(ev.schema).parquet(in_dir)
+        mon = theta_distinct_stream(
+            sdf, F.col("event_type"), F.col("event_id"), k=64
+        )
+        q = (
+            mon.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out_dir).collect()
+        best = {}
+        for r in rows:
+            if r["group"] not in best or r["seq"] > best[r["group"]]["seq"]:
+                best[r["group"]] = r
+        return {
+            (r["group"], r["n_sketch"], r["theta"], r["est_distinct"])
+            for r in best.values()
+        }
+
+    first = run()
+    batch_all = _batch_theta_set(ev)
+    assert first != batch_all  # the split is real
+    ev.filter(F.col("event_id") % 2 != 0).write.mode("append").parquet(in_dir)
+    assert run() == batch_all
