@@ -207,8 +207,18 @@ def pixel_stats(payload: bytes) -> dict:
 def resize_nearest(payload: bytes, new_w: int, new_h: int) -> bytes:
     """REAL resize for the stdlib-decodable formats: nearest-neighbor
     sample of the decoded pixel grid, re-encoded as PNG (the lossless
-    stdlib-writable container — BMP inputs come back as PNG too)."""
-    w, h, ch, px = decode_pixels(payload)
+    stdlib-writable container — BMP/GIF/APNG inputs come back as PNG
+    too; multi-frame containers resize their FIRST composed frame, the
+    thumbnail convention)."""
+    if payload[:6] in (b"GIF87a", b"GIF89a") or (
+        payload[:8] == _PNG_SIG and b"acTL" in payload[:256]
+    ):
+        from mongo_analyser_spark.operators.frames import decode_frames
+
+        w, h, ch, frames = decode_frames(payload)
+        px = frames[0]
+    else:
+        w, h, ch, px = decode_pixels(payload)
     out = bytearray(new_w * new_h * ch)
     for y in range(new_h):
         sy = min(h - 1, (y * h) // new_h)

@@ -304,3 +304,25 @@ def test_lzw_decode_mid_stream_clear():
     if bits:
         out.append(acc & 0xFF)
     assert lzw_decode(bytes(out), mcs) == [0, 1, 2, 3]
+
+
+def test_resize_real_handles_gif_and_apng_first_frame():
+    """resize_media('real') path: multi-frame containers resize their
+    first composed frame and come back as PNG."""
+    from mongo_analyser_spark.operators.pixels import (
+        decode_png,
+        resize_nearest,
+    )
+
+    gif = encode_gif(8, 8, [[i % 128 for i in range(64)],
+                            [0] * 64], palette_bits=8)
+    w, h, ch, px = decode_png(resize_nearest(gif, 4, 4))
+    assert (w, h, ch) == (4, 4, 3)
+    # nearest sample of (0,0) is index 0 -> gray level 0
+    assert px[0] == 0
+
+    apng = encode_apng(8, 8, 1, [(0, 0, 8, 8, bytes([9] * 64)),
+                                 (0, 0, 8, 1, bytes([200] * 8))])
+    w, h, ch, px = decode_png(resize_nearest(apng, 2, 2))
+    assert (w, h, ch) == (2, 2, 1)
+    assert bytes(px) == bytes([9] * 4)  # FIRST frame, not the update
