@@ -1,26 +1,34 @@
-"""Pure-stdlib BASELINE JPEG codec [EXT — closes the JPEG-pixels gate].
+"""Pure-stdlib JPEG codec [EXT — closes the JPEG-pixels gate].
 
 The reference renders no pixels at all (its TUI shows metadata only), so
-this is north-star multimodal surface, not parity: baseline sequential
-DCT JPEG (ITU-T T.81) is the most common real-corpus image format, and
-its decode needs nothing beyond integer/float math — huffman tables and
-quantizers ship INSIDE the file, so a self-contained decoder is public
-knowledge end-to-end.
+this is north-star multimodal surface, not parity: DCT JPEG (ITU-T
+T.81) is the most common real-corpus image format, and its decode needs
+nothing beyond integer/float math — huffman tables and quantizers ship
+INSIDE the file, so a self-contained decoder is public knowledge
+end-to-end.
 
-Decoder (`decode_jpeg`): baseline sequential only — SOF0, 8-bit
-precision, grayscale or YCbCr with arbitrary h×v sampling factors
-(4:4:4 / 4:2:2 / 4:2:0 via pixel-replication upsample), byte-stuffing,
-DRI/RSTn restart intervals. Progressive (SOF2), arithmetic coding, and
-12-bit precision raise NotImplementedError — those are the genuinely
+Decoder (`decode_jpeg`): baseline sequential (SOF0/1) AND progressive
+(SOF2, since round 11: spectral selection + successive approximation —
+DC/AC first scans, DC bit refinement, AC correction-bit refinement with
+EOB runs; coefficients accumulate across scans and dequant+IDCT run
+once at EOI) — 8-bit precision, grayscale or YCbCr with arbitrary h×v
+sampling factors (4:4:4 / 4:2:2 / 4:2:0 via pixel-replication
+upsample), byte-stuffing, DRI/RSTn restart intervals. Arithmetic coding
+and 12-bit precision raise NotImplementedError — the genuinely
 codec-library-bound residue.
 
-Encoder (`encode_jpeg`): baseline grayscale or color, 4:4:4 or 4:2:0
-(2×2-average chroma downsample), flat quantizer. Its huffman tables are
-NOT the Annex-K suggestions: they are fixed-length canonical tables
-built in-code (12 DC categories at 4 bits, EOB+ZRL+all 160 run/size AC
-symbols at 9 bits — both fit under the all-ones-code ceiling), which any
-conformant decoder reads from the DHT segment like any other table.
-Compression ratio is sacrificed for having zero memorized constants.
+Encoders: `encode_jpeg` (baseline, 4:4:4 or 4:2:0 with 2×2-average
+chroma downsample) and `encode_jpeg_progressive` (SOF2 4:4:4, spectral
+selection with optional one-level successive approximation) — the
+progressive fixtures exercise every progressive decode path, and their
+quantized coefficients are identical to the baseline encoder's, so the
+two containers MUST decode to the same pixels (the cross-codec test
+pin). Huffman tables are NOT the Annex-K suggestions: fixed-length
+canonical tables built in-code (12 DC categories at 4 bits,
+EOB+ZRL+all 160 run/size AC symbols at 9 bits — both fit under the
+all-ones-code ceiling), which any conformant decoder reads from the DHT
+segment like any other table. Compression ratio is sacrificed for
+having zero memorized constants.
 
 Like operators/pixels.py, the per-block loops are plain Python — sized
 for the fixture/thumbnail payloads these paths handle in-container; a
@@ -166,8 +174,8 @@ def _split_entropy(b: bytes, pos: int) -> tuple[list[bytes], int]:
 
 def decode_jpeg(b: bytes) -> tuple[int, int, int, bytearray]:
     """(width, height, channels, flat row-major pixel bytes) from a
-    baseline sequential JPEG. channels is 1 (grayscale) or 3 (RGB,
-    converted from YCbCr). Raises NotImplementedError for progressive /
+    baseline-sequential OR progressive JPEG. channels is 1 (grayscale)
+    or 3 (RGB, converted from YCbCr). Raises NotImplementedError for
     arithmetic / 12-bit streams, ValueError for malformed bytes."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -177,6 +185,9 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytearray]:
     huff_ac: dict[int, dict] = {}
     sof = None
     restart_interval = 0
+    progressive = False
+    store = None
+    saw_scan = False
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -230,10 +241,24 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytearray]:
                 cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             sof = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2: progressive DCT (round 11)
+            precision = data[0]
+            if precision != 8:
+                raise NotImplementedError(f"JPEG precision {precision} (need 8)")
+            h, w = struct.unpack(">HH", data[1:5])
+            ncomp = data[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            sof = (w, h, comps)
+            progressive = True
+            store = _init_coef_store(sof)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/extended/arithmetic JPEG is outside the stdlib "
-                "baseline decoder; plug a codec library via decoder= callables"
+                "extended/lossless/arithmetic JPEG is outside the stdlib "
+                "decoder (baseline AND progressive DCT are supported); "
+                "plug a codec library via decoder= callables"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data[:2])
@@ -243,11 +268,26 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytearray]:
             ns = data[0]
             if ns > len(sof[2]):
                 raise ValueError("JPEG SOS lists more components than SOF")
+            if progressive:
+                by_id = {c["id"]: c for c in sof[2]}
+                scan_list = []
+                for c in range(ns):
+                    cs, td_ta = data[1 + 2 * c:3 + 2 * c]
+                    scan_list.append((by_id[cs], td_ta >> 4, td_ta & 15))
+                ss, se, ahal = data[1 + 2 * ns:4 + 2 * ns]
+                segs, pos = _split_entropy(b, pos)
+                _progressive_scan(
+                    sof, scan_list, ss, se, ahal >> 4, ahal & 15,
+                    huff_dc, huff_ac, segs, restart_interval, store,
+                )
+                saw_scan = True
+                continue
             if ns < len(sof[2]):
-                # a spec-legal stream may split components across
-                # several scans; this decoder handles the (dominant)
-                # single interleaved scan only — fail loudly instead of
-                # decoding partial planes as if complete (advice r8 #3)
+                # a spec-legal BASELINE stream may split components
+                # across several scans; the baseline path handles the
+                # (dominant) single interleaved scan only — fail loudly
+                # instead of decoding partial planes as if complete
+                # (advice r8 #3)
                 raise NotImplementedError(
                     "multi-scan (non-interleaved) baseline JPEG: SOS "
                     f"covers {ns} of {len(sof[2])} SOF components; plug "
@@ -260,7 +300,203 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytearray]:
             segs, pos = _split_entropy(b, pos)
             return _decode_scan(sof, scan_tables, qt, huff_dc, huff_ac, segs,
                                 restart_interval)
+    if progressive and store is not None and saw_scan:
+        for c in sof[2]:
+            if c["tq"] not in qt:
+                raise ValueError("JPEG progressive stream missing DQT")
+        return _render_coef_store(sof, qt, store)
     raise ValueError("JPEG has no scan data")
+
+
+def _comp_geometry(sof):
+    """(hmax, vmax, mcux, mcuy) plus per-component padded-grid block
+    stride/height and the T.81 non-interleaved block counts."""
+    w, h, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw_pad"] = mcux * c["h"]
+        c["bh_pad"] = mcuy * c["v"]
+        c["nbx"] = -(-(-(-w * c["h"] // hmax)) // 8)
+        c["nby"] = -(-(-(-h * c["v"] // vmax)) // 8)
+    return hmax, vmax, mcux, mcuy
+
+
+def _init_coef_store(sof):
+    """Per-component zigzag-order coefficient blocks over the padded
+    MCU grid — progressive scans accumulate into these across the whole
+    file; dequant + IDCT happen once at EOI."""
+    _comp_geometry(sof)
+    return {
+        c["id"]: [[0] * 64 for _ in range(c["bw_pad"] * c["bh_pad"])]
+        for c in sof[2]
+    }
+
+
+def _ac_first_block(reader, table, coef, ss, se, al, eobrun):
+    """T.81 G.2 AC 'first' scan for one block (Ah == 0): run/size with
+    EOBn run-length codes, values shifted left by the point transform."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode(table)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            return (1 << r) - 1 + (reader.receive(r) if r else 0)
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC index overflow")
+        coef[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, table, coef, ss, se, al, eobrun):
+    """T.81 G.2 AC refinement scan for one block (Ah == Al + 1):
+    newly-significant ±1<<Al insertions interleaved with one correction
+    bit per already-nonzero coefficient crossed (libjpeg's
+    decode_mcu_AC_refine shape)."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode(table)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:  # EOBn: this block ends; r more blocks follow
+                    eobrun = (1 << r) - 1 + (reader.receive(r) if r else 0)
+                    break
+                # ZRL: crosses 16 zero-history slots below
+            elif s == 1:
+                val = p1 if reader.bit() else m1
+            else:
+                raise ValueError("bad progressive refinement symbol")
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    else:
+        eobrun -= 1
+    while k <= se:  # EOB-covered tail: correction bits only
+        if coef[k] != 0:
+            if reader.bit() and (coef[k] & p1) == 0:
+                coef[k] += p1 if coef[k] > 0 else m1
+        k += 1
+    return eobrun
+
+
+def _progressive_scan(sof, scan_list, ss, se, ah, al,
+                      huff_dc, huff_ac, segs, ri, store):
+    """Accumulate one progressive scan into the coefficient store.
+    DC scans (Ss=0) may interleave components; AC scans are always
+    single-component per T.81. Restart intervals reset DC predictors
+    and the EOB run at each entropy segment boundary."""
+    w, h, comps = sof
+    hmax, vmax, mcux, mcuy = _comp_geometry(sof)
+    seg_i = 0
+    reader = _BitReader(segs[0])
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG progressive DC scan with Se != 0")
+        preds = {c["id"]: 0 for c, _, _ in scan_list}
+        interleaved = len(scan_list) > 1
+        if interleaved:
+            units = mcux * mcuy
+        else:
+            c0 = scan_list[0][0]
+            units = c0["nbx"] * c0["nby"]
+        for m in range(units):
+            if ri and m and m % ri == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("JPEG restart marker count mismatch")
+                reader = _BitReader(segs[seg_i])
+                preds = {c["id"]: 0 for c, _, _ in scan_list}
+            if interleaved:
+                my, mx = divmod(m, mcux)
+                unit_blocks = [
+                    (c, td, (my * c["v"] + by) * c["bw_pad"] + mx * c["h"] + bx)
+                    for c, td, _ta in scan_list
+                    for by in range(c["v"])
+                    for bx in range(c["h"])
+                ]
+            else:
+                c, td, _ta = scan_list[0]
+                by, bx = divmod(m, c["nbx"])
+                unit_blocks = [(c, td, by * c["bw_pad"] + bx)]
+            for c, td, bidx in unit_blocks:
+                coef = store[c["id"]][bidx]
+                if ah == 0:
+                    t = reader.decode(huff_dc[td])
+                    diff = _extend(reader.receive(t), t) if t else 0
+                    preds[c["id"]] += diff
+                    coef[0] = preds[c["id"]] << al
+                else:  # DC refinement: one raw bit per block
+                    if reader.bit():
+                        coef[0] |= 1 << al
+        return
+    if len(scan_list) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    c, _td, ta = scan_list[0]
+    table = huff_ac[ta]
+    eobrun = 0
+    for m in range(c["nbx"] * c["nby"]):
+        if ri and m and m % ri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG restart marker count mismatch")
+            reader = _BitReader(segs[seg_i])
+            eobrun = 0
+        by, bx = divmod(m, c["nbx"])
+        coef = store[c["id"]][by * c["bw_pad"] + bx]
+        if ah == 0:
+            eobrun = _ac_first_block(reader, table, coef, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine_block(reader, table, coef, ss, se, al, eobrun)
+
+
+def _render_coef_store(sof, qt, store):
+    """Dequantize + IDCT every accumulated block, then the same
+    upsample/color path as the baseline scan decoder."""
+    w, h, comps = sof
+    hmax, vmax, mcux, mcuy = _comp_geometry(sof)
+    if len(comps) == 1:
+        hmax = vmax = 1
+    planes = {}
+    for c in comps:
+        pw, ph = c["bw_pad"] * 8, c["bh_pad"] * 8
+        c["pw"], c["ph"] = pw, ph
+        plane = bytearray(pw * ph)
+        q = qt[c["tq"]]
+        blocks = store[c["id"]]
+        for bi, zz in enumerate(blocks):
+            nat = [0.0] * 64
+            for k in range(64):
+                if zz[k]:
+                    nat[ZIGZAG[k]] = zz[k] * q[k]
+            px = _idct8x8(nat)
+            by, bx = divmod(bi, c["bw_pad"])
+            ox, oy = bx * 8, by * 8
+            for yy in range(8):
+                row = (oy + yy) * pw + ox
+                plane[row:row + 8] = bytes(px[yy * 8:yy * 8 + 8])
+        planes[c["id"]] = plane
+    return _compose_pixels(w, h, comps, planes, hmax, vmax)
 
 
 def _decode_scan(sof, scan_tables, qt, huff_dc, huff_ac, segs, ri):
@@ -318,7 +554,13 @@ def _decode_scan(sof, scan_tables, qt, huff_dc, huff_ac, segs, ri):
                     for yy in range(8):
                         row = (oy + yy) * pw + ox
                         plane[row:row + 8] = bytes(px[yy * 8:yy * 8 + 8])
-    # upsample (pixel replication) + color convert
+    return _compose_pixels(w, h, comps, planes, hmax, vmax)
+
+
+def _compose_pixels(w, h, comps, planes, hmax, vmax):
+    """Upsample (pixel replication) + color convert — shared by the
+    baseline scan decoder and the progressive renderer. Each comp dict
+    carries its plane stride in ``pw``."""
     if len(comps) == 1:
         c = comps[0]
         plane, pw = planes[c["id"]], c["pw"]
@@ -544,5 +786,186 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _enc_ac_first(bw: _BitWriter, zz: list[int], ss: int, se: int,
+                  al: int) -> None:
+    """Progressive AC 'first' scan for one block: run/size over the
+    point-transformed (toward-zero |v| >> Al) band, EOB0 at block end
+    (this encoder never emits EOBn > 0 — less compact, always valid)."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = zz[k]
+        va = abs(v) >> al
+        if va == 0:
+            run += 1
+            continue
+        if v < 0:
+            va = -va
+        while run > 15:
+            bw.write(*_AC_ENC[0xF0])
+            run -= 16
+        s = _category(va)
+        bw.write(*_AC_ENC[(run << 4) | s])
+        bw.write(va if va > 0 else va + (1 << s) - 1, s)
+        run = 0
+    if run:
+        bw.write(*_AC_ENC[0x00])
+
+
+def _enc_ac_refine(bw: _BitWriter, zz: list[int], ss: int, se: int,
+                   al: int) -> None:
+    """Progressive AC refinement scan for one block (Ah = Al + 1):
+    newly-significant coefficients (|v| >> Al == 1) coded as (run, 1) +
+    sign, correction bits for already-nonzero coefficients emitted in
+    the exact walk order the decoder consumes them (after the symbol's
+    own sign bit / after ZRL / after EOB)."""
+    ah = al + 1
+
+    def hist(v: int) -> int:
+        return abs(v) >> ah
+
+    k = ss
+    while k <= se:
+        # scan ahead for the next newly-significant coefficient
+        run = 0
+        found = None
+        j = k
+        while j <= se:
+            v = zz[j]
+            if hist(v) == 0:
+                if (abs(v) >> al) == 1:
+                    found = j
+                    break
+                run += 1
+            j += 1
+        if found is None:
+            # EOB + correction bits for the remaining nonzero-history
+            bw.write(*_AC_ENC[0x00])
+            for p in range(k, se + 1):
+                if hist(zz[p]) != 0:
+                    bw.write((abs(zz[p]) >> al) & 1, 1)
+            return
+        while run > 15:
+            bw.write(*_AC_ENC[0xF0])
+            consumed = 0
+            while consumed < 16:
+                v = zz[k]
+                if hist(v) == 0:  # zero-history (never new-sig here)
+                    consumed += 1
+                else:
+                    bw.write((abs(v) >> al) & 1, 1)
+                k += 1
+            run -= 16
+        bw.write(*_AC_ENC[(run << 4) | 1])
+        bw.write(1 if zz[found] > 0 else 0, 1)
+        for p in range(k, found):
+            if hist(zz[p]) != 0:
+                bw.write((abs(zz[p]) >> al) & 1, 1)
+        k = found + 1
+
+
+def encode_jpeg_progressive(
+    w: int,
+    h: int,
+    channels: int,
+    pixels: bytes,
+    quant: int = 16,
+    successive: bool = True,
+) -> bytes:
+    """PROGRESSIVE JPEG writer (SOF2, 4:4:4): spectral selection (DC
+    scan + one 1..63 AC scan per component) and, with
+    ``successive=True``, one level of successive approximation (DC and
+    AC first scans at Al=1 followed by refinement scans at Ah=1/Al=0 —
+    exercising every progressive decode path: DC/AC first, DC bit
+    refinement, AC correction-bit refinement, ZRL and EOB handling).
+    Quantized coefficients are identical to ``encode_jpeg``'s at the
+    same ``quant``, so the decoded pixels must match the baseline
+    stream's decode EXACTLY — the cross-codec test contract."""
+    if channels not in (1, 3):
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != w * h * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    q = [max(1, min(255, quant))] * 64
+    if channels == 1:
+        planes = [list(pixels)]
+    else:
+        ys, cbs, crs = [], [], []
+        for i in range(0, len(pixels), 3):
+            r, g, bl = pixels[i], pixels[i + 1], pixels[i + 2]
+            yv = 0.299 * r + 0.587 * g + 0.114 * bl
+            ys.append(min(255, max(0, int(round(yv)))))
+            cbs.append(min(255, max(0, int(round(
+                128 - 0.168736 * r - 0.331264 * g + 0.5 * bl)))))
+            crs.append(min(255, max(0, int(round(
+                128 + 0.5 * r - 0.418688 * g - 0.081312 * bl)))))
+        planes = [ys, cbs, crs]
+    ncomp = len(planes)
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    zz_blocks = []
+    for plane in planes:
+        blocks = []
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            blk = _block_at(plane, w, h, mx * 8, my * 8)
+            coefd = _fdct8x8(blk)
+            blocks.append(
+                [int(round(coefd[ZIGZAG[k]] / q[k])) for k in range(64)]
+            )
+        zz_blocks.append(blocks)
+
+    al = 1 if successive else 0
+    scans: list[tuple[list[int], int, int, int, int, bytes]] = []
+    # DC first scan: interleaved over all components (4:4:4 => MCU=block)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for m in range(mcux * mcuy):
+        for ci in range(ncomp):
+            v = zz_blocks[ci][m][0] >> al  # arithmetic shift, T.81 DC PT
+            diff = v - preds[ci]
+            preds[ci] = v
+            t = _category(diff)
+            bw.write(*_DC_ENC[t])
+            if t:
+                bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    scans.append((list(range(ncomp)), 0, 0, 0, al, bw.flush()))
+    if successive:  # DC refinement: one raw bit per block
+        bw = _BitWriter()
+        for m in range(mcux * mcuy):
+            for ci in range(ncomp):
+                bw.write(zz_blocks[ci][m][0] & 1, 1)
+        scans.append((list(range(ncomp)), 0, 0, 1, 0, bw.flush()))
+    for ci in range(ncomp):  # AC first scans, one component each
+        bw = _BitWriter()
+        for zz in zz_blocks[ci]:
+            _enc_ac_first(bw, zz, 1, 63, al)
+        scans.append(([ci], 1, 63, 0, al, bw.flush()))
+    if successive:  # AC refinement scans
+        for ci in range(ncomp):
+            bw = _BitWriter()
+            for zz in zz_blocks[ci]:
+                _enc_ac_refine(bw, zz, 1, 63, 0)
+            scans.append(([ci], 1, 63, 1, 0, bw.flush()))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(q))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + _DC_VALS)
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + _AC_VALS)
+    for comp_ids, ss, se, ah, a_l, entropy in scans:
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | a_l])
+        out += seg(0xDA, sos)
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)

@@ -7,12 +7,15 @@ none: ``decoder="real"`` parses width/height/frame-count straight from
 PNG IHDR(+acTL) / JPEG SOF / GIF / BMP bytes with stdlib ``struct``
 (round-5 verdict Next-round #4). PIXEL-level work is real for the
 formats whose coding is implementable on stdlib: PNG (zlib) and 24-bit
-BMP since round 7, baseline sequential JPEG since round 8 (huffman +
-IDCT + YCbCr, operators/jpeg.py) — decode/resize/re-encode via
+BMP since round 7, JPEG since round 8 (huffman + IDCT + YCbCr,
+operators/jpeg.py; PROGRESSIVE scans since round 11), GIF/APNG frames
+since round 11 (operators/frames.py) — decode/resize/re-encode via
 operators/pixels.py (`extract_pixel_stats`,
-`resize_media(resizer="real")`); only the genuinely codec-bound residue
-(progressive-JPEG and GIF pixels, audio, video) still raises
-NotImplementedError at the exact point a PIL/ffmpeg call would go.
+`resize_media(resizer="real")`), multi-frame sampling via
+`frame_pixel_sample`; only the genuinely codec-bound residue
+(arithmetic/12-bit JPEG, compressed audio, true video containers) still
+raises NotImplementedError at the exact point a PIL/ffmpeg call would
+go.
 ``decoder="fake"`` derives deterministic pseudo-features from the
 payload digest for formats/tests that need no real bytes.
 
@@ -172,11 +175,11 @@ def real_decode(payload: bytes) -> dict[str, Any]:
     if header is None:
         raise NotImplementedError(
             "payload is not a recognized PNG/JPEG/GIF/BMP header; "
-            "progressive-JPEG pixels and true video containers require "
-            "codecs (PIL/ffmpeg) not present here — plug a decoder into "
-            "extract_media_features(decoder=...) where they exist "
-            "(PNG/BMP/baseline-JPEG pixels: operators/pixels.py; "
-            "GIF/APNG frames: operators/frames.py since round 11)"
+            "true video containers require codecs (ffmpeg) not present "
+            "here — plug a decoder into extract_media_features("
+            "decoder=...) where they exist (PNG/BMP/JPEG incl. "
+            "progressive: operators/pixels.py + jpeg.py; GIF/APNG "
+            "frames: operators/frames.py)"
         )
     return {
         "media_len": len(payload),
@@ -230,7 +233,8 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 def extract_pixel_stats(df: DataFrame, id_col: str, media_col: str) -> DataFrame:
     """PIXEL-level feature extraction for the stdlib-decodable formats
-    (PNG / 24-bit BMP / baseline JPEG — operators/pixels.py, jpeg.py):
+    (PNG / 24-bit BMP / JPEG incl. progressive — operators/pixels.py,
+    jpeg.py):
     per-image dimensions,
     channel count, and Rec. 601 mean luma over exact integer sums.
     Same Arrow-batched shape as extract_media_features; formats that

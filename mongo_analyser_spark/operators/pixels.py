@@ -2,14 +2,16 @@
 "pixel decode needs PIL" gate for the formats where it genuinely
 doesn't: PNG's compression is zlib (in the standard library) and 24-bit
 BMP is raw bytes, so decode → transform → re-encode needs no external
-codec at all. JPEG/GIF pixel decode and audio/video stay honestly gated
-in operators/multimodal.py (those DO need codec libraries).
+codec at all. Compressed audio and true video containers stay honestly
+gated in operators/multimodal.py (those DO need codec libraries).
 
 Supported:
 * PNG: bit depth 8, color types 0 (gray) / 2 (RGB) / 6 (RGBA),
   non-interlaced; all five scanline filters (None/Sub/Up/Average/Paeth)
   on decode; encode writes filter-0 scanlines + zlib + CRC32 chunks.
 * BMP: 24-bit uncompressed BI_RGB (bottom-up or top-down), BGR order.
+* JPEG: baseline sequential AND progressive (operators/jpeg.py).
+* GIF/APNG multi-frame pixels: operators/frames.py.
 
 The per-pixel unfilter loop is plain Python — fine for the thumbnail /
 fixture sizes these paths handle in-container; a production deployment
@@ -162,10 +164,10 @@ def decode_bmp(b: bytes) -> tuple[int, int, int, bytearray]:
 
 
 def decode_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
-    """Dispatch: PNG, 24-bit BMP, and baseline sequential JPEG decode
-    fully in stdlib (operators/jpeg.py); anything else raises
+    """Dispatch: PNG, 24-bit BMP, and JPEG (baseline AND progressive)
+    decode fully in stdlib (operators/jpeg.py); anything else raises
     NotImplementedError at the exact point a codec library call would go
-    (progressive-JPEG and GIF pixels, audio, video)."""
+    (multi-frame GIF/APNG pixels decode via operators/frames.py)."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"BM":
@@ -175,9 +177,9 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
 
         return decode_jpeg(payload)
     raise NotImplementedError(
-        "pixel decode beyond PNG/BMP/baseline-JPEG requires an image "
-        "codec (PIL) not present in this container (GIF/APNG FRAMES "
-        "decode in stdlib via operators/frames.decode_frames)"
+        "pixel decode beyond PNG/BMP/JPEG requires an image codec (PIL) "
+        "not present in this container (GIF/APNG FRAMES decode in "
+        "stdlib via operators/frames.decode_frames)"
     )
 
 

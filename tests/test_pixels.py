@@ -219,14 +219,19 @@ def test_jpeg_restart_markers_bit_identical():
         ) == plain
 
 
-def test_jpeg_progressive_still_gated():
-    """SOF2 (progressive) is the genuinely codec-bound residue."""
+def test_jpeg_arithmetic_still_gated():
+    """SOF2 (progressive) decodes since round 11; the codec-bound
+    residue is arithmetic coding (SOF9) — and a progressive stream with
+    no scans/tables must fail as ValueError, not decode garbage."""
     import struct
 
     from mongo_analyser_spark.operators import jpeg
 
-    sof2 = struct.pack(">BBHBHHB", 0xFF, 0xC2, 11, 8, 8, 8, 1) + b"\x01\x11\x00"
+    sof9 = struct.pack(">BBHBHHB", 0xFF, 0xC9, 11, 8, 8, 8, 1) + b"\x01\x11\x00"
     with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(b"\xff\xd8" + sof9 + b"\xff\xd9")
+    sof2 = struct.pack(">BBHBHHB", 0xFF, 0xC2, 11, 8, 8, 8, 1) + b"\x01\x11\x00"
+    with pytest.raises(ValueError):
         jpeg.decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
 
 
@@ -328,3 +333,102 @@ def test_arrow_pixel_stats_and_real_resize_stage(spark):
     for rid in (1, 2):
         w, h, ch, _ = pixels.decode_png(bytes(resized[rid]["data"]))
         assert (w, h) == (2, 2)
+
+
+# ---------------------------------------------------------- progressive JPEG
+def test_progressive_jpeg_matches_baseline_decode():
+    """The cross-codec pin: the progressive encoder writes the SAME
+    quantized coefficients as the baseline encoder, so both containers
+    must decode to IDENTICAL pixels — covering DC/AC first scans and,
+    with successive=True, DC bit refinement + AC correction-bit
+    refinement (ZRL and EOB paths included)."""
+    import random
+
+    from mongo_analyser_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = random.Random(7)
+    for w, h, ch in [(8, 8, 1), (13, 9, 1), (8, 8, 3), (20, 14, 3)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        base = decode_jpeg(encode_jpeg(w, h, ch, px, quant=12))
+        for successive in (False, True):
+            prog = decode_jpeg(
+                encode_jpeg_progressive(
+                    w, h, ch, px, quant=12, successive=successive
+                )
+            )
+            assert prog == base, (w, h, ch, successive)
+
+
+def test_progressive_jpeg_dc_only_exact():
+    """DC-only content (flat 8x8 tiles at quant=1) round-trips exactly
+    through the progressive path — the same exact-fixture pin the
+    baseline decoder has."""
+    from mongo_analyser_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    px = bytes([77] * 64)
+    w, h, ch, out = decode_jpeg(
+        encode_jpeg_progressive(8, 8, 1, px, quant=1)
+    )
+    assert (w, h, ch) == (8, 8, 1)
+    assert bytes(out) == px
+
+
+def test_progressive_eobn_run_decode():
+    """EOBn (run > 0) codes are valid progressive streams this encoder
+    never emits — exercise the decoder branch directly: an EOB2 ends
+    the current block AND skips the next (1<<1)-1+bits blocks."""
+    from mongo_analyser_spark.operators.jpeg import (
+        _ac_first_block,
+        _BitReader,
+        _BitWriter,
+        _build_huff_decode,
+        _fixed_table,
+    )
+
+    # the in-code fixed AC table carries no EOBn>0 symbols (the encoder
+    # never emits them) — build a custom 2-bit table with one: 0x03
+    # (run 0, size 3) and 0x10 (EOBn, r=1)
+    bits, vals, enc = _fixed_table([0x03, 0x10], 2)
+    table = _build_huff_decode(bits, vals)
+    bw = _BitWriter()
+    # block 0: coefficient 5 at k=1, then EOBn r=1: eobrun covers
+    # (1<<1)-1 + appended bit = 2 more blocks after this one ends
+    bw.write(*enc[0x03])
+    bw.write(5, 3)
+    bw.write(*enc[0x10])
+    bw.write(1, 1)
+    reader = _BitReader(bw.flush())
+    c0, c1, c2 = [0] * 64, [0] * 64, [0] * 64
+    eob = _ac_first_block(reader, table, c0, 1, 63, 0, 0)
+    assert c0[1] == 5 and eob == 2
+    eob = _ac_first_block(reader, table, c1, 1, 63, 0, eob)
+    eob = _ac_first_block(reader, table, c2, 1, 63, 0, eob)
+    assert eob == 0 and c1 == [0] * 64 and c2 == [0] * 64
+
+
+def test_progressive_rejects_bad_refinement_symbol():
+    import pytest
+
+    from mongo_analyser_spark.operators.jpeg import (
+        _ac_refine_block,
+        _AC_ENC,
+        _BitReader,
+        _BitWriter,
+        _build_huff_decode,
+        _AC_BITS,
+        _AC_VALS,
+    )
+
+    table = _build_huff_decode(list(_AC_BITS), _AC_VALS)
+    bw = _BitWriter()
+    bw.write(*_AC_ENC[(0 << 4) | 3])  # s=3 invalid in refinement
+    bw.write(5, 3)
+    with pytest.raises(ValueError):
+        _ac_refine_block(_BitReader(bw.flush()), table, [0] * 64, 1, 63, 0, 0)
