@@ -6,9 +6,10 @@ codec at all. Compressed audio and true video containers stay honestly
 gated in operators/multimodal.py (those DO need codec libraries).
 
 Supported:
-* PNG: bit depth 8, color types 0 (gray) / 2 (RGB) / 6 (RGBA),
-  non-interlaced; all five scanline filters (None/Sub/Up/Average/Paeth)
-  on decode; encode writes filter-0 scanlines + zlib + CRC32 chunks.
+* PNG: the FULL still format since round 11 — every legal bit depth
+  (1/2/4/8/16), every color type (gray / RGB / palette+tRNS /
+  gray+alpha / RGBA), Adam7 interlacing, all five scanline filters;
+  encode writes filter-0 8-bit scanlines + zlib + CRC32 chunks.
 * BMP: 24-bit uncompressed BI_RGB (bottom-up or top-down), BGR order.
 * JPEG: baseline sequential AND progressive (operators/jpeg.py).
 * GIF/APNG multi-frame pixels: operators/frames.py.
@@ -38,14 +39,84 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+#: raw channels per PNG color type
+_PNG_RAW_CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: legal bit depths per color type (PNG spec table 11.1)
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _defilter_rows(raw, off, ph, stride, fdist):
+    """Reverse the five scanline filters over ``ph`` rows of
+    ``1 + stride`` bytes starting at ``off`` (filter distance ``fdist``
+    bytes, per the pixel's byte width). Returns (rows bytes, new off)."""
+    out = bytearray(ph * stride)
+    prev = bytearray(stride)
+    for row in range(ph):
+        ftype = raw[off]
+        line = bytearray(raw[off + 1:off + 1 + stride])
+        off += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(fdist, stride):
+                line[i] = (line[i] + line[i - fdist]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - fdist] if i >= fdist else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - fdist] if i >= fdist else 0
+                ul = prev[i - fdist] if i >= fdist else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[row * stride:(row + 1) * stride] = line
+        prev = line
+    return out, off
+
+
+def _unpack_row(line: bytes, pw: int, nch: int, depth: int) -> list[int]:
+    """Per-pixel raw channel values from one defiltered scanline."""
+    if depth == 8:
+        return list(line[:pw * nch])
+    if depth == 16:
+        return [
+            (line[2 * i] << 8) | line[2 * i + 1] for i in range(pw * nch)
+        ]
+    vals, per_byte, mask = [], 8 // depth, (1 << depth) - 1
+    for i in range(pw):  # sub-byte depths only occur with nch == 1
+        byte = line[i // per_byte]
+        shift = 8 - depth * (i % per_byte + 1)
+        vals.append((byte >> shift) & mask)
+    return vals
+
+
 def decode_png(b: bytes) -> tuple[int, int, int, bytearray]:
     """(width, height, channels, flat row-major pixel bytes) from a PNG
-    payload. Raises NotImplementedError for PNG features outside the
-    supported set (16-bit, palette, interlace) and ValueError for
-    malformed bytes."""
+    payload — since round 11 the FULL still-PNG format: every legal bit
+    depth (1/2/4/8/16 — sub-byte grays scale to 8-bit, 16-bit takes the
+    high byte), every color type (gray / RGB / PALETTE via PLTE with
+    optional tRNS alpha / gray+alpha / RGBA), and Adam7 interlacing.
+    Raises ValueError for malformed bytes; animation frames decode via
+    operators/frames.decode_apng."""
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, idat, ihdr = 8, bytearray(), None
+    plte: bytes | None = None
+    trns: bytes | None = None
     while pos + 8 <= len(b):
         (length,), ctype = struct.unpack(">I", b[pos:pos + 4]), b[pos + 4:pos + 8]
         if pos + 8 + length > len(b):
@@ -55,6 +126,10 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytearray]:
             if length < 13:
                 raise ValueError("PNG IHDR chunk too short")
             ihdr = struct.unpack(">IIBBBBB", data[:13])
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -63,46 +138,59 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytearray]:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
-        raise NotImplementedError(
-            f"PNG feature outside the stdlib decoder's set "
-            f"(depth={depth}, color_type={color}, interlace={interlace}); "
-            "plug a full codec via decoder=/resizer= callables"
+    if color not in _PNG_RAW_CH or depth not in _PNG_DEPTHS[color]:
+        raise ValueError(
+            f"illegal PNG depth/color combination "
+            f"(depth={depth}, color_type={color})"
         )
-    ch = _PNG_CHANNELS[color]
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    nch = _PNG_RAW_CH[color]
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:  # keep the documented ValueError contract
         raise ValueError(f"PNG IDAT stream is corrupt: {e}") from e
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
+    fdist = max(1, depth * nch // 8)
+    samples = [0] * (w * h * nch)
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    off = 0
+    for xs, ys, xstep, ystep in passes:
+        pw = (w - xs + xstep - 1) // xstep
+        ph = (h - ys + ystep - 1) // ystep
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * nch * depth + 7) // 8
+        if off + ph * (1 + stride) > len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        rows, off = _defilter_rows(raw, off, ph, stride, fdist)
+        for r in range(ph):
+            vals = _unpack_row(rows[r * stride:(r + 1) * stride], pw, nch, depth)
+            y = ys + r * ystep
+            for c in range(pw):
+                base = (y * w + xs + c * xstep) * nch
+                samples[base:base + nch] = vals[c * nch:(c + 1) * nch]
+    if off != len(raw):
         raise ValueError("PNG pixel data length mismatch")
-    out = bytearray(h * stride)
-    prev = bytearray(stride)
-    for row in range(h):
-        base = row * (stride + 1)
-        ftype = raw[base]
-        line = bytearray(raw[base + 1:base + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                ul = prev[i - ch] if i >= ch else 0
-                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"unknown PNG filter {ftype}")
-        out[row * stride:(row + 1) * stride] = line
-        prev = line
-    return w, h, ch, out
+    if color == 3:
+        n_pal = len(plte) // 3
+        has_alpha = trns is not None and len(trns) > 0
+        ch = 4 if has_alpha else 3
+        out = bytearray(w * h * ch)
+        for i, idx in enumerate(samples):
+            if idx >= n_pal:
+                raise ValueError("PNG palette index out of range")
+            out[i * ch:i * ch + 3] = plte[idx * 3:idx * 3 + 3]
+            if has_alpha:
+                out[i * ch + 3] = trns[idx] if idx < len(trns) else 255
+        return w, h, ch, out
+    if depth == 16:
+        return w, h, nch, bytearray(v >> 8 for v in samples)
+    if depth < 8:  # gray-only; scale to full 8-bit range
+        mx = (1 << depth) - 1
+        return w, h, nch, bytearray(v * 255 // mx for v in samples)
+    return w, h, nch, bytearray(samples)
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:

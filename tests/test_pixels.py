@@ -78,14 +78,16 @@ def test_png_all_filters_decode():
     assert bytes(got[3]) == plain
 
 
-def test_png_unsupported_features_gate():
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)  # 16-bit depth
+def test_png_malformed_still_fails_loudly():
+    # 16-bit RGB is SUPPORTED since round 11 — but a stream with no
+    # IDAT must fail as malformed data, not decode garbage
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     blob = (
         pixels._PNG_SIG
         + pixels._png_chunk(b"IHDR", ihdr)
         + pixels._png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         pixels.decode_png(blob)
 
 
@@ -432,3 +434,100 @@ def test_progressive_rejects_bad_refinement_symbol():
     bw.write(5, 3)
     with pytest.raises(ValueError):
         _ac_refine_block(_BitReader(bw.flush()), table, [0] * 64, 1, 63, 0, 0)
+
+
+# -------------------------------------------------- full-format PNG decode
+def _png_chunks(*chunks):
+    return pixels._PNG_SIG + b"".join(
+        pixels._png_chunk(t, d) for t, d in chunks
+    )
+
+
+def test_png_palette_decode_with_and_without_trns():
+    import zlib as _z
+
+    # 2x2, palette: entries red/green/blue/white, indices row-major
+    plte = b"\xff\x00\x00\x00\xff\x00\x00\x00\xff\xff\xff\xff"
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 3])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    blob = _png_chunks((b"IHDR", ihdr), (b"PLTE", plte),
+                       (b"IDAT", _z.compress(raw)), (b"IEND", b""))
+    w, h, ch, out = pixels.decode_png(blob)
+    assert (w, h, ch) == (2, 2, 3)
+    assert bytes(out) == plte
+    # with tRNS: RGBA, missing entries default to opaque
+    blob = _png_chunks((b"IHDR", ihdr), (b"PLTE", plte),
+                       (b"tRNS", bytes([128, 255])),
+                       (b"IDAT", _z.compress(raw)), (b"IEND", b""))
+    w, h, ch, out = pixels.decode_png(blob)
+    assert ch == 4
+    assert out[3] == 128 and out[7] == 255 and out[11] == 255
+
+
+def test_png_16bit_takes_high_byte():
+    import zlib as _z
+
+    # 2x1 gray 16-bit: values 0x1234, 0xFF00
+    raw = b"\x00" + bytes([0x12, 0x34, 0xFF, 0x00])
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
+    blob = _png_chunks((b"IHDR", ihdr), (b"IDAT", _z.compress(raw)),
+                       (b"IEND", b""))
+    w, h, ch, out = pixels.decode_png(blob)
+    assert (w, h, ch) == (2, 1, 1) and bytes(out) == bytes([0x12, 0xFF])
+
+
+def test_png_subbyte_gray_scales_to_255():
+    import zlib as _z
+
+    # 4x1 2-bit gray: values 0,1,2,3 packed MSB-first into one byte
+    raw = b"\x00" + bytes([0b00011011])
+    ihdr = struct.pack(">IIBBBBB", 4, 1, 2, 0, 0, 0, 0)
+    blob = _png_chunks((b"IHDR", ihdr), (b"IDAT", _z.compress(raw)),
+                       (b"IEND", b""))
+    _, _, ch, out = pixels.decode_png(blob)
+    assert ch == 1 and bytes(out) == bytes([0, 85, 170, 255])
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Hand-interlace a known 8x8 gray image into Adam7 pass order and
+    check the decoder reassembles it."""
+    import zlib as _z
+
+    plain = [((x * 16 + y * 2) % 256) for y in range(8) for x in range(8)]
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for xs, ys, xstep, ystep in passes:
+        pw = (8 - xs + xstep - 1) // xstep
+        ph = (8 - ys + ystep - 1) // ystep
+        if pw <= 0 or ph <= 0:
+            continue
+        for r in range(ph):
+            raw.append(0)  # filter None
+            y = ys + r * ystep
+            for c in range(pw):
+                raw.append(plain[y * 8 + xs + c * xstep])
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1)
+    blob = _png_chunks((b"IHDR", ihdr), (b"IDAT", _z.compress(bytes(raw))),
+                       (b"IEND", b""))
+    w, h, ch, out = pixels.decode_png(blob)
+    assert (w, h, ch) == (8, 8, 1)
+    assert list(out) == plain
+
+
+def test_png_gray_alpha_channels():
+    import zlib as _z
+
+    raw = b"\x00" + bytes([10, 200, 20, 100])  # 2x1 GA pairs
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 4, 0, 0, 0)
+    blob = _png_chunks((b"IHDR", ihdr), (b"IDAT", _z.compress(raw)),
+                       (b"IEND", b""))
+    w, h, ch, out = pixels.decode_png(blob)
+    assert (w, h, ch) == (2, 1, 2) and bytes(out) == bytes([10, 200, 20, 100])
+
+
+def test_png_illegal_combo_is_value_error():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)  # 16-bit palette
+    blob = _png_chunks((b"IHDR", ihdr), (b"IEND", b""))
+    with pytest.raises(ValueError):
+        pixels.decode_png(blob)
