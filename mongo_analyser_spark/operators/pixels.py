@@ -153,6 +153,16 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytearray]:
     except zlib.error as e:  # keep the documented ValueError contract
         raise ValueError(f"PNG IDAT stream is corrupt: {e}") from e
     fdist = max(1, depth * nch // 8)
+    if depth == 8 and color in (0, 2, 6) and not interlace:
+        # fast path for the dominant case (what encode_png writes): the
+        # defiltered scanlines ARE the output — no per-pixel scatter
+        # (the general path below measured 2.7x slower on the
+        # pixel_roundtrip row when it briefly handled this case too)
+        stride = w * nch
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        out, _ = _defilter_rows(raw, 0, h, stride, fdist)
+        return w, h, nch, out
     samples = [0] * (w * h * nch)
     passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
     off = 0
