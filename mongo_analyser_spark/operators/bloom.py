@@ -124,12 +124,19 @@ def bloom_filter_words(
         ).alias("wv")
     )
     # densify: sorted (w, wv) entries -> map -> fixed-length array with
-    # zero-filled gaps, all inside one single-row aggregate
-    return words.agg(
+    # zero-filled gaps, all inside one single-row aggregate. The map is
+    # MATERIALIZED (localCheckpoint on the one-row frame) before the
+    # per-word transform indexes it: a single-use alias gets inlined by
+    # CollapseProject, and interpreted HOFs would then rebuild
+    # map_from_entries(sort_array(...)) once per word probe (the
+    # round-11 hof-inline-producer lint rule's one registry hit —
+    # bounded here, but the staged form is free)
+    staged = words.agg(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("w", "wv")))
         ).alias("__m")
-    ).select(
+    ).localCheckpoint()
+    return staged.select(
         F.transform(
             F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
             lambda i: F.coalesce(

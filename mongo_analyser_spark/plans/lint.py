@@ -318,6 +318,46 @@ def lint_plan(df: DataFrame) -> list[Finding]:
             hof_ids.append(node_id)
         elif op in ("ArrowEvalPython", "MapInPandas"):
             py_noex_ids.append(node_id)
+    # Round-11 long-doc lesson (gopher top_word_frac, chunk_tokens, the
+    # repeated-text removers): interpreted HOF evaluation has no CSE, so
+    # a PRODUCER expression (split/array_sort/...) appearing INSIDE a
+    # lambda body re-evaluates once per element probe — O(N) work turns
+    # O(N^2) in doc LENGTH, invisible on the row-count axis. Detect a
+    # producer call within a lambdafunction's extent (a producer as the
+    # HOF's input argument — BEFORE the lambda — is the healthy staged
+    # form and does not fire).
+    _PRODUCERS = ("split(", "array_sort(", "sort_array(", "sentences(")
+    inline_producer = False
+    for section in re.split(r"\n\n", plan):
+        for m in re.finditer(r"lambdafunction\(", section):
+            depth, i = 1, m.end()
+            while i < len(section) and depth:
+                if section[i] == "(":
+                    depth += 1
+                elif section[i] == ")":
+                    depth -= 1
+                i += 1
+            body = section[m.end():i]
+            if any(p in body for p in _PRODUCERS):
+                inline_producer = True
+                break
+        if inline_producer:
+            break
+    if inline_producer:
+        findings.append(
+            Finding(
+                "info",
+                "hof-inline-producer",
+                "a producer expression (split/array_sort/...) is "
+                "evaluated INSIDE a lambda body: interpreted HOFs have "
+                "no CSE across element probes, so it re-runs per "
+                "element — superlinear in VALUE LENGTH (the round-11 "
+                "long-doc killers: gopher O(U*N), chunk_tokens "
+                "O(N^2/stride)). Materialize the producer as a projected "
+                "column first, then index it; verify with "
+                "tools/scale_probe.py --long-docs.",
+            )
+        )
     if any(not any(e < h for e in ex_ids) for h in hof_ids):
         findings.append(
             Finding(

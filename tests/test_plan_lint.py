@@ -267,3 +267,28 @@ def test_unfanned_hof_and_python_stages_get_info_findings(spark):
     )
     codes = {f.code for f in lint_plan(py_fanned)}
     assert "python-over-unfanned-scan" not in codes
+
+
+def test_hof_inline_producer_rule(spark):
+    """Round-11 rule: a producer expression inside a lambda body (no
+    CSE across element probes — superlinear in value LENGTH) is
+    flagged; the staged form (producer as the HOF's input or a
+    materialized column) is not."""
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.plans.lint import lint_plan
+
+    df = spark.createDataFrame([("a b c",)], "text string")
+    # BAD: split(text) re-evaluated per element probe inside the lambda
+    bad = df.select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(3)),
+            lambda i: F.element_at(F.split("text", " "), i),
+        ).alias("xs")
+    )
+    assert any(f.code == "hof-inline-producer" for f in lint_plan(bad))
+    # GOOD: producer is the HOF's input argument (evaluated once)
+    good = df.select(
+        F.transform(F.split("text", " "), lambda x: F.upper(x)).alias("xs")
+    )
+    assert not any(f.code == "hof-inline-producer" for f in lint_plan(good))
