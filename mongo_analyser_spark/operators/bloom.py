@@ -125,7 +125,9 @@ def bloom_filter_words(
     )
     # densify: sorted (w, wv) entries -> map -> fixed-length array with
     # zero-filled gaps, all inside one single-row aggregate. The map is
-    # MATERIALIZED (localCheckpoint on the one-row frame) before the
+    # STAGED (lazy localCheckpoint on the one-row frame — plan cut now,
+    # computed at first action, matching mg_summary; eager would fire a
+    # Spark job at construction time) before the
     # per-word transform indexes it: a single-use alias gets inlined by
     # CollapseProject, and interpreted HOFs would then rebuild
     # map_from_entries(sort_array(...)) once per word probe (the
@@ -135,7 +137,7 @@ def bloom_filter_words(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("w", "wv")))
         ).alias("__m")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     return staged.select(
         F.transform(
             F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),

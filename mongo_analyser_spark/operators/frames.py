@@ -210,6 +210,8 @@ def decode_apng(b: bytes) -> tuple[int, int, int, list[bytearray]]:
     frames: list[bytearray] = []
     stride = w * ch
     for fi, (fw, fh, fx, fy, disp, blnd, zdata) in enumerate(fctls):
+        if fx + fw > w or fy + fh > h:
+            raise ValueError("APNG frame rect exceeds the canvas")
         if fi == 0 and disp == 2:
             disp = 1  # spec: first-frame PREVIOUS acts as BACKGROUND
         region = _unfilter(zlib.decompress(bytes(zdata)), fw, fh, ch)
@@ -225,12 +227,17 @@ def decode_apng(b: bytes) -> tuple[int, int, int, list[bytearray]]:
                     if a == 255:
                         canvas[d : d + 4] = region[s : s + 4]
                     elif a:
+                        # spec non-premultiplied OVER (APNG spec §4,
+                        # ADVICE r11): destination alpha weights the
+                        # destination color.  den = out_a * 255 > 0
+                        # because a > 0 here.
                         na = 255 - a
+                        da = canvas[d + 3]
+                        den = a * 255 + da * na
                         for c in range(3):
-                            canvas[d + c] = (
-                                region[s + c] * a + canvas[d + c] * na + 127
-                            ) // 255
-                        canvas[d + 3] = a + (canvas[d + 3] * na + 127) // 255
+                            num = region[s + c] * a * 255 + canvas[d + c] * da * na
+                            canvas[d + c] = (num + den // 2) // den
+                        canvas[d + 3] = (den + 127) // 255
             else:  # SOURCE (and OVER on alpha-less images degenerates)
                 canvas[dst : dst + fw * ch] = region[src : src + fw * ch]
         frames.append(bytearray(canvas))
@@ -441,6 +448,8 @@ def decode_gif(b: bytes) -> tuple[int, int, list[bytearray]]:
             del sub_start
         elif block == 0x2C:  # image descriptor
             fx, fy, fw, fh = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+            if fx + fw > w or fy + fh > h:
+                raise ValueError("GIF frame rect exceeds the canvas")
             ipacked = b[pos + 9]
             pos += 10
             table = gct

@@ -109,7 +109,8 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytearray]:
     payload — since round 11 the FULL still-PNG format: every legal bit
     depth (1/2/4/8/16 — sub-byte grays scale to 8-bit, 16-bit takes the
     high byte), every color type (gray / RGB / PALETTE via PLTE with
-    optional tRNS alpha / gray+alpha / RGBA), and Adam7 interlacing.
+    optional tRNS alpha / gray+alpha / RGBA), tRNS transparency KEYS on
+    gray/RGB (an alpha channel is synthesized), and Adam7 interlacing.
     Raises ValueError for malformed bytes; animation frames decode via
     operators/frames.decode_apng."""
     if b[:8] != _PNG_SIG:
@@ -153,7 +154,8 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytearray]:
     except zlib.error as e:  # keep the documented ValueError contract
         raise ValueError(f"PNG IDAT stream is corrupt: {e}") from e
     fdist = max(1, depth * nch // 8)
-    if depth == 8 and color in (0, 2, 6) and not interlace:
+    has_key = color in (0, 2) and trns is not None and len(trns) >= 2 * nch
+    if depth == 8 and color in (0, 2, 6) and not interlace and not has_key:
         # fast path for the dominant case (what encode_png writes): the
         # defiltered scanlines ARE the output — no per-pixel scatter
         # (the general path below measured 2.7x slower on the
@@ -195,6 +197,26 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytearray]:
             if has_alpha:
                 out[i * ch + 3] = trns[idx] if idx < len(trns) else 255
         return w, h, ch, out
+    if has_key:
+        # tRNS transparency key on gray/RGB (PNG spec 11.3.2.1): pixels
+        # whose RAW sample tuple equals the key become fully transparent,
+        # everything else fully opaque — emit an explicit alpha channel.
+        key = struct.unpack(">" + "H" * nch, trns[: 2 * nch])
+        ch = nch + 1
+        mx = (1 << depth) - 1
+        out = bytearray(w * h * ch)
+        for i in range(w * h):
+            base = i * nch
+            opaque = tuple(samples[base:base + nch]) != key
+            for c in range(nch):
+                v = samples[base + c]
+                if depth == 16:
+                    v >>= 8
+                elif depth < 8:
+                    v = v * 255 // mx
+                out[i * ch + c] = v
+            out[i * ch + nch] = 255 if opaque else 0
+        return w, h, ch, out
     if depth == 16:
         return w, h, nch, bytearray(v >> 8 for v in samples)
     if depth < 8:  # gray-only; scale to full 8-bit range
@@ -213,9 +235,11 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def encode_png(w: int, h: int, channels: int, pixels: bytes) -> bytes:
-    """Filter-0 PNG writer (gray/RGB/RGBA, 8-bit): the round-trip twin
-    of ``decode_png`` — IHDR + one zlib IDAT + IEND, CRC32 per chunk."""
-    color = {1: 0, 3: 2, 4: 6}.get(channels)
+    """Filter-0 PNG writer (gray / gray+alpha / RGB / RGBA, 8-bit): the
+    round-trip twin of ``decode_png`` — IHDR + one zlib IDAT + IEND,
+    CRC32 per chunk. All four decode-side channel counts re-encode, so
+    resize paths never crash on a decodable input (ADVICE r11)."""
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
     if color is None:
         raise ValueError(f"unsupported channel count {channels}")
     stride = w * channels

@@ -549,21 +549,21 @@ def brute_force_topk_arrow(
     similarities are a single BLAS matmul, and only each batch's local
     top-k rows (q × k per batch, not n × q) leave the Python worker.
     The global rank is then a window over partitions × q × k skinny
-    rows. Ranking uses the ROUNDED cosine (6 dp) with a vid tie-break,
-    exactly like the fold-based twin, so the two paths return identical
-    rows whenever no true cosine sits within float-noise of a rounding
-    boundary (pytest pins parity on the fixtures; measured vs the
-    interpreted fold chain at sf0.1: 2.2× at 8 queries growing to 4.6×
-    at 256 — the matmul amortizes per-row overhead, so the gap widens
-    with query count and corpus width).
+    rows. Ranking uses the QUANTIZED cosine — FLOOR(x*1e6+0.5)/1e6,
+    the gopher/PCA discipline — with a vid tie-break, so the kernel is
+    hash-oracled against DuckDB since round 12 (BLAS summation order
+    shifts the raw cosine by ~1e-16, five orders below the 1e-6
+    quantization grid) and returns the same rows as the fold-based
+    twin away from exact rounding ties (pytest pins parity on the
+    fixtures; measured vs the interpreted fold chain at sf0.1: 2.2× at
+    8 queries growing to 4.6× at 256 — the matmul amortizes per-row
+    overhead, so the gap widens with query count and corpus width).
 
     When to use which: the fold-based twin is expression-only (no
-    Python workers, exact-order arithmetic → DuckDB-oracle-able); this
-    one is the throughput kernel for wide corpora and large query sets,
-    at the cost of BLAS summation order (hence rows-only in the
-    registry). Query vectors are collected driver-side — bounded by
-    len(query_ids), the same budget as the broadcast query side of the
-    fold twin."""
+    Python workers); this one is the throughput kernel for wide
+    corpora and large query sets. Query vectors are collected
+    driver-side — bounded by len(query_ids), the same budget as the
+    broadcast query side of the fold twin."""
     from typing import Iterator
 
     import pandas as pd
@@ -592,9 +592,15 @@ def brute_force_topk_arrow(
             V = np.vstack(pdf[vec_col].to_numpy())
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             sims = Vn @ Qn.T  # (batch, q)
+            # FLOOR(x*1e6+0.5)/1e6 — the gopher/PCA quantization
+            # discipline instead of np.round: floor of the scaled value
+            # is bit-identical across engines, so BLAS summation order
+            # (|Δ| ~ 1e-16, grid 1e-6) can no longer move the hash and
+            # the row graduates from rows-only to hash-oracled (r12)
+            sims = np.floor(sims * 1e6 + 0.5) / 1e6
             outs = []
             for j in range(len(qid_arr)):
-                s = np.round(sims[:, j], 6)
+                s = sims[:, j]
                 keep = ids != qid_arr[j]
                 s_k, ids_k = s[keep], ids[keep]
                 if not len(s_k):

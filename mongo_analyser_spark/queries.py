@@ -2508,12 +2508,9 @@ WINDOW_QUERIES = (
     "describe_collection_events",
     "convert_export_events",
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q21_waiting_suppliers",
     "kmeans_step_embeddings",
     "join_range_part_lineitem",
-    "asof_join_events_signup",
-    "window_top3_orders_per_customer",
     "trailing_window_range_events",
     "schema_documents",
     "q2_min_cost_supplier",
@@ -2553,11 +2550,8 @@ WINDOW_QUERIES = (
     "pq_adc_rerank_topk_embeddings",
     "gopher_rules_documents",
     "embedding_covariance_upper",
-    "dedup_exact_documents",
     "dedup_minhash_pairs_documents",
-    "embedding_near_dup_pairs",
     "embedding_dedup_clusters",
-    "ann_srp_topk_embeddings",
     "multimodal_metadata_documents",
     "tumbling_hourly_events",
     "dedup_first_event_per_user_type",
@@ -2598,6 +2592,29 @@ WINDOW_QUERIES = (
     "wav_frame_features_documents",
     "theta_difference_pairs_documents",
     "frame_pixel_stats_documents",
+    # round-12 rotation (verdict-r11 #2): the round-11 graduations and
+    # re-plans get their FIRST external hash-green record — the PCA
+    # graduation (quantization-synced power iteration, rows-only until
+    # r11), the real GIF-frame and multichannel-WAV codec rows, the SCD2
+    # point-in-time join, and the two L-axis re-plans whose byte-identity
+    # claims were only judge-checked (chunk_tokens, the fixed-n gram
+    # remover). OUT: six rows with 11 recorded driver-green appearances
+    # each, family siblings staying in-window —
+    #   q3_shipping_priority     — TPC-H keeps q1/q2/q21
+    #   asof_join_events_signup  — J5; scd2_pit_join_events is the
+    #                              point-in-time consumer of the same
+    #                              as-of shape, scd2_event_type stays
+    #   window_top3_orders       — W1; trailing_window_range stays
+    #   dedup_exact_documents    — dedup keeps minhash pairs + estimate
+    #                              certification + the gram remover
+    #   embedding_near_dup_pairs — embedding_dedup_clusters stays
+    #   ann_srp_topk_embeddings  — ivfpq + pq_adc_rerank keep ANN
+    "pca_project_embeddings",
+    "gif_frame_pixels_documents",
+    "wav_multichannel_features_documents",
+    "scd2_pit_join_events",
+    "chunk_tokens_documents",
+    "remove_repeated_ngrams_documents",
 )
 
 # Near-duplicates of an already-in-window sibling ride the tail (still
@@ -2632,6 +2649,14 @@ WINDOW_QUERIES = (
 #   user_totals_events        — ST5 stateful family keeps
 #                               dedup_first_event_per_user_type
 TAIL_QUERIES = (
+    # round-12 rotation: out of the window after 11 recorded green
+    # driver appearances each (in-window siblings noted at the WINDOW list)
+    "q3_shipping_priority",
+    "asof_join_events_signup",
+    "window_top3_orders_per_customer",
+    "dedup_exact_documents",
+    "embedding_near_dup_pairs",
+    "ann_srp_topk_embeddings",
     # round-11 rotation: out of the window after 2+ recorded green
     # driver appearances (in-window siblings noted at the WINDOW list)
     "bm25_topk_documents",
@@ -2755,9 +2780,9 @@ TAIL_QUERIES = (
     # round-6 (cont.): PageRank over the near-dup graph (canonical-copy
     # ranking; oracle = the recurrence exactly unrolled, ROUND(9)/iter)
     "pagerank_near_dup",
-    # round-6 (cont.): Lee et al. exact-substring (fixed-n gram-join)
-    # boilerplate removal — rebuilds docs without repeated spans
-    "remove_repeated_ngrams_documents",
+    # (remove_repeated_ngrams_documents — the round-6 Lee et al. fixed-n
+    # gram-join remover, L-axis re-planned round 11 — rotated IN-window
+    # round 12 for external confirmation of the re-plan's byte-identity)
     # (remove_repeated_spans_documents rotated IN-window round 8)
     # round-7: full BPE encode twin (token SEQUENCE hash-verified; the
     # count flagship bpe_token_counts rides in-window)
@@ -2766,9 +2791,8 @@ TAIL_QUERIES = (
     # round-7: sequence packing in tokenizer tokens (the budget twin
     # token_budget_select_bpe rides in-window)
     "pack_sequences_bpe_documents",
-    # round-7: token-window chunking (char-window chunk_documents is the
-    # in-window family rep)
-    "chunk_tokens_documents",
+    # (chunk_tokens_documents — round-7, L-axis re-planned round 11 —
+    # rotated IN-window round 12)
     # round-7: bigram-LM NLL (unigram_nll is the in-window family rep)
     "bigram_nll_documents",
     # round-8: supervised NB quality classifier (model-based quality
@@ -2818,9 +2842,8 @@ TAIL_QUERIES = (
     # in-window shares the whole codebook/encode plan prefix)
     "pq_encode_embeddings",
     "pq_recall_report_embeddings",
-    # round-9: PCA projection (declared rows-only: driver-side eigh, no
-    # SQL twin; covariance + JL are the in-window hash-strong reps)
-    "pca_project_embeddings",
+    # (pca_project_embeddings — graduated to hash-oracled round 11 —
+    # rotated IN-window round 12 for its first external hash record)
     # round-9 rotation: r08-green family members out of the window
     # (siblings remain in-window — see the WINDOW_QUERIES note)
     "schema_with_stats_documents",
@@ -2898,17 +2921,9 @@ TAIL_QUERIES = (
     "bpe_token_counts_documents",
     "salted_user_event_totals",
     "dynamic_schema_histogram_events",
-    # round-11: REAL multi-frame pixel decode (operators/frames.py —
-    # APNG fcTL/fdAT recomposition and the full GIF LZW codec); the
-    # APNG composition row rotates in-window with the round-11 curation
-    "gif_frame_pixels_documents",
-    # round-11: float32 stereo WAV round trip (audio codec gate narrows
-    # to genuinely compressed formats — wav_audio_features stays the
-    # in-window audio rep)
-    "wav_multichannel_features_documents",
-    # round-11: point-in-time join against the SCD2 history (the as-of
-    # consumer; scd2_event_type_events is the in-window family rep)
-    "scd2_pit_join_events",
+    # (gif_frame_pixels_documents / wav_multichannel_features_documents /
+    # scd2_pit_join_events — the round-11 codec and PIT-join rows —
+    # rotated IN-window round 12 for their first external records)
 )
 
 

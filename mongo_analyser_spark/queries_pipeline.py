@@ -1143,16 +1143,31 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, "vec_id", "embedding", ANN_QUERY_IDS, k=5)
 
 
-@register("similarity_topk_embeddings_arrow")
+@register(
+    "similarity_topk_embeddings_arrow",
+    f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT qid, e.vec_id AS vid,
+    FLOOR(({_dot_sql('q.qv', 'e.embedding')})
+          / ({_norm_sql('q.qv')} * {_norm_sql('e.embedding')}) * 1e6 + 0.5) / 1e6
+      AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+SELECT qid, vid, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rnk
+  FROM scored) WHERE rnk <= 5 ORDER BY qid, rnk
+""",
+)
 def q_similarity_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/numpy twin of similarity_topk_embeddings (the Pandas-UDF
     fast path: one BLAS matmul per Arrow batch, only local top-k rows
-    leave the Python worker). Rows-only in the registry because BLAS
-    summation order is engine-specific; pytest instead pins EXACT row
-    parity with the fold-based oracle-checked twin at two scales
-    (tests/test_similarity.py), which is a stronger check than the
-    hash: the kernel must agree with the expression path bit-for-bit
-    after rounding."""
+    leave the Python worker). Hash-oracled since round 12 (verdict-r11
+    #5): the kernel quantizes the cosine FLOOR(x*1e6+0.5)/1e6 — the
+    PCA graduation discipline — so BLAS summation order (|Δ| ~ 1e-16
+    vs DuckDB's sequential sum, five orders below the quantization
+    grid) cannot move the hash. pytest additionally pins EXACT row
+    parity with the fold-based twin at two scales
+    (tests/test_similarity.py)."""
     from mongo_analyser_spark.operators.similarity import brute_force_topk_arrow
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -326,3 +326,41 @@ def test_resize_real_handles_gif_and_apng_first_frame():
     w, h, ch, px = decode_png(resize_nearest(apng, 2, 2))
     assert (w, h, ch) == (2, 2, 1)
     assert bytes(px) == bytes([9] * 4)  # FIRST frame, not the update
+
+
+def test_apng_over_blend_honors_destination_alpha():
+    """ADVICE r11: spec non-premultiplied OVER — a semi-transparent src
+    over a fully TRANSPARENT dst keeps the src color unchanged."""
+    w = h = 1
+    f0 = bytes([0, 0, 0, 0])                       # transparent canvas
+    up = (0, 0, 1, 1, bytes([200, 0, 0, 128]))
+    _, _, _, comp = decode_apng(
+        encode_apng(w, h, 4, [(0, 0, w, h, f0), up], blend=1)
+    )
+    assert bytes(comp[1]) == bytes([200, 0, 0, 128])
+    # partially-transparent dst: out_a = 128 + 64*127/255 = 159.875 -> 160
+    f0 = bytes([0, 100, 0, 64])
+    _, _, _, comp = decode_apng(
+        encode_apng(w, h, 4, [(0, 0, w, h, f0), up], blend=1)
+    )
+    a, da, na = 128, 64, 127
+    den = a * 255 + da * na
+    exp_r = (200 * a * 255 + den // 2) // den
+    exp_g = (100 * da * na + den // 2) // den
+    assert bytes(comp[1]) == bytes([exp_r, exp_g, 0, (den + 127) // 255])
+
+
+def test_frame_rect_exceeding_canvas_raises():
+    """ADVICE r11: malformed out-of-bounds frame rects must raise, not
+    silently wrap pixels / grow the canvas buffer."""
+    bad = encode_apng(2, 2, 1, [(0, 0, 2, 2, bytes(4)),
+                                (1, 1, 2, 2, bytes(4))])
+    with pytest.raises(ValueError, match="exceeds the canvas"):
+        decode_apng(bad)
+
+    gif = bytearray(encode_gif(2, 2, [[0, 1, 2, 3]], palette_bits=8))
+    i = 13 + 3 * 256                  # header+GCT -> image descriptor
+    assert gif[i] == 0x2C
+    gif[i + 5:i + 7] = struct.pack("<H", 3)  # fw = 3 > canvas width 2
+    with pytest.raises(ValueError, match="exceeds the canvas"):
+        decode_gif(bytes(gif))

@@ -531,3 +531,50 @@ def test_png_illegal_combo_is_value_error():
     blob = _png_chunks((b"IHDR", ihdr), (b"IEND", b""))
     with pytest.raises(ValueError):
         pixels.decode_png(blob)
+
+
+def test_png_gray_alpha_encode_roundtrip_and_resize():
+    """ADVICE r11: color type 4 (gray+alpha) must re-encode so
+    resize_nearest never crashes on a decodable PNG."""
+    px = bytes([10, 200, 20, 100, 30, 50, 40, 255])  # 2x2 GA
+    blob = pixels.encode_png(2, 2, 2, px)
+    w, h, ch, out = pixels.decode_png(blob)
+    assert (w, h, ch) == (2, 2, 2) and bytes(out) == px
+    w, h, ch, out = pixels.decode_png(pixels.resize_nearest(blob, 4, 4))
+    assert (w, h, ch) == (4, 4, 2)
+    assert bytes(out[:4]) == bytes([10, 200, 10, 200])
+
+
+def test_png_trns_key_gray_and_rgb():
+    """ADVICE r11: tRNS transparency KEY on color types 0/2 synthesizes
+    an alpha channel (key pixel -> 0, everything else -> 255)."""
+    import zlib as _z
+
+    # 2x1 8-bit gray, key = 200
+    raw = b"\x00" + bytes([200, 10])
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    blob = _png_chunks((b"IHDR", ihdr), (b"tRNS", struct.pack(">H", 200)),
+                       (b"IDAT", _z.compress(raw)), (b"IEND", b""))
+    w, h, ch, out = pixels.decode_png(blob)
+    assert (w, h, ch) == (2, 1, 2)
+    assert bytes(out) == bytes([200, 0, 10, 255])
+
+    # 2x1 8-bit RGB, key = (1, 2, 3)
+    raw = b"\x00" + bytes([1, 2, 3, 9, 9, 9])
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    blob = _png_chunks((b"IHDR", ihdr),
+                       (b"tRNS", struct.pack(">HHH", 1, 2, 3)),
+                       (b"IDAT", _z.compress(raw)), (b"IEND", b""))
+    w, h, ch, out = pixels.decode_png(blob)
+    assert (w, h, ch) == (2, 1, 4)
+    assert bytes(out) == bytes([1, 2, 3, 0, 9, 9, 9, 255])
+
+    # 16-bit gray: key compares against the RAW 16-bit sample
+    raw = b"\x00" + bytes([0x12, 0x34, 0x12, 0x35])
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
+    blob = _png_chunks((b"IHDR", ihdr),
+                       (b"tRNS", struct.pack(">H", 0x1234)),
+                       (b"IDAT", _z.compress(raw)), (b"IEND", b""))
+    w, h, ch, out = pixels.decode_png(blob)
+    assert (w, h, ch) == (2, 1, 2)
+    assert bytes(out) == bytes([0x12, 0, 0x12, 255])

@@ -19,7 +19,6 @@ MUST_BE_CHECKED = [
     "field_stats_events",
     "q1_pricing_summary",
     "dedup_minhash_pairs_documents",
-    "ann_srp_topk_embeddings",
     "convert_export_events",
     "embedding_dedup_clusters",
     "trailing_window_range_events",
@@ -75,6 +74,17 @@ MUST_BE_CHECKED = [
     "wav_frame_features_documents",
     "theta_difference_pairs_documents",
     "frame_pixel_stats_documents",
+    # round-12 rotation (verdict-r11 #2): the round-11 graduations and
+    # L-axis re-plans get their first external hash-green record; the
+    # six rotated-out veterans each had 11 recorded green appearances
+    # and keep in-window family siblings (queries.py WINDOW note).
+    # ann_srp_topk_embeddings rotated out above: ivfpq + pq_adc stay.
+    "pca_project_embeddings",
+    "gif_frame_pixels_documents",
+    "wav_multichannel_features_documents",
+    "scd2_pit_join_events",
+    "chunk_tokens_documents",
+    "remove_repeated_ngrams_documents",
 ]
 
 
@@ -88,13 +98,14 @@ def test_every_family_inside_driver_check_window():
 # answers are not SQL-reproducible); everything else must have an oracle.
 # quality_deciles_documents_approx graduated OUT of this set in round 6:
 # its histogram/cumulative-rank rewrite is exactly SQL-reproducible.
-# The Arrow similarity kernel is rows-only for a different declared
-# reason: BLAS summation order — its correctness check is EXACT row
-# parity with the fold-based oracle-checked twin (test_similarity.py).
 ROWS_ONLY = {
     "field_stats_events_hll",
     "value_percentiles_events_approx",
-    "similarity_topk_embeddings_arrow",
+    # (similarity_topk_embeddings_arrow graduated to hash-oracled in
+    # round 12: the kernel quantizes FLOOR(x*1e6+0.5)/1e6 before
+    # ranking — the PCA discipline — so BLAS summation order cannot
+    # move the hash; EXACT row parity with the fold twin stays
+    # pytest-pinned in test_similarity.py — verdict-r11 #5)
     # round-8: JPEG round trip — IDCT floats are engine-specific; the
     # PNG roundtrip twin stays hash-oracled and DC-only fixtures are
     # pinned exactly in tests/test_pixels.py
