@@ -10,7 +10,8 @@ audio columns with the Spark plumbing real even where codecs are absent.
 PCM WAV needs NO codec: the RIFF container is a struct-framed chunk walk
 and the samples are raw little-endian int16 — so, like the PNG path, the
 decode here is genuinely real, and the NotImplementedError gate narrows
-to genuinely codec-bound audio (MP3/AAC/Opus/float-PCM).
+to genuinely codec-bound audio (MP3/AAC/Opus — float32/float64, any
+channel count, and 3-byte-packed PCM24 all decode via decode_wav_ex).
 
 Features are chosen to be integer-exact or IEEE-deterministic so the
 whole decode path can be hash-oracled against DuckDB computing the same
@@ -123,13 +124,15 @@ def encode_wav_ex(
     channels: List[List[float]],
     fmt: int = _FLOAT_FORMAT,
     bits64: bool = False,
+    bits24: bool = False,
 ) -> bytes:
     """Multichannel WAV writer: ``channels`` is a list of per-channel
     sample lists (equal lengths), interleaved frame-by-frame into one
     'data' chunk. fmt 3 writes IEEE float32 (float64 with
-    ``bits64=True``); fmt 1 writes PCM16 (values taken as ints,
-    clamped). Round-10 verdict #7: all struct-only extensions of the
-    RIFF walk."""
+    ``bits64=True``); fmt 1 writes PCM16, or 3-byte-packed PCM24 with
+    ``bits24=True`` (values taken as ints, clamped to the width).
+    Round-10 verdict #7 / round-12 verdict #6: all struct-only
+    extensions of the RIFF walk."""
     n_ch = len(channels)
     if n_ch == 0:
         raise ValueError("need at least one channel")
@@ -146,6 +149,16 @@ def encode_wav_ex(
     elif fmt == _FLOAT_FORMAT:
         bits = 32
         data = struct.pack("<%df" % len(inter), *inter)
+    elif fmt == _PCM_FORMAT and bits24:
+        # 24-bit packed: 3 little-endian bytes per sample, two's
+        # complement — no struct code exists for 3-byte ints, hence the
+        # explicit byte framing (the last stdlib-feasible audio width)
+        bits = 24
+        out = bytearray()
+        for s in inter:
+            v = max(-8388608, min(8388607, int(s)))
+            out += (v & 0xFFFFFF).to_bytes(3, "little")
+        data = bytes(out)
     elif fmt == _PCM_FORMAT:
         bits = 16
         clamped = [max(-32768, min(32767, int(s))) for s in inter]
@@ -169,11 +182,11 @@ def encode_wav_ex(
 
 
 def decode_wav_ex(payload: bytes) -> Tuple[int, List[List[float]]]:
-    """(sample_rate, per-channel sample lists) from integer-PCM16 or
-    IEEE-float32 WAV bytes, ANY channel count (de-interleaved) — the
-    round-11 widening of ``decode_wav``'s mono-PCM16 gate. The
-    NotImplementedError gate now covers only genuinely compressed audio
-    (MP3/AAC/Opus) and exotic widths (float64, 24-bit PCM). Same
+    """(sample_rate, per-channel sample lists) from integer PCM16,
+    3-byte-packed PCM24 (round 12), or IEEE float32/float64 WAV bytes,
+    ANY channel count (de-interleaved) — the round-11/12 widening of
+    ``decode_wav``'s mono-PCM16 gate. The NotImplementedError gate now
+    covers ONLY genuinely compressed audio (MP3/AAC/Opus). Same
     untrusted-size validation as decode_wav."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -200,6 +213,12 @@ def decode_wav_ex(payload: bytes) -> Tuple[int, List[List[float]]]:
     if fmt_tag == _PCM_FORMAT and bits == 16:
         n = len(data) // 2
         flat = [float(v) for v in struct.unpack("<%dh" % n, data[: 2 * n])]
+    elif fmt_tag == _PCM_FORMAT and bits == 24:
+        n = len(data) // 3
+        flat = []
+        for i in range(n):
+            v = int.from_bytes(data[3 * i : 3 * i + 3], "little")
+            flat.append(float(v - 0x1000000 if v >= 0x800000 else v))
     elif fmt_tag == _FLOAT_FORMAT and bits == 32:
         n = len(data) // 4
         flat = list(struct.unpack("<%df" % n, data[: 4 * n]))
@@ -208,9 +227,9 @@ def decode_wav_ex(payload: bytes) -> Tuple[int, List[List[float]]]:
         flat = list(struct.unpack("<%dd" % n, data[: 8 * n]))
     else:
         raise NotImplementedError(
-            "only integer PCM16 and IEEE float32/float64 decode here; "
-            "compressed (MP3/AAC/Opus) and 24-bit-packed audio need a "
-            "codec library this container does not ship"
+            "only integer PCM16/PCM24 and IEEE float32/float64 decode "
+            "here; compressed (MP3/AAC/Opus) audio needs a codec "
+            "library this container does not ship"
         )
     frames = len(flat) // n_ch
     return sample_rate, [

@@ -5049,6 +5049,31 @@ def q_wav_multichannel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wav_pcm24_features_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+s AS (SELECT doc_id,
+  list_transform(codes, c -> CAST((c - 64) * 4096 AS DOUBLE)) AS smp FROM a),
+f AS (
+  SELECT doc_id,
+    COALESCE(len(smp), 0) AS n,
+    COALESCE(list_sum(smp), 0) AS sv,
+    COALESCE(list_sum(list_transform(smp, v -> v * v)), 0) AS sq,
+    COALESCE(list_max(list_transform(smp, v -> abs(v))), 0.0) AS pk,
+    COALESCE(len(list_filter(smp, (x, i) -> i > 1 AND smp[i-1] * x < 0)), 0) AS zc
+  FROM f0) FROM f
+SELECT 1
+""",
+)
+def q_wav_pcm24_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pass
+
+
+@register(
     "frame_pixel_stats_documents",
     """
 WITH a AS (
