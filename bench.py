@@ -27,8 +27,19 @@ def main() -> None:
     # compilation and classloading — higher-order-function and Pandas-UDF
     # codepaths each have their own first-run cost a single warmup query
     # doesn't touch
-    for fn in QUERIES.values():
-        fn(spark, sf_dir).collect()
+    # a builder that returns non-DataFrame (e.g. a mid-edit stub whose
+    # body is `pass`) must fail HERE with its NAME, not as an anonymous
+    # AttributeError deep in collect() — BENCH_r12 rc 1 post-mortem
+    from pyspark.sql import DataFrame
+
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        if not isinstance(df, DataFrame):
+            raise RuntimeError(
+                f"query {name!r} builder returned {type(df).__name__}, "
+                "not a DataFrame — unfinished registration?"
+            )
+        df.collect()
 
     # min-of-N per query: a single interleaved pass carries ±0.3-1 s
     # container jitter (occasionally multi-second pauses spanning

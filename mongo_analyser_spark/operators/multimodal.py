@@ -339,13 +339,15 @@ def frame_pixel_sample(
     stand-in (see ``sample_frame_pixel_rows``). One Arrow-batched
     mapInPandas over an explicit-N fanout, the extract_pixel_stats
     stage shape."""
-    spark = df.sparkSession
-    n_part = fanout or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    from mongo_analyser_spark.operators.fanout import fanout_for_python
+
     narrowed = df.select(
         id_col, F.col(media_col).getField("data").alias("__data")
-    ).repartition(n_part, id_col)
+    )
+    if fanout:
+        narrowed = narrowed.repartition(fanout, id_col)
+    else:
+        narrowed = fanout_for_python(narrowed, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -56,8 +56,18 @@ def norm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
-    return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
+def q6(x: Column) -> Column:
+    """Shared cross-engine cosine quantizer: FLOOR(x*1e6 + 0.5)/1e6 —
+    half-up toward +infinity in BOTH engines and in numpy, unlike
+    engine ROUND calls whose negative-half tie rules differ (Spark
+    HALF_UP away from zero vs np.floor toward +inf — ADVICE r12). One
+    tie semantics across the fold twin, the Arrow BLAS kernel, and
+    every DuckDB oracle."""
+    return F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return q6(dot(a, b) / (norm(a) * norm(b)))
 
 
 def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -116,8 +126,11 @@ def brute_force_topk(
     scored = pairs.select(
         "qid",
         "vid",
-        F.round(
-            dot(F.col("qvec"), F.col("vvec")) / (F.col("qnorm") * F.col("vnorm")), 6
+        # q6 FLOOR quantization — one tie semantics with the Arrow BLAS
+        # twin and the DuckDB oracle (ADVICE r12: F.round's negative-half
+        # rule diverged from np.floor on exact half-grid points)
+        q6(
+            dot(F.col("qvec"), F.col("vvec")) / (F.col("qnorm") * F.col("vnorm"))
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vid"))

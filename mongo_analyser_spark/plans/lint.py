@@ -380,7 +380,13 @@ def lint_plan(df: DataFrame) -> list[Finding]:
                 "an Arrow Python stage inherits the scan's file-split "
                 "parallelism (no shuffle below it): fine on a real multi-"
                 "split table, serial over a single small file. If the "
-                "per-batch work is heavy, repartition explicit-N first.",
+                "per-batch work is heavy, fan out first — "
+                "operators/fanout.fanout_for_python applies the "
+                "explicit-N repartition only when the scan is under-"
+                "parallel, so many-file layouts skip the extra shuffle "
+                "(round-13 adaptive form; this finding is EXPECTED on "
+                "plans built from many-file inputs where the fanout "
+                "legitimately self-elides).",
             )
         )
     findings.append(

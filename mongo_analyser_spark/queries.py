@@ -2585,12 +2585,9 @@ WINDOW_QUERIES = (
     # embedding_near_dup_pairs + embedding_dedup_clusters stay)
     "scd2_event_type_events",
     "ewma_smooth_events",
-    "schema_drift_events",
     "ivfpq_topk_embeddings",
     "minhash_estimate_error_pairs",
-    "quantile_sketch_by_type_events",
     "wav_frame_features_documents",
-    "theta_difference_pairs_documents",
     "frame_pixel_stats_documents",
     # round-12 rotation (verdict-r11 #2): the round-11 graduations and
     # re-plans get their FIRST external hash-green record — the PCA
@@ -2615,6 +2612,21 @@ WINDOW_QUERIES = (
     "scd2_pit_join_events",
     "chunk_tokens_documents",
     "remove_repeated_ngrams_documents",
+    # round-13 rotation (verdict-r12 #7): the round-12 graduation
+    # (FLOOR-quantized Arrow BLAS top-k — hash-oracled since r12 but
+    # never externally recorded) and the FINISHED PCM24 audio row (the
+    # r12 stub, now a real builder + oracle) come in-window. OUT: two
+    # rows with 2 recorded driver-green appearances (r11+r12), each with
+    # an in-window family sibling —
+    #   quantile_sketch_by_type_events — quantile_sketch_report stays
+    #   theta_difference_pairs_documents — theta_overlap_pairs stays
+    #   schema_drift_events — melt-variant family keeps
+    #                         type_histogram_events + the new deep melt
+    "similarity_topk_embeddings_arrow",
+    "wav_pcm24_features_documents",
+    # round-13 flagship: the depth-8 unbounded-recursion melt
+    # (verdict-r12 #6) goes straight in-window for its external record
+    "deep_melt_documents",
 )
 
 # Near-duplicates of an already-in-window sibling ride the tail (still
@@ -2649,6 +2661,11 @@ WINDOW_QUERIES = (
 #   user_totals_events        — ST5 stateful family keeps
 #                               dedup_first_event_per_user_type
 TAIL_QUERIES = (
+    # round-13 rotation: out of the window after 2 recorded green driver
+    # appearances each (r11+r12; in-window siblings noted at WINDOW list)
+    "quantile_sketch_by_type_events",
+    "theta_difference_pairs_documents",
+    "schema_drift_events",
     # round-12 rotation: out of the window after 11 recorded green
     # driver appearances each (in-window siblings noted at the WINDOW list)
     "q3_shipping_priority",
@@ -2762,9 +2779,8 @@ TAIL_QUERIES = (
     # round-6: stream-stream interval join batch twin (ST family reps
     # in-window: tumbling/session/late-data/dedup_first)
     "interval_join_events",
-    # round-6: Arrow/numpy kernel twin of similarity_topk (rows-only —
-    # BLAS summation order; pytest pins exact parity with the fold twin)
-    "similarity_topk_embeddings_arrow",
+    # (similarity_topk_embeddings_arrow rotated IN-window round 13 —
+    # hash-oracled since its r12 FLOOR-quantization graduation)
     # round-6: training-mix curation pair (sampling family reps
     # in-window: sample_events_deterministic, stratified in tail)
     "mixture_sample_documents",

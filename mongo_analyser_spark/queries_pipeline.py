@@ -34,6 +34,7 @@ from mongo_analyser_spark.operators.similarity import (
     brute_force_topk,
     srp_planes,
 )
+from mongo_analyser_spark.operators.fanout import fanout_for_python
 from mongo_analyser_spark.operators.field_stats import TS_FMT
 from mongo_analyser_spark.queries import ORACLE_GENERATORS, register
 from mongo_analyser_spark.sources.parquet import load_table
@@ -254,10 +255,7 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     exempt from AQE re-coalescing)."""
     from mongo_analyser_spark.operators.quality import char_entropy
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        "doc_id",
-    )
+    docs = fanout_for_python(load_table(spark, sf_dir, "documents"))
     return char_entropy(docs).orderBy("doc_id")
 
 
@@ -605,10 +603,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2 md5 hashes per distinct 8-gram per training doc inside the scan
     # projection — per-row-heavy work that would otherwise run on the
     # single-file scan's ONE partition (the char_entropy/jpeg pattern)
-    train = docs.filter(F.col("doc_id") % 10 != 0).repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        "doc_id",
-    )
+    train = fanout_for_python(docs.filter(F.col("doc_id") % 10 != 0))
     return bloom_ngram_contamination(
         train, test, "doc_id", "text", n=8, num_hashes=_BLOOM_K, num_bits=_BLOOM_BITS
     )
@@ -1128,8 +1123,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
 scored AS (
   SELECT qid, e.vec_id AS vid,
-    ROUND(({_dot_sql('q.qv', 'e.embedding')})
-          / ({_norm_sql('q.qv')} * {_norm_sql('e.embedding')}), 6) AS cos_sim
+    FLOOR(({_dot_sql('q.qv', 'e.embedding')})
+          / ({_norm_sql('q.qv')} * {_norm_sql('e.embedding')}) * 1e6 + 0.5) / 1e6
+      AS cos_sim
   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
 SELECT qid, vid, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rnk
@@ -1452,8 +1448,9 @@ def _ann_recall_sql() -> str:
 WITH q0 AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
 ex_scored AS (
   SELECT qid, e.vec_id AS vid,
-    ROUND(({_dot_sql('q0.qv', 'e.embedding')})
-          / ({_norm_sql('q0.qv')} * {_norm_sql('e.embedding')}), 6) AS cos_sim
+    FLOOR(({_dot_sql('q0.qv', 'e.embedding')})
+          / ({_norm_sql('q0.qv')} * {_norm_sql('e.embedding')}) * 1e6 + 0.5) / 1e6
+      AS cos_sim
   FROM embeddings e CROSS JOIN q0 WHERE e.vec_id <> q0.qid),
 exact AS (
   SELECT qid, vid FROM (
@@ -1539,8 +1536,9 @@ def _ann_ivf_recall_sql() -> str:
 WITH q0 AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
 ex_scored AS (
   SELECT qid, e.vec_id AS vid,
-    ROUND(({_dot_sql('q0.qv', 'e.embedding')})
-          / ({_norm_sql('q0.qv')} * {_norm_sql('e.embedding')}), 6) AS cos_sim
+    FLOOR(({_dot_sql('q0.qv', 'e.embedding')})
+          / ({_norm_sql('q0.qv')} * {_norm_sql('e.embedding')}) * 1e6 + 0.5) / 1e6
+      AS cos_sim
   FROM embeddings e CROSS JOIN q0 WHERE e.vec_id <> q0.qid),
 exact AS (
   SELECT qid, vid FROM (
@@ -2972,17 +2970,13 @@ def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        # explicit N resolved from the session conf AT PLAN TIME: a bare
-        # keyed repartition is an AQE re-coalesce target, and ~1.5 MB of
-        # text collapses to ONE post-shuffle partition, serializing the
-        # whole Python codec stage (measured 17.1 s vs 2.1 s solo at
-        # sf0.1). An explicit-N repartition is exempt from AQE
-        # coalescing, and the value still scales with cluster config
-        # instead of pinning local[32]'s 32.
-        .repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-            "doc_id",
-        )
+        # adaptive explicit-N fanout (r13): a bare keyed repartition is
+        # an AQE re-coalesce target (~1.5 MB of text collapses to ONE
+        # post-shuffle partition, serializing the Python codec stage —
+        # measured 17.1 s vs 2.1 s solo at sf0.1); explicit-N is exempt.
+        # On many-file layouts where the scan already saturates executor
+        # parallelism the shuffle is skipped entirely (operators/fanout).
+        .transform(fanout_for_python)
     )
 
     def run(batches):
@@ -4412,10 +4406,9 @@ def q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-            "doc_id",
-        )
+        # adaptive fanout (r13): explicit-N on single-file fixtures,
+        # skipped when the scan already saturates executor parallelism
+        .transform(fanout_for_python)
     )
 
     def run(batches):
@@ -4801,10 +4794,9 @@ def q_wav_resample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-            "doc_id",
-        )
+        # adaptive fanout (r13): explicit-N on single-file fixtures,
+        # skipped when the scan already saturates executor parallelism
+        .transform(fanout_for_python)
     )
 
     def run(batches):
@@ -4898,10 +4890,9 @@ def q_wav_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-            "doc_id",
-        )
+        # adaptive fanout (r13): explicit-N on single-file fixtures,
+        # skipped when the scan already saturates executor parallelism
+        .transform(fanout_for_python)
     )
 
     def run(batches):
@@ -5000,10 +4991,9 @@ def q_wav_multichannel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-            "doc_id",
-        )
+        # adaptive fanout (r13): explicit-N on single-file fixtures,
+        # skipped when the scan already saturates executor parallelism
+        .transform(fanout_for_python)
     )
 
     def run(batches):
@@ -5065,12 +5055,154 @@ f AS (
     COALESCE(list_sum(list_transform(smp, v -> v * v)), 0) AS sq,
     COALESCE(list_max(list_transform(smp, v -> abs(v))), 0.0) AS pk,
     COALESCE(len(list_filter(smp, (x, i) -> i > 1 AND smp[i-1] * x < 0)), 0) AS zc
-  FROM f0) FROM f
-SELECT 1
+  FROM s)
+SELECT doc_id, CAST(n AS INTEGER) AS n_samples,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE FLOOR(CAST(sv AS DOUBLE) / n * 10000.0 + 0.5) / 10000.0 END AS mean,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE FLOOR(sqrt(CAST(sq AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0
+  END AS rms,
+  CAST(pk AS INTEGER) AS peak,
+  CAST(zc AS INTEGER) AS zero_crossings
+FROM f ORDER BY doc_id
 """,
 )
 def q_wav_pcm24_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pass
+    """24-BIT PACKED PCM WAV round trip (verdict-r11 #6 / verdict-r12 #1
+    — the last stdlib-feasible audio width): each document's ASCII codes
+    become mono PCM24 integer samples ((c-64)*4096, |s| <= 258048 —
+    comfortably 24-bit but beyond int16, so a silent 16-bit fallback
+    would clamp and break the hash), written as a REAL format-1/24-bit
+    RIFF container with 3-byte two's-complement framing
+    (operators/audio.encode_wav_ex bits24=True), then decoded back
+    (decode_wav_ex's 3-byte branch) into per-clip features. Samples are
+    exact integers, so every sum below is order-free exact; the oracle
+    computes the same features from the codes directly — a bug in the
+    3-byte packing, the sign extension, the fmt-chunk width, or the
+    feature math breaks the hash. Same mapInPandas-over-explicit-fanout
+    stage shape as wav_multichannel_features_documents."""
+    import pandas as pd  # noqa: F401
+
+    from mongo_analyser_spark.operators.audio import (
+        encode_wav_ex,
+        wav_pcm24_features,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # adaptive fanout (r13): explicit-N on single-file fixtures,
+        # skipped when the scan already saturates executor parallelism
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                smp = [(c - 64) * 4096 for c in codes]
+                payload = encode_wav_ex(8000, [smp], fmt=1, bits24=True)
+                ft = wav_pcm24_features(payload)
+                rows.append(
+                    (
+                        doc_id,
+                        ft["n_samples"],
+                        ft["mean"],
+                        ft["rms"],
+                        ft["peak"],
+                        ft["zero_crossings"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "mean", "rms", "peak",
+                    "zero_crossings",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples int, mean double, rms double, peak int,"
+        " zero_crossings int",
+    ).orderBy("doc_id")
+
+
+def _deep_melt_sql(depth: int = 8) -> str:
+    """Oracle for the depth-``depth`` nested melt: the nesting is
+    constructed from known parts, so the expected (path, type_tag,
+    leaf_json) rows are a static union per document."""
+    segs = [f"l{i}" for i in range(1, depth + 1)]
+    parts = []
+    for i in range(1, depth + 1):
+        p = ".".join(segs[:i])
+        parts.append(
+            f"SELECT doc_id, '{p}' AS path, 'dict' AS type_tag,"
+            " CAST(NULL AS VARCHAR) AS leaf_json FROM d"
+        )
+    leaf = ".".join(segs)
+    parts.append(
+        f"SELECT doc_id, '{leaf}.s', 'str',"
+        " '\"' || COALESCE(lang, 'xx') || '\"' FROM d"
+    )
+    parts.append(
+        f"SELECT doc_id, '{leaf}.v', 'int32',"
+        " CAST(COALESCE(n_chars, 0) AS VARCHAR) FROM d"
+    )
+    union = "\n  UNION ALL ".join(parts)
+    return f"""
+WITH d AS (SELECT doc_id, lang, n_chars FROM documents)
+SELECT doc_id, path, type_tag, leaf_json FROM (
+  {union})
+ORDER BY doc_id, path
+"""
+
+
+@register("deep_melt_documents", _deep_melt_sql(8))
+def q_deep_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEPTH-8 dynamic-document melt (round 13, verdict-r12 #6 — the
+    deep-nesting axis): each document is wrapped in an 8-level nested
+    JSON object built from its own fields, then melted with
+    ``melt_variant(max_depth=None)`` — the UNBOUNDED recursion the
+    reference performs (mongo_analyser/core/analyser.py:44-45), now
+    supported via the adaptive frontier probe under a 64-level plan
+    ceiling. Output is one row per dotted path per document: 8 'dict'
+    rows (analyser.py:82-88 — object nodes appear themselves) plus the
+    two depth-9 leaves with their reference type labels. A bug in the
+    recursion depth, the dotted-path concatenation, the dict-row
+    emission, or the variant type labeling breaks the hash. Engine-side
+    throughout: parse_json + 9 stacked variant_explode generator
+    projections, no Python, no shuffle before the final sort."""
+    from mongo_analyser_spark.operators.melt_variant import melt_variant
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('{"l1":{"l2":{"l3":{"l4":{"l5":{"l6":{"l7":{"l8":{"s":"'),
+            F.coalesce(F.col("lang"), F.lit("xx")),
+            F.lit('","v":'),
+            F.coalesce(F.col("n_chars"), F.lit(0)).cast("string"),
+            F.lit("}}}}}}}}}"),
+        ).alias("doc"),
+    )
+    melted = melt_variant(
+        docs, "doc", id_col="doc_id", max_depth=None, adaptive=True
+    )
+    return melted.select(
+        "doc_id",
+        "path",
+        "type_tag",
+        F.when(F.col("type_tag") != "dict", F.col("value_json")).alias(
+            "leaf_json"
+        ),
+    ).orderBy("doc_id", "path")
 
 
 @register(
@@ -5135,10 +5267,9 @@ def q_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-            "doc_id",
-        )
+        # adaptive fanout (r13): explicit-N on single-file fixtures,
+        # skipped when the scan already saturates executor parallelism
+        .transform(fanout_for_python)
     )
 
     def run(batches):
@@ -5219,10 +5350,9 @@ def q_gif_frame_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-            "doc_id",
-        )
+        # adaptive fanout (r13): explicit-N on single-file fixtures,
+        # skipped when the scan already saturates executor parallelism
+        .transform(fanout_for_python)
     )
 
     def run(batches):

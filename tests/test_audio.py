@@ -189,12 +189,63 @@ def test_wav_ex_gates_and_validation():
         decode_wav_ex(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data
     with pytest.raises(ValueError):
         encode_wav_ex(8000, [[0.0, 1.0], [0.0]])  # ragged channels
-    # 24-bit PCM is still codec-gated
+    # width/format flags are mutually exclusive with the wrong fmt tag
+    with pytest.raises(ValueError):
+        encode_wav_ex(8000, [[0.0]], fmt=3, bits24=True)
+    with pytest.raises(ValueError):
+        encode_wav_ex(8000, [[0.0]], fmt=1, bits64=True)
+    # the codec gate now covers ONLY genuinely compressed audio: a
+    # format-tag 0x55 (MP3) container must still raise
     payload = bytearray(encode_wav_ex(8000, [[0.0] * 4], fmt=1))
-    # fmt chunk starts at offset 20; bits-per-sample at offset 20+14
-    payload[34:36] = (24).to_bytes(2, "little")
+    # fmt chunk starts at offset 20; format tag is its first u16
+    payload[20:22] = (0x55).to_bytes(2, "little")
     with pytest.raises(NotImplementedError):
         decode_wav_ex(bytes(payload))
+
+
+def test_wav_pcm24_roundtrip_and_clamp():
+    """PCM24 encode/decode round trip (round-13, verdict-r12 #1/#2):
+    values round-trip exactly across the full signed 24-bit range,
+    out-of-range inputs clamp at the rails, and negative samples use
+    3-byte two's complement."""
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ex,
+        wav_pcm24_features,
+    )
+
+    smp = [0, 1, -1, 8388607, -8388608, 12345, -54321, 4096]
+    payload = encode_wav_ex(44100, [smp], fmt=1, bits24=True)
+    rate, chans = decode_wav_ex(payload)
+    assert rate == 44100
+    assert len(chans) == 1
+    assert chans[0] == [float(v) for v in smp]
+    # fmt chunk advertises 24 bits / block align 3
+    assert payload[34:36] == (24).to_bytes(2, "little")
+    assert payload[32:34] == (3).to_bytes(2, "little")
+    # clamping at the rails (values beyond the width clamp, not wrap)
+    clamped = encode_wav_ex(8000, [[8388608, -8388609]], fmt=1, bits24=True)
+    _r, ch = decode_wav_ex(clamped)
+    assert ch[0] == [8388607.0, -8388608.0]
+    # truncated data chunk (size field larger than payload) must raise
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav_ex(payload[:-1])
+    # feature helper: exact-integer sums, shared _q4 quantization
+    ft = wav_pcm24_features(encode_wav_ex(8000, [[4096, -4096, 4096]],
+                                          fmt=1, bits24=True))
+    assert ft["n_samples"] == 3
+    assert ft["peak"] == 4096
+    assert ft["zero_crossings"] == 2
+    import math
+
+    assert ft["mean"] == math.floor(4096 / 3 * 1e4 + 0.5) / 1e4
+    assert ft["rms"] == math.floor(4096.0 * 1e4 + 0.5) / 1e4
+    # empty clip: all-zero features, no division blowup
+    ft0 = wav_pcm24_features(encode_wav_ex(8000, [[]], fmt=1, bits24=True))
+    assert ft0 == {"n_samples": 0, "mean": 0.0, "rms": 0.0, "peak": 0,
+                   "zero_crossings": 0}
 
 
 def test_wav_multichannel_features_exact():

@@ -67,12 +67,9 @@ MUST_BE_CHECKED = [
     # in-window family sibling (see queries.py WINDOW note)
     "scd2_event_type_events",
     "ewma_smooth_events",
-    "schema_drift_events",
     "ivfpq_topk_embeddings",
     "minhash_estimate_error_pairs",
-    "quantile_sketch_by_type_events",
     "wav_frame_features_documents",
-    "theta_difference_pairs_documents",
     "frame_pixel_stats_documents",
     # round-12 rotation (verdict-r11 #2): the round-11 graduations and
     # L-axis re-plans get their first external hash-green record; the
@@ -85,6 +82,17 @@ MUST_BE_CHECKED = [
     "scd2_pit_join_events",
     "chunk_tokens_documents",
     "remove_repeated_ngrams_documents",
+    # round-13 rotation (verdict-r12 #7): the r12 Arrow-top-k graduation
+    # gets its external record, and the finished PCM24 row replaces the
+    # r12 stub. quantile_sketch_by_type / theta_difference rotated out
+    # above with 2 recorded green appearances each; their family
+    # siblings (quantile_sketch_report, theta_overlap) stay in-window.
+    "similarity_topk_embeddings_arrow",
+    "wav_pcm24_features_documents",
+    # round-13 flagship: the depth-8 unbounded melt; schema_drift_events
+    # rotated out above (2 recorded greens; type_histogram + this row
+    # keep the melt-variant family in-window)
+    "deep_melt_documents",
 ]
 
 

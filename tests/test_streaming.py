@@ -847,3 +847,108 @@ def test_theta_monitor_checkpoint_restart(spark, tmp_path):
     assert first != batch_all  # the split is real
     ev.filter(F.col("event_id") % 2 != 0).write.mode("append").parquet(in_dir)
     assert run() == batch_all
+
+
+def _latest_mg_rows(rows):
+    """Freshest (max-seq) summary row-set per shard from an update-mode
+    sink: shards refresh independently, so take each shard's newest
+    emission."""
+    best_seq = {}
+    for r in rows:
+        if r["g"] not in best_seq or r["seq"] > best_seq[r["g"]]:
+            best_seq[r["g"]] = r["seq"]
+    return [r for r in rows if r["seq"] == best_seq[r["g"]]]
+
+
+def _mg_merged_from_rows(spark, rows):
+    from mongo_analyser_spark.operators.heavyhitters import mg_merge
+
+    summ = spark.createDataFrame(
+        [
+            (r["key"], int(r["g"]), r["exact_cnt"], r["t_g"], r["weight"])
+            for r in rows
+        ],
+        "user_key string, g long, exact_cnt long, t_g long, weight long",
+    )
+    return [tuple(r) for r in mg_merge(summ, "user_key", 16).collect()]
+
+
+def test_mg_monitor_stream_matches_batch_exactly(spark):
+    """ST14: the mergeable Misra-Gries summary as a stateful streaming
+    operator — after the whole stream, the freshest per-shard summary
+    rows equal batch mg_summary EXACTLY (the mergeable form is a pure
+    function of the exact counts), and feeding them to the SAME
+    mg_merge reproduces the batch mg_heavy_hitters report
+    bit-for-bit."""
+    from mongo_analyser_spark.operators.heavyhitters import (
+        mg_heavy_hitters,
+        mg_summary,
+    )
+    from mongo_analyser_spark.streaming.mg_monitor import mg_stream
+    from mongo_analyser_spark.streaming.windows import stream_events
+
+    mon = mg_stream(stream_events(spark, SF), F.col("user_id"), k=16)
+    assert mon.isStreaming
+    _run_stream_to_memory(mon, "t_mg_mon", output_mode="update")
+    latest = _latest_mg_rows(spark.table("t_mg_mon").collect())
+
+    ev = load_table(spark, SF, "events")
+    want_summ = {
+        (r["user_key"], r["g"], r["exact_cnt"], r["t_g"], r["weight"])
+        for r in mg_summary(ev, F.col("user_id"), "user_key", 16, 8).collect()
+    }
+    got_summ = {
+        (r["key"], r["g"], r["exact_cnt"], r["t_g"], r["weight"])
+        for r in latest
+    }
+    assert got_summ == want_summ and len(want_summ) > 0
+
+    want = [
+        tuple(r)
+        for r in mg_heavy_hitters(
+            ev, F.col("user_id"), "user_key", 16, 8
+        ).collect()
+    ]
+    assert _mg_merged_from_rows(spark, latest) == want
+
+
+def test_mg_monitor_checkpoint_restart(spark, tmp_path):
+    """ST14 restart story: stop/append/restart on one checkpoint — the
+    per-shard exact-count state survives and committed offsets prevent
+    replay (a replay would double every count and break the exact-cnt
+    parity). Final merged report == batch over ALL files."""
+    from mongo_analyser_spark.operators.heavyhitters import mg_heavy_hitters
+    from mongo_analyser_spark.streaming.mg_monitor import mg_stream
+
+    ev = load_table(spark, SF, "events")
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(in_dir)
+
+    def run():
+        sdf = spark.readStream.schema(ev.schema).parquet(in_dir)
+        mon = mg_stream(sdf, F.col("user_id"), k=16)
+        q = (
+            mon.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return _mg_merged_from_rows(
+            spark, _latest_mg_rows(spark.read.parquet(out_dir).collect())
+        )
+
+    first = run()
+    batch_all = [
+        tuple(r)
+        for r in mg_heavy_hitters(
+            ev, F.col("user_id"), "user_key", 16, 8
+        ).collect()
+    ]
+    assert first != batch_all  # the split is real
+    ev.filter(F.col("event_id") % 2 != 0).write.mode("append").parquet(in_dir)
+    assert run() == batch_all

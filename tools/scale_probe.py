@@ -228,6 +228,421 @@ COPY (
     return SF1_DIR
 
 
+WIDE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale"
+)
+
+
+def build_wide(dim: int, base_sf: str = "/root/testdata/sf0.1") -> str:
+    """Deterministic wide-vector tier (round-13, verdict-r12 #2): the
+    64-dim fixture tiled to ``dim`` with a per-tile integer-grid
+    perturbation (tile t, coord i gets +0.001*(((t*31+i)%17)-8)) so the
+    tiles are decorrelated but fully reproducible. Row count stays the
+    fixture's 2,000 — this axis isolates per-DIMENSION cost, the row
+    axis is the sf decade probe's job."""
+    out_dir = os.path.join(WIDE_DIR, f"wide{dim}")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "embeddings.parquet")
+    if not os.path.exists(out):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT vec_id, embedding, label FROM read_parquet(?)"
+            " ORDER BY vec_id",
+            [os.path.join(base_sf, "embeddings.parquet")],
+        ).fetchall()
+        X = np.asarray([r[1] for r in rows], dtype=np.float64)
+        tiles = dim // X.shape[1]
+        assert tiles * X.shape[1] == dim, "dim must be a multiple of 64"
+        parts = [
+            X + 0.001 * (((t * 31 + np.arange(X.shape[1])) % 17) - 8)
+            for t in range(tiles)
+        ]
+        W = np.hstack(parts).astype(np.float32)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [w.tolist() for w in W], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        )
+        pq.write_table(tbl, out)
+    for f in os.listdir(base_sf):
+        dst = os.path.join(out_dir, f)
+        if f != "embeddings.parquet" and not os.path.exists(dst):
+            os.symlink(os.path.join(base_sf, f), dst)
+    return out_dir
+
+
+def main_wide(dims: list[int] | None = None) -> None:
+    """Per-DIMENSION cost of every vector operator family (the last
+    unmeasured data axis, verdict-r12 #2): the registry rows bake in
+    EMB_DIM=64, so this probe drives the OPERATORS directly at
+    d = 64 / 768 / 1536 (production embedding widths) and reports raw
+    seconds plus cost normalized by the operator's own d-bound —
+    s/d for the linear families, s/d^2 for covariance and the
+    driver-side power iteration. A normalized column that grows with d
+    flags a superlinear implementation hiding under the fixture's
+    narrow vectors."""
+    from mongo_analyser_spark import get_spark
+    from mongo_analyser_spark.operators.clustering import (
+        kmeans_step,
+        semantic_dedup,
+    )
+    from mongo_analyser_spark.operators.pca import (
+        covariance_as_matrix,
+        covariance_upper,
+        jl_project,
+        pca_power_components,
+    )
+    from mongo_analyser_spark.operators.pq import (
+        pq_adc_topk_arrow,
+        pq_encode_arrow,
+        train_codebook,
+    )
+    from mongo_analyser_spark.operators.similarity import (
+        brute_force_topk_arrow,
+        ivf_centroids,
+        ivf_topk,
+    )
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    dims = dims or [64, 768, 1536]
+    qids = list(range(8))
+    spark = get_spark(
+        "scale_probe_wide", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+
+    # (name, d-bound exponent for normalization, runner)
+    def steps(df, d):
+        cb_holder = {}
+
+        def _pq_train():
+            cb_holder["cb"] = train_codebook(
+                df, "vec_id", "embedding", d, m=8, k=16
+            )
+
+        return [
+            ("covariance_gram_collect", 2, lambda: covariance_upper(
+                df, "vec_id", "embedding", d).collect()),
+            # driver-side deflated power iteration: O(d^2 * iters * k)
+            # PURE-PYTHON flops — k=2/iters=8 bounds the probe while the
+            # per-(d^2*k*iters) column still shows the constant
+            ("pca_power_driver_k2_it8", 2, lambda: pca_power_components(
+                covariance_as_matrix(df, "vec_id", "embedding", d),
+                k=2, iters=8)),
+            ("pq_train_m8_k16", 1, _pq_train),
+            ("pq_encode_arrow", 1, lambda: pq_encode_arrow(
+                df, "vec_id", "embedding", cb_holder["cb"], d).collect()),
+            ("pq_adc_topk_arrow", 1, lambda: pq_adc_topk_arrow(
+                df, "vec_id", "embedding", qids, d,
+                cb=cb_holder["cb"]).collect()),
+            ("kmeans_step_arrow", 1, lambda: kmeans_step(
+                df, "vec_id", "embedding", k=8, arrow=True).collect()),
+            ("ivf_topk_16cells", 1, lambda: ivf_topk(
+                df, "vec_id", "embedding", qids, 16, d, k=3).collect()),
+            ("jl_project_to16", 1, lambda: jl_project(
+                df, "vec_id", "embedding", d, 16).collect()),
+            ("blas_topk_arrow", 1, lambda: brute_force_topk_arrow(
+                df, "vec_id", "embedding", qids, k=5).collect()),
+            ("semantic_dedup_16cells", 1, lambda: semantic_dedup(
+                df, "vec_id", "embedding",
+                ivf_centroids(16, d)).collect()),
+        ]
+
+    results: dict[str, dict] = {}
+    for d in dims:
+        sf_dir = (
+            "/root/testdata/sf0.1" if d == 64 else build_wide(d)
+        )
+        df = load_table(spark, sf_dir, "embeddings")
+        for name, exp, fn in steps(df, d):
+            if d == dims[0]:
+                fn()  # warm-up: codegen + Arrow init once, smallest d
+            t0 = time.time()
+            fn()
+            el = time.time() - t0
+            results.setdefault(name, {"exp": exp, "times": {}})
+            results[name]["times"][d] = round(el, 3)
+            print(f"  d={d} {name}: {el:.2f}s", flush=True)
+
+    print("\n| operator | bound | " + " | ".join(
+        f"d={d} (s)" for d in dims) + " | " + " | ".join(
+        f"s/d^b @{d} (×1e6)" for d in dims) + " |")
+    print("|---|---|" + "---|" * (2 * len(dims)))
+    for name, r in results.items():
+        b = r["exp"]
+        raw = " | ".join(f"{r['times'][d]:.2f}" for d in dims)
+        norm = " | ".join(
+            f"{r['times'][d] / (d ** b) * 1e6:.1f}" for d in dims
+        )
+        print(f"| {name} | O(d^{b}) | {raw} | {norm} |")
+    print(json.dumps({"metric": "wide_vector_probe", "dims": dims,
+                      "results": results}))
+
+
+SF1_ZIPF_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scale",
+    "sf1zipf",
+)
+
+#: user/source-KEYED flagships for the skewed decade (verdict-r12 #3):
+#: every row whose shuffle or window key is user_id / source / (doc
+#: cluster) — the keys the Zipf tier deliberately breaks.
+ZIPF_QUERIES = [
+    "field_stats_events",
+    "scd2_event_type_events",
+    "scd2_pit_join_events",
+    "ewma_smooth_events",
+    "funnel_conversion_events",
+    "dedup_first_event_per_user_type",
+    "mg_heavy_hitters_events",
+    "quantile_sketch_by_type_events",
+    "dedup_report_by_source",
+]
+
+
+def build_sf1_zipf(base_sf: str = "/root/testdata/sf0.1") -> str:
+    """Zipf-skewed twin of the sf1 decade (verdict-r12 #3): same 10×
+    row counts, but one user owns ~50% of events and one source owns
+    ~50% of documents (deterministic: every even surrogate row re-keys
+    to the hot key). The uniform sf1 tier re-keys users uniformly, so
+    window/groupBy flagships never see a hot partition there — this
+    tier is the straggler test."""
+    import duckdb
+
+    os.makedirs(SF1_ZIPF_DIR, exist_ok=True)
+    con = duckdb.connect()
+    ev = os.path.join(SF1_ZIPF_DIR, "events.parquet")
+    if not os.path.exists(ev):
+        con.execute(f"""
+COPY (
+  SELECT event_id + c.c * 100000 AS event_id, ts,
+         CASE WHEN (event_id + c.c) % 2 = 0 THEN 424242
+              ELSE user_id + c.c * 1500 END AS user_id,
+         event_type, value, props
+  FROM read_parquet('{base_sf}/events.parquet')
+  CROSS JOIN generate_series(0, 9) c(c)
+) TO '{ev}' (FORMAT PARQUET)""")
+    dc = os.path.join(SF1_ZIPF_DIR, "documents.parquet")
+    if not os.path.exists(dc):
+        con.execute(f"""
+COPY (
+  SELECT doc_id + c.c * 5000 AS doc_id,
+         CASE WHEN c.c = 0 THEN text
+              ELSE array_to_string(list_transform(
+                     string_split(text, ' '), w -> w || '~' || c.c), ' ')
+         END AS text,
+         lang,
+         CASE WHEN (doc_id + c.c) % 2 = 0 THEN 'src_hot' ELSE source END
+           AS source,
+         n_chars
+  FROM read_parquet('{base_sf}/documents.parquet')
+  CROSS JOIN generate_series(0, 9) c(c)
+) TO '{dc}' (FORMAT PARQUET)""")
+    # embeddings + remaining tables: reuse the uniform tier's artifacts
+    uni = build_sf1(base_sf)
+    for f in os.listdir(uni):
+        dst = os.path.join(SF1_ZIPF_DIR, f)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(uni, f), dst)
+    return SF1_ZIPF_DIR
+
+
+def main_zipf(names: list[str]) -> None:
+    """Skewed-vs-uniform decade comparison: each keyed flagship timed on
+    the uniform sf1 tier and the Zipf tier (same row counts, hot keys).
+    zipf/uniform ratio > 2 flags a row for the round-8 decision rule
+    (AQE forceOptimizeSkewedJoin vs operators/relational.salted_join —
+    see tools/skew_probe.py and SCALE.md round-8)."""
+    from mongo_analyser_spark import get_spark
+    from mongo_analyser_spark.queries import QUERIES
+
+    base_sf = "/root/testdata/sf0.1"
+    uni = build_sf1(base_sf)
+    zipf = build_sf1_zipf(base_sf)
+    spark = get_spark(
+        "scale_probe_zipf", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    names = names or ZIPF_QUERIES
+    for n in names:
+        QUERIES[n](spark, base_sf).collect()  # warm-up
+    print("| query | sf1 uniform (s) | sf1 zipf (s) | zipf/uniform |")
+    print("|---|---|---|---|")
+    results = {}
+    oh = 0.2
+    for n in names:
+        t0 = time.time()
+        QUERIES[n](spark, uni).collect()
+        tu = time.time() - t0
+        t0 = time.time()
+        QUERIES[n](spark, zipf).collect()
+        tz = time.time() - t0
+        ratio = (tz - oh) / max(tu - oh, 0.05)
+        results[n] = {"uniform_s": round(tu, 3), "zipf_s": round(tz, 3),
+                      "ratio": round(ratio, 2)}
+        flag = "  <-- SKEW" if ratio > 2 else ""
+        print(f"| {n} | {tu:.2f} | {tz:.2f} | {ratio:.1f}× |{flag}")
+    print(json.dumps({"metric": "zipf_probe", "results": results}))
+
+
+MANYFILE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scale",
+    "sf1files",
+)
+
+#: per-row-Python (codec/text) rows whose fanout crutch the many-file
+#: axis makes redundant
+MANYFILE_QUERIES = [
+    "wav_audio_features_documents",
+    "jpeg_pixel_stats_documents",
+    "char_entropy_documents",
+    "frame_pixel_stats_documents",
+    "dhash_documents",
+]
+
+
+def build_manyfiles(spark, nfiles: int = 64) -> str:
+    """sf1 documents re-laid-out as ``nfiles`` parquet files (a
+    directory named documents.parquet, which every reader treats as the
+    table) — the 100-TB layout where scan parallelism comes from the
+    file count, not from a post-scan shuffle."""
+    os.makedirs(MANYFILE_DIR, exist_ok=True)
+    base = build_sf1()
+    target = os.path.join(MANYFILE_DIR, "documents.parquet")
+    if not os.path.exists(target):
+        (
+            spark.read.parquet(os.path.join(base, "documents.parquet"))
+            .repartition(nfiles)
+            .write.mode("overwrite")
+            .parquet(target)
+        )
+    for f in os.listdir(base):
+        dst = os.path.join(MANYFILE_DIR, f)
+        if f != "documents.parquet" and not os.path.exists(dst):
+            os.symlink(os.path.join(base, f), dst)
+    return MANYFILE_DIR
+
+
+def main_manyfiles(names: list[str]) -> None:
+    """Many-file layout probe (verdict-r12 #4): on a 64-file documents
+    table with split-count-scale scan settings (maxPartitionBytes /
+    openCostInBytes lowered so the toy corpus produces >= parallelism
+    splits, emulating the regime a 100-TB table is always in), each
+    Python-stage row is timed with the explicit-N fanout FORCED
+    (SPARK_GRAFT_FANOUT=always — the pre-round-13 behavior: an extra
+    full shuffle of the payloads) vs ADAPTIVE (auto — the shuffle is
+    skipped because the scan already saturates parallelism). Done =
+    auto within ±10% of always or faster, identical row counts."""
+    from mongo_analyser_spark import get_spark
+    from mongo_analyser_spark.queries import QUERIES
+
+    spark = get_spark(
+        "scale_probe_files", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    many = build_manyfiles(spark)
+    # split-count regime: one split per file (open cost off, tiny cap)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    names = names or MANYFILE_QUERIES
+    os.environ["SPARK_GRAFT_FANOUT"] = "always"
+    for n in names:
+        QUERIES[n](spark, many).collect()  # warm-up
+    scan_parts = (
+        spark.read.parquet(os.path.join(many, "documents.parquet"))
+        .rdd.getNumPartitions()
+    )
+    par = spark.sparkContext.defaultParallelism
+    print(f"scan partitions on many-file layout: {scan_parts} "
+          f"(defaultParallelism {par}; adaptive skip {'ACTIVE' if scan_parts >= par else 'INACTIVE'})")
+    print("| query | fanout=always (s) | fanout=auto (s) | auto/always | rows equal |")
+    print("|---|---|---|---|---|")
+    results = {}
+    for n in names:
+        os.environ["SPARK_GRAFT_FANOUT"] = "always"
+        t0 = time.time()
+        rows_a = QUERIES[n](spark, many).count()
+        ta = time.time() - t0
+        os.environ["SPARK_GRAFT_FANOUT"] = "auto"
+        t0 = time.time()
+        rows_b = QUERIES[n](spark, many).count()
+        tb = time.time() - t0
+        results[n] = {"always_s": round(ta, 3), "auto_s": round(tb, 3),
+                      "ratio": round(tb / ta, 2), "rows_equal": rows_a == rows_b}
+        print(f"| {n} | {ta:.2f} | {tb:.2f} | {tb / ta:.2f}× | {rows_a == rows_b} |")
+    os.environ.pop("SPARK_GRAFT_FANOUT", None)
+    print(json.dumps({"metric": "manyfile_probe", "scan_partitions": scan_parts,
+                      "default_parallelism": par, "results": results}))
+
+
+def main_depth(depths: list[int] | None = None) -> None:
+    """Deep-nesting axis for the variant melt (verdict-r12 #6): wrap
+    every sf0.1 document in a ``depth``-level nested JSON object and run
+    the melt + schema-inference consumers with ``max_depth=None`` (the
+    round-13 unbounded adaptive mode). Reports wall-clock and per-LEVEL
+    cost — a superlinear-in-depth row means the stacked
+    variant_explode plan stopped scaling and needs a re-plan before the
+    64-level ceiling is ever real."""
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark import get_spark
+    from mongo_analyser_spark.operators.melt_variant import (
+        infer_schema_variant,
+        melt_variant,
+    )
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    depths = depths or [2, 4, 6, 8, 10]
+    spark = get_spark(
+        "scale_probe_depth", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    base = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", F.coalesce(F.col("lang"), F.lit("xx")).alias("lang"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+    )
+
+    def nested(depth: int):
+        open_ = "".join('{"l%d":' % i for i in range(1, depth + 1))
+        return base.select(
+            "doc_id",
+            F.concat(
+                F.lit(open_ + '{"s":"'), F.col("lang"), F.lit('","v":'),
+                F.col("n_chars").cast("string"),
+                F.lit("}" + "}" * depth),
+            ).alias("doc"),
+        )
+
+    # warm-up: codegen + variant init at the smallest depth
+    melt_variant(nested(depths[0]), "doc", id_col="doc_id",
+                 max_depth=None).count()
+    print("| depth | melt rows | melt (s) | s/level | infer_schema (s) |")
+    print("|---|---|---|---|---|")
+    results = {}
+    for depth in depths:
+        docs = nested(depth)
+        t0 = time.time()
+        n = melt_variant(docs, "doc", id_col="doc_id",
+                         max_depth=None).count()
+        tm = time.time() - t0
+        t0 = time.time()
+        infer_schema_variant(docs, "doc", max_depth=depth + 1).collect()
+        ti = time.time() - t0
+        results[depth] = {"melt_rows": n, "melt_s": round(tm, 3),
+                          "per_level": round(tm / (depth + 1), 4),
+                          "infer_s": round(ti, 3)}
+        print(f"| {depth} | {n} | {tm:.2f} | {tm / (depth + 1):.3f} |"
+              f" {ti:.2f} |")
+    print(json.dumps({"metric": "depth_probe", "results": results}))
+
+
 def main_sf1(names: list[str]) -> None:
     from mongo_analyser_spark import get_spark
     from mongo_analyser_spark.queries import QUERIES
@@ -319,6 +734,18 @@ def main() -> None:
         return
     if argv and argv[0] == "--sf1":
         main_sf1(argv[1:])
+        return
+    if argv and argv[0] == "--wide-vectors":
+        main_wide([int(a) for a in argv[1:]] or None)
+        return
+    if argv and argv[0] == "--zipf":
+        main_zipf(argv[1:])
+        return
+    if argv and argv[0] == "--many-files":
+        main_manyfiles(argv[1:])
+        return
+    if argv and argv[0] == "--depth":
+        main_depth([int(a) for a in argv[1:]] or None)
         return
     names = argv or HEADLINE
     spark = get_spark("scale_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))

@@ -24,6 +24,26 @@ assert set(o) <= set(q), "oracle_sql keys not a subset of queries"
 print(f"entry rows={len(rows)} queries={len(q)} oracles={len(o)}")
 EOF
 
+echo "== [1.5/4] registry-shape probe (every builder returns a DataFrame) =="
+# seconds-cheap stub catcher (round-13, after BENCH_r12 rc 1): a mid-edit
+# `pass`-body registration must die HERE with its name, not in the
+# driver's bench warm-up a round later. Builders are lazy — calling them
+# runs no job, only plan construction.
+python - <<'EOF'
+from pyspark.sql import DataFrame
+from mongo_analyser_spark import get_spark
+from mongo_analyser_spark.queries import ORACLES, QUERIES
+import mongo_analyser_spark.queries_pipeline  # noqa: F401
+import mongo_analyser_spark.queries_streaming  # noqa: F401
+spark = get_spark(cpus=8)
+bad = [n for n, fn in QUERIES.items()
+       if not isinstance(fn(spark, "/root/testdata/sf0.001"), DataFrame)]
+assert not bad, f"builders returning non-DataFrame: {bad}"
+empty = [n for n, sql in ORACLES.items() if not (sql and sql.strip())]
+assert not empty, f"registered empty oracle SQL: {empty}"
+print(f"registry shape OK: {len(QUERIES)} builders all return DataFrames")
+EOF
+
 echo "== [2/4] FULL-registry oracle gate (${SF_DIR}) =="
 # check_oracle is per-query crash-proof (reports ERR and continues) and
 # exits non-zero on ANY failure — set -e makes that block the gate.
