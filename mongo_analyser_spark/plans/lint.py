@@ -326,7 +326,18 @@ def lint_plan(df: DataFrame) -> list[Finding]:
     # producer call within a lambdafunction's extent (a producer as the
     # HOF's input argument — BEFORE the lambda — is the healthy staged
     # form and does not fire).
-    _PRODUCERS = ("split(", "array_sort(", "sort_array(", "sentences(")
+    # round-13 addition: a fold ("aggregate(") inside a lambda body is
+    # the vector-norm class — normalized_vectors evaluated an O(d) norm
+    # fold per ELEMENT (O(d²)/row, 124 s at 768 dims in the wide-vector
+    # probe; CollapseProject re-inlines once-referenced producers, so
+    # plain staging does not fix it — see clustering.normalized_vectors
+    # for the collapse-proof array_repeat+zip_with form). Caveat: an
+    # aggregate CONSUMING the lambda's own argument (the IVF LUT-score
+    # shape) is a legitimate per-element computation this regex-level
+    # rule cannot distinguish — another reason the finding stays info.
+    _PRODUCERS = (
+        "split(", "array_sort(", "sort_array(", "sentences(", "aggregate(",
+    )
     inline_producer = False
     for section in re.split(r"\n\n", plan):
         for m in re.finditer(r"lambdafunction\(", section):

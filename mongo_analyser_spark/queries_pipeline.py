@@ -4627,35 +4627,60 @@ def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per user are disjoint and every probe lands at or after its user's
     first interval, so the inner join is exactly one row per probe.
 
-    100-TB shape: the interval build reuses ONE user-key exchange for
-    its three windows (the scd2 row's plan); the join itself is a
-    user-key equi-join with residual range predicates — history tables
-    are versions-per-user small, so at scale this broadcasts or
-    co-partitions on the same key the build already produced."""
+    100-TB shape (round-13 SKEW re-plan, verdict-r12 #3): the first
+    form was a user-key equi-join with residual range predicates — on
+    the Zipf decade tier (one user = 50% of events) the hot key's
+    probes × intervals pair explosion measured 85× the uniform tier
+    (373 s vs 4.6 s, tools/scale_probe.py --zipf), the round's one
+    genuine scale-killer. Because the intervals are CONTIGUOUS and
+    DISJOINT per user (vt of one = vf of the next, last vt NULL), the
+    containing interval is exactly the as-of match "latest vf <= pt" —
+    so the join is re-planned as the operators/relational.asof_join
+    shape: union the tagged interval and probe rows, one user-key
+    window, last(ignorenulls) of the interval payload. Linear per key
+    (one sort instead of a pair product); the same Zipf tier now reads
+    ~1× the uniform decade. Version-ordered tie-break at equal
+    timestamps reproduces the join's empty-interval exclusion (an
+    interval with vf == vt is superseded by its successor at the same
+    instant); history rows sort before probes so a probe AT a version
+    boundary sees the new version, matching pt >= vf."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    # both sides derive from the same scan — alias the history's key
-    # so the self-join predicate binds to distinct attributes
-    hist = _scd2_intervals(ev).withColumnRenamed("user_id", "__hu")
-    probes = ev.where(F.col("event_id") % 2 == 0).select(
+    hist = _scd2_intervals(ev)
+    h_tagged = hist.select(
         "user_id",
-        "event_id",
-        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("__pt"),
+        F.col("__vf").alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col("version"),
+        F.struct("version", "event_type", "__vt").alias("__h"),
+        F.lit(None).cast("long").alias("event_id"),
     )
-    j = probes.join(
-        hist,
-        (F.col("user_id") == F.col("__hu"))
-        & (F.col("__pt") >= F.col("__vf"))
-        & (F.col("__vt").isNull() | (F.col("__pt") < F.col("__vt"))),
+    p_tagged = ev.where(F.col("event_id") % 2 == 0).select(
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast(h_tagged.schema["__h"].dataType).alias("__h"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__t", "__side", "version")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = (
+        h_tagged.unionByName(p_tagged)
+        .withColumn("__hh", F.last("__h", ignorenulls=True).over(w))
+        .filter((F.col("__side") == 1) & F.col("__hh").isNotNull())
     )
     return j.select(
         "user_id",
         "event_id",
-        F.date_format("__pt", TS_FMT).alias("probe_ts"),
-        F.col("version").cast("long").alias("version"),
-        "event_type",
-        F.col("__vt").isNull().alias("is_current"),
+        F.date_format("__t", TS_FMT).alias("probe_ts"),
+        F.col("__hh.version").cast("long").alias("version"),
+        F.col("__hh.event_type").alias("event_type"),
+        F.col("__hh.__vt").isNull().alias("is_current"),
     ).orderBy("user_id", "event_id")
 
 

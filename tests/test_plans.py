@@ -531,3 +531,28 @@ def test_wav_rows_fan_out_before_python(spark):
         plan = formatted_plan(q)
         assert "MapInPandas" in plan
         assert num_exchanges(q) >= 2, name  # fanout + output sort
+
+
+def test_scd2_pit_join_is_joinless(spark):
+    """Round-13 skew re-plan pin (SCALE.md round-13): the point-in-time
+    enrichment must stay the as-of union+window form — the equi-join +
+    residual-range form it replaced materialized the hot key's
+    probes × intervals pair product (85× on the Zipf decade). Any Join
+    node reappearing here is the regression."""
+    q = QUERIES["scd2_pit_join_events"](spark, SF)
+    plan = formatted_plan(q)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"pair-producing {node} is back"
+    # the interval build + the as-of window share the user-key exchange
+    # family; only the output sort may add one more
+    assert num_exchanges(q) <= 4
+
+
+def test_ewma_stays_in_codegen(spark):
+    """Round-13 re-plan pin: the trailing fold is an unrolled lag chain
+    — no interpreted higher-order aggregate and no per-row array
+    materialization may reappear in the EWMA plan."""
+    q = QUERIES["ewma_smooth_events"](spark, SF)
+    plan = formatted_plan(q)
+    assert "aggregate(" not in plan and "collect_list" not in plan
