@@ -17,8 +17,15 @@ library, so they do:
   composition. The encoder writes real LZW streams too, so round trips
   exercise both directions.
 
-True video containers (MP4/WebM/AVI) remain genuinely codec-bound —
-``operators/multimodal.py`` keeps its documented stand-in for those.
+* **AVI (RIFF)** — since round 13: hdrl/movi/idx1 chunk walk with two
+  natively-decodable video stream kinds — MJPEG (one baseline JPEG per
+  '00dc' chunk, operators/jpeg.py) and uncompressed 24-bit DIB ('00db'
+  BMP-style pixel arrays). The writer emits spec-shaped headers and a
+  movi-relative idx1 so conformant players accept the files.
+
+Inter-frame video codecs (MP4/WebM, H.264-in-AVI) remain genuinely
+codec-bound — ``operators/multimodal.py`` keeps its documented stand-in
+for those.
 
 Everything here is per-payload Python executed inside Arrow-batched
 ``mapInPandas`` stages (the extract_pixel_stats shape): at 100 TB the
@@ -516,6 +523,557 @@ def decode_gif(b: bytes) -> tuple[int, int, list[bytearray]]:
 
 
 # ---------------------------------------------------------------------------
+# AVI (RIFF) — MJPEG and uncompressed-DIB video streams
+# ---------------------------------------------------------------------------
+#
+# AVI is the third RIFF container here (after WAV in operators/audio.py):
+# the chunk grammar is public (Microsoft AVI RIFF spec / OpenDML), and an
+# MJPEG stream is just one baseline JPEG per '00dc' chunk — fully
+# decodable by operators/jpeg.py. Uncompressed 'DIB ' streams are BMP
+# pixel arrays (bottom-up BGR, 4-byte row padding — operators/pixels.py's
+# decode_bmp layout) per '00db' chunk. Real inter-frame codecs (H.264,
+# VP9, …) remain the honest NotImplementedError gate.
+
+
+def _avi_chunks(b: bytes, pos: int, end: int):
+    """Yield (fourcc, data_start, size) over a RIFF chunk run, enforcing
+    in-bounds sizes and even-byte padding (untrusted input: a size that
+    overruns its parent is malformed, not a seek hint)."""
+    while pos + 8 <= end:
+        tag = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        start = pos + 8
+        if start + size > end:
+            raise ValueError(
+                f"AVI chunk {tag!r} overruns its container "
+                f"({size} bytes at {pos}, parent ends {end})"
+            )
+        yield tag, start, size
+        pos = start + size + (size & 1)
+
+
+def encode_avi_mjpeg(
+    w: int,
+    h: int,
+    frames: list[bytes],
+    fps: int = 10,
+    raw_dib: bool = False,
+    write_index: bool = True,
+) -> bytes:
+    """Minimal spec-shaped AVI writer: one video stream, ``frames``
+    being whole baseline-JPEG payloads ('MJPG', '00dc' chunks) or — with
+    ``raw_dib=True`` — BMP-style pixel arrays (bottom-up BGR rows padded
+    to 4 bytes, biCompression 0, '00db' chunks). Writes avih + strh/strf
+    headers, the movi list, and (by default) a movi-relative idx1 index,
+    so any conformant AVI reader accepts the file."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    handler = b"DIB " if raw_dib else b"MJPG"
+    compression = struct.pack("<I", 0) if raw_dib else b"MJPG"
+    ckid = b"00db" if raw_dib else b"00dc"
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            tag
+            + struct.pack("<I", len(data))
+            + data
+            + (b"\x00" if len(data) & 1 else b"")
+        )
+
+    def rlist(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    max_bytes = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(1, fps),  # dwMicroSecPerFrame
+        max_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10 if write_index else 0,  # dwFlags (AVIF_HASINDEX)
+        len(frames),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max_bytes,  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = struct.pack(
+        "<4s4sIHH8I4h",
+        b"vids",
+        handler,
+        0, 0, 0, 0,  # flags, priority, language, initial frames
+        1,  # dwScale
+        max(1, fps),  # dwRate
+        0,  # dwStart
+        len(frames),  # dwLength
+        max_bytes,  # dwSuggestedBufferSize
+        0xFFFFFFFF,  # dwQuality (default)
+        0,  # dwSampleSize (0: variable-size samples)
+        0, 0, w, h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, w, h, 1, 24, compression, w * h * 3, 0, 0, 0, 0,
+    )
+    hdrl = rlist(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + rlist(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_payload = bytearray()
+    index = bytearray()
+    for f in frames:
+        # idx1 offsets are movi-relative: from the 'movi' fourcc to the
+        # chunk HEADER (the first chunk is at offset 4)
+        index += ckid + struct.pack("<III", 0x10, 4 + len(movi_payload), len(f))
+        movi_payload += chunk(ckid, f)
+    movi = rlist(b"movi", bytes(movi_payload))
+    body = hdrl + movi
+    if write_index:
+        body += chunk(b"idx1", bytes(index))
+    return chunk(b"RIFF", b"AVI " + body)
+
+
+def _avi_raw_frame(data: bytes, w: int, h: int) -> bytearray:
+    """Bottom-up 24-bit BGR rows (4-byte padded) -> row-major RGB."""
+    row = (w * 3 + 3) & ~3
+    if len(data) < row * h:
+        raise ValueError("AVI DIB frame shorter than its dimensions")
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        src = (h - 1 - y) * row
+        for x in range(w):
+            o = (y * w + x) * 3
+            out[o] = data[src + 3 * x + 2]
+            out[o + 1] = data[src + 3 * x + 1]
+            out[o + 2] = data[src + 3 * x]
+    return out
+
+
+def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytearray]]:
+    """(width, height, channels, frames) from an AVI container whose
+    video stream is MJPEG (one baseline/progressive JPEG per chunk —
+    operators/jpeg.py) or uncompressed DIB. Walks hdrl for the geometry
+    and stream table, movi (including nested 'rec ' lists) for the
+    frames, and cross-checks idx1 when present (either offset
+    convention). Any other fccHandler/biCompression raises
+    NotImplementedError naming the codec — the honest gate; structural
+    lies (overrunning chunks, frame-count or dimension mismatches)
+    raise ValueError."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    end = 8 + riff_size
+    if end > len(payload):
+        raise ValueError("AVI RIFF size overruns the payload")
+
+    avih = None
+    streams: list[dict] = []
+    movi_ranges: list[tuple[int, int]] = []
+    idx1: bytes | None = None
+    for tag, start, size in _avi_chunks(payload, 12, end):
+        if tag == b"LIST":
+            ltype = payload[start : start + 4]
+            if ltype == b"hdrl":
+                for t2, s2, z2 in _avi_chunks(payload, start + 4, start + size):
+                    if t2 == b"avih":
+                        if z2 < 56:
+                            raise ValueError("AVI avih header too short")
+                        avih = struct.unpack("<14I", payload[s2 : s2 + 56])
+                    elif t2 == b"LIST" and payload[s2 : s2 + 4] == b"strl":
+                        st: dict = {}
+                        for t3, s3, z3 in _avi_chunks(
+                            payload, s2 + 4, s2 + z2
+                        ):
+                            if t3 == b"strh" and z3 >= 48:
+                                st["type"] = payload[s3 : s3 + 4]
+                                st["handler"] = payload[s3 + 4 : s3 + 8]
+                                (st["length"],) = struct.unpack(
+                                    "<I", payload[s3 + 32 : s3 + 36]
+                                )
+                            elif t3 == b"strf" and st.get("type") == b"vids":
+                                if z3 < 40:
+                                    raise ValueError("AVI strf too short")
+                                (
+                                    _bisz, bw, bh, _pl, st["bits"],
+                                ) = struct.unpack("<IiiHH", payload[s3 : s3 + 16])
+                                st["compression"] = payload[s3 + 16 : s3 + 20]
+                                st["bw"], st["bh"] = bw, abs(bh)
+                        streams.append(st)
+            elif ltype == b"movi":
+                movi_ranges.append((start + 4, start + size))
+        elif tag == b"idx1":
+            idx1 = payload[start : start + size]
+    if avih is None:
+        raise ValueError("AVI missing avih header")
+    if not movi_ranges:
+        raise ValueError("AVI missing movi list")
+    w, h, total_frames, n_streams = avih[8], avih[9], avih[4], avih[6]
+    if len(streams) != n_streams:
+        raise ValueError(
+            f"AVI avih declares {n_streams} streams, hdrl lists {len(streams)}"
+        )
+    vid = next(
+        (i for i, s in enumerate(streams) if s.get("type") == b"vids"), None
+    )
+    if vid is None:
+        raise ValueError("AVI has no video stream")
+    vs = streams[vid]
+    comp = vs.get("compression", b"")
+    is_mjpeg = vs["handler"].upper() in (b"MJPG", b"MJPA") or comp.upper() == b"MJPG"
+    is_raw = comp in (b"\x00\x00\x00\x00",) or vs["handler"] == b"DIB "
+    if not (is_mjpeg or is_raw):
+        name = comp.decode("latin1", "replace").strip("\x00") or vs[
+            "handler"
+        ].decode("latin1", "replace")
+        raise NotImplementedError(
+            f"AVI video codec {name!r} requires a codec library (ffmpeg) "
+            "not present in this container; MJPEG and uncompressed DIB "
+            "decode natively"
+        )
+    if (vs.get("bw", w), vs.get("bh", h)) != (w, h):
+        raise ValueError("AVI strf dimensions disagree with avih")
+
+    vtag = b"%02ddc" % vid if is_mjpeg else b"%02ddb" % vid
+    vtag_alt = b"%02ddb" % vid if is_mjpeg else b"%02ddc" % vid
+    chunks: list[tuple[int, int]] = []  # (header_pos, size) for idx1 check
+
+    def walk_movi(pos: int, stop: int) -> None:
+        for t, s, z in _avi_chunks(payload, pos, stop):
+            if t == b"LIST" and payload[s : s + 4] == b"rec ":
+                walk_movi(s + 4, s + z)
+            elif t in (vtag, vtag_alt):
+                chunks.append((s - 8, z))
+
+    for lo, hi in movi_ranges:
+        walk_movi(lo, hi)
+    if not chunks:
+        raise ValueError("AVI movi list has no video frames")
+    if total_frames != len(chunks):
+        raise ValueError(
+            f"AVI avih dwTotalFrames={total_frames} but movi carries "
+            f"{len(chunks)} video chunks"
+        )
+    if idx1 is not None:
+        entries = [
+            struct.unpack("<4sIII", idx1[i : i + 16])
+            for i in range(0, len(idx1) - 15, 16)
+        ]
+        ventries = [e for e in entries if e[0] in (vtag, vtag_alt)]
+        if len(ventries) != len(chunks):
+            raise ValueError(
+                f"AVI idx1 lists {len(ventries)} video entries for "
+                f"{len(chunks)} movi chunks"
+            )
+        movi_fourcc = movi_ranges[0][0] - 4  # position of the 'movi' tag
+        for (ck, _fl, off, sz), (hdr_pos, z) in zip(ventries, chunks):
+            # both public offset conventions: relative to the 'movi'
+            # fourcc (canonical) or absolute from the file start
+            if not (movi_fourcc + off == hdr_pos or off == hdr_pos):
+                raise ValueError("AVI idx1 offset does not match movi chunk")
+            if sz != z:
+                raise ValueError("AVI idx1 size does not match movi chunk")
+
+    frames: list[bytearray] = []
+    ch = None
+    for hdr_pos, z in chunks:
+        data = payload[hdr_pos + 8 : hdr_pos + 8 + z]
+        if is_mjpeg:
+            from mongo_analyser_spark.operators.jpeg import decode_jpeg
+
+            fw, fh, fch, px = decode_jpeg(data)
+            if (fw, fh) != (w, h):
+                raise ValueError(
+                    f"AVI MJPEG frame is {fw}x{fh}, container says {w}x{h}"
+                )
+        else:
+            if vs.get("bits", 24) != 24:
+                raise NotImplementedError(
+                    f"AVI uncompressed DIB at {vs['bits']} bpp (need 24)"
+                )
+            fch, px = 3, _avi_raw_frame(data, w, h)
+        if ch is None:
+            ch = fch
+        elif fch != ch:
+            raise ValueError("AVI frames disagree on channel count")
+        frames.append(bytearray(px))
+    return w, h, ch, frames
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO base media file format (ISO/IEC 14496-12)
+# ---------------------------------------------------------------------------
+#
+# The box grammar is public (ISO BMFF); a 'jpeg' VisualSampleEntry
+# (QuickTime/MP4RA-registered motion-JPEG-in-MP4) makes every video
+# sample one baseline JPEG — decodable by operators/jpeg.py, same as the
+# AVI MJPEG stream above. The reader walks moov>trak>mdia>minf>stbl,
+# reconstructs per-sample file offsets from the stsc/stco/stsz sample
+# tables, and bounds-checks every box and sample against the payload.
+# AVC/HEVC/VP9/AV1 sample entries raise NotImplementedError — the honest
+# inter-frame-codec gate.
+
+
+def _mp4_box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def encode_mp4_mjpeg(
+    w: int, h: int, frames: list[bytes], fps: int = 10
+) -> bytes:
+    """Minimal spec-shaped MP4 writer: one 'vide' track whose stsd entry
+    is the 'jpeg' VisualSampleEntry, all samples in one mdat chunk,
+    full stts/stsc/stsz/stco sample tables. ``frames`` are whole
+    baseline-JPEG payloads."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    n = len(frames)
+    ftyp = _mp4_box(
+        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41"
+    )
+    mdat_payload = b"".join(frames)
+    # all samples live in ONE chunk whose file offset is the mdat
+    # payload start: ftyp + mdat header (8 bytes)
+    chunk_off = len(ftyp) + 8
+    mdat = _mp4_box(b"mdat", mdat_payload)
+
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0, flags
+        + struct.pack(">IIII", 0, 0, 1000, n * 1000 // max(1, fps))
+        + struct.pack(">IHH8x", 0x00010000, 0x0100, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        struct.pack(">B3B", 0, 0, 0, 3)  # version 0, flags enabled|in-movie
+        + struct.pack(">IIII4x", 0, 0, 1, n * 1000 // max(1, fps))
+        + struct.pack(">4xHHHH", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _mp4_box(
+        b"mdhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIIIHH", 0, 0, max(1, fps), n, 0x55C4, 0),
+    )
+    hdlr = _mp4_box(
+        b"hdlr",
+        struct.pack(">B3x4x", 0) + b"vide" + b"\x00" * 12
+        + b"VideoHandler\x00",
+    )
+    vmhd = _mp4_box(b"vmhd", struct.pack(">B3BHHHH", 0, 0, 0, 1, 0, 0, 0, 0))
+    dref = _mp4_box(
+        b"dref",
+        struct.pack(">B3xI", 0, 1)
+        + _mp4_box(b"url ", struct.pack(">B3B", 0, 0, 0, 1)),
+    )
+    dinf = _mp4_box(b"dinf", dref)
+    sample_entry = _mp4_box(
+        b"jpeg",
+        b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_ref_index
+        + struct.pack(">HH12x", 0, 0)  # pre_defined, reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">III", 0x00480000, 0x00480000, 0)  # dpi, reserved
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1),  # depth, pre_defined
+    )
+    stsd = _mp4_box(b"stsd", struct.pack(">B3xI", 0, 1) + sample_entry)
+    stts = _mp4_box(b"stts", struct.pack(">B3xIII", 0, 1, n, 1))
+    stsc = _mp4_box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, n, 1))
+    stsz = _mp4_box(
+        b"stsz",
+        struct.pack(">B3xII", 0, 0, n)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = _mp4_box(b"stco", struct.pack(">B3xII", 0, 1, chunk_off))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_boxes(b: bytes, pos: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) over a box run with
+    bounds checks (size 0 = to container end; size 1 = 64-bit
+    largesize)."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        start = pos + 8
+        if size == 1:
+            if start + 8 > end:
+                raise ValueError("MP4 largesize overruns its container")
+            (size,) = struct.unpack(">Q", b[start : start + 8])
+            start += 8
+            box_end = pos + size
+        elif size == 0:
+            box_end = end
+        else:
+            box_end = pos + size
+        if size != 0 and (size < 8 or box_end > end):
+            raise ValueError(
+                f"MP4 box {tag!r} overruns its container "
+                f"({size} bytes at {pos}, parent ends {end})"
+            )
+        yield tag, start, box_end
+        pos = box_end
+
+
+def _mp4_find(b: bytes, pos: int, end: int, path: list[bytes]):
+    """Payload range of the first box at ``path`` below [pos, end)."""
+    for tag, s, e in _mp4_boxes(b, pos, end):
+        if tag == path[0]:
+            if len(path) == 1:
+                return s, e
+            return _mp4_find(b, s, e, path[1:])
+    return None
+
+
+def decode_mp4(payload: bytes) -> tuple[int, int, int, list[bytearray]]:
+    """(width, height, channels, frames) from an ISO-BMFF (MP4/MOV)
+    container whose video track carries 'jpeg' samples (motion JPEG in
+    MP4). Walks the real sample tables — stsd for the codec, stsc/stco
+    (or co64) for chunk layout, stsz for sizes — reconstructs each
+    sample's file offset, bounds-checks it, and JPEG-decodes it.
+    AVC/HEVC/VP9/AV1 (and any other compressed sample entry) raise
+    NotImplementedError naming the codec; structural lies raise
+    ValueError."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload")
+    end = len(payload)
+    # locate the video track: moov > trak whose hdlr is 'vide'
+    moov = _mp4_find(payload, 0, end, [b"moov"])
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    stbl = None
+    tkwh = None
+    for tag, s, e in _mp4_boxes(payload, *moov):
+        if tag != b"trak":
+            continue
+        hdlr = _mp4_find(payload, s, e, [b"mdia", b"hdlr"])
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        tkhd = _mp4_find(payload, s, e, [b"tkhd"])
+        if tkhd is not None:
+            te = tkhd[1]
+            tw, th = struct.unpack(">II", payload[te - 8 : te])
+            tkwh = (tw >> 16, th >> 16)
+        stbl = _mp4_find(payload, s, e, [b"mdia", b"minf", b"stbl"])
+        break
+    if stbl is None:
+        raise ValueError("MP4 has no video track")
+    boxes = {t: (s, e) for t, s, e in _mp4_boxes(payload, *stbl)}
+    for req in (b"stsd", b"stsz", b"stsc"):
+        if req not in boxes:
+            raise ValueError(f"MP4 stbl missing {req.decode()} box")
+    if b"stco" not in boxes and b"co64" not in boxes:
+        raise ValueError("MP4 stbl missing stco/co64 box")
+
+    # stsd: the codec gate
+    s, e = boxes[b"stsd"]
+    (entry_count,) = struct.unpack(">I", payload[s + 4 : s + 8])
+    if entry_count < 1:
+        raise ValueError("MP4 stsd has no sample entries")
+    fourcc = payload[s + 12 : s + 16]
+    if fourcc not in (b"jpeg", b"mjpa"):
+        raise NotImplementedError(
+            f"MP4 video codec {fourcc.decode('latin1', 'replace')!r} "
+            "requires a codec library (ffmpeg) not present in this "
+            "container; 'jpeg' sample entries decode natively"
+        )
+    sw, sh = struct.unpack(">HH", payload[s + 40 : s + 44])
+
+    # stsz: sample sizes
+    s, e = boxes[b"stsz"]
+    fixed, count = struct.unpack(">II", payload[s + 4 : s + 12])
+    if fixed:
+        sizes = [fixed] * count
+    else:
+        if s + 12 + 4 * count > e:
+            raise ValueError("MP4 stsz table overruns its box")
+        sizes = list(
+            struct.unpack(f">{count}I", payload[s + 12 : s + 12 + 4 * count])
+        )
+
+    # stco/co64: chunk offsets
+    if b"stco" in boxes:
+        s, e = boxes[b"stco"]
+        (nchunks,) = struct.unpack(">I", payload[s + 4 : s + 8])
+        if s + 8 + 4 * nchunks > e:
+            raise ValueError("MP4 stco table overruns its box")
+        chunk_offs = list(
+            struct.unpack(f">{nchunks}I", payload[s + 8 : s + 8 + 4 * nchunks])
+        )
+    else:
+        s, e = boxes[b"co64"]
+        (nchunks,) = struct.unpack(">I", payload[s + 4 : s + 8])
+        if s + 8 + 8 * nchunks > e:
+            raise ValueError("MP4 co64 table overruns its box")
+        chunk_offs = list(
+            struct.unpack(f">{nchunks}Q", payload[s + 8 : s + 8 + 8 * nchunks])
+        )
+
+    # stsc: samples-per-chunk runs -> per-sample (chunk, index-in-chunk)
+    s, e = boxes[b"stsc"]
+    (nruns,) = struct.unpack(">I", payload[s + 4 : s + 8])
+    if s + 8 + 12 * nruns > e:
+        raise ValueError("MP4 stsc table overruns its box")
+    runs = [
+        struct.unpack(">III", payload[s + 8 + 12 * i : s + 20 + 12 * i])
+        for i in range(nruns)
+    ]
+    offsets: list[int] = []
+    si = 0
+    for ri, (first_chunk, per_chunk, _desc) in enumerate(runs):
+        last_chunk = (
+            runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(chunk_offs)
+        )
+        for ci in range(first_chunk - 1, last_chunk):
+            if ci >= len(chunk_offs):
+                raise ValueError("MP4 stsc references a missing chunk")
+            off = chunk_offs[ci]
+            for _ in range(per_chunk):
+                if si >= len(sizes):
+                    break
+                offsets.append(off)
+                off += sizes[si]
+                si += 1
+    if si != len(sizes):
+        raise ValueError(
+            f"MP4 sample tables disagree: stsz lists {len(sizes)} samples, "
+            f"stsc/stco lay out {si}"
+        )
+
+    from mongo_analyser_spark.operators.jpeg import decode_jpeg
+
+    frames: list[bytearray] = []
+    ch = None
+    for off, sz in zip(offsets, sizes):
+        if off + sz > len(payload):
+            raise ValueError("MP4 sample overruns the payload")
+        fw, fh, fch, px = decode_jpeg(payload[off : off + sz])
+        if tkwh is not None and (fw, fh) != tkwh or (fw, fh) != (sw, sh):
+            raise ValueError(
+                f"MP4 'jpeg' sample is {fw}x{fh}, container says {sw}x{sh}"
+            )
+        if ch is None:
+            ch = fch
+        elif fch != ch:
+            raise ValueError("MP4 samples disagree on channel count")
+        frames.append(bytearray(px))
+    if not frames:
+        raise ValueError("MP4 video track has no samples")
+    return sw, sh, ch, frames
+
+
+# ---------------------------------------------------------------------------
 # unified multi-frame dispatch
 # ---------------------------------------------------------------------------
 
@@ -523,22 +1081,28 @@ def decode_gif(b: bytes) -> tuple[int, int, list[bytearray]]:
 def decode_frames(payload: bytes) -> tuple[int, int, int, list[bytearray]]:
     """(width, height, channels, composed frames) for every container
     whose frames decode in stdlib: APNG (and plain PNG as one frame),
-    GIF (RGB frames), 24-bit BMP and baseline JPEG as single frames.
-    True video containers raise NotImplementedError at the exact point
-    an ffmpeg call would go."""
+    GIF (RGB frames), AVI with MJPEG or uncompressed-DIB video, 24-bit
+    BMP and baseline JPEG as single frames. Inter-frame video codecs
+    (MP4/WebM, H.264 in AVI, …) raise NotImplementedError at the exact
+    point an ffmpeg call would go."""
     if payload[:8] == _PNG_SIG:
         return decode_apng(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h, frames = decode_gif(payload)
         return w, h, 3, frames
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return decode_avi(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return decode_mp4(payload)
     if payload[:2] == b"BM" or payload[:2] == b"\xff\xd8":
         from mongo_analyser_spark.operators.pixels import decode_pixels
 
         w, h, ch, px = decode_pixels(payload)
         return w, h, ch, [bytearray(px)]
     raise NotImplementedError(
-        "frame decode beyond APNG/GIF/BMP/baseline-JPEG requires a video "
-        "codec (ffmpeg) not present in this container"
+        "frame decode beyond APNG/GIF/AVI(MJPEG|DIB)/MP4('jpeg')/BMP/"
+        "baseline-JPEG requires a video codec (ffmpeg) not present in "
+        "this container"
     )
 
 

@@ -13,12 +13,17 @@ DC/AC first scans, DC bit refinement, AC correction-bit refinement with
 EOB runs; coefficients accumulate across scans and dequant+IDCT run
 once at EOI) — 8-bit precision, grayscale or YCbCr with arbitrary h×v
 sampling factors (4:4:4 / 4:2:2 / 4:2:0 via pixel-replication
-upsample), byte-stuffing, DRI/RSTn restart intervals. Arithmetic coding
-and 12-bit precision raise NotImplementedError — the genuinely
+upsample), byte-stuffing, DRI/RSTn restart intervals. `decode_jpeg_ex`
+(since round 13, the decode_wav/decode_wav_ex split) additionally
+decodes 12-BIT extended-sequential streams (SOF1, level shift 2048,
+16-bit DQT, 4:4:4/grayscale) returning integer samples with
+maxval 4095. Arithmetic coding, 12-bit progressive, and 12-bit
+subsampling raise NotImplementedError — the genuinely
 codec-library-bound residue.
 
 Encoders: `encode_jpeg` (baseline, 4:4:4 or 4:2:0 with 2×2-average
-chroma downsample) and `encode_jpeg_progressive` (SOF2 4:4:4, spectral
+chroma downsample), `encode_jpeg12` (12-bit SOF1 4:4:4 with its own
+wider fixed-length tables) and `encode_jpeg_progressive` (SOF2 4:4:4, spectral
 selection with optional one-level successive approximation) — the
 progressive fixtures exercise every progressive decode path, and their
 quantized coefficients are identical to the baseline encoder's, so the
@@ -57,8 +62,10 @@ _COS = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)] for x in ra
 _C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
 
 
-def _idct8x8(coef: list[float]) -> list[int]:
-    """Separable 2-D inverse DCT + level shift + clamp (natural order)."""
+def _idct8x8(coef: list[float], shift: int = 128, maxv: int = 255) -> list[int]:
+    """Separable 2-D inverse DCT + level shift + clamp (natural order).
+    ``shift``/``maxv`` default to 8-bit precision; 12-bit scans pass
+    2048/4095 (T.81 table 6: level shift is 2^(P-1))."""
     tmp = [0.0] * 64
     for y in range(8):
         row = coef[y * 8:y * 8 + 8]
@@ -73,14 +80,14 @@ def _idct8x8(coef: list[float]) -> list[int]:
             s = 0.0
             for v in range(8):
                 s += _C[v] * tmp[v * 8 + x] * _COS[y][v]
-            val = int(round(s / 2.0)) + 128
-            out[y * 8 + x] = 0 if val < 0 else (255 if val > 255 else val)
+            val = int(round(s / 2.0)) + shift
+            out[y * 8 + x] = 0 if val < 0 else (maxv if val > maxv else val)
     return out
 
 
-def _fdct8x8(block: list[int]) -> list[float]:
+def _fdct8x8(block: list[int], shift: float = 128.0) -> list[float]:
     """Separable 2-D forward DCT over level-shifted samples."""
-    sh = [v - 128.0 for v in block]
+    sh = [v - shift for v in block]
     tmp = [0.0] * 64
     for y in range(8):
         row = sh[y * 8:y * 8 + 8]
@@ -646,12 +653,22 @@ def _category(v: int) -> int:
     return v.bit_length() if v >= 0 else (-v).bit_length()
 
 
-def _encode_block(bw: _BitWriter, block: list[int], q: list[int], pred: int) -> int:
-    coef = _fdct8x8(block)
+def _encode_block(
+    bw: _BitWriter,
+    block: list[int],
+    q: list[int],
+    pred: int,
+    dc_enc: dict | None = None,
+    ac_enc: dict | None = None,
+    shift: float = 128.0,
+) -> int:
+    dc_enc = _DC_ENC if dc_enc is None else dc_enc
+    ac_enc = _AC_ENC if ac_enc is None else ac_enc
+    coef = _fdct8x8(block, shift)
     zz = [int(round(coef[ZIGZAG[k]] / q[k])) for k in range(64)]
     diff = zz[0] - pred
     t = _category(diff)
-    bw.write(*_DC_ENC[t])
+    bw.write(*dc_enc[t])
     if t:
         bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
     run = 0
@@ -661,14 +678,14 @@ def _encode_block(bw: _BitWriter, block: list[int], q: list[int], pred: int) -> 
             run += 1
             continue
         while run > 15:
-            bw.write(*_AC_ENC[0xF0])  # ZRL
+            bw.write(*ac_enc[0xF0])  # ZRL
             run -= 16
         s = _category(v)
-        bw.write(*_AC_ENC[(run << 4) | s])
+        bw.write(*ac_enc[(run << 4) | s])
         bw.write(v if v > 0 else v + (1 << s) - 1, s)
         run = 0
     if run:
-        bw.write(*_AC_ENC[0x00])  # EOB
+        bw.write(*ac_enc[0x00])  # EOB
     return zz[0]
 
 
@@ -780,6 +797,288 @@ def encode_jpeg(
     out += seg(0xC0, sof)
     out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + _DC_VALS)
     out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + _AC_VALS)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- 12-bit extended sequential (SOF1) -------------------------------------
+#
+# T.81's extended-sequential process at 12-bit precision: level shift is
+# 2^11, samples span 0..4095, DC difference categories reach 15 and AC
+# sizes 14, and DQT tables may be 16-bit (Pq=1). The entropy machinery is
+# IDENTICAL to baseline — only the sample width changes — so the decoder
+# below reuses the bit reader / huffman / zigzag / IDCT helpers with the
+# wider shift/clamp. Output is a list of ints (samples exceed a byte).
+
+_DC12_SYMS = list(range(16))
+_AC12_SYMS = sorted(
+    {0x00, 0xF0}
+    | {(r << 4) | s for r in range(16) for s in range(1, 15)}
+)
+
+
+def decode_jpeg_ex(b: bytes) -> tuple[int, int, int, int, list[int]]:
+    """(width, height, channels, maxval, flat row-major samples) from a
+    sequential JPEG at EITHER precision: 8-bit delegates to
+    ``decode_jpeg`` (maxval 255), 12-bit (SOF0/SOF1, 4:4:4 or
+    grayscale) decodes here with level shift 2048 and maxval 4095 —
+    the ``decode_wav``/``decode_wav_ex`` split applied to JPEG.
+    Subsampled or progressive 12-bit streams raise NotImplementedError
+    (the remaining honest gate along with arithmetic coding)."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    sof = None
+    restart_interval = 0
+    while pos < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(b):
+            break
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", b[pos + 2:pos + 4])
+        data = b[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                i += 1
+                if pq == 0:
+                    qt[tq] = list(data[i:i + 64])
+                    i += 64
+                else:
+                    qt[tq] = [
+                        struct.unpack(">H", data[i + 2 * k:i + 2 * k + 2])[0]
+                        for k in range(64)
+                    ]
+                    i += 128
+        elif marker == 0xC4:
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                bits = list(data[i + 1:i + 17])
+                nvals = sum(bits)
+                vals = data[i + 17:i + 17 + nvals]
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huff_decode(
+                    bits, vals
+                )
+                i += 17 + nvals
+        elif marker in (0xC0, 0xC1):
+            precision = data[0]
+            if precision == 8:
+                w, h, ch, px = decode_jpeg(b)
+                return w, h, ch, 255, list(px)
+            if precision != 12:
+                raise NotImplementedError(
+                    f"JPEG precision {precision} (need 8 or 12)"
+                )
+            h, w = struct.unpack(">HH", data[1:5])
+            ncomp = data[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            sof = (w, h, comps)
+        elif marker == 0xC2:
+            precision = data[0]
+            if precision == 8:
+                w, h, ch, px = decode_jpeg(b)
+                return w, h, ch, 255, list(px)
+            raise NotImplementedError(
+                "progressive JPEG above 8-bit precision is outside the "
+                "stdlib decoder"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "lossless/arithmetic JPEG is outside the stdlib decoder"
+            )
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = data[0]
+            if ns != len(sof[2]):
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) 12-bit JPEG"
+                )
+            scan_tables = {}
+            for c in range(ns):
+                cs, td_ta = data[1 + 2 * c:3 + 2 * c]
+                scan_tables[cs] = (td_ta >> 4, td_ta & 15)
+            segs, pos = _split_entropy(b, pos)
+            return _decode_scan12(
+                sof, scan_tables, qt, huff_dc, huff_ac, segs,
+                restart_interval,
+            )
+    raise ValueError("JPEG has no scan data")
+
+
+def _decode_scan12(sof, scan_tables, qt, huff_dc, huff_ac, segs, ri):
+    w, h, comps = sof
+    for c in comps:
+        if (c["h"], c["v"]) != (1, 1):
+            raise NotImplementedError(
+                "subsampled 12-bit JPEG (4:4:4 / grayscale decode only)"
+            )
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    pw = mcux * 8
+    planes = {c["id"]: [0] * (pw * mcuy * 8) for c in comps}
+    preds = {c["id"]: 0 for c in comps}
+    seg_i = 0
+    reader = _BitReader(segs[0])
+    for m in range(mcux * mcuy):
+        if ri and m and m % ri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG restart marker count mismatch")
+            reader = _BitReader(segs[seg_i])
+            preds = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcux)
+        for c in comps:
+            td, ta = scan_tables[c["id"]]
+            q = qt[c["tq"]]
+            coef = [0.0] * 64
+            t = reader.decode(huff_dc[td])
+            diff = _extend(reader.receive(t), t) if t else 0
+            preds[c["id"]] += diff
+            coef[0] = preds[c["id"]] * q[0]
+            k = 0
+            while k < 63:
+                rs = reader.decode(huff_ac[ta])
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break
+                k += r + 1
+                if k > 63:
+                    raise ValueError("JPEG AC index overflow")
+                coef[ZIGZAG[k]] = _extend(reader.receive(s), s) * q[k]
+            px = _idct8x8(coef, shift=2048, maxv=4095)
+            plane = planes[c["id"]]
+            ox, oy = mx * 8, my * 8
+            for yy in range(8):
+                row = (oy + yy) * pw + ox
+                plane[row:row + 8] = px[yy * 8:yy * 8 + 8]
+    if len(comps) == 1:
+        plane = planes[comps[0]["id"]]
+        out: list[int] = []
+        for y in range(h):
+            out.extend(plane[y * pw:y * pw + w])
+        return w, h, 1, 4095, out
+    cy, cb, cr = comps
+    py_, pb, pr = planes[cy["id"]], planes[cb["id"]], planes[cr["id"]]
+    out = []
+    for y in range(h):
+        for x in range(w):
+            yv = py_[y * pw + x]
+            bv = pb[y * pw + x] - 2048
+            rv = pr[y * pw + x] - 2048
+            for val in (
+                int(round(yv + 1.402 * rv)),
+                int(round(yv - 0.344136 * bv - 0.714136 * rv)),
+                int(round(yv + 1.772 * bv)),
+            ):
+                out.append(0 if val < 0 else (4095 if val > 4095 else val))
+    return w, h, 3, 4095, out
+
+
+def encode_jpeg12(
+    w: int,
+    h: int,
+    channels: int,
+    samples: list[int],
+    quant: int = 16,
+    restart_interval: int = 0,
+) -> bytes:
+    """Extended-sequential 12-bit JPEG writer (SOF1, 4:4:4): grayscale
+    (channels=1, samples 0..4095) or color (channels=3, 12-bit RGB in,
+    YCbCr about the 2048 center). Level shift 2048; flat quantizer
+    written as a 16-bit DQT (Pq=1 — exercising the decoder's wide-table
+    branch); in-code fixed-length huffman tables wide enough for 12-bit
+    categories (16 DC at 5 bits, EOB+ZRL+16×14 run/size AC at 10 bits,
+    both under the all-ones ceiling — the encode_jpeg discipline)."""
+    if channels not in (1, 3):
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(samples) != w * h * channels:
+        raise ValueError("sample buffer does not match dimensions")
+    if any(not 0 <= v <= 4095 for v in samples):
+        raise ValueError("12-bit samples must be in 0..4095")
+    q = [max(1, min(65535, quant))] * 64
+    dc_bits, dc_vals, dc_enc = _fixed_table(_DC12_SYMS, 5)
+    ac_bits, ac_vals, ac_enc = _fixed_table(_AC12_SYMS, 10)
+    if channels == 1:
+        planes = [list(samples)]
+    else:
+        ys, cbs, crs = [], [], []
+        for i in range(0, len(samples), 3):
+            r, g, bl = samples[i], samples[i + 1], samples[i + 2]
+            yv = 0.299 * r + 0.587 * g + 0.114 * bl
+            ys.append(min(4095, max(0, int(round(yv)))))
+            cbs.append(min(4095, max(0, int(round(
+                2048 - 0.168736 * r - 0.331264 * g + 0.5 * bl)))))
+            crs.append(min(4095, max(0, int(round(
+                2048 + 0.5 * r - 0.418688 * g - 0.081312 * bl)))))
+        planes = [ys, cbs, crs]
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    parts: list[bytes] = []
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            parts.append(bw.flush())
+            parts.append(
+                bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            )
+            bw = _BitWriter()
+            preds = [0] * len(planes)
+        my, mx = divmod(m, mcux)
+        for ci, plane in enumerate(planes):
+            block = _block_at(plane, w, h, mx * 8, my * 8)
+            preds[ci] = _encode_block(
+                bw, block, q, preds[ci],
+                dc_enc=dc_enc, ac_enc=ac_enc, shift=2048.0,
+            )
+    parts.append(bw.flush())
+    scan = b"".join(parts)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xDB,
+        bytes([0x10]) + b"".join(struct.pack(">H", v) for v in q),
+    )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 12, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC1, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])

@@ -2661,6 +2661,18 @@ WINDOW_QUERIES = (
 #   user_totals_events        — ST5 stateful family keeps
 #                               dedup_first_event_per_user_type
 TAIL_QUERIES = (
+    # round-13 addition: AVI/MJPEG container decode — tail, not window
+    # (the multi-frame family keeps gif_frame_pixels +
+    # frame_pixel_stats in-window; the JPEG entropy/IDCT path is the
+    # in-window wav/gif rows' sibling via jpeg_pixel_stats in the tail)
+    "avi_mjpeg_frames_documents",
+    # round-13 addition: 12-bit extended-sequential JPEG round trip
+    # (same family placement rationale as the AVI row above)
+    "jpeg12_pixel_stats_documents",
+    # round-13 addition: MP4/ISO-BMFF 'jpeg'-sample container decode
+    # (same family placement rationale as the AVI row above; its n=1+L%5
+    # law also exercises the k=4 sampler's skip case)
+    "mp4_jpeg_frames_documents",
     # round-13 rotation: out of the window after 2 recorded green driver
     # appearances each (r11+r12; in-window siblings noted at WINDOW list)
     "quantile_sketch_by_type_events",

@@ -5413,6 +5413,270 @@ def q_gif_frame_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+@register(
+    "avi_mjpeg_frames_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id, codes, COALESCE(len(codes),0) AS L,
+             1 + COALESCE(len(codes),0) % 4 AS n FROM a),
+idx AS (SELECT doc_id, codes, L, n,
+  list_sort(list_distinct(list_transform(generate_series(0,3),
+    t -> CAST(FLOOR(CAST(t AS DOUBLE)*(n-1)/3) AS INTEGER)))) AS fis FROM b),
+sums AS (SELECT doc_id, n, fis,
+   list_transform(generate_series(0,3), j ->
+     CASE WHEN L=0 THEN 512.0
+          ELSE CAST(list_sum(list_transform(generate_series(0,3),
+            bb -> 2*codes[((4*j + bb) % L) + 1])) AS DOUBLE) END) AS fsum
+   FROM idx),
+e AS (SELECT doc_id, CAST(n AS INTEGER) AS n_frames, u.fi AS frame_idx,
+      fsum[u.fi + 1] AS s FROM sums, LATERAL unnest(fis) AS u(fi))
+SELECT doc_id, n_frames, frame_idx,
+  FLOOR(s/4*10000.0 + 0.5)/10000.0 AS frame_luma
+FROM e ORDER BY doc_id, frame_idx
+""",
+)
+def q_avi_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI/MJPEG container round trip, hash-oracled (round 13 — the
+    'true video container' gate narrows to inter-frame codecs): each
+    document's ASCII codes become a REAL AVI — RIFF hdrl (avih +
+    strh 'vids'/'MJPG' + strf) / movi / idx1 — holding 1 + len%4
+    baseline-JPEG frames (operators/frames.encode_avi_mjpeg +
+    jpeg.encode_jpeg). Frame j is 16×16 grayscale built from four
+    constant 8×8 blocks valued 2·codes[(4j+b) mod L] — EVEN values,
+    which round-trip bit-exactly through the flat-16 quantizer (the
+    constant block's DC is 8·s with s even, so quantization is exact
+    and every AC is 0) — making the lossy codec hash-predictable. The
+    production sampling path (operators/multimodal.sample_frame_pixel_rows
+    → frames.decode_avi → jpeg.decode_jpeg) walks the container,
+    cross-checks idx1, huffman+IDCT-decodes each frame, samples k=4
+    indices, and emits the mean luma, which the oracle states directly
+    as (Σ_b 2·codes[…])/4. A bit anywhere in the RIFF walk, the idx1
+    check, either JPEG direction, or the sampling law breaks the hash."""
+    import pandas as pd  # noqa: F401
+
+    from mongo_analyser_spark.operators.frames import encode_avi_mjpeg
+    from mongo_analyser_spark.operators.jpeg import encode_jpeg
+    from mongo_analyser_spark.operators.multimodal import (
+        sample_frame_pixel_rows,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        blocks = [(0, 0), (8, 0), (0, 8), (8, 8)]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                ln = len(codes)
+                n = 1 + ln % 4
+                jpgs = []
+                for j in range(n):
+                    px = bytearray(256)
+                    for b, (ox, oy) in enumerate(blocks):
+                        v = 2 * codes[(4 * j + b) % ln] if ln else 128
+                        for yy in range(8):
+                            base = (oy + yy) * 16 + ox
+                            px[base : base + 8] = bytes([v]) * 8
+                    jpgs.append(encode_jpeg(16, 16, 1, bytes(px)))
+                payload = encode_avi_mjpeg(16, 16, jpgs)
+                for nf, fi, luma in sample_frame_pixel_rows(payload, 4):
+                    rows.append((doc_id, nf, fi, luma))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "frame_idx", "frame_luma"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_frames int, frame_idx int, frame_luma double",
+    ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "jpeg12_pixel_stats_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id, codes, COALESCE(len(codes),0) AS L FROM a),
+v AS (SELECT doc_id, list_transform(generate_series(0,3), bb ->
+        CASE WHEN L=0 THEN 2048 ELSE 32*codes[(bb % L) + 1] END) AS vals
+      FROM b)
+SELECT doc_id,
+  FLOOR(CAST(list_sum(vals) AS DOUBLE)/4*10000.0 + 0.5)/10000.0 AS mean_val,
+  CAST(list_max(vals) AS INTEGER) AS max_val
+FROM v ORDER BY doc_id
+""",
+)
+def q_jpeg12_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-BIT JPEG round trip, hash-oracled (round 13 — the precision
+    half of the JPEG gate closes; arithmetic coding remains): each
+    document's codes become a 16×16 12-bit grayscale SOF1 JPEG of four
+    constant 8×8 blocks valued 32·codes[b mod L] (EVEN, spanning the
+    0..4064 range a byte cannot hold), written with a 16-bit Pq=1 DQT
+    and 12-bit-wide huffman tables (operators/jpeg.encode_jpeg12) and
+    decoded by the production `decode_jpeg_ex` (level shift 2048, clamp
+    4095). Even values round-trip bit-exactly through the flat-16
+    quantizer, so the oracle states the mean and max directly from the
+    codes; any bit lost in the wide DQT parse, the 12-bit categories,
+    or the 2048-shift IDCT breaks the hash."""
+    import pandas as pd  # noqa: F401
+
+    from mongo_analyser_spark.operators.jpeg import (
+        decode_jpeg_ex,
+        encode_jpeg12,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import math
+
+        import pandas as pd
+
+        blocks = [(0, 0), (8, 0), (0, 8), (8, 8)]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                ln = len(codes)
+                px = [0] * 256
+                for b, (ox, oy) in enumerate(blocks):
+                    v = 32 * codes[b % ln] if ln else 2048
+                    for yy in range(8):
+                        base = (oy + yy) * 16 + ox
+                        px[base : base + 8] = [v] * 8
+                _w, _h, _ch, _mx, out = decode_jpeg_ex(
+                    encode_jpeg12(16, 16, 1, px)
+                )
+                mean = math.floor(sum(out) / 256 * 10000.0 + 0.5) / 10000.0
+                rows.append((doc_id, mean, max(out)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "mean_val", "max_val"]
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, mean_val double, max_val int"
+    ).orderBy("doc_id")
+
+
+@register(
+    "mp4_jpeg_frames_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id, codes, COALESCE(len(codes),0) AS L,
+             1 + COALESCE(len(codes),0) % 5 AS n FROM a),
+idx AS (SELECT doc_id, codes, L, n,
+  list_sort(list_distinct(list_transform(generate_series(0,3),
+    t -> CAST(FLOOR(CAST(t AS DOUBLE)*(n-1)/3) AS INTEGER)))) AS fis FROM b),
+sums AS (SELECT doc_id, n, fis,
+   list_transform(generate_series(0,4), j ->
+     CASE WHEN L=0 THEN 512.0
+          ELSE CAST(list_sum(list_transform(generate_series(0,3),
+            bb -> 2*codes[((4*j + bb) % L) + 1])) AS DOUBLE) END) AS fsum
+   FROM idx),
+e AS (SELECT doc_id, CAST(n AS INTEGER) AS n_frames, u.fi AS frame_idx,
+      fsum[u.fi + 1] AS s FROM sums, LATERAL unnest(fis) AS u(fi))
+SELECT doc_id, n_frames, frame_idx,
+  FLOOR(s/4*10000.0 + 0.5)/10000.0 AS frame_luma
+FROM e ORDER BY doc_id, frame_idx
+""",
+)
+def q_mp4_jpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 (ISO-BMFF) container round trip, hash-oracled (round 13 —
+    the second true-video-container gate closes for intra-frame codecs):
+    each document's codes become a REAL MP4 — ftyp/mdat/moov with full
+    stsd('jpeg')/stts/stsc/stsz/stco sample tables
+    (operators/frames.encode_mp4_mjpeg) — holding 1 + len%5
+    baseline-JPEG samples of four EVEN constant 8×8 blocks (the AVI
+    row's exact-round-trip trick; with n=5 the k=4 sampler must SKIP
+    frame 3, exercising the floor law's gap case). The production path
+    (sample_frame_pixel_rows → frames.decode_mp4 → jpeg.decode_jpeg)
+    walks the box tree, reconstructs per-sample offsets from
+    stsc/stco/stsz, decodes, samples, and emits mean luma; the oracle
+    states it as (Σ_b 2·codes[…])/4. A bit anywhere in the box walk,
+    the sample-table reconstruction, either JPEG direction, or the
+    sampling law breaks the hash."""
+    import pandas as pd  # noqa: F401
+
+    from mongo_analyser_spark.operators.frames import encode_mp4_mjpeg
+    from mongo_analyser_spark.operators.jpeg import encode_jpeg
+    from mongo_analyser_spark.operators.multimodal import (
+        sample_frame_pixel_rows,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        blocks = [(0, 0), (8, 0), (0, 8), (8, 8)]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                ln = len(codes)
+                n = 1 + ln % 5
+                jpgs = []
+                for j in range(n):
+                    px = bytearray(256)
+                    for b, (ox, oy) in enumerate(blocks):
+                        v = 2 * codes[(4 * j + b) % ln] if ln else 128
+                        for yy in range(8):
+                            base = (oy + yy) * 16 + ox
+                            px[base : base + 8] = bytes([v]) * 8
+                    jpgs.append(encode_jpeg(16, 16, 1, bytes(px)))
+                payload = encode_mp4_mjpeg(16, 16, jpgs)
+                for nf, fi, luma in sample_frame_pixel_rows(payload, 4):
+                    rows.append((doc_id, nf, fi, luma))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "frame_idx", "frame_luma"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_frames int, frame_idx int, frame_luma double",
+    ).orderBy("doc_id", "frame_idx")
+
+
 # re-run tail curation so the registry order is import-order-robust (this
 # module may be the first package import; see queries.curate_tail)
 from mongo_analyser_spark.queries import curate_tail as _curate_tail  # noqa: E402

@@ -9,9 +9,11 @@ import pytest
 
 from mongo_analyser_spark.operators.frames import (
     decode_apng,
+    decode_avi,
     decode_frames,
     decode_gif,
     encode_apng,
+    encode_avi_mjpeg,
     encode_gif,
     frame_mean_luma,
     lzw_decode,
@@ -265,8 +267,13 @@ def test_decode_frames_gif_and_unknown():
     payload = encode_gif(2, 2, [[0, 1, 2, 3]], palette_bits=8)
     w, h, ch, fr = decode_frames(payload)
     assert (w, h, ch, len(fr)) == (2, 2, 3, 1)
-    with pytest.raises(NotImplementedError):
+    # ISO-BMFF now dispatches to decode_mp4 (round 13): structural
+    # garbage behind a valid ftyp is ValueError (the GIF/AVI contract);
+    # containers that aren't parseable at all stay NotImplementedError
+    with pytest.raises(ValueError):
         decode_frames(b"\x00\x00\x00\x18ftypmp42 not a decodable container")
+    with pytest.raises(NotImplementedError):
+        decode_frames(b"\x1aE\xdf\xa3 webm/matroska is a codec-bound gate")
 
 
 def test_frame_mean_luma_conventions():
@@ -364,3 +371,276 @@ def test_frame_rect_exceeding_canvas_raises():
     gif[i + 5:i + 7] = struct.pack("<H", 3)  # fw = 3 > canvas width 2
     with pytest.raises(ValueError, match="exceeds the canvas"):
         decode_gif(bytes(gif))
+
+
+# ---------------------------------------------------------------- AVI
+
+
+def _const_block_frame(vals):
+    """16x16 grayscale, four constant 8x8 blocks in raster block order."""
+    px = bytearray(256)
+    for b, (ox, oy) in enumerate([(0, 0), (8, 0), (0, 8), (8, 8)]):
+        for yy in range(8):
+            for xx in range(8):
+                px[(oy + yy) * 16 + ox + xx] = vals[b]
+    return bytes(px)
+
+
+def _mjpeg_avi(frame_vals, **kw):
+    from mongo_analyser_spark.operators.jpeg import encode_jpeg
+
+    jpgs = [encode_jpeg(16, 16, 1, _const_block_frame(v)) for v in frame_vals]
+    return encode_avi_mjpeg(16, 16, jpgs, **kw)
+
+
+def test_avi_mjpeg_roundtrip_exact():
+    """EVEN constant-block values round-trip bit-exactly through the
+    flat-16 quantizer (DC = 8*(v-128), s/2 integer, all ACs 0) — so the
+    full container walk + JPEG decode must reproduce the input bytes."""
+    vals = [(2, 100, 254, 128), (64, 66, 68, 70), (128, 128, 128, 128)]
+    w, h, ch, frames = decode_avi(_mjpeg_avi(vals))
+    assert (w, h, ch, len(frames)) == (16, 16, 1, 3)
+    for v, f in zip(vals, frames):
+        assert bytes(f) == _const_block_frame(v)
+
+
+def test_avi_dispatches_from_decode_frames_and_wav_does_not():
+    w, h, ch, frames = decode_frames(_mjpeg_avi([(2, 4, 6, 8)]))
+    assert (w, h, ch, len(frames)) == (16, 16, 1, 1)
+    from mongo_analyser_spark.operators.audio import encode_wav
+
+    with pytest.raises(NotImplementedError):
+        decode_frames(encode_wav(8000, [0, 1, 2]))  # RIFF but WAVE
+
+
+def test_avi_raw_dib_roundtrip():
+    w, h = 5, 3
+    rows = []
+    for k in range(2):
+        buf = b""
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = b"".join(
+                bytes([(x + k) % 256, (y + k) % 256, (x * y + k) % 256])
+                for x in range(w)
+            )
+            buf += row + b"\x00" * ((4 - (w * 3) % 4) % 4)
+        rows.append(buf)
+    dw, dh, ch, frames = decode_avi(
+        encode_avi_mjpeg(w, h, rows, raw_dib=True)
+    )
+    assert (dw, dh, ch, len(frames)) == (w, h, 3, 2)
+    for k, f in enumerate(frames):
+        for y in range(h):
+            for x in range(w):
+                o = (y * w + x) * 3
+                # stored BGR -> returned RGB
+                assert f[o] == (x * y + k) % 256
+                assert f[o + 1] == (y + k) % 256
+                assert f[o + 2] == (x + k) % 256
+
+
+def test_avi_without_index_decodes_and_bad_index_raises():
+    payload = _mjpeg_avi([(2, 4, 6, 8), (10, 12, 14, 16)], write_index=False)
+    assert len(decode_avi(payload)[3]) == 2
+    good = bytearray(_mjpeg_avi([(2, 4, 6, 8), (10, 12, 14, 16)]))
+    i = good.rfind(b"idx1")
+    struct.pack_into("<I", good, i + 16, 9999)  # first entry's dwOffset
+    with pytest.raises(ValueError, match="idx1 offset"):
+        decode_avi(bytes(good))
+
+
+def test_avi_unknown_codec_raises_not_implemented():
+    bad = bytearray(_mjpeg_avi([(2, 4, 6, 8)]))
+    for _ in range(2):  # strh handler + strf biCompression
+        i = bad.find(b"MJPG")
+        bad[i:i + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="H264"):
+        decode_avi(bytes(bad))
+
+
+def test_avi_structural_lies_raise():
+    payload = _mjpeg_avi([(2, 4, 6, 8), (10, 12, 14, 16)])
+    # dwTotalFrames lies about the movi chunk count
+    lying = bytearray(payload)
+    i = lying.find(b"avih")
+    struct.pack_into("<I", lying, i + 8 + 16, 7)
+    with pytest.raises(ValueError, match="dwTotalFrames"):
+        decode_avi(bytes(lying))
+    # a movi chunk whose size overruns its parent list
+    over = bytearray(payload)
+    i = over.find(b"00dc")
+    struct.pack_into("<I", over, i + 4, 1 << 24)
+    with pytest.raises(ValueError, match="overruns"):
+        decode_avi(bytes(over))
+    # truncated RIFF size
+    with pytest.raises(ValueError, match="overruns the payload"):
+        decode_avi(payload[:4] + struct.pack("<I", 1 << 24) + payload[8:])
+    # frame dimensions disagreeing with the header
+    from mongo_analyser_spark.operators.jpeg import encode_jpeg
+
+    wrong = encode_avi_mjpeg(
+        16, 16, [encode_jpeg(8, 8, 1, bytes([128] * 64))]
+    )
+    with pytest.raises(ValueError, match="container says"):
+        decode_avi(wrong)
+
+
+def test_avi_rec_nesting_and_foreign_stream_chunks_skipped():
+    """Hand-built container exercising decoder paths the writer never
+    emits: video chunks nested inside a LIST 'rec ', an interleaved
+    second (audio) stream whose '01wb' chunks must be skipped, and a
+    two-entry stream table."""
+    from mongo_analyser_spark.operators.jpeg import encode_jpeg
+
+    def chunk(tag, data):
+        return tag + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    def rlist(ltype, payload):
+        return chunk(b"LIST", ltype + payload)
+
+    jpgs = [
+        encode_jpeg(16, 16, 1, _const_block_frame(v))
+        for v in [(2, 4, 6, 8), (10, 12, 14, 16)]
+    ]
+    avih = struct.pack(
+        "<14I", 100000, 0, 0, 0, 2, 0, 2, 0, 16, 16, 0, 0, 0, 0
+    )
+    strh_v = struct.pack(
+        "<4s4sIHH8I4h", b"vids", b"MJPG", 0, 0, 0, 0, 1, 10, 0, 2, 0,
+        0xFFFFFFFF, 0, 0, 0, 16, 16,
+    )
+    strf_v = struct.pack(
+        "<IiiHH4sIiiII", 40, 16, 16, 1, 24, b"MJPG", 768, 0, 0, 0, 0
+    )
+    strh_a = struct.pack(
+        "<4s4sIHH8I4h", b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+        1, 8000, 0, 16, 0, 0xFFFFFFFF, 2, 0, 0, 0, 0,
+    )
+    strf_a = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    hdrl = rlist(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + rlist(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v))
+        + rlist(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a)),
+    )
+    # movi: each video frame interleaved with audio inside a 'rec ' list
+    movi_payload = b"".join(
+        rlist(b"rec ", chunk(b"00dc", j) + chunk(b"01wb", b"\x00\x01" * 8))
+        for j in jpgs
+    )
+    payload = chunk(b"RIFF", b"AVI " + hdrl + rlist(b"movi", movi_payload))
+    w, h, ch, frames = decode_avi(payload)
+    assert (w, h, ch, len(frames)) == (16, 16, 1, 2)
+    assert bytes(frames[0]) == _const_block_frame((2, 4, 6, 8))
+    assert bytes(frames[1]) == _const_block_frame((10, 12, 14, 16))
+
+
+# ---------------------------------------------------------------- MP4
+
+
+def _mjpeg_mp4(frame_vals, **kw):
+    from mongo_analyser_spark.operators.frames import encode_mp4_mjpeg
+    from mongo_analyser_spark.operators.jpeg import encode_jpeg
+
+    jpgs = [encode_jpeg(16, 16, 1, _const_block_frame(v)) for v in frame_vals]
+    return encode_mp4_mjpeg(16, 16, jpgs, **kw)
+
+
+def test_mp4_jpeg_roundtrip_exact_and_dispatch():
+    from mongo_analyser_spark.operators.frames import decode_mp4
+
+    vals = [(2, 100, 254, 128), (64, 66, 68, 70), (128, 128, 128, 128)]
+    payload = _mjpeg_mp4(vals)
+    w, h, ch, frames = decode_mp4(payload)
+    assert (w, h, ch, len(frames)) == (16, 16, 1, 3)
+    for v, f in zip(vals, frames):
+        assert bytes(f) == _const_block_frame(v)
+    assert len(decode_frames(payload)[3]) == 3
+
+
+def test_mp4_codec_gate_and_structural_lies():
+    from mongo_analyser_spark.operators.frames import decode_mp4
+
+    payload = _mjpeg_mp4([(2, 4, 6, 8), (10, 12, 14, 16)])
+    # real inter-frame codec -> honest gate
+    bad = bytearray(payload)
+    i = bad.find(b"jpeg", bad.find(b"stsd"))
+    bad[i:i + 4] = b"avc1"
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_mp4(bytes(bad))
+    # stsz count lying vs stsc/stco layout
+    lying = bytearray(payload)
+    i = lying.find(b"stsz")
+    struct.pack_into(">I", lying, i + 12, 7)
+    with pytest.raises(ValueError):
+        decode_mp4(bytes(lying))
+    # chunk offset pointing past the payload
+    far = bytearray(payload)
+    i = far.find(b"stco")
+    struct.pack_into(">I", far, i + 12, 1 << 24)
+    with pytest.raises(ValueError, match="overruns the payload"):
+        decode_mp4(bytes(far))
+    # sample dims disagreeing with the container headers
+    from mongo_analyser_spark.operators.frames import encode_mp4_mjpeg
+    from mongo_analyser_spark.operators.jpeg import encode_jpeg
+
+    wrong = encode_mp4_mjpeg(
+        16, 16, [encode_jpeg(8, 8, 1, bytes([128] * 64))]
+    )
+    with pytest.raises(ValueError, match="container says"):
+        decode_mp4(wrong)
+    # no moov
+    with pytest.raises(ValueError, match="moov"):
+        decode_mp4(payload[: payload.find(b"moov") - 4])
+
+
+def test_mp4_multi_chunk_and_co64_layouts():
+    """Hand-rearranged sample tables the writer never emits: two stsc
+    runs over three chunks, and the 64-bit co64 offset form."""
+    from mongo_analyser_spark.operators.frames import (
+        _mp4_box,
+        decode_mp4,
+        encode_mp4_mjpeg,
+    )
+    from mongo_analyser_spark.operators.jpeg import encode_jpeg
+
+    valsets = [(2, 4, 6, 8), (10, 12, 14, 16), (20, 22, 24, 26),
+               (30, 32, 34, 36)]
+    jpgs = [encode_jpeg(16, 16, 1, _const_block_frame(v)) for v in valsets]
+    base = encode_mp4_mjpeg(16, 16, jpgs)
+    # chunks: [s0, s1] at off0, [s2] at off2, [s3] at off3 — stsc runs
+    # (first_chunk=1, per=2) then (first_chunk=2, per=1)
+    off0 = base.find(jpgs[0])
+    off2 = base.find(jpgs[2])
+    off3 = base.find(jpgs[3])
+    stsc = _mp4_box(
+        b"stsc",
+        struct.pack(">B3xI", 0, 2)
+        + struct.pack(">III", 1, 2, 1)
+        + struct.pack(">III", 2, 1, 1),
+    )
+    co64 = _mp4_box(
+        b"co64", struct.pack(">B3xIQQQ", 0, 3, off0, off2, off3)
+    )
+    out = bytearray(base)
+    i = out.find(b"stsc")
+
+    def replace_box(buf, tag, new):
+        i = buf.find(tag)
+        (size,) = struct.unpack(">I", buf[i - 4 : i])
+        return buf[: i - 4] + new + buf[i - 4 + size :]
+
+    out = replace_box(bytes(out), b"stsc", stsc)
+    out = replace_box(out, b"stco", co64)
+    # grow every enclosing box size by the delta
+    delta = len(out) - len(base)
+    for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        i = out.find(tag)
+        (size,) = struct.unpack(">I", out[i - 4 : i])
+        out = out[: i - 4] + struct.pack(">I", size + delta) + out[i :]
+    w, h, ch, frames = decode_mp4(out)
+    assert (w, h, ch, len(frames)) == (16, 16, 1, 4)
+    for v, f in zip(valsets, frames):
+        assert bytes(f) == _const_block_frame(v)

@@ -578,3 +578,85 @@ def test_png_trns_key_gray_and_rgb():
     w, h, ch, out = pixels.decode_png(blob)
     assert (w, h, ch) == (2, 1, 2)
     assert bytes(out) == bytes([0x12, 0, 0x12, 255])
+
+
+# --- 12-bit extended sequential (round 13) ---------------------------------
+
+
+def _blocks12(vals):
+    px = [0] * 256
+    for b, (ox, oy) in enumerate([(0, 0), (8, 0), (0, 8), (8, 8)]):
+        for yy in range(8):
+            for xx in range(8):
+                px[(oy + yy) * 16 + ox + xx] = vals[b]
+    return px
+
+
+def test_jpeg12_flat_blocks_exact():
+    """EVEN 12-bit values round-trip bit-exactly through the flat-16
+    quantizer (DC = 8·(v-2048) with even s, all ACs 0) — including the
+    full 0..4095 range the 8-bit path cannot represent."""
+    from mongo_analyser_spark.operators import jpeg
+
+    for vals in [(32, 2048, 4064, 1000), (0, 2, 4094, 2046)]:
+        px = _blocks12(vals)
+        w, h, ch, mx, out = jpeg.decode_jpeg_ex(
+            jpeg.encode_jpeg12(16, 16, 1, px)
+        )
+        assert (w, h, ch, mx) == (16, 16, 1, 4095)
+        assert out == px
+
+
+def test_jpeg12_gradient_tolerance_and_restart():
+    from mongo_analyser_spark.operators import jpeg
+
+    gpx = [(x * 257 + y * 131) % 4096 for y in range(16) for x in range(16)]
+    _, _, _, _, out = jpeg.decode_jpeg_ex(
+        jpeg.encode_jpeg12(16, 16, 1, gpx, quant=2)
+    )
+    assert max(abs(a - b) for a, b in zip(gpx, out)) <= 8
+    # restart intervals resync the 12-bit DC predictors too
+    rpx = [(x * 7) % 4096 for _ in range(8) for x in range(32)]
+    _, _, _, _, out2 = jpeg.decode_jpeg_ex(
+        jpeg.encode_jpeg12(32, 8, 1, rpx, quant=2, restart_interval=2)
+    )
+    assert max(abs(a - b) for a, b in zip(rpx, out2)) <= 8
+
+
+def test_jpeg12_color_roundtrip():
+    from mongo_analyser_spark.operators import jpeg
+
+    cpx = []
+    for y in range(8):
+        for x in range(8):
+            cpx += [x * 512 % 4096, y * 512 % 4096, (x + y) * 256 % 4096]
+    w, h, ch, mx, out = jpeg.decode_jpeg_ex(
+        jpeg.encode_jpeg12(8, 8, 3, cpx, quant=1)
+    )
+    assert (w, h, ch, mx) == (8, 8, 3, 4095)
+    # quant=1 color error budget: YCbCr forward/inverse rounding only
+    assert sum(abs(a - b) for a, b in zip(cpx, out)) / len(cpx) < 1.0
+
+
+def test_jpeg12_ex_delegates_8bit_and_gates_stay():
+    from mongo_analyser_spark.operators import jpeg
+
+    p8 = jpeg.encode_jpeg(8, 8, 1, bytes([128] * 64))
+    w, h, ch, mx, out = jpeg.decode_jpeg_ex(p8)
+    assert (w, h, ch, mx) == (8, 8, 1, 255)
+    assert out == [128] * 64
+    p12 = jpeg.encode_jpeg12(16, 16, 1, _blocks12((32, 2048, 4064, 1000)))
+    # the byte-contract decoder still gates 12-bit
+    with pytest.raises(NotImplementedError, match="precision 12"):
+        jpeg.decode_jpeg(p12)
+    # subsampled 12-bit stays gated: flip the SOF1 sampling byte to 2x2
+    # (SOF1 payload: precision, H, W, ncomp, then [id, hv, tq])
+    bad = bytearray(p12)
+    i = bad.find(b"\xff\xc1")
+    assert bad[i + 4] == 12
+    bad[i + 11] = 0x22
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        jpeg.decode_jpeg_ex(bytes(bad))
+    # bad sample range rejected at encode
+    with pytest.raises(ValueError, match="0..4095"):
+        jpeg.encode_jpeg12(1, 1, 1, [4096])
