@@ -167,19 +167,86 @@ def parse_image_header(payload: bytes) -> dict[str, Any] | None:
     return None
 
 
+def parse_video_header(payload: bytes) -> dict[str, Any] | None:
+    """Container-header metadata (mime, width, height, n_frames) for the
+    two video containers whose box/chunk grammar parses in stdlib
+    (round 13): AVI (avih geometry + frame count) and MP4/ISO-BMFF
+    (tkhd geometry + stsz sample count). Header-only — no sample decode,
+    so this works for ANY codec inside, including the gated inter-frame
+    ones. Returns None for unrecognized payloads; malformed recognized
+    containers raise ValueError (the untrusted-input contract)."""
+    import struct
+
+    b = payload
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        from mongo_analyser_spark.operators.frames import _avi_chunks
+
+        (riff_size,) = struct.unpack("<I", b[4:8])
+        end = min(8 + riff_size, len(b))
+        for tag, start, size in _avi_chunks(b, 12, end):
+            if tag == b"LIST" and b[start : start + 4] == b"hdrl":
+                for t2, s2, z2 in _avi_chunks(b, start + 4, start + size):
+                    if t2 == b"avih" and z2 >= 56:
+                        avih = struct.unpack("<14I", b[s2 : s2 + 56])
+                        return {
+                            "mime": "video/x-msvideo",
+                            "width": avih[8],
+                            "height": avih[9],
+                            "n_frames": max(avih[4], 1),
+                        }
+        raise ValueError("AVI missing avih header")
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        from mongo_analyser_spark.operators.frames import (
+            _mp4_boxes,
+            _mp4_find,
+        )
+
+        moov = _mp4_find(b, 0, len(b), [b"moov"])
+        if moov is None:
+            raise ValueError("MP4 missing moov box")
+        for tag, s, e in _mp4_boxes(b, *moov):
+            if tag != b"trak":
+                continue
+            hdlr = _mp4_find(b, s, e, [b"mdia", b"hdlr"])
+            if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+                continue
+            tkhd = _mp4_find(b, s, e, [b"tkhd"])
+            stsz = _mp4_find(
+                b, s, e, [b"mdia", b"minf", b"stbl", b"stsz"]
+            )
+            if tkhd is None or stsz is None:
+                raise ValueError("MP4 video track missing tkhd/stsz")
+            te = tkhd[1]
+            tw, th = struct.unpack(">II", b[te - 8 : te])
+            (count,) = struct.unpack(">I", b[stsz[0] + 8 : stsz[0] + 12])
+            return {
+                "mime": "video/mp4",
+                "width": tw >> 16,
+                "height": th >> 16,
+                "n_frames": max(count, 1),
+            }
+        raise ValueError("MP4 has no video track")
+    return None
+
+
 def real_decode(payload: bytes) -> dict[str, Any]:
     """Metadata-level real decode: container-header parse (no codec
-    needed). Unrecognized formats raise — PIXEL decode (and audio/video)
-    is the only part that still needs PIL/ffmpeg."""
+    needed). Covers still images (PNG/APNG, JPEG, GIF, BMP) and — since
+    round 13 — the AVI and MP4 video containers, whose header grammar
+    parses in stdlib regardless of the codec inside. Unrecognized
+    formats raise — PIXEL decode of inter-frame codecs is the only part
+    that still needs PIL/ffmpeg."""
     header = parse_image_header(payload)
     if header is None:
+        header = parse_video_header(payload)
+    if header is None:
         raise NotImplementedError(
-            "payload is not a recognized PNG/JPEG/GIF/BMP header; "
-            "true video containers require codecs (ffmpeg) not present "
-            "here — plug a decoder into extract_media_features("
+            "payload is not a recognized PNG/JPEG/GIF/BMP/AVI/MP4 "
+            "header; other containers require codecs (ffmpeg) not "
+            "present here — plug a decoder into extract_media_features("
             "decoder=...) where they exist (PNG/BMP/JPEG incl. "
-            "progressive: operators/pixels.py + jpeg.py; GIF/APNG "
-            "frames: operators/frames.py)"
+            "progressive + 12-bit: operators/pixels.py + jpeg.py; "
+            "GIF/APNG/AVI/MP4 frames: operators/frames.py)"
         )
     return {
         "media_len": len(payload),

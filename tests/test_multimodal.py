@@ -249,14 +249,33 @@ def test_sample_frame_pixel_rows_video_fallback_matches_fake_contract():
         sample_frame_pixel_rows,
     )
 
-    payload = b"\x00\x00\x00\x18ftypmp42-fake-video-bytes"
-    h = hashlib.md5(payload).hexdigest()
-    n = 1 + int(h[4:6], 16) % 32
-    rows = sample_frame_pixel_rows(payload, k=4)
-    assert all(r[0] == n for r in rows)
-    for _, fi, luma in rows:
-        exp = int(hashlib.md5(f"{h}:{fi}".encode()).hexdigest()[:2], 16)
-        assert luma == float(exp)
+    # round 13: ISO-BMFF now parses natively, so the stand-in cases are
+    # (a) containers the dispatcher doesn't recognize at all, and (b) a
+    # REAL MP4 whose sample entry is a gated inter-frame codec
+    payloads = [b"\x1aE\xdf\xa3 matroska/webm stays codec-bound"]
+    from mongo_analyser_spark.operators.frames import encode_mp4_mjpeg
+    from mongo_analyser_spark.operators.jpeg import encode_jpeg
+
+    avc = bytearray(
+        encode_mp4_mjpeg(8, 8, [encode_jpeg(8, 8, 1, bytes([128] * 64))])
+    )
+    i = avc.find(b"jpeg", avc.find(b"stsd"))
+    avc[i:i + 4] = b"avc1"
+    payloads.append(bytes(avc))
+    for payload in payloads:
+        h = hashlib.md5(payload).hexdigest()
+        n = 1 + int(h[4:6], 16) % 32
+        rows = sample_frame_pixel_rows(payload, k=4)
+        assert all(r[0] == n for r in rows)
+        for _, fi, luma in rows:
+            exp = int(hashlib.md5(f"{h}:{fi}".encode()).hexdigest()[:2], 16)
+            assert luma == float(exp)
+    # structural garbage behind a valid ftyp is a hard error (the
+    # GIF/APNG malformed-container contract), NOT a silent stand-in
+    import pytest
+
+    with pytest.raises(ValueError):
+        sample_frame_pixel_rows(b"\x00\x00\x00\x18ftypmp42-fake-video", k=4)
 
 
 def test_frame_pixel_sample_dataframe_stage(spark):
@@ -285,3 +304,38 @@ def test_frame_pixel_sample_dataframe_stage(spark):
         for n, fi, luma in sample_frame_pixel_rows(p, 4):
             exp.append((rid, n, fi, luma))
     assert got == sorted(exp)
+
+
+def test_parse_video_header_avi_and_mp4():
+    """Header-only video metadata (round 13): geometry + frame count
+    without decoding a single sample — so it also works when the codec
+    inside is a gated inter-frame one."""
+    from mongo_analyser_spark.operators.frames import (
+        encode_avi_mjpeg,
+        encode_mp4_mjpeg,
+    )
+    from mongo_analyser_spark.operators.jpeg import encode_jpeg
+    from mongo_analyser_spark.operators.multimodal import (
+        parse_video_header,
+        real_decode,
+    )
+
+    jpgs = [encode_jpeg(16, 16, 1, bytes([128] * 256)) for _ in range(3)]
+    avi = encode_avi_mjpeg(16, 16, jpgs)
+    hd = parse_video_header(avi)
+    assert hd == {
+        "mime": "video/x-msvideo", "width": 16, "height": 16, "n_frames": 3,
+    }
+    mp4 = encode_mp4_mjpeg(16, 16, jpgs)
+    hd = parse_video_header(mp4)
+    assert hd == {"mime": "video/mp4", "width": 16, "height": 16, "n_frames": 3}
+    # header parse is codec-independent: an avc1 stsd entry still yields
+    # metadata (decode_mp4 would gate it)
+    bad = bytearray(mp4)
+    i = bad.find(b"jpeg", bad.find(b"stsd"))
+    bad[i:i + 4] = b"avc1"
+    assert parse_video_header(bytes(bad))["n_frames"] == 3
+    # real_decode picks video headers up after the image dispatch
+    feats = real_decode(avi)
+    assert (feats["width"], feats["height"], feats["n_frames"]) == (16, 16, 3)
+    assert parse_video_header(b"not a container at all") is None
