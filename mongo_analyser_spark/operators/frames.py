@@ -44,6 +44,9 @@ from mongo_analyser_spark.operators.pixels import (
     _PNG_SIG,
     _paeth,
     _png_chunk,
+    bounded_decompress,
+    check_dims,
+    untrusted_decoder,
 )
 
 # ---------------------------------------------------------------------------
@@ -157,6 +160,7 @@ def encode_apng(
     return bytes(out)
 
 
+@untrusted_decoder
 def decode_apng(b: bytes) -> tuple[int, int, int, list[bytearray]]:
     """(width, height, channels, [composed full-canvas frame buffers])
     from an APNG payload, honoring per-frame regions, blend_op
@@ -209,9 +213,10 @@ def decode_apng(b: bytes) -> tuple[int, int, int, list[bytearray]]:
             f"(depth={depth}, color_type={color}, interlace={interlace})"
         )
     ch = _PNG_CHANNELS[color]
+    check_dims(w, h, "APNG")
     if n_frames is None or not fctls:
         # plain PNG: one frame, whole canvas
-        raw = zlib.decompress(bytes(idat))
+        raw = bounded_decompress(idat, 64 + h * (1 + w * ch))
         return w, h, ch, [_unfilter(raw, w, h, ch)]
     canvas = bytearray(w * h * ch)
     frames: list[bytearray] = []
@@ -221,7 +226,9 @@ def decode_apng(b: bytes) -> tuple[int, int, int, list[bytearray]]:
             raise ValueError("APNG frame rect exceeds the canvas")
         if fi == 0 and disp == 2:
             disp = 1  # spec: first-frame PREVIOUS acts as BACKGROUND
-        region = _unfilter(zlib.decompress(bytes(zdata)), fw, fh, ch)
+        region = _unfilter(
+            bounded_decompress(zdata, 64 + fh * (1 + fw * ch)), fw, fh, ch
+        )
         saved = bytearray(canvas) if disp == 2 else None
         for r in range(fh):
             dst = (fy + r) * stride + fx * ch
@@ -266,6 +273,12 @@ def lzw_decode(data: bytes, min_code_size: int) -> list[int]:
     """GIF-flavor LZW: variable code width starting at
     ``min_code_size+1``, CLEAR resets the table, widths grow at table
     sizes 2^n up to 12 bits (4096 entries)."""
+    if not 1 <= min_code_size <= 11:
+        # codes max out at 12 bits, so a legal stream's initial width
+        # (min+1) is at most 12; an untrusted byte here must not size
+        # the 2^min root table (round-13 fuzz: a mutated 0xFF built a
+        # 2^255-entry list)
+        raise ValueError(f"illegal LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
     out: list[int] = []
@@ -410,6 +423,7 @@ def encode_gif(
     return bytes(out)
 
 
+@untrusted_decoder
 def decode_gif(b: bytes) -> tuple[int, int, list[bytearray]]:
     """(width, height, [composed full-canvas RGB frame buffers]) from a
     GIF87a/89a payload: full LZW decode, global/local color tables,
@@ -418,6 +432,7 @@ def decode_gif(b: bytes) -> tuple[int, int, list[bytearray]]:
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     w, h = struct.unpack("<HH", b[6:10])
+    check_dims(w, h, "GIF")
     packed, bg_index = b[10], b[11]
     pos = 13
     gct: list[tuple[int, int, int]] | None = None
@@ -429,8 +444,10 @@ def decode_gif(b: bytes) -> tuple[int, int, list[bytearray]]:
     if gct is not None and bg_index < len(gct):
         r0, g0, b0 = gct[bg_index]
         if (r0, g0, b0) != (0, 0, 0):
-            for i in range(w * h):
-                canvas[3 * i : 3 * i + 3] = bytes((r0, g0, b0))
+            # C-speed fill: a mutated header can declare a huge (but
+            # under-cap) canvas, and a per-pixel Python loop here was
+            # the one slow path the round-13 fuzz sweep found
+            canvas[:] = bytes((r0, g0, b0)) * (w * h)
     frames: list[bytearray] = []
     transparent: int | None = None
     dispose = 0
@@ -651,6 +668,7 @@ def _avi_raw_frame(data: bytes, w: int, h: int) -> bytearray:
     return out
 
 
+@untrusted_decoder
 def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytearray]]:
     """(width, height, channels, frames) from an AVI container whose
     video stream is MJPEG (one baseline/progressive JPEG per chunk —
@@ -936,6 +954,7 @@ def _mp4_find(b: bytes, pos: int, end: int, path: list[bytes]):
     return None
 
 
+@untrusted_decoder
 def decode_mp4(payload: bytes) -> tuple[int, int, int, list[bytearray]]:
     """(width, height, channels, frames) from an ISO-BMFF (MP4/MOV)
     container whose video track carries 'jpeg' samples (motion JPEG in
@@ -990,10 +1009,20 @@ def decode_mp4(payload: bytes) -> tuple[int, int, int, list[bytearray]]:
         )
     sw, sh = struct.unpack(">HH", payload[s + 40 : s + 44])
 
-    # stsz: sample sizes
+    # stsz: sample sizes. Bound the count BEFORE any allocation — a
+    # mutated count field must fail as ValueError, not allocate a
+    # 4-billion-entry list (every declared sample needs at least its
+    # header's worth of bytes somewhere in the payload)
     s, e = boxes[b"stsz"]
     fixed, count = struct.unpack(">II", payload[s + 4 : s + 12])
+    if count > len(payload):
+        raise ValueError(
+            f"MP4 stsz declares {count} samples in a "
+            f"{len(payload)}-byte payload"
+        )
     if fixed:
+        if fixed * count > len(payload):
+            raise ValueError("MP4 stsz fixed-size samples exceed the payload")
         sizes = [fixed] * count
     else:
         if s + 12 + 4 * count > e:
@@ -1078,6 +1107,7 @@ def decode_mp4(payload: bytes) -> tuple[int, int, int, list[bytearray]]:
 # ---------------------------------------------------------------------------
 
 
+@untrusted_decoder
 def decode_frames(payload: bytes) -> tuple[int, int, int, list[bytearray]]:
     """(width, height, channels, composed frames) for every container
     whose frames decode in stdlib: APNG (and plain PNG as one frame),

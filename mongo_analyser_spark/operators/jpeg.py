@@ -46,6 +46,8 @@ from __future__ import annotations
 import math
 import struct
 
+from mongo_analyser_spark.operators.pixels import untrusted_decoder
+
 #: zigzag scan order: position k in the scan -> natural row-major index
 ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10,
@@ -104,6 +106,16 @@ def _fdct8x8(block: list[int], shift: float = 128.0) -> list[float]:
                 s += tmp[y * 8 + u] * _COS[y][v]
             out[v * 8 + u] = s * _C[v] / 2.0
     return out
+
+
+
+def _check_jpeg_dims(w: int, h: int) -> None:
+    """Untrusted-SOF guard: a mutated frame header must not make the
+    decoder allocate gigabyte planes before the entropy data runs out
+    (pixels.MAX_PIXELS, the shared in-container decode cap)."""
+    from mongo_analyser_spark.operators.pixels import check_dims
+
+    check_dims(w, h, "JPEG")
 
 
 def _build_huff_decode(bits: list[int], vals: bytes) -> dict:
@@ -179,6 +191,7 @@ def _split_entropy(b: bytes, pos: int) -> tuple[list[bytes], int]:
     return segs, pos
 
 
+@untrusted_decoder
 def decode_jpeg(b: bytes) -> tuple[int, int, int, bytearray]:
     """(width, height, channels, flat row-major pixel bytes) from a
     baseline-sequential OR progressive JPEG. channels is 1 (grayscale)
@@ -242,6 +255,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytearray]:
             if precision != 8:
                 raise NotImplementedError(f"JPEG precision {precision} (need 8)")
             h, w = struct.unpack(">HH", data[1:5])
+            _check_jpeg_dims(w, h)
             ncomp = data[5]
             comps = []
             for c in range(ncomp):
@@ -253,6 +267,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, bytearray]:
             if precision != 8:
                 raise NotImplementedError(f"JPEG precision {precision} (need 8)")
             h, w = struct.unpack(">HH", data[1:5])
+            _check_jpeg_dims(w, h)
             ncomp = data[5]
             comps = []
             for c in range(ncomp):
@@ -823,6 +838,7 @@ _AC12_SYMS = sorted(
 )
 
 
+@untrusted_decoder
 def decode_jpeg_ex(b: bytes) -> tuple[int, int, int, int, list[int]]:
     """(width, height, channels, maxval, flat row-major samples) from a
     sequential JPEG at EITHER precision: 8-bit delegates to
@@ -890,6 +906,7 @@ def decode_jpeg_ex(b: bytes) -> tuple[int, int, int, int, list[int]]:
                     f"JPEG precision {precision} (need 8 or 12)"
                 )
             h, w = struct.unpack(">HH", data[1:5])
+            _check_jpeg_dims(w, h)
             ncomp = data[5]
             comps = []
             for c in range(ncomp):

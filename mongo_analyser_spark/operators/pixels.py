@@ -31,6 +31,67 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
 
 
+def untrusted_decoder(fn):
+    """Wrap a decode entry point over UNTRUSTED bytes (round 13): a
+    malformed payload can trigger a grab-bag of low-level exceptions
+    deep in the bit/chunk machinery — short slices (IndexError /
+    struct.error), references to tables the stream never defined
+    (KeyError), corrupt deflate streams (zlib.error). Normalize all of
+    them into the documented ValueError so pipeline stages can
+    quarantine bad rows with ONE catch; ValueError and the honest
+    NotImplementedError codec gates pass through untouched."""
+    import functools
+    import struct as _struct
+    import zlib as _zlib
+
+    @functools.wraps(fn)
+    def wrap(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (ValueError, NotImplementedError):
+            raise
+        except (
+            IndexError, KeyError, _struct.error, _zlib.error, OverflowError,
+        ) as e:
+            raise ValueError(
+                f"malformed payload in {fn.__name__}: "
+                f"{type(e).__name__}: {e}"
+            ) from e
+
+    return wrap
+
+
+#: in-container decode cap: 64 Mpixels. A mutated header must not make
+#: a decoder allocate gigabytes before the data runs out — real corpus
+#: payloads this tier handles are thumbnails/fixtures (module doc), and
+#: a production deployment swaps the codec callable anyway.
+MAX_PIXELS = 1 << 26
+
+
+def check_dims(w: int, h: int, what: str) -> None:
+    """Untrusted-header dimension guard shared by the pixel codecs."""
+    if w <= 0 or h <= 0:
+        raise ValueError(f"{what} has empty dimensions {w}x{h}")
+    if w * h > MAX_PIXELS:
+        raise ValueError(
+            f"{what} dimensions {w}x{h} exceed the in-container decode "
+            f"cap ({MAX_PIXELS} pixels)"
+        )
+
+
+def bounded_decompress(data: bytes, cap: int) -> bytes:
+    """zlib decompress with an output ceiling: a deflate bomb (kilobytes
+    expanding to gigabytes) must fail as ValueError once it exceeds what
+    the declared image geometry can legitimately need."""
+    d = zlib.decompressobj()
+    out = d.decompress(bytes(data), cap + 1)
+    if len(out) > cap:
+        raise ValueError(
+            f"decompressed pixel data exceeds its geometry cap ({cap} bytes)"
+        )
+    return out
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -104,6 +165,7 @@ def _unpack_row(line: bytes, pw: int, nch: int, depth: int) -> list[int]:
     return vals
 
 
+@untrusted_decoder
 def decode_png(b: bytes) -> tuple[int, int, int, bytearray]:
     """(width, height, channels, flat row-major pixel bytes) from a PNG
     payload — since round 11 the FULL still-PNG format: every legal bit
@@ -149,8 +211,12 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytearray]:
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
     nch = _PNG_RAW_CH[color]
+    check_dims(w, h, "PNG")
     try:
-        raw = zlib.decompress(bytes(idat))
+        # interlaced streams carry one filter byte per PASS row; 2x the
+        # sequential raw size comfortably bounds every legal layout
+        cap = 64 + 2 * h * (1 + (w * nch * depth + 7) // 8)
+        raw = bounded_decompress(idat, cap)
     except zlib.error as e:  # keep the documented ValueError contract
         raise ValueError(f"PNG IDAT stream is corrupt: {e}") from e
     fdist = max(1, depth * nch // 8)
@@ -257,6 +323,7 @@ def encode_png(w: int, h: int, channels: int, pixels: bytes) -> bytes:
     )
 
 
+@untrusted_decoder
 def decode_bmp(b: bytes) -> tuple[int, int, int, bytearray]:
     """(width, height, 3, flat row-major RGB bytes) from a 24-bit
     uncompressed BI_RGB BMP (bottom-up rows by default; negative height
@@ -285,6 +352,7 @@ def decode_bmp(b: bytes) -> tuple[int, int, int, bytearray]:
     return w, h, 3, out
 
 
+@untrusted_decoder
 def decode_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
     """Dispatch: PNG, 24-bit BMP, and JPEG (baseline AND progressive)
     decode fully in stdlib (operators/jpeg.py); anything else raises

@@ -660,3 +660,79 @@ def test_jpeg12_ex_delegates_8bit_and_gates_stay():
     # bad sample range rejected at encode
     with pytest.raises(ValueError, match="0..4095"):
         jpeg.encode_jpeg12(1, 1, 1, [4096])
+
+
+# --- untrusted-input hardening (round 13 fuzz sweep) -----------------------
+
+
+def test_untrusted_decoders_normalize_low_level_errors():
+    """A malformed payload must surface as the documented ValueError (or
+    an honest NotImplementedError), never IndexError/KeyError/
+    struct.error from deep in the bit machinery."""
+    from mongo_analyser_spark.operators import jpeg, pixels
+    from mongo_analyser_spark.operators.frames import (
+        decode_avi, decode_frames, decode_gif, decode_mp4,
+    )
+
+    # scan data referencing huffman tables the stream never defined
+    # used to KeyError; the wrapper re-raises as ValueError
+    payload = bytearray(jpeg.encode_jpeg(8, 8, 1, bytes([128] * 64)))
+    i = payload.find(b"\xff\xc4")
+    del payload[i : i + 4 + int.from_bytes(payload[i + 2 : i + 4], "big") - 2]
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(payload))
+    # short trailing garbage through every dispatcher stays ValueError
+    for fn in (pixels.decode_png, decode_gif, decode_avi, decode_mp4):
+        with pytest.raises(ValueError):
+            fn(b"\x89PNG\r\n\x1a\nGIF89aRIFFAVI ftyp"[:18])
+    with pytest.raises(NotImplementedError):
+        decode_frames(b"\x1aE\xdf\xa3 not parseable at all")
+
+
+def test_dimension_caps_reject_mutated_headers():
+    import struct as _s
+
+    from mongo_analyser_spark.operators import jpeg, pixels
+    from mongo_analyser_spark.operators.frames import decode_gif, lzw_decode
+
+    sof = _s.pack(">BBHBHHB", 0xFF, 0xC0, 11, 8, 65535, 65535, 1) + b"\x01\x11\x00"
+    with pytest.raises(ValueError, match="decode cap"):
+        jpeg.decode_jpeg(b"\xff\xd8" + sof + b"\xff\xd9")
+    # a mutated LZW minimum-code-size byte must not size a 2^255 table
+    with pytest.raises(ValueError, match="minimum code size"):
+        lzw_decode(b"\x00\x01", 255)
+    # GIF logical screen over the cap
+    big = bytearray(
+        b"GIF89a" + _s.pack("<HH", 65535, 65535) + b"\x00\x00\x00\x3b"
+    )
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_gif(bytes(big))
+    # PNG deflate bomb: kilobytes expanding past the declared geometry
+    import zlib as _z
+
+    bomb = _z.compress(b"\x00" * 10_000_000, 9)
+    png = bytearray(pixels.encode_png(8, 8, 1, bytes(64)))
+    i = png.find(b"IDAT") - 4
+    end = png.find(b"IEND") - 4
+    png[i:end] = (
+        _s.pack(">I", len(bomb)) + b"IDAT" + bomb + _s.pack(">I", 0)
+    )
+    with pytest.raises(ValueError):
+        pixels.decode_png(bytes(png))
+
+
+def test_mp4_stsz_count_bounded_before_allocation():
+    import struct as _s
+
+    from mongo_analyser_spark.operators.frames import (
+        decode_mp4, encode_mp4_mjpeg,
+    )
+    from mongo_analyser_spark.operators.jpeg import encode_jpeg
+
+    base = bytearray(
+        encode_mp4_mjpeg(8, 8, [encode_jpeg(8, 8, 1, bytes([128] * 64))])
+    )
+    i = base.find(b"stsz")
+    _s.pack_into(">II", base, i + 8, 4, 0xF0000000)  # fixed=4, count=4e9
+    with pytest.raises(ValueError, match="stsz"):
+        decode_mp4(bytes(base))
