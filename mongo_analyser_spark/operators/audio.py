@@ -413,3 +413,149 @@ def resample_decimate(payload: bytes, factor: int) -> bytes:
         raise ValueError("factor must be >= 1")
     rate, s = decode_wav(payload)
     return encode_wav(max(1, rate // factor), s[::factor])
+
+
+# ---------------------------------------------------------------------------
+# header-level audio metadata (round 13 — the parse_video_header sibling)
+# ---------------------------------------------------------------------------
+
+#: MPEG audio frame-header tables (ISO/IEC 11172-3 / 13818-3, public
+#: normative constants): bitrates in kbit/s indexed by (version-group,
+#: layer), sample rates by version. Index 0 is "free", 15 is invalid.
+_MP3_BITRATES = {
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+             416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320),
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def _mp3_frame(b: bytes, pos: int):
+    """(frame_length, samples_per_frame, sample_rate, channels,
+    bitrate_kbps) for the MPEG audio frame header at ``pos``, or None
+    if the four bytes there are not a valid header."""
+    if pos + 4 > len(b):
+        return None
+    h = int.from_bytes(b[pos : pos + 4], "big")
+    if (h >> 21) & 0x7FF != 0x7FF:
+        return None
+    ver = (h >> 19) & 3          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer_code = (h >> 17) & 3   # 3=Layer I, 2=Layer II, 1=Layer III
+    if ver == 1 or layer_code == 0:
+        return None
+    layer = 4 - layer_code
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    vgroup = 1 if ver == 3 else 2
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx]
+    rate = _MP3_RATES[ver][sr_idx]
+    padding = (h >> 9) & 1
+    channels = 1 if (h >> 6) & 3 == 3 else 2
+    if layer == 1:
+        frame_len = (12 * bitrate * 1000 // rate + padding) * 4
+        samples = 384
+    else:
+        samples = 1152 if (vgroup == 1 or layer == 2) else 576
+        frame_len = samples // 8 * bitrate * 1000 // rate + padding
+    if frame_len <= 4:
+        return None
+    return frame_len, samples, rate, channels, bitrate
+
+
+def parse_audio_header(payload: bytes) -> dict | None:
+    """Header-level audio metadata (mime, codec, sample_rate, channels,
+    bits, n_samples, n_frames) — the ``parse_video_header`` sibling:
+    pure header grammar, NO sample decode, so it works for the codecs
+    the decode path gates. Covers WAV (fmt/data chunks), FLAC
+    (STREAMINFO), and MPEG audio (MP3 & friends: frame-header walk
+    with an ID3v2 skip; n_frames counts valid chained headers).
+    Returns None for unrecognized payloads; malformed recognized
+    containers raise ValueError."""
+    b = payload
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        pos, fmt, data_len = 12, None, None
+        (riff_size,) = struct.unpack("<I", b[4:8])
+        end = min(8 + riff_size, len(b))
+        while pos + 8 <= end:
+            tag = b[pos : pos + 4]
+            (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            if pos + 8 + size > end:
+                raise ValueError("WAV chunk overruns the payload")
+            if tag == b"fmt ":
+                if size < 16:
+                    raise ValueError("WAV fmt chunk too short")
+                fmt = struct.unpack("<HHIIHH", b[pos + 8 : pos + 24])
+            elif tag == b"data":
+                data_len = size
+            pos += 8 + size + (size & 1)
+        if fmt is None or data_len is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        audio_fmt, channels, rate, _br, block_align, bits = fmt
+        n = data_len // block_align if block_align else 0
+        return {
+            "mime": "audio/wav",
+            "codec": {1: "pcm", 3: "ieee_float"}.get(audio_fmt,
+                                                     f"fmt_{audio_fmt}"),
+            "sample_rate": rate, "channels": channels, "bits": bits,
+            "n_samples": n, "n_frames": None,
+        }
+    if len(b) >= 8 and b[:4] == b"fLaC":
+        pos = 4
+        while pos + 4 <= len(b):
+            hdr = b[pos]
+            (blen,) = (int.from_bytes(b[pos + 1 : pos + 4], "big"),)
+            if pos + 4 + blen > len(b):
+                raise ValueError("FLAC metadata block overruns the payload")
+            if hdr & 0x7F == 0:  # STREAMINFO
+                if blen < 34:
+                    raise ValueError("FLAC STREAMINFO too short")
+                d = b[pos + 4 : pos + 38]
+                bits36 = int.from_bytes(d[10:18], "big")
+                rate = bits36 >> 44
+                channels = ((bits36 >> 41) & 7) + 1
+                bps = ((bits36 >> 36) & 0x1F) + 1
+                total = bits36 & ((1 << 36) - 1)
+                return {
+                    "mime": "audio/flac", "codec": "flac",
+                    "sample_rate": rate, "channels": channels,
+                    "bits": bps, "n_samples": total, "n_frames": None,
+                }
+            if hdr & 0x80:  # last-metadata-block without STREAMINFO
+                break
+            pos += 4 + blen
+        raise ValueError("FLAC missing STREAMINFO")
+    # MPEG audio: optional ID3v2 tag, then chained frame headers
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = (
+            (b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+            | (b[8] & 0x7F) << 7 | (b[9] & 0x7F)
+        )
+        pos = 10 + size
+    first = _mp3_frame(b, pos)
+    if first is None:
+        return None
+    frame_len, samples, rate, channels, bitrate = first
+    n_frames, total_samples = 0, 0
+    while pos + 4 <= len(b) and n_frames < 1_000_000:
+        fr = _mp3_frame(b, pos)
+        if fr is None:
+            break
+        n_frames += 1
+        total_samples += fr[1]
+        pos += fr[0]
+    return {
+        "mime": "audio/mpeg", "codec": "mp3", "sample_rate": rate,
+        "channels": channels, "bits": None, "n_samples": total_samples,
+        "n_frames": n_frames,
+    }

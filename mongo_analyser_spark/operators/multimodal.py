@@ -164,6 +164,35 @@ def parse_image_header(payload: bytes) -> dict[str, Any] | None:
         return {
             "mime": "image/bmp", "width": abs(w), "height": abs(h), "n_frames": 1,
         }
+    if len(b) >= 30 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        # WebP (round 13, header-only — VP8/VP8L pixel decode is the
+        # codec gate): dims live in the first chunk's bitstream header
+        tag = b[12:16]
+        if tag == b"VP8 " and b[23:26] == b"\x9d\x01\x2a":
+            w = int.from_bytes(b[26:28], "little") & 0x3FFF
+            h = int.from_bytes(b[28:30], "little") & 0x3FFF
+            return {
+                "mime": "image/webp", "width": w, "height": h, "n_frames": 1,
+            }
+        if tag == b"VP8L" and b[20] == 0x2F:
+            bits = int.from_bytes(b[21:25], "little")
+            return {
+                "mime": "image/webp",
+                "width": (bits & 0x3FFF) + 1,
+                "height": ((bits >> 14) & 0x3FFF) + 1,
+                "n_frames": 1,
+            }
+        if tag == b"VP8X":
+            w = int.from_bytes(b[24:27], "little") + 1
+            h = int.from_bytes(b[27:30], "little") + 1
+            # ANIM flag (bit 1) marks a multi-frame file; frame count
+            # would need an ANMF walk — report >=2 as 2 conservatively
+            frames = 2 if b[20] & 0x02 else 1
+            return {
+                "mime": "image/webp", "width": w, "height": h,
+                "n_frames": frames,
+            }
+        raise ValueError("WebP payload with unrecognized first chunk")
     return None
 
 

@@ -2673,6 +2673,10 @@ TAIL_QUERIES = (
     # (same family placement rationale as the AVI row above; its n=1+L%5
     # law also exercises the k=4 sampler's skip case)
     "mp4_jpeg_frames_documents",
+    # round-13 addition: REAL FLAC (fixed predictors + Rice + CRC
+    # framing) round trip — the audio family keeps wav_audio_features +
+    # the PCM24/multichannel rows in-window
+    "flac_audio_features_documents",
     # round-13 rotation: out of the window after 2 recorded green driver
     # appearances each (r11+r12; in-window siblings noted at WINDOW list)
     "quantile_sketch_by_type_events",

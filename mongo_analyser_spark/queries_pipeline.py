@@ -5677,6 +5677,114 @@ def q_mp4_jpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+@register(
+    "flac_audio_features_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+s AS (SELECT doc_id, list_transform(codes, c -> (c - 64) * 256) AS smp FROM a),
+f AS (
+  SELECT doc_id,
+    COALESCE(len(smp), 0) AS n,
+    COALESCE(list_sum(list_transform(smp, v -> v * v)), 0) AS sum_sq,
+    COALESCE(list_max(list_transform(smp, v -> abs(v))), 0) AS peak,
+    COALESCE(len(list_filter(smp, (x, i) -> i > 1 AND smp[i-1] * x < 0)), 0) AS zc
+  FROM s)
+SELECT doc_id,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST(n AS INTEGER) AS n_samples,
+  FLOOR(CAST(n AS DOUBLE) / 8000.0 * 10000.0 + 0.5) / 10000.0 AS duration_s,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE FLOOR(sqrt(CAST(sum_sq AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0
+  END AS rms,
+  CAST(peak AS INTEGER) AS peak,
+  CAST(zc AS INTEGER) AS zero_crossings
+FROM f ORDER BY doc_id
+""",
+)
+def q_flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio round trip, hash-oracled (round 13 — the
+    lossless half of the MP3/AAC/Opus gate closes): the
+    wav_audio_features fixture law ((c-64)*256 mono PCM16) encoded as
+    an actual FLAC stream — fixed predictors chosen per block,
+    Rice-coded residuals, CRC-8/CRC-16 framing, block_size=256 so
+    typical documents span MULTIPLE frames — and decoded back
+    bit-exactly inside the Arrow stage (operators/flac.py, pure
+    stdlib). FLAC is lossless, so the per-clip features must equal
+    what DuckDB computes directly from the text: a bit lost anywhere
+    in the predictor/Rice/framing round trip breaks the hash. Same
+    100-TB shape as the WAV row: adaptive fanout, one fixed-width row
+    per payload, no shuffle after the fanout."""
+    import math
+
+    import pandas as pd  # noqa: F401
+
+    from mongo_analyser_spark.operators.flac import decode_flac, encode_flac
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                smp = [(c - 64) * 256 for c in codes]
+                if smp:
+                    rate, out = decode_flac(
+                        encode_flac(8000, [smp], block_size=256)
+                    )
+                    s = out[0]
+                else:
+                    rate, s = 8000, []
+                n = len(s)
+                sum_sq = sum(v * v for v in s)
+                peak = max((abs(v) for v in s), default=0)
+                zc = sum(
+                    1 for i in range(1, n) if s[i - 1] * s[i] < 0
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        n,
+                        math.floor(n / 8000.0 * 10000.0 + 0.5) / 10000.0,
+                        math.floor(
+                            math.sqrt(sum_sq / n) * 10000.0 + 0.5
+                        ) / 10000.0
+                        if n
+                        else 0.0,
+                        peak,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "duration_s",
+                    "rms", "peak", "zero_crossings",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, sample_rate int, n_samples int, duration_s double, "
+        "rms double, peak int, zero_crossings int",
+    ).orderBy("doc_id")
+
+
 # re-run tail curation so the registry order is import-order-robust (this
 # module may be the first package import; see queries.curate_tail)
 from mongo_analyser_spark.queries import curate_tail as _curate_tail  # noqa: E402

@@ -339,3 +339,69 @@ def test_parse_video_header_avi_and_mp4():
     feats = real_decode(avi)
     assert (feats["width"], feats["height"], feats["n_frames"]) == (16, 16, 3)
     assert parse_video_header(b"not a container at all") is None
+
+
+def test_parse_audio_header_wav_flac_mp3():
+    import struct
+
+    from mongo_analyser_spark.operators.audio import (
+        encode_wav_ex,
+        parse_audio_header,
+    )
+
+    hd = parse_audio_header(encode_wav_ex(8000, [[0.1] * 100] * 2, fmt=3))
+    assert (hd["codec"], hd["sample_rate"], hd["channels"],
+            hd["n_samples"]) == ("ieee_float", 8000, 2, 100)
+    # FLAC STREAMINFO: 44.1k stereo 16-bit, 12345 total samples
+    bits36 = (44100 << 44) | (1 << 41) | (15 << 36) | 12345
+    si = (struct.pack(">HH", 4096, 4096) + b"\x00" * 6
+          + bits36.to_bytes(8, "big") + b"\x00" * 16)
+    flac = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+    hd = parse_audio_header(flac)
+    assert (hd["codec"], hd["sample_rate"], hd["channels"], hd["bits"],
+            hd["n_samples"]) == ("flac", 44100, 2, 16, 12345)
+    # MPEG1 Layer III 128 kbps 44.1 kHz stereo, 3 chained frames behind
+    # an ID3v2 tag — the header walk counts them without decoding
+    hdr = 0xFFE00000 | (3 << 19) | (1 << 17) | (9 << 12)
+    fl = 144 * 128000 // 44100
+    frame = hdr.to_bytes(4, "big") + b"\x00" * (fl - 4)
+    mp3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 0]) + frame * 3
+    hd = parse_audio_header(mp3)
+    assert (hd["codec"], hd["sample_rate"], hd["n_frames"],
+            hd["n_samples"]) == ("mp3", 44100, 3, 3 * 1152)
+    assert parse_audio_header(b"not audio") is None
+    # malformed recognized container raises
+    import pytest
+
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        parse_audio_header(b"fLaC" + bytes([0x84]) + (3).to_bytes(3, "big")
+                           + b"xyz")
+
+
+def test_parse_image_header_webp_variants():
+    import struct
+
+    from mongo_analyser_spark.operators.multimodal import parse_image_header
+
+    def riff_webp(chunk_tag, chunk_data):
+        chunk = chunk_tag + struct.pack("<I", len(chunk_data)) + chunk_data
+        if len(chunk_data) & 1:
+            chunk += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    # VP8 lossy: 3-byte frame tag + start code + 14-bit dims
+    vp8 = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+           + struct.pack("<HH", 320, 240) + b"\x00" * 8)
+    hd = parse_image_header(riff_webp(b"VP8 ", vp8))
+    assert hd == {"mime": "image/webp", "width": 320, "height": 240,
+                  "n_frames": 1}
+    # VP8L lossless: 0x2f then packed 14-bit (w-1, h-1)
+    bits = (99 | (49 << 14))
+    vp8l = b"\x2f" + bits.to_bytes(4, "little") + b"\x00" * 4
+    hd = parse_image_header(riff_webp(b"VP8L", vp8l))
+    assert (hd["width"], hd["height"]) == (100, 50)
+    # VP8X extended with the ANIM flag
+    vp8x = (bytes([0x02]) + b"\x00" * 3
+            + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"))
+    hd = parse_image_header(riff_webp(b"VP8X", vp8x))
+    assert (hd["width"], hd["height"], hd["n_frames"]) == (640, 480, 2)
