@@ -428,7 +428,7 @@ def cmd_media(args, spark) -> dict:
         import pandas as pd  # noqa: F401
 
         from mongo_analyser_spark.operators.audio import (
-            wav_multichannel_features,
+            audio_multichannel_features,
         )
 
         narrowed = df.select(
@@ -444,7 +444,7 @@ def cmd_media(args, spark) -> dict:
             for pdf in batches:
                 rows = []
                 for rid, payload in zip(pdf[args.id_col], pdf["__data"]):
-                    for ft in wav_multichannel_features(bytes(payload)):
+                    for ft in audio_multichannel_features(bytes(payload)):
                         rows.append(
                             (rid, ft["channel"], ft["n_samples"],
                              ft["mean"], ft["rms"], ft["peak"],

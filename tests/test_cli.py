@@ -183,6 +183,28 @@ def test_cli_media_frames_and_audio(tmp_path):
     assert [row["channel"] for row in rows] == [0, 1]
     assert all(row["n_samples"] == 2 for row in rows)
 
+    # mixed-codec collection (round 13): a FLAC clip dispatches through
+    # operators/flac.py inside the same CLI stage
+    from mongo_analyser_spark.operators.flac import encode_flac
+
+    flac = encode_flac(8000, [[100, -100] * 50])
+    con.execute("CREATE TABLE fa (doc_id BIGINT, payload BLOB)")
+    con.execute("INSERT INTO fa VALUES (1, ?), (2, ?)", [flac, wav])
+    con.execute(f"COPY fa TO '{data / 'mixed.parquet'}' (FORMAT PARQUET)")
+    r3 = run_cli(
+        "media", "--data", str(data), "--collection", "mixed",
+        "--payload-col", "payload", "--kind", "audio",
+        "--out", str(out),
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    rows = json.loads(out.read_text())["rows"]
+    by_doc = {}
+    for row in rows:
+        by_doc.setdefault(row["doc_id"], []).append(row)
+    assert by_doc[1][0]["n_samples"] == 100  # the FLAC clip
+    assert by_doc[1][0]["rms"] == 100.0
+    assert len(by_doc[2]) == 2  # the stereo WAV clip
+
 
 def test_cli_distinct_sketches_and_overlaps(tmp_path):
     """`distinct` subcommand: per-source KMV sketches over events, with

@@ -236,3 +236,28 @@ def test_fuzz_contract():
             decode_flac(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_flac_roundtrip_property():
+    """Hypothesis: ANY int16 sample matrix round-trips bit-exactly
+    through every block size (the lossless-by-construction pin)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.integers(min_value=-32768, max_value=32767),
+                min_size=1, max_size=300,
+            ),
+            min_size=1, max_size=3,
+        ).filter(lambda cs: len({len(c) for c in cs}) == 1),
+        st.sampled_from([16, 64, 256, 4096]),
+        st.sampled_from([8000, 44100, 96000]),
+    )
+    def check(chans, bs, rate):
+        out_rate, out = decode_flac(encode_flac(rate, chans, block_size=bs))
+        assert out_rate == rate and out == chans
+
+    check()
