@@ -37,6 +37,8 @@ import math
 import struct
 from typing import Iterable, List, Tuple
 
+from mongo_analyser_spark.operators.pixels import untrusted_decoder
+
 _PCM_FORMAT = 1  # WAVE_FORMAT_PCM
 
 
@@ -64,6 +66,7 @@ def encode_wav(sample_rate: int, samples: List[int]) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@untrusted_decoder
 def decode_wav(payload: bytes) -> Tuple[int, List[int]]:
     """(sample_rate, samples) from mono PCM16 WAV bytes.
 
@@ -188,6 +191,7 @@ def encode_wav_ex(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@untrusted_decoder
 def decode_wav_ex(payload: bytes) -> Tuple[int, List[List[float]]]:
     """(sample_rate, per-channel sample lists) from integer PCM16,
     3-byte-packed PCM24 (round 12), or IEEE float32/float64 WAV bytes,
@@ -472,6 +476,7 @@ def _mp3_frame(b: bytes, pos: int):
     return frame_len, samples, rate, channels, bitrate
 
 
+@untrusted_decoder
 def parse_audio_header(payload: bytes) -> dict | None:
     """Header-level audio metadata (mime, codec, sample_rate, channels,
     bits, n_samples, n_frames) — the ``parse_video_header`` sibling:

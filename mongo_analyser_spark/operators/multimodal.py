@@ -27,6 +27,8 @@ metadata-only queries never read the blob column (column pruning).
 from __future__ import annotations
 
 import hashlib
+
+from mongo_analyser_spark.operators.pixels import untrusted_decoder
 from collections.abc import Callable, Iterator
 from typing import Any
 
@@ -139,6 +141,7 @@ def _gif_header(b: bytes) -> tuple[int, int, int]:
     return w, h, max(frames, 1)
 
 
+@untrusted_decoder
 def parse_image_header(payload: bytes) -> dict[str, Any] | None:
     """Container-header metadata (mime, width, height, n_frames) from raw
     image bytes — stdlib only, no codecs. Returns None for unrecognized
@@ -196,6 +199,7 @@ def parse_image_header(payload: bytes) -> dict[str, Any] | None:
     return None
 
 
+@untrusted_decoder
 def parse_video_header(payload: bytes) -> dict[str, Any] | None:
     """Container-header metadata (mime, width, height, n_frames) for the
     two video containers whose box/chunk grammar parses in stdlib
