@@ -236,11 +236,15 @@ def decode_wav_ex(payload: bytes) -> Tuple[int, List[List[float]]]:
     elif fmt_tag == _FLOAT_FORMAT and bits == 64:
         n = len(data) // 8
         flat = list(struct.unpack("<%dd" % n, data[: 8 * n]))
+    elif fmt_tag == _ALAW_FORMAT and bits == 8:
+        flat = [float(alaw_expand(c)) for c in data]
+    elif fmt_tag == _MULAW_FORMAT and bits == 8:
+        flat = [float(mulaw_expand(c)) for c in data]
     else:
         raise NotImplementedError(
-            "only integer PCM16/PCM24 and IEEE float32/float64 decode "
-            "here; compressed (MP3/AAC/Opus) audio needs a codec "
-            "library this container does not ship"
+            "only integer PCM16/PCM24, IEEE float32/float64, and G.711 "
+            "A-law/mu-law decode here; compressed (MP3/AAC/Opus) audio "
+            "needs a codec library this container does not ship"
         )
     frames = len(flat) // n_ch
     return sample_rate, [
@@ -595,3 +599,105 @@ def audio_multichannel_features(payload: bytes) -> List[dict]:
             )
         return out
     return wav_multichannel_features(payload)
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded telephony audio (round 13 — WAV fmt 6/7)
+# ---------------------------------------------------------------------------
+#
+# ITU-T G.711 mu-law / A-law are 8-bit log-companded PCM — the standard
+# telephony formats (and common in call-center/voice corpora). Expansion
+# is a closed-form integer FORMULA (segment + mantissa), which makes a
+# WAV fmt 6/7 decode fully hash-oracle-able: DuckDB can state the same
+# expansion arithmetically. compress(expand(code)) == code for every
+# code, pinned by test over all 256 values of both laws.
+
+_ALAW_FORMAT = 6  # WAVE_FORMAT_ALAW
+_MULAW_FORMAT = 7  # WAVE_FORMAT_MULAW
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def mulaw_expand(code: int) -> int:
+    """G.711 mu-law byte -> linear sample (int, |s| <= 32124)."""
+    u = ~code & 0xFF
+    t = (((u & 0x0F) << 3) + _ULAW_BIAS) << ((u & 0x70) >> 4)
+    return (_ULAW_BIAS - t) if (u & 0x80) else (t - _ULAW_BIAS)
+
+
+def mulaw_compress(sample: int) -> int:
+    """Linear sample -> G.711 mu-law byte (Sun g711.c semantics)."""
+    s = int(sample)
+    sign = 0x80 if s < 0 else 0
+    if s < 0:
+        s = -s
+    if s > _ULAW_CLIP:
+        s = _ULAW_CLIP
+    s += _ULAW_BIAS
+    exp = s.bit_length() - 8  # s in 0x84..0x7FFF+BIAS -> exponent 0..7
+    mant = (s >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def alaw_expand(code: int) -> int:
+    """G.711 A-law byte -> linear sample (int, |s| <= 32256)."""
+    a = code ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def alaw_compress(sample: int) -> int:
+    """Linear sample -> G.711 A-law byte (negative magnitudes use the
+    -s-1 convention so expand∘compress is the identity on every code)."""
+    s = int(sample)
+    sign = 0x80 if s >= 0 else 0
+    mag = s if s >= 0 else -s - 1
+    if mag > 32767:
+        mag = 32767
+    if mag < 0x100:
+        a = mag >> 4
+    else:
+        seg = min(7, mag.bit_length() - 8)
+        a = (seg << 4) | ((mag >> (seg + 3)) & 0x0F)
+    return (a | sign) ^ 0x55
+
+
+def encode_wav_g711(
+    sample_rate: int, channels: List[List[int]], law: str = "mulaw"
+) -> bytes:
+    """WAV fmt 6/7 writer: linear integer samples companded to 8-bit
+    G.711 bytes (one byte per sample, interleaved frame-by-frame)."""
+    if law not in ("mulaw", "alaw"):
+        raise ValueError("law must be 'mulaw' or 'alaw'")
+    n_ch = len(channels)
+    if n_ch == 0 or not channels[0]:
+        raise ValueError("need at least one channel with samples")
+    n = len(channels[0])
+    if any(len(c) != n for c in channels):
+        raise ValueError("channels must have equal lengths")
+    comp = mulaw_compress if law == "mulaw" else alaw_compress
+    data = bytearray()
+    for i in range(n):
+        for c in channels:
+            data.append(comp(c[i]))
+    fmt_tag = _MULAW_FORMAT if law == "mulaw" else _ALAW_FORMAT
+    fmt_chunk = struct.pack(
+        "<HHIIHH", fmt_tag, n_ch, sample_rate, sample_rate * n_ch, n_ch, 8
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt_chunk))
+        + fmt_chunk
+        + b"data"
+        + struct.pack("<I", len(data))
+        + bytes(data)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -2677,6 +2677,9 @@ TAIL_QUERIES = (
     # framing) round trip — the audio family keeps wav_audio_features +
     # the PCM24/multichannel rows in-window
     "flac_audio_features_documents",
+    # round-13 addition: G.711 mu-law compander round trip (WAV fmt 7;
+    # same audio-family placement rationale)
+    "g711_audio_features_documents",
     # round-13 rotation: out of the window after 2 recorded green driver
     # appearances each (r11+r12; in-window siblings noted at WINDOW list)
     "quantile_sketch_by_type_events",

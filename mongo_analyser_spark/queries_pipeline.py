@@ -5785,6 +5785,118 @@ def q_flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "g711_audio_features_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+s AS (SELECT doc_id, list_transform(codes, c ->
+        CASE WHEN ((255 - c) & 128) = 128
+             THEN 132 - (((255 - c) & 15) * 8 + 132) * (1 << (((255 - c) >> 4) & 7))
+             ELSE (((255 - c) & 15) * 8 + 132) * (1 << (((255 - c) >> 4) & 7)) - 132
+        END) AS smp FROM a),
+f AS (
+  SELECT doc_id,
+    COALESCE(len(smp), 0) AS n,
+    COALESCE(list_sum(list_transform(smp, v -> v * v)), 0) AS sum_sq,
+    COALESCE(list_max(list_transform(smp, v -> abs(v))), 0) AS peak,
+    COALESCE(len(list_filter(smp, (x, i) -> i > 1 AND smp[i-1] * x < 0)), 0) AS zc
+  FROM s)
+SELECT doc_id,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST(n AS INTEGER) AS n_samples,
+  FLOOR(CAST(n AS DOUBLE) / 8000.0 * 10000.0 + 0.5) / 10000.0 AS duration_s,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE FLOOR(sqrt(CAST(sum_sq AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0
+  END AS rms,
+  CAST(peak AS INTEGER) AS peak,
+  CAST(zc AS INTEGER) AS zero_crossings
+FROM f ORDER BY doc_id
+""",
+)
+def q_g711_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 telephony-audio round trip, hash-oracled (round 13): each
+    document's codes become MU-LAW bytes — samples mulaw_expand(c) are
+    companded back by encode_wav_g711 into a real WAV fmt 7 payload
+    (compress∘expand is the identity up to the spec's two zero codes,
+    whose expansions coincide) and decoded by the production
+    decode_wav_ex G.711 branch. The oracle states the expansion as pure
+    integer arithmetic — t = ((ū&15)·8+132)·2^((ū>>4)&7), s = ±(t−132)
+    with ū = 255−c — so a bit lost anywhere in the compander, the fmt-7
+    chunk walk, or the feature math breaks the hash. Same feature law
+    and 100-TB shape as the wav/flac audio rows."""
+    import math
+
+    import pandas as pd  # noqa: F401
+
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_g711,
+        mulaw_expand,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                if codes:
+                    lin = [mulaw_expand(c) for c in codes]
+                    _rate, chans = decode_wav_ex(
+                        encode_wav_g711(8000, [lin], law="mulaw")
+                    )
+                    s = [int(v) for v in chans[0]]
+                else:
+                    s = []
+                n = len(s)
+                sum_sq = sum(v * v for v in s)
+                peak = max((abs(v) for v in s), default=0)
+                zc = sum(1 for i in range(1, n) if s[i - 1] * s[i] < 0)
+                rows.append(
+                    (
+                        doc_id,
+                        8000,
+                        n,
+                        math.floor(n / 8000.0 * 10000.0 + 0.5) / 10000.0,
+                        math.floor(
+                            math.sqrt(sum_sq / n) * 10000.0 + 0.5
+                        ) / 10000.0
+                        if n
+                        else 0.0,
+                        peak,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "duration_s",
+                    "rms", "peak", "zero_crossings",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, sample_rate int, n_samples int, duration_s double, "
+        "rms double, peak int, zero_crossings int",
+    ).orderBy("doc_id")
+
+
 # re-run tail curation so the registry order is import-order-robust (this
 # module may be the first package import; see queries.curate_tail)
 from mongo_analyser_spark.queries import curate_tail as _curate_tail  # noqa: E402

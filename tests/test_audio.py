@@ -287,3 +287,56 @@ def test_wav_ex_float64_roundtrip():
     rate, chans = decode_wav_ex(encode_wav_ex(44100, [c0, c1], bits64=True))
     assert rate == 44100
     assert chans[0] == c0 and chans[1] == c1  # bit-exact doubles
+
+
+# ---- G.711 mu-law / A-law (round 13) --------------------------------------
+
+
+def test_g711_expand_compress_identity_all_codes():
+    """compress(expand(c)) == c for every A-law code; mu-law's single
+    exception is the spec's two zero codes (0x7F and 0xFF both expand
+    to 0, compress picks 0xFF) — expand(compress(expand(c))) is still
+    exact for ALL codes, which is what the decode path relies on."""
+    from mongo_analyser_spark.operators.audio import (
+        alaw_compress, alaw_expand, mulaw_compress, mulaw_expand,
+    )
+
+    assert all(alaw_compress(alaw_expand(c)) == c for c in range(256))
+    assert all(
+        mulaw_compress(mulaw_expand(c)) == c
+        for c in range(256) if c != 0x7F
+    )
+    assert mulaw_expand(0x7F) == mulaw_expand(0xFF) == 0
+    assert all(
+        mulaw_expand(mulaw_compress(mulaw_expand(c))) == mulaw_expand(c)
+        for c in range(256)
+    )
+    # public anchor values: full-scale and zero, both laws
+    assert (mulaw_expand(0x00), mulaw_expand(0x80)) == (-32124, 32124)
+    assert (alaw_expand(0x2A), alaw_expand(0xAA)) == (-32256, 32256)
+    assert (alaw_expand(0xD5), alaw_expand(0x55)) == (8, -8)
+
+
+def test_g711_wav_roundtrip_and_gate_narrowing():
+    from mongo_analyser_spark.operators.audio import (
+        alaw_expand, decode_wav_ex, encode_wav_g711, mulaw_expand,
+    )
+
+    ul = [mulaw_expand(c) for c in range(1, 128)]
+    rate, chans = decode_wav_ex(encode_wav_g711(8000, [ul], law="mulaw"))
+    assert rate == 8000 and chans == [[float(v) for v in ul]]
+    al = [alaw_expand(c) for c in range(0, 256, 3)]
+    rate, chans = decode_wav_ex(
+        encode_wav_g711(16000, [al, al[::-1]], law="alaw")
+    )
+    assert rate == 16000
+    assert chans[0] == [float(v) for v in al]
+    assert chans[1] == [float(v) for v in al[::-1]]
+    # arbitrary linear input quantizes through the compander
+    import random
+
+    rng = random.Random(3)
+    raw = [rng.randint(-32000, 32000) for _ in range(200)]
+    _, out = decode_wav_ex(encode_wav_g711(8000, [raw]))
+    # mu-law max quantization error is bounded by the top-segment step
+    assert all(abs(a - b) <= 1024 for a, b in zip(raw, out[0]))
