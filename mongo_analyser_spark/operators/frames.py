@@ -1124,6 +1124,11 @@ def decode_frames(payload: bytes) -> tuple[int, int, int, list[bytearray]]:
         return decode_avi(payload)
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return decode_mp4(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from mongo_analyser_spark.operators.vp8l import decode_webp_lossless
+
+        w, h, ch, px = decode_webp_lossless(payload)
+        return w, h, ch, [bytearray(px)]
     if payload[:2] == b"BM" or payload[:2] == b"\xff\xd8":
         from mongo_analyser_spark.operators.pixels import decode_pixels
 

@@ -366,10 +366,14 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
         from mongo_analyser_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if len(payload) >= 16 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from mongo_analyser_spark.operators.vp8l import decode_webp_lossless
+
+        return decode_webp_lossless(payload)
     raise NotImplementedError(
-        "pixel decode beyond PNG/BMP/JPEG requires an image codec (PIL) "
-        "not present in this container (GIF/APNG FRAMES decode in "
-        "stdlib via operators/frames.decode_frames)"
+        "pixel decode beyond PNG/BMP/JPEG/lossless-WebP requires an "
+        "image codec (PIL) not present in this container (GIF/APNG "
+        "FRAMES decode in stdlib via operators/frames.decode_frames)"
     )
 
 
