@@ -2680,6 +2680,9 @@ TAIL_QUERIES = (
     # round-13 addition: G.711 mu-law compander round trip (WAV fmt 7;
     # same audio-family placement rationale)
     "g711_audio_features_documents",
+    # round-13 addition: WebP-lossless (VP8L) round trip — the pixel
+    # family keeps pixel_roundtrip/jpeg rows as in-window/tail siblings
+    "webp_lossless_pixels_documents",
     # round-13 rotation: out of the window after 2 recorded green driver
     # appearances each (r11+r12; in-window siblings noted at WINDOW list)
     "quantile_sketch_by_type_events",

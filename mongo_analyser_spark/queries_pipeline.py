@@ -5897,6 +5897,110 @@ def q_g711_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "webp_lossless_pixels_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id, codes, COALESCE(len(codes),0) AS L FROM a),
+ch AS (SELECT doc_id, L,
+  list_transform(generate_series(0,15), i ->
+    CASE WHEN L=0 THEN 128 ELSE codes[(i % L) + 1] END) AS r,
+  list_transform(generate_series(0,15), i ->
+    CASE WHEN L=0 THEN 128 ELSE codes[((i+1) % L) + 1] END) AS g,
+  list_transform(generate_series(0,15), i ->
+    CASE WHEN L=0 THEN 128 ELSE codes[((i+2) % L) + 1] END) AS bch
+  FROM b)
+SELECT doc_id,
+  CAST(16 AS INTEGER) AS n_px,
+  FLOOR(CAST(list_sum(r) AS DOUBLE)/16*10000.0 + 0.5)/10000.0 AS mean_r,
+  FLOOR(CAST(list_sum(g) AS DOUBLE)/16*10000.0 + 0.5)/10000.0 AS mean_g,
+  FLOOR(CAST(list_sum(bch) AS DOUBLE)/16*10000.0 + 0.5)/10000.0 AS mean_b,
+  CAST(GREATEST(list_max(r), list_max(g), list_max(bch)) AS INTEGER) AS peak
+FROM ch ORDER BY doc_id
+""",
+)
+def q_webp_lossless_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP-LOSSLESS round trip, hash-oracled (round 13 — the lossless
+    half of the WebP gate closes): each document's codes become an 8×2
+    RGBA image (r/g/b of pixel i = codes at i, i+1, i+2 mod L; 128-gray
+    when empty) encoded as a REAL VP8L stream — canonical huffman
+    groups over the five alphabets, RIFF/WEBP framing
+    (operators/vp8l.encode_webp_lossless) — and decoded back through
+    the production pixel dispatch (pixels.decode_pixels → vp8l).
+    VP8L is lossless, so per-channel means and the peak must equal
+    what DuckDB computes directly from the codes; a bit lost anywhere
+    in the prefix-code build, the bit packing, or the RIFF walk breaks
+    the hash. Same 100-TB shape as the other codec rows: adaptive
+    fanout, one Arrow stage, fixed-width output."""
+    import math
+
+    import pandas as pd  # noqa: F401
+
+    from mongo_analyser_spark.operators.pixels import decode_pixels
+    from mongo_analyser_spark.operators.vp8l import encode_webp_lossless
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                ln = len(codes)
+                px = bytearray(16 * 4)
+                for i in range(16):
+                    px[4 * i] = codes[i % ln] if ln else 128
+                    px[4 * i + 1] = codes[(i + 1) % ln] if ln else 128
+                    px[4 * i + 2] = codes[(i + 2) % ln] if ln else 128
+                    px[4 * i + 3] = 255
+                w2, h2, ch2, out = decode_pixels(
+                    encode_webp_lossless(8, 2, 4, bytes(px))
+                )
+                rs = sum(out[4 * i] for i in range(16))
+                gs = sum(out[4 * i + 1] for i in range(16))
+                bs = sum(out[4 * i + 2] for i in range(16))
+                peak = max(
+                    max(out[4 * i + k] for i in range(16))
+                    for k in range(3)
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        w2 * h2,
+                        math.floor(rs / 16 * 10000.0 + 0.5) / 10000.0,
+                        math.floor(gs / 16 * 10000.0 + 0.5) / 10000.0,
+                        math.floor(bs / 16 * 10000.0 + 0.5) / 10000.0,
+                        peak,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_px", "mean_r", "mean_g", "mean_b", "peak",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_px int, mean_r double, mean_g double, "
+        "mean_b double, peak int",
+    ).orderBy("doc_id")
+
+
 # re-run tail curation so the registry order is import-order-robust (this
 # module may be the first package import; see queries.curate_tail)
 from mongo_analyser_spark.queries import curate_tail as _curate_tail  # noqa: E402
