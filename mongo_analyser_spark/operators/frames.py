@@ -758,11 +758,24 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytearray]]:
     chunks: list[tuple[int, int]] = []  # (header_pos, size) for idx1 check
 
     def walk_movi(pos: int, stop: int) -> None:
-        for t, s, z in _avi_chunks(payload, pos, stop):
-            if t == b"LIST" and payload[s : s + 4] == b"rec ":
-                walk_movi(s + 4, s + z)
-            elif t in (vtag, vtag_alt):
-                chunks.append((s - 8, z))
+        # Iterative worklist, not recursion: nested 'rec ' LISTs cost the
+        # attacker ~12 bytes per level, so payload-driven recursion would
+        # turn a ~12 KB crafted AVI into a RecursionError that escapes the
+        # ValueError quarantine contract of untrusted_decoder.
+        stack = [_avi_chunks(payload, pos, stop)]
+        while stack:
+            descended = False
+            for t, s, z in stack[-1]:
+                if t == b"LIST" and payload[s : s + 4] == b"rec ":
+                    if len(stack) >= 64:
+                        raise ValueError("AVI 'rec ' LIST nesting too deep")
+                    stack.append(_avi_chunks(payload, s + 4, s + z))
+                    descended = True
+                    break
+                elif t in (vtag, vtag_alt):
+                    chunks.append((s - 8, z))
+            if not descended:
+                stack.pop()
 
     for lo, hi in movi_ranges:
         walk_movi(lo, hi)
@@ -1058,6 +1071,22 @@ def decode_mp4(payload: bytes) -> tuple[int, int, int, list[bytearray]]:
         struct.unpack(">III", payload[s + 8 + 12 * i : s + 20 + 12 * i])
         for i in range(nruns)
     ]
+    # Untrusted table: first_chunk is 1-based and must strictly increase
+    # across runs. first_chunk = 0 would make range(first_chunk - 1, ...)
+    # start at -1 and chunk_offs[-1] silently read the LAST chunk via
+    # Python negative indexing — wrong-but-plausible offsets, not an error.
+    prev_first = 0
+    for first_chunk, _pc, _desc in runs:
+        if not (1 <= first_chunk <= len(chunk_offs)):
+            raise ValueError(
+                f"MP4 stsc first_chunk {first_chunk} out of range "
+                f"(1..{len(chunk_offs)})"
+            )
+        if first_chunk <= prev_first:
+            raise ValueError(
+                "MP4 stsc first_chunk values must strictly increase"
+            )
+        prev_first = first_chunk
     offsets: list[int] = []
     si = 0
     for ri, (first_chunk, per_chunk, _desc) in enumerate(runs):

@@ -327,7 +327,10 @@ def _clamp_add_sub_half(a: int, b: int, c: int) -> int:
     out = 0
     for s in (24, 16, 8, 0):
         ave = (((a >> s) & 0xFF) + ((b >> s) & 0xFF)) >> 1
-        v = ave + (ave - ((c >> s) & 0xFF)) // 2
+        # Spec / libwebp use C integer division (truncate toward zero), not
+        # Python floor division — they differ for negative odd deltas.
+        d = ave - ((c >> s) & 0xFF)
+        v = ave + (d // 2 if d >= 0 else -((-d) // 2))
         out |= (0 if v < 0 else (255 if v > 255 else v)) << s
     return out
 
@@ -338,7 +341,8 @@ def _select(l: int, t: int, tl: int) -> int:
         pred = ((l >> s) & 0xFF) + ((t >> s) & 0xFF) - ((tl >> s) & 0xFF)
         pl += abs(pred - ((l >> s) & 0xFF))
         pt += abs(pred - ((t >> s) & 0xFF))
-    return l if pl <= pt else t
+    # Spec / libwebp return T on ties (pL == pT).
+    return l if pl < pt else t
 
 
 def _apply_predictor_inverse(
@@ -359,7 +363,10 @@ def _apply_predictor_inverse(
                 L = pixels[i - 1]
                 T = pixels[i - w]
                 TL = pixels[i - w - 1]
-                TR = pixels[i - w + 1] if x + 1 < w else pixels[i - w]
+                # Per RFC 9649 / libwebp, TR at the rightmost column wraps to
+                # the leftmost (already reconstructed) pixel of the CURRENT
+                # row: i - w + 1 == y*w when x == w-1. Unconditional index.
+                TR = pixels[i - w + 1]
                 if mode == 0:
                     pred = 0xFF000000
                 elif mode == 1:

@@ -537,6 +537,53 @@ def test_avi_rec_nesting_and_foreign_stream_chunks_skipped():
     assert bytes(frames[1]) == _const_block_frame((10, 12, 14, 16))
 
 
+def test_avi_rec_nesting_depth_bomb_is_valueerror():
+    """A crafted AVI can nest 'rec ' LISTs ~12 bytes per level; the movi
+    walk must reject pathological depth as ValueError (the quarantine
+    contract), never surface RecursionError from payload-driven
+    recursion."""
+    from mongo_analyser_spark.operators.jpeg import encode_jpeg
+
+    def chunk(tag, data):
+        return tag + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    def rlist(ltype, payload):
+        return chunk(b"LIST", ltype + payload)
+
+    jpg = encode_jpeg(16, 16, 1, _const_block_frame((2, 4, 6, 8)))
+    avih = struct.pack(
+        "<14I", 100000, 0, 0, 0, 1, 0, 1, 0, 16, 16, 0, 0, 0, 0
+    )
+    strh_v = struct.pack(
+        "<4s4sIHH8I4h", b"vids", b"MJPG", 0, 0, 0, 0, 1, 10, 0, 1, 0,
+        0xFFFFFFFF, 0, 0, 0, 16, 16,
+    )
+    strf_v = struct.pack(
+        "<IiiHH4sIiiII", 40, 16, 16, 1, 24, b"MJPG", 768, 0, 0, 0, 0
+    )
+    hdrl = rlist(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + rlist(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v)),
+    )
+    inner = chunk(b"00dc", jpg)
+    for _ in range(200):
+        inner = rlist(b"rec ", inner)
+    payload = chunk(b"RIFF", b"AVI " + hdrl + rlist(b"movi", inner))
+    with pytest.raises(ValueError, match="nesting too deep"):
+        decode_avi(payload)
+    # depth within the cap still decodes through the iterative walk
+    inner = chunk(b"00dc", jpg)
+    for _ in range(32):
+        inner = rlist(b"rec ", inner)
+    ok = chunk(b"RIFF", b"AVI " + hdrl + rlist(b"movi", inner))
+    w, h, ch, frames = decode_avi(ok)
+    assert (w, h, ch, len(frames)) == (16, 16, 1, 1)
+    assert bytes(frames[0]) == _const_block_frame((2, 4, 6, 8))
+
+
 # ---------------------------------------------------------------- MP4
 
 
@@ -594,6 +641,58 @@ def test_mp4_codec_gate_and_structural_lies():
     # no moov
     with pytest.raises(ValueError, match="moov"):
         decode_mp4(payload[: payload.find(b"moov") - 4])
+
+
+def test_mp4_stsc_first_chunk_validation():
+    """first_chunk is 1-based; 0 would negative-index chunk_offs and lay
+    out wrong-but-plausible offsets, and non-increasing runs are
+    malformed. Both must be ValueError, not silent misdecodes."""
+    from mongo_analyser_spark.operators.frames import decode_mp4
+
+    payload = _mjpeg_mp4([(2, 4, 6, 8), (10, 12, 14, 16)])
+    i = payload.find(b"stsc")
+    # stsc box: tag at i, version/flags at i+4, entry_count at i+8,
+    # first run's first_chunk at i+12
+    zero = bytearray(payload)
+    struct.pack_into(">I", zero, i + 12, 0)
+    with pytest.raises(ValueError, match="first_chunk"):
+        decode_mp4(bytes(zero))
+    toobig = bytearray(payload)
+    struct.pack_into(">I", toobig, i + 12, 99)
+    with pytest.raises(ValueError, match="first_chunk"):
+        decode_mp4(bytes(toobig))
+
+
+def test_mp4_stsc_runs_must_strictly_increase():
+    from mongo_analyser_spark.operators.frames import (
+        _mp4_box,
+        decode_mp4,
+        encode_mp4_mjpeg,
+    )
+    from mongo_analyser_spark.operators.jpeg import encode_jpeg
+
+    jpgs = [
+        encode_jpeg(16, 16, 1, _const_block_frame(v))
+        for v in [(2, 4, 6, 8), (10, 12, 14, 16)]
+    ]
+    base = encode_mp4_mjpeg(16, 16, jpgs)
+    # two runs with the same first_chunk=1 — non-increasing
+    stsc = _mp4_box(
+        b"stsc",
+        struct.pack(">B3xI", 0, 2)
+        + struct.pack(">III", 1, 1, 1)
+        + struct.pack(">III", 1, 1, 1),
+    )
+    i = base.find(b"stsc")
+    (size,) = struct.unpack(">I", base[i - 4 : i])
+    out = base[: i - 4] + stsc + base[i - 4 + size :]
+    delta = len(out) - len(base)
+    for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        j = out.find(tag)
+        (bsize,) = struct.unpack(">I", out[j - 4 : j])
+        out = out[: j - 4] + struct.pack(">I", bsize + delta) + out[j:]
+    with pytest.raises(ValueError, match="strictly increase"):
+        decode_mp4(out)
 
 
 def test_mp4_multi_chunk_and_co64_layouts():

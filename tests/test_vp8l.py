@@ -109,7 +109,8 @@ def test_predictor_transform_modes():
         out = 0
         for s in (24, 16, 8, 0):
             ave = (((a >> s) & 0xFF) + ((b >> s) & 0xFF)) >> 1
-            v = ave + (ave - ((c >> s) & 0xFF)) // 2
+            d = ave - ((c >> s) & 0xFF)
+            v = ave + (d // 2 if d >= 0 else -((-d) // 2))
             out |= (0 if v < 0 else (255 if v > 255 else v)) << s
         return out
 
@@ -119,7 +120,7 @@ def test_predictor_transform_modes():
             pred = ((l >> s) & 0xFF) + ((t >> s) & 0xFF) - ((tl >> s) & 0xFF)
             pl += abs(pred - ((l >> s) & 0xFF))
             pt += abs(pred - ((t >> s) & 0xFF))
-        return l if pl <= pt else t
+        return l if pl < pt else t
 
     for mode in range(14):
         argb = [
@@ -142,7 +143,7 @@ def test_predictor_transform_modes():
                     pred = argb[i - w]
                 else:
                     L, T, TL = argb[i - 1], argb[i - w], argb[i - w - 1]
-                    TR = argb[i - w + 1] if x + 1 < w else argb[i - w]
+                    TR = argb[i - w + 1]
                     pred = [
                         0xFF000000, L, T, TR, TL,
                         avg2(avg2(L, TR), T), avg2(L, TL), avg2(L, T),
