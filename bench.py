@@ -59,6 +59,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -66,7 +67,45 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+            }
+        )
+    )
+    # Compact summary as the LAST line: the driver keeps only the tail of
+    # stdout, and the full per-query line above front-truncates past ~170
+    # registry rows, losing the headline numbers. The summary line always
+    # survives truncation and is schema-compatible (metric/value/unit/sf)
+    # if a consumer parses only the final line. vs_baseline is best-effort
+    # (needs BASELINE.md next to this file).
+    worst_name, worst_ratio, agg = None, None, None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from bench_compare import baseline_rows
+
+        base = baseline_rows(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md"),
+            quiet=True,
+        )
+        common = [q for q in timings if q in base and base[q] > 0]
+        if common:
+            agg = round(
+                sum(timings[q] for q in common) / sum(base[q] for q in common), 3
+            )
+            worst_name = max(common, key=lambda q: timings[q] / base[q])
+            worst_ratio = round(timings[worst_name] / base[worst_name], 2)
+    except Exception:
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "bench_summary",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "n": len(timings),
+                "sf": sf_val,
+                "vs_baseline": agg,
+                "worst_query": worst_name,
+                "worst_ratio": worst_ratio,
             }
         )
     )

@@ -53,3 +53,27 @@ def test_load_bench_queries_both_shapes(tmp_path):
     qs, note = bench_compare.load_bench_queries(str(driver))
     assert qs == {"q1": 1.0, "q2": 2.0}
     assert "recovered 2 rows" in note
+
+
+def test_load_bench_queries_reads_summary_line(tmp_path):
+    """Round 14: bench.py emits a compact summary as its LAST line so the
+    driver's front-truncation always preserves the headline; the
+    driver-format loader must surface it AND exclude its scalar fields
+    from the recovered per-query rows."""
+    import json
+
+    from bench_compare import load_bench_queries
+
+    tail = (
+        'cated_away": 0.52, "real_query": 1.55, "other_q": 0.605}, "sf": 0.1}\n'
+        '{"metric": "bench_summary", "value": 321.9, "unit": "sec", "n": 177,'
+        ' "sf": 0.1, "vs_baseline": 0.93, "worst_query": "xq",'
+        ' "worst_ratio": 1.5}\n'
+    )
+    p = tmp_path / "bench.json"
+    p.write_text(json.dumps({"rc": 0, "tail": tail}))
+    qs, note = load_bench_queries(str(p))
+    assert qs == {"real_query": 1.55, "other_q": 0.605}
+    assert "321.9" in note and "vs_baseline=0.93" in note and "xq" in note
+    # none of the summary's own scalars leaked in as queries
+    assert "value" not in qs and "n" not in qs

@@ -54,7 +54,25 @@ def load_bench_queries(path: str) -> tuple[dict[str, float], str]:
             f"{path}: neither a bench.py line (no 'queries') nor a "
             "driver BENCH_rN.json (no 'tail')"
         )
-    qs = queries_from_tail(bench["tail"])
+    tail = bench["tail"]
+    summary_note = ""
+    # bench.py emits a compact summary as its LAST line precisely so it
+    # survives the driver's front-truncation — surface it when present
+    i = tail.rfind('{"metric": "bench_summary"')
+    if i >= 0:
+        try:
+            s = json.loads(tail[i:].splitlines()[0])
+            summary_note = (
+                f"  SUMMARY (authoritative, from bench.py's last line): "
+                f"total {s['value']}s / {s['n']} queries at sf={s['sf']}, "
+                f"vs_baseline={s.get('vs_baseline')}, "
+                f"worst={s.get('worst_query')} ({s.get('worst_ratio')}x)\n"
+            )
+        except (ValueError, KeyError):
+            pass
+    # recover per-query pairs from the region BEFORE the summary line so
+    # the summary's own scalar fields can't be misread as query timings
+    qs = queries_from_tail(tail[:i] if i >= 0 else tail)
     total = None
     try:  # registry size tells us how much the truncation cost
         import os
@@ -70,11 +88,11 @@ def load_bench_queries(path: str) -> tuple[dict[str, float], str]:
         "truncated count unknown (registry not importable here)")
     return qs, (
         f"  NOTE: driver-format input — recovered {len(qs)} rows from the "
-        f"front-truncated tail; {lost}\n"
+        f"front-truncated tail; {lost}\n" + summary_note
     )
 
 
-def baseline_rows(path: str = "BASELINE.md") -> dict[str, float]:
+def baseline_rows(path: str = "BASELINE.md", quiet: bool = False) -> dict[str, float]:
     """Parse BASELINE.md's `| name | sf | seconds |` rows. Any pipe row
     whose first cell looks like a query name but that fails the strict
     shape is REPORTED (not silently dropped) so a future format drift
@@ -97,8 +115,9 @@ def baseline_rows(path: str = "BASELINE.md") -> dict[str, float]:
         )
         if looks_like_data and cells[0] not in ("name", "query"):
             unparsed.append(line.rstrip())
-    for line in unparsed:
-        print(f"  WARNING: baseline row failed to parse: {line}")
+    if not quiet:
+        for line in unparsed:
+            print(f"  WARNING: baseline row failed to parse: {line}")
     return rows
 
 
