@@ -204,6 +204,8 @@ def decode_wav_ex(payload: bytes) -> Tuple[int, List[List[float]]]:
     pos = 12
     sample_rate = None
     bits = n_ch = fmt_tag = None
+    block_align = fact_n = None
+    fmt_body = b""
     data = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
@@ -215,7 +217,13 @@ def decode_wav_ex(payload: bytes) -> Tuple[int, List[List[float]]]:
             if size < 16:
                 raise ValueError("truncated chunk")
             fmt_tag, n_ch, sample_rate = struct.unpack("<HHI", body[:8])
+            (block_align,) = struct.unpack("<H", body[12:14])
             (bits,) = struct.unpack("<H", body[14:16])
+            fmt_body = body
+        elif cid == b"fact":
+            if size < 4:
+                raise ValueError("truncated chunk")
+            (fact_n,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)
@@ -240,11 +248,71 @@ def decode_wav_ex(payload: bytes) -> Tuple[int, List[List[float]]]:
         flat = [float(alaw_expand(c)) for c in data]
     elif fmt_tag == _MULAW_FORMAT and bits == 8:
         flat = [float(mulaw_expand(c)) for c in data]
+    elif fmt_tag == _IMA_FORMAT and bits == 4:
+        # round 14: IMA/DVI ADPCM — the first lossy predictive family
+        # decoding for real (pure-integer recurrence, hash-oracle-able)
+        if n_ch != 1:
+            raise NotImplementedError(
+                "multichannel IMA ADPCM (4-byte-word channel interleave) "
+                "is not wired yet; mono decodes natively"
+            )
+        if not block_align or block_align < 5:
+            raise ValueError("IMA ADPCM needs a block align >= 5")
+        flat = []
+        for off in range(0, len(data), block_align):
+            flat.extend(
+                float(v)
+                for v in ima_adpcm_decode_block(
+                    data[off : off + block_align]
+                )
+            )
+        if fact_n is not None:
+            if fact_n > len(flat):
+                raise ValueError(
+                    "IMA ADPCM fact chunk declares more samples than the "
+                    "data blocks carry"
+                )
+            flat = flat[:fact_n]
+    elif fmt_tag == _MS_ADPCM_FORMAT and bits == 4:
+        if n_ch != 1:
+            raise NotImplementedError(
+                "multichannel MS ADPCM is not wired yet; mono decodes "
+                "natively"
+            )
+        if not block_align or block_align < 8:
+            raise ValueError("MS ADPCM needs a block align >= 8")
+        # coefficient table from the fmt extension when present
+        coefs = None
+        if len(fmt_body) >= 22:
+            (ncoef,) = struct.unpack("<H", fmt_body[20:22])
+            if ncoef and len(fmt_body) >= 22 + 4 * ncoef:
+                coefs = [
+                    struct.unpack(
+                        "<hh", fmt_body[22 + 4 * i : 26 + 4 * i]
+                    )
+                    for i in range(ncoef)
+                ]
+        flat = []
+        for off in range(0, len(data), block_align):
+            flat.extend(
+                float(v)
+                for v in ms_adpcm_decode_block(
+                    data[off : off + block_align], coefs
+                )
+            )
+        if fact_n is not None:
+            if fact_n > len(flat):
+                raise ValueError(
+                    "MS ADPCM fact chunk declares more samples than the "
+                    "data blocks carry"
+                )
+            flat = flat[:fact_n]
     else:
         raise NotImplementedError(
-            "only integer PCM16/PCM24, IEEE float32/float64, and G.711 "
-            "A-law/mu-law decode here; compressed (MP3/AAC/Opus) audio "
-            "needs a codec library this container does not ship"
+            "only integer PCM16/PCM24, IEEE float32/float64, G.711 "
+            "A-law/mu-law, and IMA/MS ADPCM decode here; compressed "
+            "(MP3/AAC/Opus) audio needs a codec library this container "
+            "does not ship"
         )
     frames = len(flat) // n_ch
     return sample_rate, [
@@ -699,5 +767,300 @@ def encode_wav_g711(
         + b"data"
         + struct.pack("<I", len(data))
         + bytes(data)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# --------------------------------------------------------------- ADPCM
+# Round 14 (verdict-r13 #7, the ADPCM alternative): the first LOSSY
+# predictive audio family decoding for real — IMA/DVI ADPCM (WAV fmt
+# 0x11) and Microsoft ADPCM (WAV fmt 0x02), both pure-integer
+# table-driven recurrences published in the IMA Digital Audio Pack
+# spec and the Microsoft WAV format docs (the multimedia registration
+# of IMA ADPCM; same tables as every public decoder). Because every
+# step is integer arithmetic on int16 state, a decode is bit-exact
+# across engines — DuckDB can unroll the same recurrence, which makes
+# a fmt-0x11 container decode fully hash-oracle-able (the G.711
+# pattern, one predictor state deeper).
+
+_IMA_FORMAT = 0x11  # WAVE_FORMAT_IMA_ADPCM (a.k.a. DVI ADPCM)
+_MS_ADPCM_FORMAT = 0x02  # WAVE_FORMAT_ADPCM
+
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+_MS_ADPCM_COEFS = [
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208),
+    (392, -232),
+]
+_MS_ADPCM_ADAPT = [
+    230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307,
+    230, 230, 230,
+]
+
+
+def ima_adpcm_step(pred: int, index: int, code: int) -> Tuple[int, int]:
+    """One IMA ADPCM decoder step: (pred, index) x 4-bit code ->
+    (pred', index'). The canonical bit-serial difference reconstruction
+    — diff = step/8 + step·b2 + step/2·b1 + step/4·b0, sign bit b3 —
+    exactly as the IMA spec's reference decoder states it."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if code & 4:
+        diff += step
+    if code & 2:
+        diff += step >> 1
+    if code & 1:
+        diff += step >> 2
+    pred = pred - diff if code & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[code]))
+    return pred, index
+
+
+def ima_adpcm_encode_step(
+    sample: int, pred: int, index: int
+) -> Tuple[int, int, int]:
+    """One IMA encoder step -> (code, pred', index'). The standard
+    greedy bit-serial quantizer; state update re-derives pred' through
+    the DECODER's reconstruction so encoder and decoder never drift."""
+    step = _IMA_STEP_TABLE[index]
+    delta = sample - pred
+    code = 0
+    if delta < 0:
+        code = 8
+        delta = -delta
+    if delta >= step:
+        code |= 4
+        delta -= step
+    if delta >= step >> 1:
+        code |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        code |= 1
+    pred, index = ima_adpcm_step(pred, index, code)
+    return code, pred, index
+
+
+def ima_adpcm_decode_block(block: bytes) -> List[int]:
+    """Samples from ONE mono IMA block: 4-byte header (int16 predictor
+    = sample 0, uint8 step index, reserved), then two 4-bit codes per
+    byte, LOW nibble first (the IMA WAV convention)."""
+    if len(block) < 4:
+        raise ValueError("IMA ADPCM block shorter than its 4-byte header")
+    pred = struct.unpack("<h", block[0:2])[0]
+    index = block[2]
+    if index > 88:
+        raise ValueError(f"IMA ADPCM step index {index} out of range 0..88")
+    out = [pred]
+    for b in block[4:]:
+        for code in (b & 0x0F, b >> 4):
+            pred, index = ima_adpcm_step(pred, index, code)
+            out.append(pred)
+    return out
+
+
+def encode_wav_ima_adpcm(
+    sample_rate: int,
+    samples: List[int],
+    block_align: int = 256,
+) -> bytes:
+    """Mono WAV fmt 0x11 writer: real IMA encoder (greedy quantizer +
+    decoder-mirrored state), one block per ``block_align`` bytes, each
+    block header seeding (first sample, current step index). Emits the
+    spec's fact chunk (total samples) and cbSize=2 wSamplesPerBlock."""
+    if block_align < 8 or block_align % 4:
+        raise ValueError("block_align must be a multiple of 4, >= 8")
+    spb = (block_align - 4) * 2 + 1  # samples per full block
+    data = bytearray()
+    index = 0
+    i = 0
+    n = len(samples)
+    if n == 0:
+        raise ValueError("need at least one sample")
+    total = 0
+    while i < n:
+        chunk = samples[i:i + spb]
+        pred = max(-32768, min(32767, int(chunk[0])))
+        data += struct.pack("<hBB", pred, index, 0)
+        nibbles: list[int] = []
+        for s in chunk[1:]:
+            code, pred, index = ima_adpcm_encode_step(
+                max(-32768, min(32767, int(s))), pred, index
+            )
+            nibbles.append(code)
+        # pad the trailing partial block with repeat-last codes (0 = hold
+        # near-still) so the byte grid stays aligned; fact carries truth
+        while len(nibbles) < (block_align - 4) * 2:
+            nibbles.append(0)
+        for j in range(0, len(nibbles), 2):
+            data.append(nibbles[j] | (nibbles[j + 1] << 4))
+        total += len(chunk)
+        i += spb
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt_chunk = struct.pack(
+        "<HHIIHHHH", _IMA_FORMAT, 1, sample_rate, byte_rate, block_align,
+        4, 2, spb,
+    )
+    fact = struct.pack("<I", total)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def ms_adpcm_decode_block(block: bytes, coefs=None) -> List[int]:
+    """Samples from ONE mono Microsoft ADPCM block: header (uint8
+    predictor index, int16 initial delta, int16 sample1, int16
+    sample2 — sample1 is the NEWER), then signed 4-bit codes, HIGH
+    nibble first. pred = (s1*c1 + s2*c2)//256 + code*delta (int
+    division truncating toward zero per the format doc's C reference);
+    delta' = max(16, adapt[code]*delta//256)."""
+    coefs = coefs or _MS_ADPCM_COEFS
+    if len(block) < 7:
+        raise ValueError("MS ADPCM block shorter than its 7-byte header")
+    ipred = block[0]
+    if ipred >= len(coefs):
+        raise ValueError(f"MS ADPCM predictor index {ipred} out of range")
+    c1, c2 = coefs[ipred]
+    delta, s1, s2 = struct.unpack("<hhh", block[1:7])
+    if delta <= 0:
+        raise ValueError("MS ADPCM initial delta must be positive")
+    out = [s2, s1]
+    for b in block[7:]:
+        for raw in (b >> 4, b & 0x0F):
+            code = raw - 16 if raw >= 8 else raw  # signed 4-bit
+            # C-style truncation toward zero: s1*c1+s2*c2 can be negative
+            num = s1 * c1 + s2 * c2
+            base = num // 256 if num >= 0 else -((-num) // 256)
+            pred = base + code * delta
+            pred = max(-32768, min(32767, pred))
+            s2, s1 = s1, pred
+            delta = max(16, (_MS_ADPCM_ADAPT[raw] * delta) >> 8)
+            out.append(pred)
+    return out
+
+
+def ms_adpcm_encode_block(
+    samples: List[int], ipred: int = 0, delta0: int = 16
+) -> bytes:
+    """ONE mono MS ADPCM block from integer samples (>= 2): greedy
+    quantizer mirrored through the decoder recurrence. Returns the
+    block bytes (header + high-nibble-first codes); odd code counts
+    pad with 0."""
+    if len(samples) < 2:
+        raise ValueError("MS ADPCM needs at least two seed samples")
+    c1, c2 = _MS_ADPCM_COEFS[ipred]
+    s2 = max(-32768, min(32767, int(samples[0])))
+    s1 = max(-32768, min(32767, int(samples[1])))
+    delta = max(16, int(delta0))
+    head = struct.pack("<Bhhh", ipred, delta, s1, s2)
+    codes: list[int] = []
+    for x in samples[2:]:
+        num = s1 * c1 + s2 * c2
+        base = num // 256 if num >= 0 else -((-num) // 256)
+        err = int(x) - base
+        code = err // delta if err >= 0 else -((-err) // delta)
+        code = max(-8, min(7, code))
+        pred = max(-32768, min(32767, base + code * delta))
+        raw = code + 16 if code < 0 else code
+        s2, s1 = s1, pred
+        delta = max(16, (_MS_ADPCM_ADAPT[raw] * delta) >> 8)
+        codes.append(raw)
+    if len(codes) & 1:
+        codes.append(0)
+    body = bytearray()
+    for j in range(0, len(codes), 2):
+        body.append((codes[j] << 4) | codes[j + 1])
+    return head + bytes(body)
+
+
+def encode_wav_ms_adpcm(
+    sample_rate: int, samples: List[int], block_align: int = 256
+) -> bytes:
+    """Mono WAV fmt 0x02 writer: real MS ADPCM encoder, one block per
+    ``block_align`` bytes, the 7-coefficient table in the fmt chunk's
+    extension exactly as the format registration specifies."""
+    if block_align < 8:
+        raise ValueError("block_align must be >= 8")
+    spb = (block_align - 7) * 2 + 2
+    if len(samples) < 2:
+        raise ValueError("need at least two samples")
+    data = bytearray()
+    total = 0
+    i = 0
+    while i < len(samples):
+        chunk = [int(s) for s in samples[i:i + spb]]
+        if len(chunk) < 2:
+            chunk = chunk + [chunk[-1]]
+        blk = ms_adpcm_encode_block(chunk)
+        blk = blk + b"\x00" * (block_align - len(blk))
+        data += blk
+        total += len(chunk)
+        i += spb
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    ext = struct.pack("<HH", spb, len(_MS_ADPCM_COEFS)) + b"".join(
+        struct.pack("<hh", a, b) for a, b in _MS_ADPCM_COEFS
+    )
+    fmt_chunk = (
+        struct.pack(
+            "<HHIIHHH", _MS_ADPCM_FORMAT, 1, sample_rate, byte_rate,
+            block_align, 4, len(ext),
+        )
+        + ext
+    )
+    fact = struct.pack("<I", total)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_ima_adpcm_stream(
+    sample_rate: int, pred0: int, index0: int, nibbles: List[int]
+) -> bytes:
+    """Mono WAV fmt 0x11 from an EXPLICIT code stream (one block): the
+    hash-oracle construction — like the G.711 row, the registry query
+    derives the codes deterministically from document text and DuckDB
+    unrolls the decoder recurrence on the same codes, so the payload
+    exercises the real container+decoder without also oracling the
+    (greedy, convention-bearing) encoder."""
+    if len(nibbles) % 2:
+        raise ValueError("nibble count must be even (two codes per byte)")
+    if not (0 <= index0 <= 88):
+        raise ValueError("step index out of range 0..88")
+    if any(not 0 <= c <= 15 for c in nibbles):
+        raise ValueError("nibbles must be 4-bit codes")
+    block = bytearray(struct.pack("<hBB", pred0, index0, 0))
+    for j in range(0, len(nibbles), 2):
+        block.append(nibbles[j] | (nibbles[j + 1] << 4))
+    block_align = len(block)
+    spb = (block_align - 4) * 2 + 1
+    fmt_chunk = struct.pack(
+        "<HHIIHHHH", _IMA_FORMAT, 1, sample_rate,
+        (sample_rate * block_align + spb - 1) // spb, block_align, 4, 2,
+        spb,
+    )
+    fact = struct.pack("<I", spb)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", block_align) + bytes(block)
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -325,6 +325,106 @@ def covariance_as_matrix(
     return m
 
 
+def widen_vectors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    base_dim: int,
+    tiles: int,
+    out_col: str = "wvec",
+) -> DataFrame:
+    """Deterministic production-width derivation of a narrow embedding
+    column: tile ``tiles`` copies with the per-tile integer-grid
+    perturbation tile t, coord i gets +0.001*(((t*31+i)%17)-8) — the
+    EXACT recipe of tools/scale_probe.build_wide (verdict-r13 #3), so
+    registry rows exercise the same vectors the wide probe measured.
+    All-JVM: array/transform expressions, stays in codegen, no Python."""
+    parts = [
+        F.transform(
+            F.col(vec_col),
+            lambda x, i: x.cast("double")
+            + ((F.lit(t * 31) + i) % 17 - 8).cast("double") * F.lit(0.001),
+        )
+        for t in range(tiles)
+    ]
+    return df.select(
+        F.col(id_col), F.flatten(F.array(*parts)).alias(out_col)
+    )
+
+
+def jl_project_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    round_to: int = 6,
+    out_col: str = "jvec",
+) -> DataFrame:
+    """Arrow-batched twin of ``jl_project`` for production widths: the
+    fold form is an interpreted HOF whose cost is O(in_dim*out_dim) per
+    row Python-side of codegen — fine at d=64, wrong at d>=768 (the
+    kmeans_step HOF lesson, SCALE.md round-13). Here the seeded planes
+    collapse to ONE numpy matmul per batch; np.round (half-even) differs
+    from SQL ROUND (HALF_UP) at the boundary, which is why the wide path
+    is DECLARED rows-only — the hash-oracled 64-dim rows stay the
+    exactness witnesses."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.asarray(jl_planes(out_dim, in_dim), dtype=np.float64)
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            J = np.round(X @ P.T, round_to)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "j": list(J)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kern, "id long, j array<double>"
+    ).select(F.col("id").alias(id_col), F.col("j").alias(out_col))
+
+
+def pca_project_wide(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    jl_dim: int = 64,
+    k: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, proj): the PRODUCTION-WIDTH PCA path (verdict-r13 #2) —
+    JL-project to ``jl_dim`` <= 768 first (one Arrow matmul pass, flat
+    in d), then exact covariance Gram + driver eigh in the REDUCED
+    space. Replaces the O(d^2*k*T) pure-Python power iteration and the
+    O(d^2)-row collect with an O(jl_dim^2) bounded artifact: at d=4096
+    the collect drops from 8.4M rows to jl_dim^2 and the driver math
+    runs in C (np.linalg.eigh on jl_dim x jl_dim, milliseconds).
+
+    Fidelity contract (the ANN-recall discipline applied to subspace
+    alignment): the output coordinates live in the REDUCED space — JL
+    preserves dot products/distances w.h.p., so downstream consumers
+    (clustering, dedup, ANN) work there directly; the path does NOT
+    claim to recover full-width eigenvectors (a lifted-back subspace is
+    confined to JL's row space and captures only ~jl_dim/d of original
+    variance by construction — measured, not hidden). tests/test_pca.py
+    gates the meaningful invariant on a PLANTED low-rank spectrum run
+    through these exact operators: PCA-in-JL-space must recover the JL
+    image of the planted principal subspace (principal-angle cosines
+    >= 0.95) and its explained-variance share (>= 0.9). DECLARED
+    rows-only — eigh has no SQL twin; the quantization-synced 64-dim
+    power-iteration row remains the hash-oracled exactness witness."""
+    jdf = jl_project_arrow(df, id_col, vec_col, in_dim, jl_dim)
+    return pca_project(jdf, id_col, "jvec", jl_dim, k, round_to)
+
+
 def jl_planes(out_dim: int, in_dim: int) -> list[list[float]]:
     """Deterministic Achlioptas-style +/-1 projection rows scaled by
     1/sqrt(out_dim), seeded from md5 like srp_planes — engine- and

@@ -84,17 +84,33 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
     Output: (id, scale double, q array<int>). Dequantization is
     ``transform(q, c -> c * scale)``; reconstruction error is bounded by
-    scale/2 per element (pytest-pinned)."""
+    scale/2 per element (pytest-pinned).
+
+    Plan note (round 14): ``scale`` is materialized in its OWN
+    projection before the quantizing transform references it — inlining
+    the array_max expression inside the lambda re-evaluates it per
+    element (no CSE inside HOF lambdas: the kmeans_step O(d^2)-per-row
+    lesson, SCALE.md round-13), which read 2.6× slower at sf0.1 and
+    would scale with d^2. A column REFERENCE in the lambda is a slot
+    read; CollapseProject keeps the two projections apart because the
+    alias is referenced more than once and is non-cheap."""
     v = as_double_vec(vec_col)
-    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
-    q = F.when(
-        scale == 0,
-        F.transform(v, lambda x: F.lit(0)),
-    ).otherwise(
-        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    staged = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        (F.array_max(F.transform(v, F.abs)) / F.lit(127.0)).alias("scale"),
     )
-    return df.select(
-        F.col(id_col), scale.alias("scale"), q.cast("array<int>").alias("q")
+    q = F.when(
+        F.col("scale") == 0,
+        F.transform(F.col("_v"), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+        )
+    )
+    return staged.select(
+        F.col(id_col), F.col("scale"), q.cast("array<int>").alias("q")
     )
 
 

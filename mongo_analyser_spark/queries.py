@@ -2508,13 +2508,10 @@ WINDOW_QUERIES = (
     "describe_collection_events",
     "convert_export_events",
     "q1_pricing_summary",
-    "q21_waiting_suppliers",
     "kmeans_step_embeddings",
     "join_range_part_lineitem",
-    "trailing_window_range_events",
     "schema_documents",
     "q2_min_cost_supplier",
-    "decontaminate_exact_ngram_documents",
     # late-round-10 rotation: this round's own flagship families go
     # in-window for external verification (the round-9 policy): audio
     # codec round trip, mergeable Misra-Gries, bottom-k quantile report,
@@ -2538,6 +2535,28 @@ WINDOW_QUERIES = (
     "bloom_decontaminate_documents",
     "kneser_ney_nll_documents",
     "char_entropy_documents",
+    # round-14 rotation (verdict-r13 #1): the six round-13 codec rows get
+    # their FIRST external driver record — FLAC, WebP-lossless/VP8L,
+    # G.711, 12-bit JPEG, AVI-MJPEG and MP4-'jpeg' containers. OUT: six
+    # rows with 8-12 recorded driver-green appearances each, family
+    # siblings staying in-window —
+    #   multimodal_metadata_documents — the six codec rows ARE the
+    #                                   multimodal family this round
+    #   q21_waiting_suppliers    — TPC-H keeps q1/q2; q22's left-anti
+    #                              covers the anti shape in the tail
+    #   trailing_window_range_events — W family keeps scd2_event_type +
+    #                                  ewma_smooth
+    #   decontaminate_exact_ngram_documents — bloom_decontaminate stays
+    #   gopher_rules_documents   — quality family keeps kneser_ney +
+    #                              char_entropy
+    #   embedding_dedup_clusters — embedding family keeps kmeans_step,
+    #                              ivfpq, pq_adc_rerank, arrow top-k
+    "flac_audio_features_documents",
+    "webp_lossless_pixels_documents",
+    "g711_audio_features_documents",
+    "jpeg12_pixel_stats_documents",
+    "avi_mjpeg_frames_documents",
+    "mp4_jpeg_frames_documents",
     # round-9 rotation: this round's flagship families go in-window for
     # CORRECTNESS_r09 (prefix-blocked TF-IDF cosine join, PQ ADC+rerank,
     # exact covariance, JL projection); four members with in-window
@@ -2548,11 +2567,8 @@ WINDOW_QUERIES = (
     # grouping_sets in-window, green r07+r08)
     "tfidf_cosine_pairs_documents",
     "pq_adc_rerank_topk_embeddings",
-    "gopher_rules_documents",
     "embedding_covariance_upper",
     "dedup_minhash_pairs_documents",
-    "embedding_dedup_clusters",
-    "multimodal_metadata_documents",
     "tumbling_hourly_events",
     "dedup_first_event_per_user_type",
     # round-7 rotation (verdict-r6 #6): the round-7 flagships (BPE token
@@ -2661,28 +2677,29 @@ WINDOW_QUERIES = (
 #   user_totals_events        — ST5 stateful family keeps
 #                               dedup_first_event_per_user_type
 TAIL_QUERIES = (
-    # round-13 addition: AVI/MJPEG container decode — tail, not window
-    # (the multi-frame family keeps gif_frame_pixels +
-    # frame_pixel_stats in-window; the JPEG entropy/IDCT path is the
-    # in-window wav/gif rows' sibling via jpeg_pixel_stats in the tail)
-    "avi_mjpeg_frames_documents",
-    # round-13 addition: 12-bit extended-sequential JPEG round trip
-    # (same family placement rationale as the AVI row above)
-    "jpeg12_pixel_stats_documents",
-    # round-13 addition: MP4/ISO-BMFF 'jpeg'-sample container decode
-    # (same family placement rationale as the AVI row above; its n=1+L%5
-    # law also exercises the k=4 sampler's skip case)
-    "mp4_jpeg_frames_documents",
-    # round-13 addition: REAL FLAC (fixed predictors + Rice + CRC
-    # framing) round trip — the audio family keeps wav_audio_features +
-    # the PCM24/multichannel rows in-window
-    "flac_audio_features_documents",
-    # round-13 addition: G.711 mu-law compander round trip (WAV fmt 7;
-    # same audio-family placement rationale)
-    "g711_audio_features_documents",
-    # round-13 addition: WebP-lossless (VP8L) round trip — the pixel
-    # family keeps pixel_roundtrip/jpeg rows as in-window/tail siblings
-    "webp_lossless_pixels_documents",
+    # round-14 rotation: out of the window after 8-12 recorded green
+    # driver appearances each (in-window siblings noted at the
+    # round-14 WINDOW comment); the six round-13 codec rows took the
+    # slots for their first external records
+    "multimodal_metadata_documents",
+    "q21_waiting_suppliers",
+    "trailing_window_range_events",
+    "decontaminate_exact_ngram_documents",
+    "gopher_rules_documents",
+    "embedding_dedup_clusters",
+    # round-14 addition (verdict-r13 #7, ADPCM alternative): IMA ADPCM
+    # code-stream round trip, hash-oracled via a 24-step unrolled
+    # integer recurrence — tail this round, in-window next per the
+    # rotation policy (the audio family keeps wav_audio_features +
+    # PCM24 + FLAC + G.711 in-window this round)
+    "adpcm_audio_features_documents",
+    # round-14 additions (verdict-r13 #2/#3): the production-width tier —
+    # rows-only BY DESIGN (eigh / np.round have no SQL twins at d=768;
+    # the 64-dim hash-oracled pca/ivfpq rows are the exactness
+    # witnesses, pytest carries the fidelity/recall gates), so they ride
+    # the tail per the ROWS_ONLY-out-of-window policy
+    "pca_project_wide_embeddings",
+    "ivfpq_wide_topk_embeddings",
     # round-13 rotation: out of the window after 2 recorded green driver
     # appearances each (r11+r12; in-window siblings noted at WINDOW list)
     "quantile_sketch_by_type_events",

@@ -3812,6 +3812,83 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Production-width tier (round 14, verdict-r13 #2/#3): the registry rows
+# above bake EMB_DIM=64; these two exercise a 768-dim derivation of the
+# SAME fixture (the wide probe's tile+perturb recipe, now an all-JVM
+# expression — operators/pca.widen_vectors) end-to-end through the
+# driver contract. Both are DECLARED rows-only: eigh/np.round have no
+# SQL twins at this width, and the 64-dim hash-oracled rows remain the
+# exactness witnesses; pytest carries the fidelity/recall gates instead
+# (tests/test_pca.py, tests/test_pq.py).
+_WIDE_TILES = 12
+_WIDE_DIM = EMB_DIM * _WIDE_TILES  # 768 — production embedding width
+
+
+def _wide_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongo_analyser_spark.operators.pca import widen_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return widen_vectors(emb, "vec_id", "embedding", EMB_DIM, _WIDE_TILES)
+
+
+@register("pca_project_wide_embeddings")
+def q_pca_project_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA at production width (verdict-r13 #2 — the wired escape from
+    the O(d^2*k*T) driver-side power-iteration bound): JL-project the
+    768-dim corpus to 64 in ONE Arrow matmul pass (flat in d), then the
+    exact covariance Gram + driver np.linalg.eigh in the REDUCED space
+    — the bounded collect is jl_dim^2 rows (4,096) instead of d^2
+    (589,824 at 768; 8.4M at 4096) and the driver math runs in C.
+    Coordinates are REDUCED-SPACE by design (JL preserves distances;
+    downstream clustering/dedup/ANN consume them there — lifting back
+    to full width would capture only ~jl_dim/d of variance and the
+    docstring of pca_project_wide says so). DECLARED rows-only;
+    tests/test_pca.py gates planted-subspace recovery (principal-angle
+    cosines >= 0.95, explained-variance share >= 0.9) through these
+    exact operators."""
+    from mongo_analyser_spark.operators.pca import pca_project_wide
+
+    return pca_project_wide(
+        _wide_embeddings(spark, sf_dir), "vec_id", "wvec", _WIDE_DIM,
+        jl_dim=EMB_DIM, k=_PCA_K,
+    )
+
+
+_WIDE_CB_CACHE: dict[str, object] = {}
+
+
+def _pq_wide_cb(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _WIDE_CB_CACHE:
+        from mongo_analyser_spark.operators.pq import train_codebook
+
+        _WIDE_CB_CACHE[sf_dir] = train_codebook(
+            _wide_embeddings(spark, sf_dir), "vec_id", "wvec", _WIDE_DIM,
+            _PQ_M, _PQ_K, refine_steps=1,
+        )
+    return _WIDE_CB_CACHE[sf_dir]
+
+
+@register("ivfpq_wide_topk_embeddings")
+def q_ivfpq_wide_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC at production width (verdict-r13 #3): the same composed
+    cell-gate + ADC-LUT + exact-rerank plan as the hash-oracled 64-dim
+    row, driven end-to-end at d=768 so the driver contract — not just
+    tools/scale_probe — exercises a production vector width. The scan
+    still reads m=8 code bytes + one cell int per vector (96-float
+    subspaces change the LUT build, not the scan width). DECLARED
+    rows-only; tests/test_pq.py gates recall@5 vs the exact L2 top-5
+    over the SAME widened vectors."""
+    from mongo_analyser_spark.operators.pq import ivfpq_topk_arrow
+    from mongo_analyser_spark.operators.similarity import ivf_centroids
+
+    return ivfpq_topk_arrow(
+        _wide_embeddings(spark, sf_dir), "vec_id", "wvec", ANN_QUERY_IDS,
+        _WIDE_DIM, ivf_centroids(IVF_CELLS, _WIDE_DIM), _PQ_M, _PQ_K,
+        shortlist=_PQ_SHORTLIST, k=_PQ_TOPK, refine_steps=1,
+        cb=_pq_wide_cb(spark, sf_dir),
+    )
+
+
 def _jl_sql() -> str:
     from mongo_analyser_spark.operators.pca import jl_planes
 
@@ -5998,6 +6075,161 @@ def q_webp_lossless_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, n_px int, mean_r double, mean_g double, "
         "mean_b double, peak int",
+    ).orderBy("doc_id")
+
+
+_ADPCM_N = 24  # nibbles per doc — fixed so the oracle can unroll exactly
+
+
+def _ima_adpcm_sql(n: int = _ADPCM_N) -> str:
+    """Unrolled SQL twin of the IMA ADPCM decoder recurrence
+    (operators/audio.ima_adpcm_step): n chained step CTEs, each a
+    nested rename (pn/xn computed inside, renamed to p/x outside —
+    DuckDB lateral aliases SHADOW input columns, so reusing the name in
+    one SELECT would double-apply the update; caught in prototyping).
+    Step/index tables ride as one-row list literals. All integer
+    arithmetic — bit-exact by construction, the _pca_power_sql
+    discipline applied to a codec."""
+    from mongo_analyser_spark.operators.audio import (
+        _IMA_INDEX_TABLE,
+        _IMA_STEP_TABLE,
+    )
+
+    st = "[" + ", ".join(map(str, _IMA_STEP_TABLE)) + "]"
+    it = "[" + ", ".join(map(str, _IMA_INDEX_TABLE[:8])) + "]"
+    ctes = [
+        f"tbl AS (SELECT {st} AS t, {it} AS u)",
+        "s0 AS (\n  SELECT doc_id, c, t, u, 0 AS p, L % 89 AS x, [0] AS ps"
+        "\n  FROM nib CROSS JOIN tbl)",
+    ]
+    for i in range(1, n + 1):
+        ctes.append(f"""s{i} AS (
+  SELECT doc_id, c, t, u, pn AS p, xn AS x, list_append(ps, pn) AS ps
+  FROM (
+    SELECT doc_id, c, t, u, ps,
+      GREATEST(-32768, LEAST(32767,
+        p + CASE WHEN (c[{i}] & 8) != 0 THEN -df ELSE df END)) AS pn,
+      GREATEST(0, LEAST(88, x + u[(c[{i}] % 8) + 1])) AS xn
+    FROM (
+      SELECT doc_id, c, t, u, p, x, ps,
+        (t[x + 1] >> 3)
+          + CASE WHEN (c[{i}] & 4) != 0 THEN t[x + 1] ELSE 0 END
+          + CASE WHEN (c[{i}] & 2) != 0 THEN t[x + 1] >> 1 ELSE 0 END
+          + CASE WHEN (c[{i}] & 1) != 0 THEN t[x + 1] >> 2 ELSE 0 END AS df
+      FROM s{i-1})))""")
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                cc -> cc BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id, codes, COALESCE(len(codes),0) AS L FROM a),
+nib AS (SELECT doc_id, L,
+  list_transform(generate_series(0,{n-1}), i ->
+    CASE WHEN L=0 THEN 0 ELSE codes[(i % L) + 1] % 16 END) AS c
+  FROM b),
+{",".join(ctes)},
+f AS (
+  SELECT doc_id,
+    list_sum(list_transform(ps, v -> v*v)) AS sum_sq,
+    list_max(list_transform(ps, v -> abs(v))) AS peak,
+    len(list_filter(ps, (x2, i2) -> i2 > 1 AND ps[i2-1] * x2 < 0)) AS zc
+  FROM s{n})
+SELECT doc_id,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST({n+1} AS INTEGER) AS n_samples,
+  FLOOR({n+1} / 8000.0 * 10000.0 + 0.5) / 10000.0 AS duration_s,
+  FLOOR(sqrt(CAST(sum_sq AS DOUBLE) / {n+1}) * 10000.0 + 0.5) / 10000.0 AS rms,
+  CAST(peak AS INTEGER) AS peak,
+  CAST(zc AS INTEGER) AS zero_crossings
+FROM f ORDER BY doc_id
+"""
+
+
+@register("adpcm_audio_features_documents", _ima_adpcm_sql())
+def q_adpcm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA ADPCM round trip, hash-oracled (round 14, verdict-r13 #7's
+    ADPCM alternative — the first LOSSY PREDICTIVE audio family
+    decoding for real): each document's codes become a 24-nibble IMA
+    code stream (nibble_i = codes[i mod L] % 16; initial predictor 0,
+    initial step index L % 89) framed as a REAL one-block WAV fmt 0x11
+    payload — fmt extension with wSamplesPerBlock, fact chunk, 4-byte
+    block header, low-nibble-first packing — and decoded back through
+    the production decode_wav_ex dispatch. The oracle UNROLLS the
+    decoder's table recurrence (24 chained integer CTE steps,
+    _ima_adpcm_sql): a bit lost anywhere in the container walk, the
+    nibble order, the clamp bounds, or the step-table adaptation breaks
+    the hash. The sample-domain encoder twin (encode_wav_ima_adpcm +
+    the greedy quantizer, and the MS ADPCM fmt 0x02 family) is
+    pytest-pinned in tests/test_audio.py with SNR bounds. Same feature
+    law and 100-TB shape as the G.711/FLAC rows: adaptive fanout, one
+    Arrow stage, fixed-width rows."""
+    import math
+
+    import pandas as pd  # noqa: F401
+
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ima_adpcm_stream,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                ln = len(codes)
+                nibbles = [
+                    (codes[i % ln] % 16 if ln else 0)
+                    for i in range(_ADPCM_N)
+                ]
+                _rate, chans = decode_wav_ex(
+                    encode_wav_ima_adpcm_stream(8000, 0, ln % 89, nibbles)
+                )
+                s = [int(v) for v in chans[0]]
+                n = len(s)
+                sum_sq = sum(v * v for v in s)
+                peak = max(abs(v) for v in s)
+                zc = sum(
+                    1 for i in range(1, n) if s[i - 1] * s[i] < 0
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        8000,
+                        n,
+                        math.floor(n / 8000.0 * 10000.0 + 0.5) / 10000.0,
+                        math.floor(
+                            math.sqrt(sum_sq / n) * 10000.0 + 0.5
+                        ) / 10000.0,
+                        peak,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "duration_s",
+                    "rms", "peak", "zero_crossings",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, sample_rate int, n_samples int, duration_s double, "
+        "rms double, peak int, zero_crossings int",
     ).orderBy("doc_id")
 
 

@@ -340,3 +340,169 @@ def test_g711_wav_roundtrip_and_gate_narrowing():
     _, out = decode_wav_ex(encode_wav_g711(8000, [raw]))
     # mu-law max quantization error is bounded by the top-segment step
     assert all(abs(a - b) <= 1024 for a, b in zip(raw, out[0]))
+
+
+# ------------------------------------------------------------- ADPCM
+
+
+def test_ima_adpcm_encode_decode_snr():
+    """Real sample-domain round trip through the greedy encoder and the
+    production decoder: ADPCM is lossy, so the contract is SNR (>= 20 dB
+    on a smooth signal — measured 28.6 on this seed) and exact length."""
+    import math
+    import random
+
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ima_adpcm,
+    )
+
+    rng = random.Random(5)
+    n = 700
+    samples = [
+        int(8000 * math.sin(i / 12.0) + rng.randint(-200, 200))
+        for i in range(n)
+    ]
+    rate, chans = decode_wav_ex(encode_wav_ima_adpcm(8000, samples, 256))
+    dec = [int(v) for v in chans[0]]
+    assert (rate, len(dec)) == (8000, n)
+    num = sum((a - b) ** 2 for a, b in zip(samples, dec))
+    den = sum(a * a for a in samples)
+    assert 10 * math.log10(den / num) >= 20.0
+
+
+def test_ms_adpcm_encode_decode_snr():
+    import math
+    import random
+
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ms_adpcm,
+    )
+
+    rng = random.Random(5)
+    n = 700
+    samples = [
+        int(8000 * math.sin(i / 12.0) + rng.randint(-200, 200))
+        for i in range(n)
+    ]
+    rate, chans = decode_wav_ex(encode_wav_ms_adpcm(8000, samples, 256))
+    dec = [int(v) for v in chans[0]]
+    assert (rate, len(dec)) == (8000, n)
+    num = sum((a - b) ** 2 for a, b in zip(samples, dec))
+    den = sum(a * a for a in samples)
+    assert 10 * math.log10(den / num) >= 20.0
+
+
+def test_ima_adpcm_stream_decode_matches_recurrence():
+    """The oracle construction: a WAV built from an explicit nibble
+    stream must decode to EXACTLY the table recurrence's samples."""
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ima_adpcm_stream,
+        ima_adpcm_step,
+    )
+
+    nib = [3, 7, 12, 9, 0, 15, 8, 1, 14, 2, 5, 11] * 2
+    rate, chans = decode_wav_ex(
+        encode_wav_ima_adpcm_stream(8000, -123, 42, nib)
+    )
+    p, x = -123, 42
+    want = [-123]
+    for c in nib:
+        p, x = ima_adpcm_step(p, x, c)
+        want.append(p)
+    assert [int(v) for v in chans[0]] == want
+
+
+def test_ima_adpcm_clamps_and_index_bounds():
+    """Saturating arithmetic: max-magnitude codes from the top step must
+    clamp at int16 bounds and pin the index at 88 / 0, never wrap."""
+    from mongo_analyser_spark.operators.audio import ima_adpcm_step
+
+    p, x = 32000, 88
+    for _ in range(4):
+        p, x = ima_adpcm_step(p, x, 7)  # +max diff at top step
+        assert -32768 <= p <= 32767 and 0 <= x <= 88
+    assert p == 32767 and x == 88
+    p, x = -32000, 88
+    p, x = ima_adpcm_step(p, x, 15)  # -max diff at top step
+    assert p == -32768 and x == 88
+    # index floor: down-codes at index 0 must pin at 0
+    p, x = ima_adpcm_step(0, 0, 0)
+    assert x == 0
+
+
+def test_adpcm_malformed_payloads_raise_valueerror():
+    """Untrusted-input quarantine: structural lies must be ValueError
+    through the production dispatch, never struct.error/IndexError."""
+    import struct
+
+    import pytest
+
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ima_adpcm,
+        encode_wav_ima_adpcm_stream,
+        encode_wav_ms_adpcm,
+    )
+
+    base = encode_wav_ima_adpcm(8000, list(range(100)), 256)
+    # step index beyond 88 inside the block header
+    bad = bytearray(base)
+    doff = base.find(b"data") + 8
+    bad[doff + 2] = 89
+    with pytest.raises(ValueError, match="out of range"):
+        decode_wav_ex(bytes(bad))
+    # fact declaring more samples than the blocks carry
+    lying = bytearray(base)
+    foff = base.find(b"fact") + 8
+    struct.pack_into("<I", lying, foff, 10_000)
+    with pytest.raises(ValueError, match="fact"):
+        decode_wav_ex(bytes(lying))
+    # MS: predictor index out of the coefficient table
+    msbase = encode_wav_ms_adpcm(8000, list(range(100)), 256)
+    mbad = bytearray(msbase)
+    mdoff = msbase.find(b"data") + 8
+    mbad[mdoff] = 9
+    with pytest.raises(ValueError, match="predictor index"):
+        decode_wav_ex(bytes(mbad))
+    # MS: zero initial delta
+    mzero = bytearray(msbase)
+    struct.pack_into("<h", mzero, mdoff + 1, 0)
+    with pytest.raises(ValueError, match="delta"):
+        decode_wav_ex(bytes(mzero))
+    # stream writer rejects bad inputs
+    with pytest.raises(ValueError):
+        encode_wav_ima_adpcm_stream(8000, 0, 89, [0, 0])
+    with pytest.raises(ValueError):
+        encode_wav_ima_adpcm_stream(8000, 0, 0, [0, 16])
+    with pytest.raises(ValueError):
+        encode_wav_ima_adpcm_stream(8000, 0, 0, [0])
+
+
+def test_ms_adpcm_coefs_read_from_fmt_extension():
+    """The decoder must honor the coefficient table carried in the fmt
+    chunk extension, not assume the standard seven: patch coef pair 0
+    in the payload and the decode must change accordingly."""
+    import struct
+
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ms_adpcm,
+        ms_adpcm_decode_block,
+    )
+
+    samples = [100, 200, 400, 800, 900, 700, 300, -100, -500, -200]
+    base = encode_wav_ms_adpcm(8000, samples, 256)
+    _r, chans = decode_wav_ex(base)
+    # patch c1 of predictor 0 from 256 -> 512 in the fmt extension
+    patched = bytearray(base)
+    foff = base.find(b"fmt ") + 8
+    struct.pack_into("<h", patched, foff + 22, 512)
+    _r2, chans2 = decode_wav_ex(bytes(patched))
+    doff = base.find(b"data") + 8
+    blk = base[doff:]
+    assert [int(v) for v in chans2[0]][: len(samples)] == \
+        ms_adpcm_decode_block(blk, [(512, 0)] + [(0, 0)] * 6)[: len(samples)]
+    assert chans2[0] != chans[0]

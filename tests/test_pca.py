@@ -186,3 +186,99 @@ def test_pca_power_project_matches_driver_recurrence(spark):
             for c in range(1, 6):
                 s = s + vec[c] * comp[c]
             assert got[(vid, p)] == math.floor(s * 1e6 + 0.5) / 1e6
+
+
+# ------------------------------------------------- production-width tier
+
+
+def test_widen_vectors_matches_probe_recipe(spark):
+    """The all-JVM tile+perturb derivation must equal the wide probe's
+    numpy formula (tools/scale_probe.build_wide): tile t, coord i gets
+    +0.001*(((t*31+i)%17)-8). Bit-exact: both sides compute the same
+    double literals in the same order."""
+    import numpy as np
+
+    from mongo_analyser_spark.operators.pca import widen_vectors
+
+    rng = np.random.RandomState(11)
+    data = [(i, [float(x) for x in rng.randn(8)]) for i in range(10)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["wvec"]
+        for r in widen_vectors(df, "vec_id", "embedding", 8, 3).collect()
+    }
+    for vid, vec in data:
+        want = []
+        for t in range(3):
+            for i, x in enumerate(vec):
+                want.append(x + 0.001 * (((t * 31 + i) % 17) - 8))
+        assert got[vid] == want
+
+
+def test_pca_project_wide_recovers_planted_subspace(spark):
+    """The fidelity gate (verdict-r13 #2, the ANN-recall discipline
+    applied to subspace alignment): on a PLANTED low-rank spectrum at
+    production width, PCA-in-JL-space run through the REAL operators
+    must recover the JL image of the planted principal subspace —
+    principal-angle cosines >= 0.95 and explained-variance share
+    >= 0.9 (measured 0.9995+/0.969 on this seed; margins leave room
+    for BLAS build drift, not for regressions). The fixture corpus's
+    flat spectrum (top eigen-gap ~1%) can't express this gate — the
+    TF-IDF Zipf-vocab lesson, SCALE.md:518 — hence the planted data."""
+    import numpy as np
+
+    from mongo_analyser_spark.operators.pca import (
+        jl_planes,
+        jl_project_arrow,
+        pca_components,
+    )
+
+    rng = np.random.default_rng(7)
+    d, n, k = 768, 400, 4
+    B = np.linalg.qr(rng.standard_normal((d, k)))[0]
+    G = rng.standard_normal((n, k)) * np.array([10.0, 8.0, 6.0, 5.0])
+    X = G @ B.T + 0.1 * rng.standard_normal((n, d))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, wvec array<double>",
+    )
+    jdf = jl_project_arrow(df, "vec_id", "wvec", d, 64)
+    comps, ratios = pca_components(jdf, "vec_id", "jvec", 64, k)
+    P = np.array(jl_planes(64, d))
+    W = np.array(comps)
+    PB = np.linalg.qr(P @ B)[0]
+    cosines = np.linalg.svd(W @ PB, compute_uv=False)
+    assert cosines.min() >= 0.95, cosines
+    assert sum(ratios) >= 0.9, ratios
+
+
+def test_pca_project_wide_registry_row_consistent(spark):
+    """The rows-only registry row's projections must equal a direct
+    numpy recomputation through the same path (JL matmul -> eigh comps
+    -> dot), pinning the declared-rows-only row to real math rather
+    than just a row count."""
+    import numpy as np
+
+    from mongo_analyser_spark.queries import QUERIES
+    from mongo_analyser_spark.operators.pca import (
+        jl_project_arrow,
+        pca_components,
+    )
+    from mongo_analyser_spark.queries_pipeline import (
+        EMB_DIM,
+        _PCA_K,
+        _WIDE_DIM,
+        _wide_embeddings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["pca_project_wide_embeddings"](spark, sf).collect()
+    wide = _wide_embeddings(spark, sf)
+    jdf = jl_project_arrow(wide, "vec_id", "wvec", _WIDE_DIM, EMB_DIM)
+    jrows = {r["vec_id"]: np.asarray(r["jvec"]) for r in jdf.collect()}
+    comps, _ = pca_components(jdf, "vec_id", "jvec", EMB_DIM, _PCA_K)
+    W = np.array(comps)
+    assert len(out) == len(jrows)
+    for r in out[:50]:
+        want = np.round(W @ jrows[r["vec_id"]], 6)
+        assert np.allclose(r["proj"], want, atol=1e-9), r["vec_id"]

@@ -11,19 +11,19 @@ CHECK_WINDOW = 50
 # round-6's own additions (mid-round rotation, same policy)
 MUST_BE_CHECKED = [
     "kmeans_step_embeddings",
-    "q21_waiting_suppliers",
-    "decontaminate_exact_ngram_documents",
     "tumbling_hourly_events",
     "dedup_first_event_per_user_type",
-    "multimodal_metadata_documents",
     "field_stats_events",
     "q1_pricing_summary",
     "dedup_minhash_pairs_documents",
     "convert_export_events",
-    "embedding_dedup_clusters",
-    "trailing_window_range_events",
+    # round-14 rotation (verdict-r13 #1): q21_waiting_suppliers /
+    # decontaminate_exact_ngram / multimodal_metadata /
+    # embedding_dedup_clusters / trailing_window_range / gopher_rules
+    # rotated to the tail with 8-12 recorded green appearances each and
+    # in-window family siblings (queries.py round-14 WINDOW note); the
+    # six round-13 codec rows take the slots (listed at the bottom)
     # late-round-6 rotation: the round's own flagship additions
-    "gopher_rules_documents",
     "q2_min_cost_supplier",
     # round-7 rotation (verdict-r6 #6): BPE flagships + the last three
     # never-externally-checked families; session_window / late_data_drop /
@@ -93,6 +93,14 @@ MUST_BE_CHECKED = [
     # rotated out above (2 recorded greens; type_histogram + this row
     # keep the melt-variant family in-window)
     "deep_melt_documents",
+    # round-14 rotation (verdict-r13 #1): the six round-13 codec rows get
+    # their FIRST external driver record
+    "flac_audio_features_documents",
+    "webp_lossless_pixels_documents",
+    "g711_audio_features_documents",
+    "jpeg12_pixel_stats_documents",
+    "avi_mjpeg_frames_documents",
+    "mp4_jpeg_frames_documents",
 ]
 
 
@@ -118,6 +126,13 @@ ROWS_ONLY = {
     # PNG roundtrip twin stays hash-oracled and DC-only fixtures are
     # pinned exactly in tests/test_pixels.py
     "jpeg_pixel_stats_documents",
+    # round-14: the production-width tier (verdict-r13 #2/#3) — driver
+    # eigh + Arrow np.round at d=768 have no SQL twins; the 64-dim
+    # hash-oracled pca/ivfpq rows stay the exactness witnesses, and
+    # tests/test_pca.py + tests/test_pq.py gate subspace fidelity and
+    # recall@5 respectively
+    "pca_project_wide_embeddings",
+    "ivfpq_wide_topk_embeddings",
     # (pca_project_embeddings graduated to hash-oracled in round 11:
     # fixed-iteration quantization-synced power iteration with an
     # unrolled SQL twin — verdict-r10 #4)

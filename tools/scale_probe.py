@@ -724,11 +724,129 @@ def main_longdocs(names: list[str]) -> None:
     }))
 
 
+ZIPFVOCAB_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scale",
+    "zipfvocab",
+)
+
+
+def build_zipfvocab(n_docs: int, vocab: int = 20000, doc_len: int = 30,
+                    s: float = 1.1) -> str:
+    """Natural-shaped text tier for the TF-IDF blocking regime
+    (verdict-r13 #6): the fixture corpus has a 31-term vocabulary with
+    no Zipf tail, which DEFEATS AllPairs prefix blocking — every doc's
+    "rarest" terms are shared by thousands of others (SCALE.md:518).
+    This tier draws ``doc_len`` tokens per doc from a ``vocab``-term
+    Zipf(s) distribution via deterministic md5 inverse-CDF sampling, so
+    rare terms exist and candidate growth can be measured in the
+    operator's design regime. Token ranks are engine-independent
+    constants (md5(doc,pos) uniforms against a precomputed CDF)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(ZIPFVOCAB_DIR, f"n{n_docs}")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "documents.parquet")
+    if not os.path.exists(out):
+        ranks = np.arange(1, vocab + 1, dtype=np.float64)
+        pmf = ranks ** (-s)
+        cdf = np.cumsum(pmf) / pmf.sum()
+        texts = []
+        for i in range(n_docs):
+            toks = []
+            for j in range(doc_len):
+                h = hashlib.md5(f"zv:{i}:{j}".encode()).digest()
+                u = int.from_bytes(h[:8], "big") / 2 ** 64
+                r = int(np.searchsorted(cdf, u)) + 1
+                toks.append(f"t{r}")
+            texts.append(" ".join(toks))
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n_docs), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n_docs, pa.string()),
+                "source": pa.array(
+                    [f"src_{i % 7}" for i in range(n_docs)], pa.string()
+                ),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int32()
+                ),
+            }
+        )
+        pq.write_table(tbl, out)
+    base_sf = "/root/testdata/sf0.1"
+    for f in os.listdir(base_sf):
+        dst = os.path.join(out_dir, f)
+        if f != "documents.parquet" and not os.path.exists(dst):
+            os.symlink(os.path.join(base_sf, f), dst)
+    return out_dir
+
+
+def main_zipfvocab(sizes: list[int] | None = None) -> None:
+    """Candidates-vs-N growth of the AllPairs prefix-blocked TF-IDF
+    join on a NATURAL-vocabulary corpus (verdict-r13 #6): for each
+    corpus size, report the candidate-pair count, its share of the
+    all-pairs bound N(N-1)/2, and the end-to-end cosine-join wall.
+    Sub-quadratic candidate growth (share falling with N) is the
+    design claim SCALE.md:518 could not measure on the fixture."""
+    from mongo_analyser_spark import get_spark
+    from mongo_analyser_spark.operators.tfidf import (
+        prefix_candidates,
+        tfidf_cosine_pairs,
+        tfidf_postings,
+    )
+    from mongo_analyser_spark.sources.parquet import load_table
+
+    sizes = sizes or [2500, 5000, 10000, 20000]
+    spark = get_spark(
+        "scale_probe_zipfvocab",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+    rows = []
+    for n in sizes:
+        sf_dir = build_zipfvocab(n)
+        docs = load_table(spark, sf_dir, "documents")
+        docs.count()  # warm the scan
+        post = tfidf_postings(docs)
+        t0 = time.time()
+        n_cand = prefix_candidates(post, "doc_id").count()
+        t_cand = time.time() - t0
+        t0 = time.time()
+        n_pairs = tfidf_cosine_pairs(docs, threshold=0.6).count()
+        t_full = time.time() - t0
+        bound = n * (n - 1) // 2
+        rows.append((n, n_cand, n_cand / bound, n_pairs,
+                     round(t_cand, 3), round(t_full, 3)))
+        print(f"  N={n}: candidates={n_cand} ({n_cand / bound:.2%} of "
+              f"all-pairs), kept={n_pairs}, cand {t_cand:.2f}s, "
+              f"full join {t_full:.2f}s", flush=True)
+    print("\n| N docs | candidates | share of N(N-1)/2 | pairs >= 0.6 "
+          "| cand wall (s) | full wall (s) |")
+    print("|---|---|---|---|---|---|")
+    for n, c, sh, p, tc, tf_ in rows:
+        print(f"| {n} | {c} | {sh:.3%} | {p} | {tc} | {tf_} |")
+    print(json.dumps({
+        "metric": "zipfvocab_probe",
+        "rows": [
+            {"n": n, "candidates": c, "share": round(sh, 6), "pairs": p,
+             "cand_s": tc, "full_s": tf_}
+            for n, c, sh, p, tc, tf_ in rows
+        ],
+    }))
+
+
 def main() -> None:
     from mongo_analyser_spark import get_spark
     from mongo_analyser_spark.queries import QUERIES
 
     argv = sys.argv[1:]
+    if argv and argv[0] == "--zipf-vocab":
+        main_zipfvocab([int(a) for a in argv[1:]] or None)
+        return
     if argv and argv[0] == "--long-docs":
         main_longdocs(argv[1:])
         return
