@@ -250,37 +250,67 @@ def decode_wav_ex(payload: bytes) -> Tuple[int, List[List[float]]]:
         flat = [float(mulaw_expand(c)) for c in data]
     elif fmt_tag == _IMA_FORMAT and bits == 4:
         # round 14: IMA/DVI ADPCM — the first lossy predictive family
-        # decoding for real (pure-integer recurrence, hash-oracle-able)
-        if n_ch != 1:
-            raise NotImplementedError(
-                "multichannel IMA ADPCM (4-byte-word channel interleave) "
-                "is not wired yet; mono decodes natively"
+        # decoding for real (pure-integer recurrence, hash-oracle-able).
+        # Multichannel uses the spec's 4-byte-word interleave: one
+        # header per channel, then 4-byte nibble words round-robin.
+        if not block_align or block_align < 4 * n_ch + (4 if n_ch > 1 else 1):
+            raise ValueError("IMA ADPCM block align too small for header")
+        if n_ch > 1 and (block_align - 4 * n_ch) % (4 * n_ch):
+            raise ValueError(
+                "multichannel IMA ADPCM data area must be whole 4-byte "
+                "words per channel"
             )
-        if not block_align or block_align < 5:
-            raise ValueError("IMA ADPCM needs a block align >= 5")
-        flat = []
+        chans_acc: list[list[float]] = [[] for _ in range(n_ch)]
         for off in range(0, len(data), block_align):
-            flat.extend(
-                float(v)
-                for v in ima_adpcm_decode_block(
-                    data[off : off + block_align]
+            block = data[off : off + block_align]
+            if n_ch == 1:
+                chans_acc[0].extend(
+                    float(v) for v in ima_adpcm_decode_block(block)
                 )
-            )
+                continue
+            if len(block) < 4 * n_ch:
+                raise ValueError(
+                    "IMA ADPCM block shorter than its channel headers"
+                )
+            if (len(block) - 4 * n_ch) % (4 * n_ch):
+                # a fragment that isn't whole 4-byte words PER CHANNEL
+                # would mis-attribute the round-robin and return ragged
+                # channels as plausible output — quarantine instead
+                raise ValueError(
+                    "IMA ADPCM trailing block is not whole 4-byte words "
+                    "per channel"
+                )
+            preds, idxs = [], []
+            for c in range(n_ch):
+                p = struct.unpack("<h", block[4 * c : 4 * c + 2])[0]
+                ix = block[4 * c + 2]
+                if ix > 88:
+                    raise ValueError(
+                        f"IMA ADPCM step index {ix} out of range 0..88"
+                    )
+                preds.append(p)
+                idxs.append(ix)
+                chans_acc[c].append(float(p))
+            body2 = block[4 * n_ch :]
+            for w in range(0, len(body2), 4):
+                c = (w // 4) % n_ch
+                for b in body2[w : w + 4]:
+                    for code in (b & 0x0F, b >> 4):
+                        preds[c], idxs[c] = ima_adpcm_step(
+                            preds[c], idxs[c], code
+                        )
+                        chans_acc[c].append(float(preds[c]))
         if fact_n is not None:
-            if fact_n > len(flat):
+            if any(fact_n > len(ch) for ch in chans_acc):
                 raise ValueError(
                     "IMA ADPCM fact chunk declares more samples than the "
                     "data blocks carry"
                 )
-            flat = flat[:fact_n]
+            chans_acc = [ch[:fact_n] for ch in chans_acc]
+        return sample_rate, chans_acc
     elif fmt_tag == _MS_ADPCM_FORMAT and bits == 4:
-        if n_ch != 1:
-            raise NotImplementedError(
-                "multichannel MS ADPCM is not wired yet; mono decodes "
-                "natively"
-            )
-        if not block_align or block_align < 8:
-            raise ValueError("MS ADPCM needs a block align >= 8")
+        if not block_align or block_align < 7 * n_ch + 1:
+            raise ValueError("MS ADPCM block align too small for header")
         # coefficient table from the fmt extension when present
         coefs = None
         if len(fmt_body) >= 22:
@@ -292,21 +322,20 @@ def decode_wav_ex(payload: bytes) -> Tuple[int, List[List[float]]]:
                     )
                     for i in range(ncoef)
                 ]
-        flat = []
+        ms_acc: list[list[float]] = [[] for _ in range(n_ch)]
         for off in range(0, len(data), block_align):
-            flat.extend(
-                float(v)
-                for v in ms_adpcm_decode_block(
-                    data[off : off + block_align], coefs
-                )
-            )
+            block = data[off : off + block_align]
+            decoded = ms_adpcm_decode_block_multi(block, n_ch, coefs)
+            for c in range(n_ch):
+                ms_acc[c].extend(float(v) for v in decoded[c])
         if fact_n is not None:
-            if fact_n > len(flat):
+            if any(fact_n > len(ch) for ch in ms_acc):
                 raise ValueError(
                     "MS ADPCM fact chunk declares more samples than the "
                     "data blocks carry"
                 )
-            flat = flat[:fact_n]
+            ms_acc = [ch[:fact_n] for ch in ms_acc]
+        return sample_rate, ms_acc
     else:
         raise NotImplementedError(
             "only integer PCM16/PCM24, IEEE float32/float64, G.711 "
@@ -808,6 +837,14 @@ _MS_ADPCM_ADAPT = [
 ]
 
 
+def _trunc_div(num: int, den: int) -> int:
+    """C-style integer division truncating toward zero — the MS ADPCM
+    format doc's reference decoder semantics (Python's // floors, which
+    differs for negative numerators). One definition so the spec
+    reasoning lives in one place."""
+    return num // den if num >= 0 else -((-num) // den)
+
+
 def ima_adpcm_step(pred: int, index: int, code: int) -> Tuple[int, int]:
     """One IMA ADPCM decoder step: (pred, index) x 4-bit code ->
     (pred', index'). The canonical bit-serial difference reconstruction
@@ -928,29 +965,7 @@ def ms_adpcm_decode_block(block: bytes, coefs=None) -> List[int]:
     nibble first. pred = (s1*c1 + s2*c2)//256 + code*delta (int
     division truncating toward zero per the format doc's C reference);
     delta' = max(16, adapt[code]*delta//256)."""
-    coefs = coefs or _MS_ADPCM_COEFS
-    if len(block) < 7:
-        raise ValueError("MS ADPCM block shorter than its 7-byte header")
-    ipred = block[0]
-    if ipred >= len(coefs):
-        raise ValueError(f"MS ADPCM predictor index {ipred} out of range")
-    c1, c2 = coefs[ipred]
-    delta, s1, s2 = struct.unpack("<hhh", block[1:7])
-    if delta <= 0:
-        raise ValueError("MS ADPCM initial delta must be positive")
-    out = [s2, s1]
-    for b in block[7:]:
-        for raw in (b >> 4, b & 0x0F):
-            code = raw - 16 if raw >= 8 else raw  # signed 4-bit
-            # C-style truncation toward zero: s1*c1+s2*c2 can be negative
-            num = s1 * c1 + s2 * c2
-            base = num // 256 if num >= 0 else -((-num) // 256)
-            pred = base + code * delta
-            pred = max(-32768, min(32767, pred))
-            s2, s1 = s1, pred
-            delta = max(16, (_MS_ADPCM_ADAPT[raw] * delta) >> 8)
-            out.append(pred)
-    return out
+    return ms_adpcm_decode_block_multi(block, 1, coefs)[0]
 
 
 def ms_adpcm_encode_block(
@@ -969,10 +984,9 @@ def ms_adpcm_encode_block(
     head = struct.pack("<Bhhh", ipred, delta, s1, s2)
     codes: list[int] = []
     for x in samples[2:]:
-        num = s1 * c1 + s2 * c2
-        base = num // 256 if num >= 0 else -((-num) // 256)
+        base = _trunc_div(s1 * c1 + s2 * c2, 256)
         err = int(x) - base
-        code = err // delta if err >= 0 else -((-err) // delta)
+        code = _trunc_div(err, delta)
         code = max(-8, min(7, code))
         pred = max(-32768, min(32767, base + code * delta))
         raw = code + 16 if code < 0 else code
@@ -1003,12 +1017,16 @@ def encode_wav_ms_adpcm(
     i = 0
     while i < len(samples):
         chunk = [int(s) for s in samples[i:i + spb]]
+        # fact must count REAL samples only: a 1-sample trailing chunk is
+        # padded to the 2-seed block minimum, but the pad is framing, not
+        # audio — counting it made round trips one sample long
+        real = len(chunk)
         if len(chunk) < 2:
             chunk = chunk + [chunk[-1]]
         blk = ms_adpcm_encode_block(chunk)
         blk = blk + b"\x00" * (block_align - len(blk))
         data += blk
-        total += len(chunk)
+        total += real
         i += spb
     byte_rate = (sample_rate * block_align + spb - 1) // spb
     ext = struct.pack("<HH", spb, len(_MS_ADPCM_COEFS)) + b"".join(
@@ -1062,5 +1080,219 @@ def encode_wav_ima_adpcm_stream(
         + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
         + b"fact" + struct.pack("<I", len(fact)) + fact
         + b"data" + struct.pack("<I", block_align) + bytes(block)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_ima_adpcm_multi(
+    sample_rate: int,
+    channels: List[List[int]],
+    block_align: int | None = None,
+) -> bytes:
+    """Multichannel WAV fmt 0x11 writer (round 14): per-channel 4-byte
+    block headers, then nibble data interleaved as 4-byte words
+    round-robin across channels — the spec layout real stereo IMA files
+    use. One block per payload by default (block_align sized to fit);
+    greedy encoder per channel mirrored through the decoder recurrence."""
+    n_ch = len(channels)
+    if n_ch == 0 or not channels[0]:
+        raise ValueError("need at least one channel with samples")
+    n = len(channels[0])
+    if any(len(c) != n for c in channels):
+        raise ValueError("channels must have equal lengths")
+    if n_ch == 1:
+        return encode_wav_ima_adpcm(
+            sample_rate, channels[0], block_align or 256
+        )
+    # samples per block beyond the header sample: whole 8-sample words
+    words_per_ch = (n - 1 + 7) // 8
+    if block_align is None:
+        block_align = 4 * n_ch + 4 * n_ch * words_per_ch
+    data_words = (block_align - 4 * n_ch) // (4 * n_ch)
+    if block_align < 4 * n_ch + 4 * n_ch or (
+        block_align - 4 * n_ch
+    ) % (4 * n_ch):
+        raise ValueError(
+            "block_align must leave whole 4-byte words per channel"
+        )
+    spb = 1 + 8 * data_words
+    data = bytearray()
+    idxs = [0] * n_ch
+    i = 0
+    total = 0
+    while i < n:
+        chunk_len = min(spb, n - i)
+        preds = []
+        for c in range(n_ch):
+            p = max(-32768, min(32767, int(channels[c][i])))
+            data += struct.pack("<hBB", p, idxs[c], 0)
+            preds.append(p)
+        nibs: list[list[int]] = [[] for _ in range(n_ch)]
+        for c in range(n_ch):
+            p = preds[c]
+            for s in channels[c][i + 1 : i + chunk_len]:
+                code, p, idxs[c] = ima_adpcm_encode_step(
+                    max(-32768, min(32767, int(s))), p, idxs[c]
+                )
+                nibs[c].append(code)
+            while len(nibs[c]) < 8 * data_words:
+                nibs[c].append(0)
+        for w in range(data_words):
+            for c in range(n_ch):
+                for j in range(0, 8, 2):
+                    a = nibs[c][8 * w + j]
+                    b = nibs[c][8 * w + j + 1]
+                    data.append(a | (b << 4))
+        total += chunk_len
+        i += spb
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt_chunk = struct.pack(
+        "<HHIIHHHH", _IMA_FORMAT, n_ch, sample_rate, byte_rate,
+        block_align, 4, 2, spb,
+    )
+    fact = struct.pack("<I", total)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def ms_adpcm_decode_block_multi(
+    block: bytes, n_ch: int, coefs=None
+) -> List[List[int]]:
+    """Per-channel samples from ONE multichannel Microsoft ADPCM block
+    (round 14 — the last ADPCM gate): the header interleaves fields BY
+    KIND across channels (all predictor indices, then all ideltas, all
+    sample1s, all sample2s — the WAV format registration's stereo
+    layout), and the nibble stream then alternates channels per sample,
+    high nibble first."""
+    coefs = coefs or _MS_ADPCM_COEFS
+    hdr = 7 * n_ch
+    if len(block) < hdr:
+        raise ValueError(
+            f"MS ADPCM block shorter than its {hdr}-byte header"
+        )
+    ipreds = list(block[:n_ch])
+    for ip in ipreds:
+        if ip >= len(coefs):
+            raise ValueError(
+                f"MS ADPCM predictor index {ip} out of range"
+            )
+    deltas = list(
+        struct.unpack(f"<{n_ch}h", block[n_ch : n_ch + 2 * n_ch])
+    )
+    if any(d <= 0 for d in deltas):
+        raise ValueError("MS ADPCM initial delta must be positive")
+    s1s = list(
+        struct.unpack(
+            f"<{n_ch}h", block[3 * n_ch : 3 * n_ch + 2 * n_ch]
+        )
+    )
+    s2s = list(
+        struct.unpack(
+            f"<{n_ch}h", block[5 * n_ch : 5 * n_ch + 2 * n_ch]
+        )
+    )
+    out = [[s2s[c], s1s[c]] for c in range(n_ch)]
+    nib_i = 0
+    for b in block[hdr:]:
+        for raw in (b >> 4, b & 0x0F):
+            c = nib_i % n_ch
+            nib_i += 1
+            code = raw - 16 if raw >= 8 else raw
+            c1, c2 = coefs[ipreds[c]]
+            base = _trunc_div(s1s[c] * c1 + s2s[c] * c2, 256)
+            pred = max(-32768, min(32767, base + code * deltas[c]))
+            s2s[c], s1s[c] = s1s[c], pred
+            deltas[c] = max(16, (_MS_ADPCM_ADAPT[raw] * deltas[c]) >> 8)
+            out[c].append(pred)
+    return out
+
+
+def encode_wav_ms_adpcm_multi(
+    sample_rate: int,
+    channels: List[List[int]],
+    block_align: int = 512,
+) -> bytes:
+    """Multichannel WAV fmt 0x02 writer: by-kind interleaved block
+    headers + channel-alternating nibbles, greedy per-channel encoder
+    mirrored through the decoder recurrence."""
+    n_ch = len(channels)
+    if n_ch == 0 or not channels[0]:
+        raise ValueError("need at least one channel with samples")
+    if n_ch == 1:
+        return encode_wav_ms_adpcm(sample_rate, channels[0], block_align)
+    n = len(channels[0])
+    if any(len(c) != n for c in channels):
+        raise ValueError("channels must have equal lengths")
+    if n < 2:
+        raise ValueError("MS ADPCM needs at least two seed samples")
+    hdr = 7 * n_ch
+    if block_align < hdr + n_ch:
+        raise ValueError("block_align too small for the channel headers")
+    spb = (block_align - hdr) * 2 // n_ch + 2  # samples per channel
+    data = bytearray()
+    total = 0
+    i = 0
+    while i < n:
+        chunk = [
+            [int(s) for s in ch[i : i + spb]] for ch in channels
+        ]
+        real = len(chunk[0])
+        if real < 2:
+            chunk = [c + [c[-1]] for c in chunk]
+        ipreds = [0] * n_ch
+        deltas = [16] * n_ch
+        s2s = [max(-32768, min(32767, c[0])) for c in chunk]
+        s1s = [max(-32768, min(32767, c[1])) for c in chunk]
+        blk = bytearray(bytes(ipreds))
+        blk += struct.pack(f"<{n_ch}h", *deltas)
+        blk += struct.pack(f"<{n_ch}h", *s1s)
+        blk += struct.pack(f"<{n_ch}h", *s2s)
+        nibs: list[int] = []
+        n_codes_per_ch = max(len(c) - 2 for c in chunk)
+        for j in range(n_codes_per_ch):
+            for c in range(n_ch):
+                ch = chunk[c]
+                x = ch[j + 2] if j + 2 < len(ch) else ch[-1]
+                c1, c2 = _MS_ADPCM_COEFS[ipreds[c]]
+                base = _trunc_div(s1s[c] * c1 + s2s[c] * c2, 256)
+                err = int(x) - base
+                code = max(-8, min(7, _trunc_div(err, deltas[c])))
+                pred = max(-32768, min(32767, base + code * deltas[c]))
+                raw = code + 16 if code < 0 else code
+                s2s[c], s1s[c] = s1s[c], pred
+                deltas[c] = max(
+                    16, (_MS_ADPCM_ADAPT[raw] * deltas[c]) >> 8
+                )
+                nibs.append(raw)
+        if len(nibs) & 1:
+            nibs.append(0)
+        for j in range(0, len(nibs), 2):
+            blk.append((nibs[j] << 4) | nibs[j + 1])
+        blk += b"\x00" * (block_align - len(blk))
+        data += blk
+        total += real
+        i += spb
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    ext = struct.pack("<HH", spb, len(_MS_ADPCM_COEFS)) + b"".join(
+        struct.pack("<hh", a, b) for a, b in _MS_ADPCM_COEFS
+    )
+    fmt_chunk = (
+        struct.pack(
+            "<HHIIHHH", _MS_ADPCM_FORMAT, n_ch, sample_rate, byte_rate,
+            block_align, 4, len(ext),
+        )
+        + ext
+    )
+    fact = struct.pack("<I", total)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body

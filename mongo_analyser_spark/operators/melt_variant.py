@@ -152,3 +152,157 @@ def infer_schema_variant(
         )
         .orderBy("path")
     )
+
+
+def melt_variant_arrow(
+    df: DataFrame, doc_col: str, id_col: str | None = None,
+    max_depth: int | None = None,
+) -> DataFrame:
+    """Arrow-stage fallback for PATHOLOGICAL nesting depth (round 14 —
+    the escape hatch SCALE.md round-13 documented as prose, now real
+    code): ``melt_variant``'s stacked variant_explode plan is O(depth²)
+    in explode stages by construction and plan-guarded at 64 levels;
+    this twin walks each document ONCE in Python inside mapInPandas —
+    O(total nodes) per document, depth-independent plan size — at the
+    cost of leaving whole-stage codegen. Same output contract
+    (id?, path, type_tag, value_json) with the reference labels; row
+    parity with the expression form is pytest-pinned on nested
+    fixtures (tests/test_melt_variant.py). Hostile depth quarantines:
+    the stdlib JSON parser's RecursionError surfaces as the documented
+    ValueError class, and the walk itself is an explicit stack."""
+    import json as _json
+    from decimal import Decimal
+
+    import pandas as pd  # noqa: F401
+
+    ids = [id_col] if id_col else []
+    out_schema = (
+        (f"{id_col} long, " if id_col else "")
+        + "path string, type_tag string, value_json string"
+    )
+    _I64_MIN, _I64_MAX = -(2 ** 63), 2 ** 63 - 1
+
+    # Numeric semantics probed against the expression form (round 14):
+    # non-exponent lexemes parse as DECIMAL (trailing zeros stripped on
+    # render, -0.0 -> 0, arbitrary precision preserved), exponent
+    # lexemes parse as DOUBLE (Java Double.toString rendering: plain
+    # with one fractional digit in [1e-3, 1e7), else d.dddEexp), ints
+    # past int64 widen to DECIMAL and label 'double', and arrays unify
+    # numeric element types to 'double'.
+    def _parse_num(lex: str):
+        return float(lex) if ("e" in lex or "E" in lex) else Decimal(lex)
+
+    def _label(v) -> str:
+        if isinstance(v, dict):
+            return "dict"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int32" if _I64_MIN <= v <= _I64_MAX else "double"
+        if isinstance(v, (float, Decimal)):
+            return "double"
+        if isinstance(v, str):
+            return "str"
+        if v is None:
+            return "null"
+        if isinstance(v, list):
+            inner = {
+                "mixed" if isinstance(x, list) else _label(x) for x in v
+            }
+            if not inner:
+                return "array<null>"
+            if inner <= {"int32", "double"} and len(inner) > 1:
+                return "array<double>"
+            if len(inner) == 1:
+                return f"array<{inner.pop()}>"
+            return "array<mixed>"
+        return f"unknown<{type(v).__name__}>"
+
+    def _dec_str(d: Decimal) -> str:
+        if d == 0:
+            return "0"
+        return format(d.normalize(), "f")
+
+    def _double_str(v: float) -> str:
+        a = abs(v)
+        if a != 0 and (a < 1e-3 or a >= 1e7):
+            d = Decimal(repr(v))
+            sign = "-" if v < 0 else ""
+            digs = "".join(map(str, d.as_tuple().digits)).rstrip("0") or "0"
+            mant = digs[0] + "." + (digs[1:] or "0")
+            return f"{sign}{mant}E{d.adjusted()}"
+        s = repr(v)
+        return s
+
+    def _render(v) -> str:
+        # match to_json(variant): compact separators, sorted object keys
+        # (the variant binary form stores a sorted field dictionary),
+        # unescaped non-ASCII, and the probed numeric renderings above
+        if isinstance(v, dict):
+            return "{" + ",".join(
+                f"{_json.dumps(k, ensure_ascii=False)}:{_render(v[k])}"
+                for k in sorted(v)
+            ) + "}"
+        if isinstance(v, list):
+            return "[" + ",".join(_render(x) for x in v) + "]"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if v is None:
+            return "null"
+        if isinstance(v, Decimal):
+            return _dec_str(v)
+        if isinstance(v, float):
+            return _double_str(v)
+        if isinstance(v, int):
+            return str(v)
+        return _json.dumps(v, ensure_ascii=False)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                doc = getattr(rec, doc_col)
+                rid = getattr(rec, id_col) if id_col else None
+                try:
+                    parsed = (
+                        _json.loads(doc, parse_float=_parse_num)
+                        if doc is not None
+                        else None
+                    )
+                except RecursionError:
+                    raise ValueError(
+                        "JSON nesting exceeds the parser's recursion "
+                        "bound"
+                    ) from None
+                except _json.JSONDecodeError as e:
+                    raise ValueError(f"malformed JSON document: {e}") from None
+                if not isinstance(parsed, dict):
+                    continue
+                stack = [("", parsed, 0)]
+                while stack:
+                    prefix, obj, depth = stack.pop()
+                    if max_depth is not None and depth >= max_depth:
+                        continue
+                    for key, val in obj.items():
+                        path = f"{prefix}.{key}" if prefix else key
+                        base = (rid,) if id_col else ()
+                        rows.append(
+                            base + (path, _label(val), _render(val))
+                        )
+                        if isinstance(val, dict):
+                            stack.append((path, val, depth + 1))
+            cols = ids + ["path", "type_tag", "value_json"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    src = df.select(*ids, doc_col)
+    try:
+        from mongo_analyser_spark.operators.fanout import fanout_for_python
+    except ImportError:
+        # optional dependency only — a FAILING fanout must surface, not
+        # silently funnel the corpus through the scan's few partitions
+        fanout_for_python = None
+    if fanout_for_python is not None:
+        src = src.transform(fanout_for_python)
+    return src.mapInPandas(run, out_schema)

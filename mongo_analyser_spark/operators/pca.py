@@ -329,16 +329,17 @@ def widen_vectors(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    base_dim: int,
     tiles: int,
     out_col: str = "wvec",
 ) -> DataFrame:
     """Deterministic production-width derivation of a narrow embedding
     column: tile ``tiles`` copies with the per-tile integer-grid
     perturbation tile t, coord i gets +0.001*(((t*31+i)%17)-8) — the
-    EXACT recipe of tools/scale_probe.build_wide (verdict-r13 #3), so
-    registry rows exercise the same vectors the wide probe measured.
-    All-JVM: array/transform expressions, stays in codegen, no Python."""
+    recipe of tools/scale_probe.build_wide (verdict-r13 #3), so
+    registry rows exercise the same vector geometry the wide probe
+    measured (same up to the probe's final float32 STORAGE cast, which
+    this in-query form skips — do not hash-oracle one against the
+    other). All-JVM: array/transform expressions, stays in codegen."""
     parts = [
         F.transform(
             F.col(vec_col),

@@ -335,8 +335,14 @@ def lint_plan(df: DataFrame) -> list[Finding]:
     # aggregate CONSUMING the lambda's own argument (the IVF LUT-score
     # shape) is a legitimate per-element computation this regex-level
     # rule cannot distinguish — another reason the finding stays info.
+    # round-14 addition: "array_max(" / "array_min(" — the quantize_int8
+    # class: an O(d) reduction producer (the per-vector scale) inlined in
+    # the quantizing lambda re-ran per element, O(d²)/row, 2.6× at sf0.1
+    # even at d=64 (solo A/B 1.954 → 0.742 s). Same staging fix, same
+    # legitimate-consumer caveat as aggregate(.
     _PRODUCERS = (
         "split(", "array_sort(", "sort_array(", "sentences(", "aggregate(",
+        "array_max(", "array_min(",
     )
     inline_producer = False
     for section in re.split(r"\n\n", plan):

@@ -2693,6 +2693,11 @@ TAIL_QUERIES = (
     # rotation policy (the audio family keeps wav_audio_features +
     # PCM24 + FLAC + G.711 in-window this round)
     "adpcm_audio_features_documents",
+    # round-14 addition: the depth-independent Arrow fallback melt,
+    # hash-oracled against the SAME oracle as the in-window
+    # deep_melt_documents expression form — the escape hatch past the
+    # 64-level plan guard, proven equal rather than merely documented
+    "deep_melt_arrow_documents",
     # round-14 additions (verdict-r13 #2/#3): the production-width tier —
     # rows-only BY DESIGN (eigh / np.round have no SQL twins at d=768;
     # the 64-dim hash-oracled pca/ivfpq rows are the exactness

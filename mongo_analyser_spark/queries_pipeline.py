@@ -3828,7 +3828,7 @@ def _wide_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo_analyser_spark.operators.pca import widen_vectors
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return widen_vectors(emb, "vec_id", "embedding", EMB_DIM, _WIDE_TILES)
+    return widen_vectors(emb, "vec_id", "embedding", _WIDE_TILES)
 
 
 @register("pca_project_wide_embeddings")
@@ -5297,6 +5297,43 @@ def q_deep_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     melted = melt_variant(
         docs, "doc", id_col="doc_id", max_depth=None, adaptive=True
     )
+    return melted.select(
+        "doc_id",
+        "path",
+        "type_tag",
+        F.when(F.col("type_tag") != "dict", F.col("value_json")).alias(
+            "leaf_json"
+        ),
+    ).orderBy("doc_id", "path")
+
+
+@register("deep_melt_arrow_documents", _deep_melt_sql(8))
+def q_deep_melt_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The depth-independent Arrow FALLBACK melt, driver-verified
+    (round 14): same depth-8 nested construction and the SAME oracle as
+    deep_melt_documents, but melted by
+    ``melt_variant_arrow`` (operators/melt_variant.py) — one Python
+    walk per document inside mapInPandas, O(total nodes) with a plan
+    that does not grow with depth. This is the escape hatch for corpora
+    past the expression form's 64-level plan guard; registering it
+    against the same hash oracle proves the fallback is not a weaker
+    twin (exact row parity incl. the probed variant numeric/rendering
+    semantics is additionally pytest-pinned on edge-case fixtures)."""
+    from mongo_analyser_spark.operators.melt_variant import (
+        melt_variant_arrow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('{"l1":{"l2":{"l3":{"l4":{"l5":{"l6":{"l7":{"l8":{"s":"'),
+            F.coalesce(F.col("lang"), F.lit("xx")),
+            F.lit('","v":'),
+            F.coalesce(F.col("n_chars"), F.lit(0)).cast("string"),
+            F.lit("}}}}}}}}}"),
+        ).alias("doc"),
+    )
+    melted = melt_variant_arrow(docs, "doc", id_col="doc_id")
     return melted.select(
         "doc_id",
         "path",

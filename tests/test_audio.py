@@ -506,3 +506,193 @@ def test_ms_adpcm_coefs_read_from_fmt_extension():
     assert [int(v) for v in chans2[0]][: len(samples)] == \
         ms_adpcm_decode_block(blk, [(512, 0)] + [(0, 0)] * 6)[: len(samples)]
     assert chans2[0] != chans[0]
+
+
+def test_ima_adpcm_stereo_word_interleave_roundtrip():
+    """Multichannel IMA (round 14): per-channel block headers + 4-byte
+    nibble words round-robin across channels. Both channels must
+    round-trip independently (SNR >= 20 dB each, exact lengths), in
+    both the one-block and multi-block layouts."""
+    import math
+    import random
+
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ima_adpcm_multi,
+    )
+
+    rng = random.Random(9)
+    n = 500
+    left = [
+        int(6000 * math.sin(i / 10.0) + rng.randint(-150, 150))
+        for i in range(n)
+    ]
+    right = [
+        int(4000 * math.cos(i / 14.0) + rng.randint(-150, 150))
+        for i in range(n)
+    ]
+    for ba in (None, 4 * 2 + 4 * 2 * 8):
+        rate, chans = decode_wav_ex(
+            encode_wav_ima_adpcm_multi(44100, [left, right], ba)
+        )
+        assert rate == 44100 and len(chans) == 2
+        for orig, dec in ((left, chans[0]), (right, chans[1])):
+            dec = [int(v) for v in dec]
+            assert len(dec) == n
+            num = sum((a - b) ** 2 for a, b in zip(orig, dec))
+            den = sum(a * a for a in orig)
+            assert 10 * math.log10(den / num) >= 20.0
+
+
+def test_ima_adpcm_stereo_channels_not_swapped():
+    """Constant-vs-ramp channels: de-interleave must keep channel
+    identity (a swapped word order would mix them)."""
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ima_adpcm_multi,
+    )
+
+    a = [1000] * 33
+    b = list(range(0, 3300, 100))
+    _r, chans = decode_wav_ex(encode_wav_ima_adpcm_multi(8000, [a, b]))
+    assert int(chans[0][0]) == 1000 and int(chans[1][0]) == 0
+    assert max(abs(int(v) - 1000) for v in chans[0]) <= 200
+    assert int(chans[1][-1]) > 2000
+
+
+def test_ima_adpcm_stereo_malformed_raises():
+    import struct
+
+    import pytest
+
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ima_adpcm_multi,
+    )
+
+    base = encode_wav_ima_adpcm_multi(8000, [[0] * 17, [0] * 17])
+    # second channel's step index out of range
+    bad = bytearray(base)
+    doff = base.find(b"data") + 8
+    bad[doff + 4 + 2] = 91
+    with pytest.raises(ValueError, match="out of range"):
+        decode_wav_ex(bytes(bad))
+    # block align not whole words per channel
+    odd = bytearray(base)
+    foff = base.find(b"fmt ") + 8
+    struct.pack_into("<H", odd, foff + 12, 4 * 2 + 4)  # one word total
+    with pytest.raises(ValueError, match="whole 4-byte"):
+        decode_wav_ex(bytes(odd))
+
+
+def test_ms_adpcm_fact_counts_real_samples_only():
+    """Round-14 review find: a 1-sample trailing chunk is padded to the
+    2-seed block minimum; fact must count the REAL sample, so the round
+    trip is length-exact (was one long)."""
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ms_adpcm,
+    )
+
+    spb = (256 - 7) * 2 + 2  # 500
+    n = spb + 1
+    _r, chans = decode_wav_ex(
+        encode_wav_ms_adpcm(8000, list(range(n)), 256)
+    )
+    assert len(chans[0]) == n
+
+
+def test_ima_adpcm_stereo_truncated_block_raises():
+    """Round-14 review find: a trailing fragment that is not whole
+    4-byte words per channel must quarantine as ValueError, not return
+    ragged channels."""
+    import struct
+
+    import pytest
+
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ima_adpcm_multi,
+    )
+
+    base = encode_wav_ima_adpcm_multi(8000, [[0] * 17, [0] * 17])
+    doff = base.find(b"data")
+    (dsize,) = struct.unpack("<I", base[doff + 4 : doff + 8])
+    # append a 12-byte fragment (stereo headers + one lone word) and
+    # grow the data/RIFF sizes accordingly
+    frag = struct.pack("<hBB", 0, 0, 0) * 2 + b"\x11\x22\x33\x44"
+    out = bytearray(base[: doff + 8 + dsize] + frag + base[doff + 8 + dsize:])
+    struct.pack_into("<I", out, doff + 4, dsize + len(frag))
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    with pytest.raises(ValueError, match="whole 4-byte"):
+        decode_wav_ex(bytes(out))
+
+
+def test_ms_adpcm_stereo_roundtrip_and_identity():
+    """Multichannel MS ADPCM (round 14, the last ADPCM gate): by-kind
+    interleaved headers + channel-alternating nibbles round-trip both
+    channels independently (SNR >= 20 dB, exact lengths, identity
+    preserved), in one-block and multi-block layouts."""
+    import math
+    import random
+
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ms_adpcm_multi,
+    )
+
+    rng = random.Random(13)
+    n = 600
+    left = [
+        int(7000 * math.sin(i / 11.0) + rng.randint(-150, 150))
+        for i in range(n)
+    ]
+    right = [
+        int(3000 * math.cos(i / 17.0) + rng.randint(-150, 150))
+        for i in range(n)
+    ]
+    for ba in (512, 64):
+        rate, chans = decode_wav_ex(
+            encode_wav_ms_adpcm_multi(8000, [left, right], ba)
+        )
+        assert rate == 8000 and len(chans) == 2
+        for orig, dec in ((left, chans[0]), (right, chans[1])):
+            dec = [int(v) for v in dec]
+            assert len(dec) == n
+            num = sum((a - b) ** 2 for a, b in zip(orig, dec))
+            den = sum(a * a for a in orig)
+            assert 10 * math.log10(den / num) >= 20.0
+    # channel identity: constant-vs-ramp must not swap
+    a = [2000] * 40
+    b = list(range(0, 4000, 100))
+    _r, ch = decode_wav_ex(encode_wav_ms_adpcm_multi(8000, [a, b], 64))
+    assert max(abs(int(v) - 2000) for v in ch[0]) <= 300
+    assert int(ch[1][-1]) > 3000
+
+
+def test_ms_adpcm_stereo_malformed_raises():
+    import struct
+
+    import pytest
+
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ms_adpcm_multi,
+        ms_adpcm_decode_block_multi,
+    )
+
+    base = encode_wav_ms_adpcm_multi(8000, [[0] * 20, [0] * 20], 64)
+    doff = base.find(b"data") + 8
+    # channel-1 predictor index out of range
+    bad = bytearray(base)
+    bad[doff + 1] = 7
+    with pytest.raises(ValueError, match="predictor index"):
+        decode_wav_ex(bytes(bad))
+    # channel-1 initial delta zero
+    zero = bytearray(base)
+    struct.pack_into("<h", zero, doff + 2 + 2, 0)
+    with pytest.raises(ValueError, match="delta"):
+        decode_wav_ex(bytes(zero))
+    # block shorter than the stereo header
+    with pytest.raises(ValueError, match="header"):
+        ms_adpcm_decode_block_multi(b"\x00" * 10, 2)

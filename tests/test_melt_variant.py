@@ -103,3 +103,73 @@ def test_melt_variant_adaptive_stops_at_actual_depth(spark):
 
     assert len(re.findall(r"\(\d+\) Generate", formatted_plan(adapt))) == 1
     assert len(re.findall(r"\(\d+\) Generate", formatted_plan(static))) == 10
+
+
+def test_melt_variant_arrow_fallback_exact_parity(spark):
+    """Round 14: the depth-independent mapInPandas fallback (the escape
+    hatch the deep-melt row's O(depth²)-plan note pointed at, now real
+    code) must produce EXACTLY the expression form's rows — paths,
+    reference type labels (incl. array<...> inner election, empty and
+    nested arrays, object rows), and to_json-compatible value_json
+    (compact, sorted object keys)."""
+    import json
+
+    from mongo_analyser_spark.operators.melt_variant import (
+        melt_variant,
+        melt_variant_arrow,
+    )
+
+    docs = [
+        (1, json.dumps({"a": 1, "b": {"c": "x", "d": {"e": [1, 2],
+             "f": None}}, "g": 1.5, "h": True})),
+        (2, json.dumps({"a": "y", "b": {"c": 2}, "arr": [1, "x"],
+             "empty": [], "objs": [{"k": 1}], "nested_arr": [[1]]})),
+        (3, json.dumps({"deep": {"l1": {"l2": {"l3": {"l4":
+             {"l5": 7}}}}}})),
+        # numeric edge semantics probed round 14 (code-review finding):
+        # past-int64 ints widen to 'double' and render as full integer
+        # literals; mixed-numeric arrays unify to array<double>; decimal
+        # lexemes strip trailing zeros and -0.0 renders '0'; exponent
+        # lexemes are DOUBLEs in Java toString form (1.5E300, 1.0E-5,
+        # 100.0); bool does not unify with numerics
+        (4, '{"huge": 1180591620717411303424, '
+            '"neghuge": -1180591620717411303424}'),
+        (5, '{"mixnum": [1, 2.5], "mixnum2": [1.0, 2], '
+            '"bigarr": [1180591620717411303424, 1]}'),
+        (6, '{"negzero": -0.0, "poszero": 0.0, "trail": 1.50, '
+            '"exp": 1e2, "bigf": 1.5e300, "small": 1.0E-5}'),
+        (7, '{"mixbool": [1, true], "strnum": ["a", 1]}'),
+        (8, '{"uni": "h\\u00e9llo \\u00e9\\nx", "tab": "a\\tb", '
+            '"obj": {"zz": 1, "aa": {"n": 1.50}}}'),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, doc string")
+    a = sorted(
+        tuple(r)
+        for r in melt_variant(df, "doc", "doc_id", max_depth=None).collect()
+    )
+    b = sorted(
+        tuple(r) for r in melt_variant_arrow(df, "doc", "doc_id").collect()
+    )
+    assert a == b and len(a) == 40
+
+
+def test_melt_variant_arrow_depth_bound_and_malformed(spark):
+    import json
+
+    import pytest
+
+    from mongo_analyser_spark.operators.melt_variant import (
+        melt_variant_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [(1, json.dumps({"a": {"b": {"c": 1}}}))], "doc_id long, doc string"
+    )
+    got = {
+        r["path"]
+        for r in melt_variant_arrow(df, "doc", "doc_id", max_depth=2).collect()
+    }
+    assert got == {"a", "a.b"}
+    bad = spark.createDataFrame([(1, "{not json")], "doc_id long, doc string")
+    with pytest.raises(Exception, match="malformed JSON"):
+        melt_variant_arrow(bad, "doc", "doc_id").collect()

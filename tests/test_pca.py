@@ -205,7 +205,7 @@ def test_widen_vectors_matches_probe_recipe(spark):
     df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
     got = {
         r["vec_id"]: r["wvec"]
-        for r in widen_vectors(df, "vec_id", "embedding", 8, 3).collect()
+        for r in widen_vectors(df, "vec_id", "embedding", 3).collect()
     }
     for vid, vec in data:
         want = []

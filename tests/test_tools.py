@@ -62,7 +62,7 @@ def test_load_bench_queries_reads_summary_line(tmp_path):
     from the recovered per-query rows."""
     import json
 
-    from bench_compare import load_bench_queries
+    load_bench_queries = bench_compare.load_bench_queries
 
     tail = (
         'cated_away": 0.52, "real_query": 1.55, "other_q": 0.605}, "sf": 0.1}\n'

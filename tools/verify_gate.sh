@@ -83,8 +83,13 @@ wall, budget = int(sys.argv[3]), int(sys.argv[4])
 assert d["value"] > 0 and d["queries"], "bench produced no timings"
 assert not [q for q, t in d["queries"].items() if t < 0], "negative timing"
 assert wall <= budget, f"bench wall {wall}s exceeds budget {budget}s"
-slow = {q: t for q, t in d["queries"].items() if t > 5}
-assert not slow, f"rows over the 5 s single-row ceiling: {slow}"
+# single-row tripwire: catches the char_entropy class (~16 min/pass,
+# BENCH_r09 rc=124) with orders-of-magnitude margin. Raised 5 -> 8 s in
+# round 14: ivfpq_wide_topk_embeddings honestly costs 4.3-4.7 s solo
+# (d=768 IVFADC), so a 5 s bar flapped on host-noise spikes that solo
+# re-measures confirmed as jitter (BASELINE.md round-14 method note).
+slow = {q: t for q, t in d["queries"].items() if t > 8}
+assert not slow, f"rows over the 8 s single-row ceiling: {slow}"
 assert s.get("metric") == "bench_summary" and s["n"] == len(d["queries"]), (
     "bench summary line missing or inconsistent with the full line")
 print(f"bench OK: {len(d['queries'])} queries, {d['value']}s summed, "
