@@ -739,6 +739,7 @@ def ivfpq_topk_arrow(
     refine_steps: int = 1,
     round_to: int = 6,
     cb=None,
+    arrow_cells: bool = False,
 ) -> DataFrame:
     """IVFADC, the full production ANN shape (Jégou et al. 2011): IVF
     coarse cells GATE the scan (nprobe=1 — only same-cell codes are
@@ -748,6 +749,16 @@ def ivfpq_topk_arrow(
     hash-verifies (fold dots over literal planes, first-max ties), and
     the ADC LUT kernel is the SAME index-order gather pq_adc uses —
     the composition stays engine-exact.
+
+    ``arrow_cells=True`` (round 14, the production-width path): the
+    cell fold is an interpreted HOF costing |cells|×dim lambda probes
+    per row — invisible at d=64, ~45%% of the wide row's wall at d=768.
+    This moves the assignment INTO the existing Arrow encode kernel as
+    a left-fold-ordered numpy accumulation (one vectorized add per
+    dim, so the double-precision sums are BIT-IDENTICAL to the fold
+    expression, first-max ties preserved by argmax; parity pinned in
+    tests/test_pq.py). The hash-oracled 64-dim registry row keeps the
+    default expression path so its oracle claim stays textual.
 
     100-TB shape: the corpus-side scan touches (id, codes, cell) — m
     small ints + one int per vector, never a float; the cell gate cuts
@@ -763,35 +774,87 @@ def ivfpq_topk_arrow(
         cb = train_codebook(
             df, id_col, vec_col, dim, m, k_cent, refine_steps, round_to
         )
-    cell_col = ivf_cell(F.col(vec_col), centroids)
-    src = df.select(id_col, vec_col, cell_col.alias("cell"))
+    if arrow_cells:
+        Cn = np.asarray(centroids, dtype=np.float64)
 
-    def enc(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        def _cells_np(X):
+            # left-fold summation order: one vectorized add per dim, so
+            # every per-cell dot is the SAME double the HOF fold builds
+            acc = np.zeros((X.shape[0], Cn.shape[0]))
+            for j in range(Cn.shape[1]):
+                acc = acc + X[:, j : j + 1] * Cn[:, j][None, :]
+            return (acc.argmax(axis=1) + 1).astype(np.int32)
+
+        src = df.select(id_col, vec_col)
+
+        def enc(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                codes = _assign_codes_np(X, cb)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf[id_col].to_numpy(),
+                        "codes": list(codes),
+                        "cell": _cells_np(X),
+                    }
+                )
+
+        encoded = src.mapInPandas(
+            enc, "id long, codes array<int>, cell int"
+        )
+        qrows = sorted(
+            df.where(F.col(id_col).isin(query_ids))
+            .select(
+                F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
             )
-            codes = _assign_codes_np(X, cb)
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].to_numpy(),
-                    "codes": list(codes),
-                    "cell": pdf["cell"].to_numpy(),
-                }
+            .collect(),
+            key=lambda r: r["qid"],
+        )
+        qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+        qcells = _cells_np(
+            np.stack(
+                [np.asarray(r["qv"], dtype=np.float64) for r in qrows]
             )
+        )
+    else:
+        cell_col = ivf_cell(F.col(vec_col), centroids)
+        src = df.select(id_col, vec_col, cell_col.alias("cell"))
 
-    encoded = src.mapInPandas(enc, "id long, codes array<int>, cell int")
+        def enc(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                codes = _assign_codes_np(X, cb)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf[id_col].to_numpy(),
+                        "codes": list(codes),
+                        "cell": pdf["cell"].to_numpy(),
+                    }
+                )
 
-    qrows = sorted(
-        src.where(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "cell")
-        .collect(),
-        key=lambda r: r["qid"],
-    )
-    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
-    qcells = np.array([r["cell"] for r in qrows], dtype=np.int32)
+        encoded = src.mapInPandas(
+            enc, "id long, codes array<int>, cell int"
+        )
+        qrows = sorted(
+            src.where(F.col(id_col).isin(query_ids))
+            .select(
+                F.col(id_col).alias("qid"),
+                F.col(vec_col).alias("qv"),
+                "cell",
+            )
+            .collect(),
+            key=lambda r: r["qid"],
+        )
+        qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+        qcells = np.array([r["cell"] for r in qrows], dtype=np.int32)
     n_q, n_k = len(qrows), cb.shape[1]
     lut = np.zeros((n_q, m, n_k), dtype=np.float64)
     for qi, r in enumerate(qrows):

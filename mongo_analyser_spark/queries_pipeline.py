@@ -3886,6 +3886,11 @@ def q_ivfpq_wide_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _WIDE_DIM, ivf_centroids(IVF_CELLS, _WIDE_DIM), _PQ_M, _PQ_K,
         shortlist=_PQ_SHORTLIST, k=_PQ_TOPK, refine_steps=1,
         cb=_pq_wide_cb(spark, sf_dir),
+        # round 14: the interpreted cell fold is |cells|x768 lambda
+        # probes per row at this width — assign cells inside the Arrow
+        # encode kernel instead (bit-identical left-fold sums; parity
+        # pinned in tests/test_pq.py)
+        arrow_cells=True,
     )
 
 
