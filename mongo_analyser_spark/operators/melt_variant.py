@@ -209,6 +209,10 @@ def melt_variant_arrow(
             inner = {
                 "mixed" if isinstance(x, list) else _label(x) for x in v
             }
+            # VOID is the bottom type: null elements ABSORB into the
+            # element type ([true,null] -> ARRAY<BOOLEAN>); only an
+            # all-null/empty array keeps the null label (probed round 14)
+            inner.discard("null")
             if not inner:
                 return "array<null>"
             if inner <= {"int32", "double"} and len(inner) > 1:
