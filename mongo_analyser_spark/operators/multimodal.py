@@ -489,15 +489,29 @@ def frame_sample(
     scan projection, the explode multiplies rows k-fold BEFORE any
     shuffle, and nothing touches Python row-at-a-time."""
     data = F.col(media_col).getField("data")
-    h = F.md5(data)
-    n = (
-        F.lit(1) + (F.conv(F.substring(h, 5, 2), 16, 10).cast("int") % 32)
-    ).cast("int")
-    ex = df.select(
+    # staged so the payload md5 and the frame count are each computed
+    # ONCE per row: inlining `n` into sample_frame_indices' lambda put
+    # md5(data) — O(payload bytes) — inside the per-index lambda body,
+    # re-hashing the whole payload per sampled index (the
+    # hof-loop-invariant-producer class, plans/lint.py round 15). Each
+    # alias is referenced twice in the projection above it, which is
+    # what keeps CollapseProject from re-inlining it.
+    hashed = df.select(F.col(id_col), F.md5(data).alias("__h"))
+    counted = hashed.select(
         F.col(id_col),
-        h.alias("__h"),
-        n.alias("n_frames"),
-        F.explode(sample_frame_indices(n, k)).alias("frame_idx"),
+        F.col("__h"),
+        (
+            F.lit(1)
+            + (F.conv(F.substring("__h", 5, 2), 16, 10).cast("int") % 32)
+        ).cast("int").alias("n_frames"),
+    )
+    ex = counted.select(
+        F.col(id_col),
+        F.col("__h"),
+        F.col("n_frames"),
+        F.explode(sample_frame_indices(F.col("n_frames"), k)).alias(
+            "frame_idx"
+        ),
     )
     luma = F.conv(
         F.substring(

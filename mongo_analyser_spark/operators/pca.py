@@ -176,7 +176,12 @@ def pca_project(
     comp_row = spark.createDataFrame(
         [(comps,)], "comps array<array<double>>"
     )
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # raw column, NOT transform(cast): _fold_dot casts per element inside
+    # its zip_with lambda (exact float→double widening, bit-identical),
+    # while a pre-cast transform gets CollapseProject-inlined INSIDE the
+    # per-component lambda and re-builds the O(d) cast array once per
+    # component probe (the hof-loop-invariant-producer class, round 15)
+    vec = F.col(vec_col)
     return (
         df.crossJoin(F.broadcast(comp_row))
         .select(
@@ -287,7 +292,8 @@ def pca_power_project(
     comp_row = spark.createDataFrame(
         [(comps,)], "comps array<array<double>>"
     )
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # raw column — _fold_dot casts per element (see pca_project note)
+    vec = F.col(vec_col)
     return (
         df.crossJoin(F.broadcast(comp_row))
         .select(
@@ -460,7 +466,8 @@ def jl_project(
     plane_row = spark.createDataFrame(
         [(jl_planes(out_dim, in_dim),)], "planes array<array<double>>"
     )
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # raw column — _fold_dot casts per element (see pca_project note)
+    vec = F.col(vec_col)
     return (
         df.crossJoin(F.broadcast(plane_row))
         .select(

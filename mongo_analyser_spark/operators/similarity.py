@@ -408,7 +408,13 @@ def ivf_topk(
         num_cells = len(centroids)
     if not centroids or not centroids[0]:
         raise ValueError("ivf_topk requires a non-empty centroid matrix")
-    emb = emb.withColumn(vec_col, as_double_vec(vec_col))
+    # NO pre-cast projection here: every consumer below (ivf_cell_scores'
+    # zip_with, norm, the final dot) casts per ELEMENT inside its own
+    # lambda — exact float→double widening, bit-identical. A materialized
+    # as_double_vec column gets CollapseProject-inlined INSIDE the
+    # per-centroid scores lambda, re-building the O(d) cast array once
+    # per centroid probe (the hof-loop-invariant-producer class,
+    # plans/lint.py round 15) — 2× the dominant stage at √n cells.
     # How the centroids reach the executors is a scale decision:
     #  * tiny quantizers (≤ ~1k values) inline as expression literals —
     #    zero extra stages, stays inside the scan's codegen span;
@@ -432,7 +438,9 @@ def ivf_topk(
         scores = F.transform(
             F.col("__cent"),
             lambda row: F.aggregate(
-                F.zip_with(F.col(vec_col), row, lambda x, c: x * c),
+                F.zip_with(
+                    F.col(vec_col), row, lambda x, c: x.cast("double") * c
+                ),
                 F.lit(0.0),
                 lambda a, x: a + x,
             ),

@@ -55,6 +55,100 @@ def _has_partitionless_spec(window_section: str) -> bool:
     return False
 
 
+def _balanced_end(s: str, start: int) -> int:
+    """Index just past the ``)`` matching the ``(`` that ``start`` points
+    one character past (depth already 1)."""
+    depth, i = 1, start
+    while i < len(s) and depth:
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+        i += 1
+    return i
+
+
+def _split_top_level(s: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
+# Round-15 generalization (verdict-r14 #3): the O(d²)-per-row class has
+# shipped three times (kmeans norm r13, char_entropy r10, quantize r14),
+# each a different SPELLING of one shape — a non-leaf producer evaluated
+# inside an interpreted lambda body WITHOUT referencing the lambda's own
+# variables. Loop-invariant ⇒ it re-runs identically per element probe
+# (interpreted HOFs have no CSE), so an O(n) producer turns O(n·d) per
+# row. The name list covers every O(input-length) expression family that
+# renders in a formatted plan: HOFs themselves (a nested HOF that
+# ignores the outer variable re-runs whole per outer element), array
+# reductions/producers, and string/bytes producers. Leaf reads
+# (attribute slots), casts, arithmetic, element_at and size are O(1) per
+# probe and stay exempt.
+_LOOP_PRODUCERS = frozenset({
+    # higher-order functions
+    "transform", "filter", "exists", "forall", "aggregate", "reduce",
+    "zip_with", "map_zip_with", "map_filter", "transform_keys",
+    "transform_values",
+    # O(n) array producers / reductions
+    "array_sort", "sort_array", "array_max", "array_min",
+    "array_distinct", "array_position", "array_remove", "array_union",
+    "array_intersect", "array_except", "array_compact", "array_repeat",
+    "arrays_zip", "array_contains", "arrays_overlap", "array_join",
+    "slice", "flatten", "reverse", "sequence", "shuffle",
+    # O(n) string / bytes producers
+    "split", "sentences", "regexp_extract_all", "regexp_replace",
+    "regexp_count", "str_to_map", "concat_ws", "md5", "sha1", "sha2",
+    "xxhash64", "crc32", "to_json", "from_json", "base64", "unbase64",
+    "hex", "unhex",
+})
+
+
+def _loop_invariant_lambda_producers(plan: str) -> set[str]:
+    """Producer names evaluated inside some lambdafunction body without
+    referencing ANY of that lambda's own variables. Format:
+    ``lambdafunction(body, lambda x#1[, lambda y#2], false)`` — the body
+    is the first top-level argument, declared variables are the trailing
+    ``lambda name#id`` arguments; variable REFERENCES inside the body
+    render with the same ``lambda name#id`` spelling, so a producer
+    call extent containing none of the declared ids is loop-invariant.
+    A producer referencing only an INNER nested lambda's variable is
+    still invariant w.r.t. the outer lambda and is flagged (the
+    nested-HOF case); one referencing the outer variable from inside a
+    nested lambda (a closure) legitimately re-runs and is exempt."""
+    hits: set[str] = set()
+    for m in re.finditer(r"lambdafunction\(", plan):
+        end = _balanced_end(plan, m.end())
+        args = _split_top_level(plan[m.end() : end - 1])
+        if len(args) < 2:
+            continue
+        declared = {
+            dm.group(1)
+            for a in args[1:]
+            if (dm := re.match(r"\s*lambda \w+#(\d+)\s*$", a))
+        }
+        if not declared:
+            continue
+        body = args[0]
+        for pm in re.finditer(r"(\w+)\(", body):
+            if pm.group(1) not in _LOOP_PRODUCERS:
+                continue
+            call = body[pm.start() : _balanced_end(body, pm.end())]
+            refs = set(re.findall(r"lambda \w+#(\d+)", call))
+            if not refs & declared:
+                hits.add(pm.group(1))
+    return hits
+
+
 def _filters_reference_scan_columns(plan: str) -> bool:
     """True when some Filter node's condition references a column that a
     scan actually reads (base name match on `name#id` attributes vs the
@@ -360,6 +454,35 @@ def lint_plan(df: DataFrame) -> list[Finding]:
                 break
         if inline_producer:
             break
+    # Round-15 (verdict-r14 #3): the PRECISE form of the rule above —
+    # a producer inside a lambda body that references NONE of the
+    # lambda's own variables is loop-invariant, so it deterministically
+    # re-runs per element probe: O(n) producer × d probes = the
+    # O(d²)-per-row class that shipped three times (kmeans norm,
+    # char_entropy, quantize_int8). Unlike the name-list info finding
+    # (which keeps the legitimate-consumer caveat), invariance makes
+    # this a structural bug with no legitimate instance — error level.
+    # Fix: materialize the producer in its own projection referenced
+    # ≥2 times (the quantize form), or pin evaluation count
+    # structurally with array_repeat+zip_with (the normalized_vectors
+    # form — CollapseProject re-inlines once-referenced aliases).
+    invariant = _loop_invariant_lambda_producers(plan)
+    if invariant:
+        findings.append(
+            Finding(
+                "error",
+                "hof-loop-invariant-producer",
+                "loop-invariant producer(s) evaluated inside a lambda "
+                f"body: {sorted(invariant)} reference none of the "
+                "lambda's variables, so each re-runs per element probe "
+                "(interpreted HOFs have no CSE) — O(n)-producer × "
+                "d-probes per row, ruinous at production vector widths. "
+                "Stage the producer in its own projection (referenced "
+                "twice, or via array_repeat+zip_with to survive "
+                "CollapseProject), then read the column slot in the "
+                "lambda.",
+            )
+        )
     if inline_producer:
         findings.append(
             Finding(

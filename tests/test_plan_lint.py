@@ -292,3 +292,76 @@ def test_hof_inline_producer_rule(spark):
         F.transform(F.split("text", " "), lambda x: F.upper(x)).alias("xs")
     )
     assert not any(f.code == "hof-inline-producer" for f in lint_plan(good))
+
+
+def test_loop_invariant_producer_is_error(spark):
+    """Round-15 rule (verdict-r14 #3): the O(d²)-per-row class that
+    shipped three times (kmeans norm r13, char_entropy r10, quantize
+    r14) — a producer inside a lambda body referencing NONE of the
+    lambda's own variables is loop-invariant, re-runs per element probe
+    (no CSE in interpreted HOFs), and is flagged at ERROR level. The
+    fixture is the exact round-14 quantize_int8 bug shape."""
+    import pytest
+
+    from mongo_analyser_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -3.0, 2.0]), (2, [0.5, 0.25, 4.0])],
+        "id long, v array<double>",
+    )
+    # BAD: the per-vector scale (an O(d) array_max reduction) inlined in
+    # the quantizing lambda — re-evaluated per element, O(d²)/row
+    bad = df.select(
+        "id",
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(
+                x / (F.array_max(F.transform("v", F.abs)) / F.lit(127.0))
+                + F.lit(0.5)
+            ).cast("int"),
+        ).alias("q"),
+    )
+    errs = codes(lint_plan(bad), "error")
+    assert "hof-loop-invariant-producer" in errs
+    with pytest.raises(ValueError, match="hof-loop-invariant-producer"):
+        assert_scale_safe(bad)
+
+    # GOOD: the shipped fix — scale materialized in its own projection
+    # (referenced twice, so CollapseProject keeps it staged); the lambda
+    # reads a column slot, no producer call in its body
+    fixed = quantize_int8(df, "id", "v")
+    assert "hof-loop-invariant-producer" not in codes(lint_plan(fixed))
+
+    # CONSUMER exemption: a producer that READS the lambda variable is
+    # legitimate per-element work (the IVF LUT-score shape) — not
+    # loop-invariant, must stay silent
+    consumer = df.select(
+        F.transform(
+            F.col("v"),
+            lambda x: F.aggregate(
+                F.array(x, x * x), F.lit(0.0), lambda a, b: a + b
+            ),
+        ).alias("s")
+    )
+    assert "hof-loop-invariant-producer" not in codes(lint_plan(consumer))
+
+    # NESTED-HOF case: an inner HOF whose extent never references the
+    # OUTER lambda's variable re-runs whole per outer element — flagged
+    # even though it references its own inner variable
+    nested = df.select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(3)),
+            lambda i: F.size(F.filter(F.col("v"), lambda y: y > 0)) + i,
+        ).alias("c")
+    )
+    assert "hof-loop-invariant-producer" in codes(lint_plan(nested), "error")
+
+    # CLOSURE exemption: an inner HOF whose inner body reads the outer
+    # variable legitimately re-runs per outer element — silent
+    closure = df.select(
+        F.transform(
+            F.col("v"),
+            lambda x: F.size(F.filter(F.col("v"), lambda y: y > x)),
+        ).alias("c")
+    )
+    assert "hof-loop-invariant-producer" not in codes(lint_plan(closure))
