@@ -2603,7 +2603,6 @@ WINDOW_QUERIES = (
     "ewma_smooth_events",
     "ivfpq_topk_embeddings",
     "minhash_estimate_error_pairs",
-    "wav_frame_features_documents",
     "frame_pixel_stats_documents",
     # round-12 rotation (verdict-r11 #2): the round-11 graduations and
     # re-plans get their FIRST external hash-green record — the PCA
@@ -2623,11 +2622,8 @@ WINDOW_QUERIES = (
     #   embedding_near_dup_pairs — embedding_dedup_clusters stays
     #   ann_srp_topk_embeddings  — ivfpq + pq_adc_rerank keep ANN
     "pca_project_embeddings",
-    "gif_frame_pixels_documents",
-    "wav_multichannel_features_documents",
     "scd2_pit_join_events",
     "chunk_tokens_documents",
-    "remove_repeated_ngrams_documents",
     # round-13 rotation (verdict-r12 #7): the round-12 graduation
     # (FLOOR-quantized Arrow BLAS top-k — hash-oracled since r12 but
     # never externally recorded) and the FINISHED PCM24 audio row (the
@@ -2643,6 +2639,28 @@ WINDOW_QUERIES = (
     # round-13 flagship: the depth-8 unbounded-recursion melt
     # (verdict-r12 #6) goes straight in-window for its external record
     "deep_melt_documents",
+    # round-15 rotation (verdict-r14 #1): the four round-14 rows get
+    # their FIRST external driver record — multichannel IMA/MS ADPCM,
+    # the Arrow deep-melt fallback (same oracle as deep_melt_documents),
+    # and the two production-width d=768 rows. The wide tier is
+    # rows-only BY DESIGN (driver eigh / np.round have no SQL twins at
+    # d=768) — the driver records the weaker rows-only check, exactly
+    # the deliberate HLL precedent from round 7; their 64-dim
+    # hash-oracled siblings (pca_project_embeddings, ivfpq_topk) stay
+    # in-window as the exactness witnesses. OUT: four rows with 3-4
+    # recorded green appearances each, family siblings staying —
+    #   wav_frame_features_documents (4 greens r11-r14) — audio keeps
+    #       wav_audio + flac + g711 + pcm24 + adpcm(new)
+    #   wav_multichannel_features_documents (3 greens r12-r14) — same
+    #   gif_frame_pixels_documents (3 greens r12-r14) — pixels keep
+    #       frame_pixel_stats + webp_lossless + jpeg12 + avi + mp4
+    #   remove_repeated_ngrams_documents (3 greens r12-r14) — dedup
+    #       keeps remove_repeated_spans + minhash pairs + estimate
+    #       certification + bloom_decontaminate
+    "adpcm_audio_features_documents",
+    "deep_melt_arrow_documents",
+    "pca_project_wide_embeddings",
+    "ivfpq_wide_topk_embeddings",
 )
 
 # Near-duplicates of an already-in-window sibling ride the tail (still
@@ -2677,6 +2695,21 @@ WINDOW_QUERIES = (
 #   user_totals_events        — ST5 stateful family keeps
 #                               dedup_first_event_per_user_type
 TAIL_QUERIES = (
+    # round-15 addition (verdict-r14 #7): MPEG-1 Audio Layer I subband
+    # round trip, hash-oracled by the stateless requantization formula
+    # (_mp1_sql) — the last formula-derivable MPEG audio layer; PCM
+    # synthesis + Layers II/III/AAC/Opus are declared permanent gates
+    # (SURVEY.md §2.18). Tail this round, in-window next per the
+    # rotation policy.
+    "mp1_subband_features_documents",
+    # round-15 rotation (verdict-r14 #1): out of the window after 3-4
+    # recorded green driver appearances each (in-window siblings noted
+    # at the round-15 WINDOW comment); the four round-14 rows took the
+    # slots for their first external records
+    "wav_frame_features_documents",
+    "wav_multichannel_features_documents",
+    "gif_frame_pixels_documents",
+    "remove_repeated_ngrams_documents",
     # round-14 rotation: out of the window after 8-12 recorded green
     # driver appearances each (in-window siblings noted at the
     # round-14 WINDOW comment); the six round-13 codec rows took the
@@ -2687,24 +2720,6 @@ TAIL_QUERIES = (
     "decontaminate_exact_ngram_documents",
     "gopher_rules_documents",
     "embedding_dedup_clusters",
-    # round-14 addition (verdict-r13 #7, ADPCM alternative): IMA ADPCM
-    # code-stream round trip, hash-oracled via a 24-step unrolled
-    # integer recurrence — tail this round, in-window next per the
-    # rotation policy (the audio family keeps wav_audio_features +
-    # PCM24 + FLAC + G.711 in-window this round)
-    "adpcm_audio_features_documents",
-    # round-14 addition: the depth-independent Arrow fallback melt,
-    # hash-oracled against the SAME oracle as the in-window
-    # deep_melt_documents expression form — the escape hatch past the
-    # 64-level plan guard, proven equal rather than merely documented
-    "deep_melt_arrow_documents",
-    # round-14 additions (verdict-r13 #2/#3): the production-width tier —
-    # rows-only BY DESIGN (eigh / np.round have no SQL twins at d=768;
-    # the 64-dim hash-oracled pca/ivfpq rows are the exactness
-    # witnesses, pytest carries the fidelity/recall gates), so they ride
-    # the tail per the ROWS_ONLY-out-of-window policy
-    "pca_project_wide_embeddings",
-    "ivfpq_wide_topk_embeddings",
     # round-13 rotation: out of the window after 2 recorded green driver
     # appearances each (r11+r12; in-window siblings noted at WINDOW list)
     "quantile_sketch_by_type_events",

@@ -696,3 +696,244 @@ def test_ms_adpcm_stereo_malformed_raises():
     # block shorter than the stereo header
     with pytest.raises(ValueError, match="header"):
         ms_adpcm_decode_block_multi(b"\x00" * 10, 2)
+
+
+# ------------------------------------------------- MPEG-1 Layer I (round 15)
+
+
+def _mp1_fixture(seed_codes):
+    alloc = [1 + (seed_codes[sb % len(seed_codes)] % 3) for sb in range(32)]
+    sfidx = [3 * (seed_codes[(sb + 7) % len(seed_codes)] % 21)
+             for sb in range(32)]
+    codes = [
+        [seed_codes[(g * 32 + sb) % len(seed_codes)]
+         % ((1 << (alloc[sb] + 1)) - 1) for sb in range(32)]
+        for g in range(12)
+    ]
+    return alloc, sfidx, codes
+
+
+def test_mp1_scalefactor_is_the_spec_table():
+    """Table 3-B.1 IS 2·2^(−i/3): spot values from the spec's own list
+    (2.0, 1.58740105…, 1.25992105…, 1.0 at i=3, 2^-20 tail), exact
+    powers of two at every i ≡ 0 (mod 3), strictly decreasing."""
+    import math
+
+    from mongo_analyser_spark.operators.audio import mp1_scalefactor
+
+    assert mp1_scalefactor(0) == 2.0
+    assert abs(mp1_scalefactor(1) - 1.5874010519681994) < 1e-15
+    assert abs(mp1_scalefactor(2) - 1.2599210498948732) < 1e-15
+    assert mp1_scalefactor(3) == 1.0
+    assert mp1_scalefactor(60) == 2.0 / (1 << 20)
+    for i in range(0, 63, 3):
+        assert mp1_scalefactor(i) == 2.0 / (1 << (i // 3))
+    vals = [mp1_scalefactor(i) for i in range(63)]
+    assert vals == sorted(vals, reverse=True)
+    for bad in (-1, 63):
+        with pytest.raises(ValueError):
+            mp1_scalefactor(bad)
+
+
+def test_mp1_dequant_bounds_and_midpoints():
+    """The Layer I quantizer has 2^nb − 1 steps: legal codes 0..2^nb−2
+    dequantize to a SYMMETRIC level set with an exact zero at code
+    2^(nb−1)−1 and extremes ±(2^nb−2)/(2^nb−1) — strictly inside
+    (−1, 1). The all-ones code (whose formula value would exceed 1.0)
+    is forbidden, like allocation 15 and scalefactor 63."""
+    from mongo_analyser_spark.operators.audio import mp1_dequant
+
+    for nb in (2, 5, 15):
+        lo = mp1_dequant(0, nb, 3)                 # sf(3) == 1.0
+        hi = mp1_dequant((1 << nb) - 2, nb, 3)     # top legal code
+        want = ((1 << nb) - 2) / ((1 << nb) - 1)
+        assert -1.0 < lo < 0 < hi < 1.0
+        assert lo == -hi and abs(hi - want) < 1e-15
+        assert mp1_dequant((1 << (nb - 1)) - 1, nb, 3) == 0.0
+    with pytest.raises(ValueError, match="2\\^nb - 1 steps"):
+        mp1_dequant(3, 2, 0)   # the forbidden all-ones code
+    with pytest.raises(ValueError):
+        mp1_dequant(4, 2, 0)   # code exceeds width
+    with pytest.raises(ValueError):
+        mp1_dequant(0, 1, 0)   # nb below the legal 2..15
+    with pytest.raises(ValueError):
+        mp1_dequant(0, 16, 0)
+
+
+def test_mp1_roundtrip_single_and_multiframe():
+    """encode→decode returns exactly mp1_dequant of every written code,
+    and a two-frame stream concatenates granules per subband lane."""
+    from mongo_analyser_spark.operators.audio import (
+        decode_mp1,
+        encode_mp1,
+        mp1_dequant,
+    )
+
+    alloc, sfidx, codes = _mp1_fixture(list(range(5, 90, 7)))
+    one = encode_mp1(44100, alloc, sfidx, codes)
+    rate, lanes = decode_mp1(one)
+    assert rate == 44100 and len(lanes) == 32
+    for sb in range(32):
+        assert len(lanes[sb]) == 12
+        for g in range(12):
+            want = mp1_dequant(codes[g][sb], alloc[sb] + 1, sfidx[sb])
+            assert lanes[sb][g] == want
+
+    rate2, lanes2 = decode_mp1(one + one)
+    assert rate2 == 44100
+    for sb in range(32):
+        assert lanes2[sb] == lanes[sb] + lanes[sb]
+
+    # a silent subband (alloc 0) contributes exact zeros and no
+    # scalefactor field
+    alloc0 = list(alloc)
+    alloc0[5] = 0
+    b0 = encode_mp1(32000, alloc0, sfidx, codes)
+    _, l0 = decode_mp1(b0)
+    assert l0[5] == [0.0] * 12
+
+
+def test_mp1_malformed_and_gated_inputs():
+    from mongo_analyser_spark.operators.audio import decode_mp1, encode_mp1
+
+    alloc, sfidx, codes = _mp1_fixture([9, 40, 77])
+    good = bytearray(encode_mp1(48000, alloc, sfidx, codes))
+
+    with pytest.raises(ValueError, match="sync"):
+        decode_mp1(b"\x00" * 16)
+    with pytest.raises(ValueError, match="too short"):
+        decode_mp1(b"\xff")
+    with pytest.raises(ValueError, match="past the payload"):
+        decode_mp1(bytes(good[:-10]))
+
+    # layer II / III and stereo modes raise BY NAME (permanent gates)
+    lay2 = bytearray(good)
+    lay2[1] = (lay2[1] & ~0b110) | 0b100  # layer code 2 = Layer II
+    with pytest.raises(NotImplementedError, match="layer II"):
+        decode_mp1(bytes(lay2))
+    lay3 = bytearray(good)
+    lay3[1] = (lay3[1] & ~0b110) | 0b010
+    with pytest.raises(NotImplementedError, match="layer III"):
+        decode_mp1(bytes(lay3))
+    stereo = bytearray(good)
+    stereo[3] &= ~0xC0  # mode 0 = stereo
+    with pytest.raises(NotImplementedError, match="stereo"):
+        decode_mp1(bytes(stereo))
+
+    # encoder guards
+    with pytest.raises(ValueError, match="0..14"):
+        encode_mp1(32000, [15] + [1] * 31, sfidx, codes)
+    with pytest.raises(ValueError, match="rates"):
+        encode_mp1(8000, alloc, sfidx, codes)
+    big = [[(1 << 15) - 1] * 32 for _ in range(12)]
+    with pytest.raises(ValueError, match="exceeds"):
+        encode_mp1(32000, [14] * 32, [0] * 32, big)
+
+
+def test_mp1_crc_frame_is_skipped():
+    """protection_bit 0 ⇒ a 16-bit CRC sits between header and audio
+    data; the decoder must skip it and read the same lanes (assembled
+    by hand — the encoder always writes protection-off frames)."""
+    from mongo_analyser_spark.operators.audio import decode_mp1, encode_mp1
+
+    alloc, sfidx, codes = _mp1_fixture([3, 11, 29, 64])
+    b = encode_mp1(48000, alloc, sfidx, codes)
+    _, want = decode_mp1(b)
+    hdr = bytearray(b[:4])
+    hdr[1] &= ~1  # protection_bit 0 = CRC present
+    crc_frame = bytes(hdr) + b"\xde\xad" + b[4:-2]  # same frame_len
+    assert len(crc_frame) == len(b)
+    rate, got = decode_mp1(crc_frame)
+    assert rate == 48000 and got == want
+
+
+def test_ima_adpcm_wsamples_per_block_trims_without_fact():
+    """ADVICE r14: a foreign multichannel file may pad EVERY block's
+    nibble area and omit 'fact' — wSamplesPerBlock from the fmt
+    extension must cap per-block decoded samples (it also keeps n_ch>=3
+    odd-nibble padding from returning ragged channels)."""
+    import struct
+
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ima_adpcm_multi,
+    )
+
+    chans = [[100 * c + i * 7 for i in range(9)] for c in range(2)]
+    base = encode_wav_ima_adpcm_multi(8000, chans)
+    rate, want = decode_wav_ex(base)
+
+    # strip the fact chunk: header spb must do the trimming alone
+    def drop_fact(b: bytes) -> bytes:
+        pos, out = 12, bytearray(b[:12])
+        while pos + 8 <= len(b):
+            cid = b[pos:pos + 4]
+            (size,) = struct.unpack("<I", b[pos + 4:pos + 8])
+            chunk = b[pos:pos + 8 + size + (size & 1)]
+            if cid != b"fact":
+                out += chunk
+            pos += 8 + size + (size & 1)
+        out[4:8] = struct.pack("<I", len(out) - 8)
+        return bytes(out)
+
+    nofact = drop_fact(base)
+    rate2, got = decode_wav_ex(nofact)
+    assert rate2 == rate
+    # the full-block capacity equals the written spb here, so only the
+    # final padded block differs from the fact-trimmed truth — every
+    # channel must still be equal-length and a prefix-match of the
+    # capacity decode
+    assert len({len(ch) for ch in got}) == 1
+    for c in range(2):
+        assert got[c][: len(want[c])] == want[c]
+
+    # a header spb SMALLER than capacity trims every block
+    small = bytearray(nofact)
+    fmt_off = small.find(b"fmt ") + 8
+    (spb_now,) = struct.unpack_from("<H", small, fmt_off + 18)
+    struct.pack_into("<H", small, fmt_off + 18, spb_now - 2)
+    _, trimmed = decode_wav_ex(bytes(small))
+    n_blocks = 1  # single-block payloads here
+    assert all(len(ch) == (spb_now - 2) * n_blocks for ch in trimmed)
+    for c in range(2):
+        assert trimmed[c] == got[c][: spb_now - 2]
+
+    # spb beyond the block's nibble capacity is malformed
+    over = bytearray(nofact)
+    struct.pack_into("<H", over, fmt_off + 18, spb_now + 1)
+    with pytest.raises(ValueError, match="wSamplesPerBlock"):
+        decode_wav_ex(bytes(over))
+
+
+def test_ms_adpcm_wsamples_per_block_trims_without_fact():
+    import struct
+
+    from mongo_analyser_spark.operators.audio import (
+        decode_wav_ex,
+        encode_wav_ms_adpcm_multi,
+    )
+
+    chans = [[37 * c + i * 11 for i in range(10)] for c in range(2)]
+    base = encode_wav_ms_adpcm_multi(8000, chans)
+    rate, want = decode_wav_ex(base)
+    fmt_off = base.find(b"fmt ") + 8
+    (spb_now,) = struct.unpack_from("<H", base, fmt_off + 18)
+
+    # cap BELOW the fact count (fact=10 here, the block itself is padded
+    # to spb 500): the cap wins and fact becomes unsatisfiable, which
+    # the decoder reports rather than returning short data silently
+    smaller = bytearray(base)
+    struct.pack_into("<H", smaller, fmt_off + 18, 6)
+    with pytest.raises(ValueError, match="fact chunk declares more"):
+        decode_wav_ex(bytes(smaller))
+
+    # cap between fact and capacity: trims padding, fact still the truth
+    mid = bytearray(base)
+    struct.pack_into("<H", mid, fmt_off + 18, 12)
+    _, got = decode_wav_ex(bytes(mid))
+    assert got == want
+
+    over = bytearray(base)
+    struct.pack_into("<H", over, fmt_off + 18, spb_now + 1)
+    with pytest.raises(ValueError, match="wSamplesPerBlock"):
+        decode_wav_ex(bytes(over))

@@ -69,7 +69,6 @@ MUST_BE_CHECKED = [
     "ewma_smooth_events",
     "ivfpq_topk_embeddings",
     "minhash_estimate_error_pairs",
-    "wav_frame_features_documents",
     "frame_pixel_stats_documents",
     # round-12 rotation (verdict-r11 #2): the round-11 graduations and
     # L-axis re-plans get their first external hash-green record; the
@@ -77,11 +76,8 @@ MUST_BE_CHECKED = [
     # and keep in-window family siblings (queries.py WINDOW note).
     # ann_srp_topk_embeddings rotated out above: ivfpq + pq_adc stay.
     "pca_project_embeddings",
-    "gif_frame_pixels_documents",
-    "wav_multichannel_features_documents",
     "scd2_pit_join_events",
     "chunk_tokens_documents",
-    "remove_repeated_ngrams_documents",
     # round-13 rotation (verdict-r12 #7): the r12 Arrow-top-k graduation
     # gets its external record, and the finished PCM24 row replaces the
     # r12 stub. quantile_sketch_by_type / theta_difference rotated out
@@ -101,6 +97,15 @@ MUST_BE_CHECKED = [
     "jpeg12_pixel_stats_documents",
     "avi_mjpeg_frames_documents",
     "mp4_jpeg_frames_documents",
+    # round-15 rotation (verdict-r14 #1): the four round-14 rows get
+    # their first external driver record; wav_frame_features /
+    # wav_multichannel / gif_frame_pixels / remove_repeated_ngrams
+    # rotated to the tail above with 3-4 recorded green appearances
+    # each and in-window family siblings (queries.py round-15 note)
+    "adpcm_audio_features_documents",
+    "deep_melt_arrow_documents",
+    "pca_project_wide_embeddings",
+    "ivfpq_wide_topk_embeddings",
 ]
 
 
@@ -144,10 +149,17 @@ def test_every_query_has_an_oracle_or_is_declared_rows_only():
     # rows-only sketches stay OUT of the driver's oracle window (each has
     # an exact in-window twin). field_stats_events_hll made its one
     # deliberate in-window appearance in round 7 (CORRECTNESS_r07 records
-    # the weaker rows-only check); round 8 restores a 50/50 hash-green
-    # window (verdict-r7 #2)
+    # the weaker rows-only check); round 8 restored a 50/50 hash-green
+    # window (verdict-r7 #2). Round 15 repeats that precedent for the
+    # production-width tier (verdict-r14 #1): pca_project_wide /
+    # ivfpq_wide make their one deliberate in-window appearance so the
+    # external record shows the declared rows-only check; they rotate
+    # back to the tail next round.
     first = set(list(QUERIES)[:CHECK_WINDOW])
-    assert ROWS_ONLY & first == set()
+    assert ROWS_ONLY & first == {
+        "pca_project_wide_embeddings",
+        "ivfpq_wide_topk_embeddings",
+    }
     assert {"field_stats_events", "value_percentiles_events"} <= set(QUERIES)
 
 
