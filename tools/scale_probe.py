@@ -839,11 +839,94 @@ def main_zipfvocab(sizes: list[int] | None = None) -> None:
     }))
 
 
+def main_codec_throughput(reps_scale: float = 1.0) -> None:
+    """Per-codec decode throughput constants (round 15, verdict-r14 #5):
+    the 100-TB story for the media rows is 'embarrassingly parallel
+    Arrow stages' — true but unpriced. This measures the per-core
+    decode constant directly (the Spark stage adds only scan + Arrow
+    batch overhead around this loop): docs/sec/core and MB/sec/core per
+    codec family at a fixed representative payload, plus the
+    core-hours-per-TB a capacity planner actually needs. Pure Python
+    timing — no Spark session; payloads are deterministic (seeded)."""
+    import random
+    import time as _time
+
+    from mongo_analyser_spark.operators import audio, flac, frames, jpeg
+    from mongo_analyser_spark.operators import pixels as px
+    from mongo_analyser_spark.operators import vp8l
+
+    rng = random.Random(99)
+    w = h = 64
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    rgb32 = bytes(rng.randrange(256) for _ in range(32 * 32 * 3))
+    pcm = [rng.randrange(-2000, 2000) for _ in range(16000)]
+    jpeg_frame = jpeg.encode_jpeg(32, 32, 3, rgb32, quant=16)
+
+    cases = [
+        # (family, payload, decode, reps)
+        ("png_rgb_64x64", px.encode_png(w, h, 3, rgb), px.decode_png, 30),
+        ("jpeg_baseline_64x64",
+         jpeg.encode_jpeg(w, h, 3, rgb, quant=16), jpeg.decode_jpeg, 20),
+        ("jpeg12_gray_64x64",
+         jpeg.encode_jpeg12(w, h, 1, [rng.randrange(4096)
+                                      for _ in range(w * h)]),
+         jpeg.decode_jpeg_ex, 20),
+        ("gif_4f_64x64",
+         frames.encode_gif(w, h, [[rng.randrange(256)
+                                   for _ in range(w * h)]
+                                  for _ in range(4)]),
+         frames.decode_gif, 10),
+        ("webp_lossless_32x32",
+         vp8l.encode_webp_lossless(32, 32, 3, rgb32),
+         vp8l.decode_webp_lossless, 10),
+        ("flac_stereo_16k",
+         flac.encode_flac(16000, [pcm, pcm]), flac.decode_flac, 10),
+        ("wav_pcm16_16k",
+         audio.encode_wav(16000, pcm), audio.decode_wav_ex, 30),
+        ("g711_mulaw_16k",
+         audio.encode_wav_g711(16000, [pcm]), audio.decode_wav_ex, 10),
+        ("ima_adpcm_16k",
+         audio.encode_wav_ima_adpcm(16000, pcm), audio.decode_wav_ex, 10),
+        ("avi_mjpeg_4f_32x32",
+         frames.encode_avi_mjpeg(32, 32, [jpeg_frame] * 4),
+         frames.decode_avi, 10),
+        ("mp4_jpeg_4f_32x32",
+         frames.encode_mp4_mjpeg(32, 32, [jpeg_frame] * 4),
+         frames.decode_mp4, 10),
+    ]
+    print("| family | payload KB | docs/s/core | MB/s/core | "
+          "core-h per TB |")
+    print("|---|---|---|---|---|")
+    out = {}
+    for name, payload, dec, reps in cases:
+        reps = max(3, int(reps * reps_scale))
+        dec(payload)  # warm (bytecode/caches)
+        t0 = _time.perf_counter()
+        for _ in range(reps):
+            dec(payload)
+        dt = _time.perf_counter() - t0
+        dps = reps / dt
+        mbps = len(payload) * reps / dt / 1e6
+        core_h_tb = 1e6 / mbps / 3600  # 1 TB = 1e6 MB
+        out[name] = {
+            "payload_bytes": len(payload),
+            "docs_per_s_core": round(dps, 2),
+            "mb_per_s_core": round(mbps, 3),
+            "core_hours_per_tb": round(core_h_tb, 1),
+        }
+        print(f"| {name} | {len(payload)/1024:.1f} | {dps:.1f} | "
+              f"{mbps:.3f} | {core_h_tb:.1f} |")
+    print(json.dumps({"metric": "codec_throughput", "families": out}))
+
+
 def main() -> None:
     from mongo_analyser_spark import get_spark
     from mongo_analyser_spark.queries import QUERIES
 
     argv = sys.argv[1:]
+    if argv and argv[0] == "--codec-throughput":
+        main_codec_throughput(float(argv[1]) if argv[1:] else 1.0)
+        return
     if argv and argv[0] == "--zipf-vocab":
         main_zipfvocab([int(a) for a in argv[1:]] or None)
         return
