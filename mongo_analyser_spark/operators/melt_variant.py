@@ -123,15 +123,9 @@ def melt_variant(
         adaptive = True
         dispatch = engine == "auto"
         max_depth = 64
-    levels: list[DataFrame] = []
-    for level in range(max_depth):
-        if adaptive and level > 0 and frontier.limit(1).isEmpty():
-            break
-        if dispatch and level >= _ARROW_DISPATCH_DEPTH:
-            # objects remain past the boundary (the isEmpty probe above
-            # just said so): hand the whole melt to the Arrow walk
-            return melt_variant_arrow(df, doc_col, id_col=id_col)
-        exploded = frontier.lateralJoin(
+
+    def step(fr: DataFrame) -> DataFrame:
+        return fr.lateralJoin(
             spark.tvf.variant_explode(F.col("__val").outer())
         ).select(
             *ids,
@@ -141,6 +135,31 @@ def melt_variant(
             F.col("value").alias("__val"),
             F.schema_of_variant(F.col("value")).alias("__vtype"),
         )
+
+    def objects(exploded: DataFrame) -> DataFrame:
+        return exploded.filter(F.col("__vtype").rlike("^OBJECT")).select(
+            *ids, "__path", "__val"
+        )
+
+    if dispatch:
+        # ONE boundary probe instead of per-level probes on the deep
+        # path: lazily stack the frontier past _ARROW_DISPATCH_DEPTH
+        # levels and LIMIT-1 it. On a deep corpus the probe
+        # early-terminates at the first deep document (one fast job vs
+        # the old four), and a non-empty result hands the whole melt to
+        # the Arrow walk; an empty result proves depth <= boundary and
+        # the adaptive loop below runs exactly as before.
+        probe = frontier
+        for _ in range(_ARROW_DISPATCH_DEPTH):
+            probe = objects(step(probe))
+        if not probe.limit(1).isEmpty():
+            return melt_variant_arrow(df, doc_col, id_col=id_col)
+        max_depth = _ARROW_DISPATCH_DEPTH
+    levels: list[DataFrame] = []
+    for level in range(max_depth):
+        if adaptive and level > 0 and frontier.limit(1).isEmpty():
+            break
+        exploded = step(frontier)
         levels.append(
             exploded.select(
                 *ids,
@@ -149,9 +168,7 @@ def melt_variant(
                 F.to_json("__val").alias("value_json"),
             )
         )
-        frontier = exploded.filter(F.col("__vtype").rlike("^OBJECT")).select(
-            *ids, "__path", "__val"
-        )
+        frontier = objects(exploded)
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
