@@ -15,15 +15,19 @@ once at EOI) — 8-bit precision, grayscale or YCbCr with arbitrary h×v
 sampling factors (4:4:4 / 4:2:2 / 4:2:0 via pixel-replication
 upsample), byte-stuffing, DRI/RSTn restart intervals. `decode_jpeg_ex`
 (since round 13, the decode_wav/decode_wav_ex split) additionally
-decodes 12-BIT extended-sequential streams (SOF1, level shift 2048,
-16-bit DQT, 4:4:4/grayscale) returning integer samples with
-maxval 4095. Arithmetic coding, 12-bit progressive, and 12-bit
+decodes 12-BIT streams (level shift 2048, 16-bit DQT,
+4:4:4/grayscale) returning integer samples with maxval 4095 — both
+extended-sequential (SOF1) and, since round 15, PROGRESSIVE (SOF2:
+the 8-bit coefficient-store accumulation is precision-agnostic, only
+the render shift/clamp differ). Arithmetic coding and 12-bit
 subsampling raise NotImplementedError — the genuinely
 codec-library-bound residue.
 
 Encoders: `encode_jpeg` (baseline, 4:4:4 or 4:2:0 with 2×2-average
 chroma downsample), `encode_jpeg12` (12-bit SOF1 4:4:4 with its own
-wider fixed-length tables) and `encode_jpeg_progressive` (SOF2 4:4:4, spectral
+wider fixed-length tables), `encode_jpeg12_progressive` (the same
+scan structure at precision 12, coefficient-identical to
+encode_jpeg12) and `encode_jpeg_progressive` (SOF2 4:4:4, spectral
 selection with optional one-level successive approximation) — the
 progressive fixtures exercise every progressive decode path, and their
 quantized coefficients are identical to the baseline encoder's, so the
@@ -855,6 +859,9 @@ def decode_jpeg_ex(b: bytes) -> tuple[int, int, int, int, list[int]]:
     huff_ac: dict[int, dict] = {}
     sof = None
     restart_interval = 0
+    progressive = False
+    store = None
+    saw_scan = False
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -918,10 +925,24 @@ def decode_jpeg_ex(b: bytes) -> tuple[int, int, int, int, list[int]]:
             if precision == 8:
                 w, h, ch, px = decode_jpeg(b)
                 return w, h, ch, 255, list(px)
-            raise NotImplementedError(
-                "progressive JPEG above 8-bit precision is outside the "
-                "stdlib decoder"
-            )
+            if precision != 12:
+                raise NotImplementedError(
+                    f"JPEG precision {precision} (need 8 or 12)"
+                )
+            # 12-bit PROGRESSIVE (round 15): the same coefficient-store
+            # accumulation as the 8-bit path — the scan grammar is
+            # precision-agnostic (magnitude sizes come from the DHT
+            # tables) — rendered with the 2048/4095 shift at EOI
+            h, w = struct.unpack(">HH", data[1:5])
+            _check_jpeg_dims(w, h)
+            ncomp = data[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            sof = (w, h, comps)
+            progressive = True
+            store = _init_coef_store(sof)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -933,6 +954,20 @@ def decode_jpeg_ex(b: bytes) -> tuple[int, int, int, int, list[int]]:
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = data[0]
+            if progressive:
+                by_id = {c["id"]: c for c in sof[2]}
+                scan_list = []
+                for c in range(ns):
+                    cs, td_ta = data[1 + 2 * c:3 + 2 * c]
+                    scan_list.append((by_id[cs], td_ta >> 4, td_ta & 15))
+                ss, se, ahal = data[1 + 2 * ns:4 + 2 * ns]
+                segs, pos = _split_entropy(b, pos)
+                _progressive_scan(
+                    sof, scan_list, ss, se, ahal >> 4, ahal & 15,
+                    huff_dc, huff_ac, segs, restart_interval, store,
+                )
+                saw_scan = True
+                continue
             if ns != len(sof[2]):
                 raise NotImplementedError(
                     "multi-scan (non-interleaved) 12-bit JPEG"
@@ -946,6 +981,11 @@ def decode_jpeg_ex(b: bytes) -> tuple[int, int, int, int, list[int]]:
                 sof, scan_tables, qt, huff_dc, huff_ac, segs,
                 restart_interval,
             )
+    if progressive and store is not None and saw_scan:
+        for c in sof[2]:
+            if c["tq"] not in qt:
+                raise ValueError("JPEG progressive stream missing DQT")
+        return _render_coef_store12(sof, qt, store)
     raise ValueError("JPEG has no scan data")
 
 
@@ -997,6 +1037,12 @@ def _decode_scan12(sof, scan_tables, qt, huff_dc, huff_ac, segs, ri):
             for yy in range(8):
                 row = (oy + yy) * pw + ox
                 plane[row:row + 8] = px[yy * 8:yy * 8 + 8]
+    return _compose12(w, h, comps, planes, pw)
+
+
+def _compose12(w, h, comps, planes, pw):
+    """Crop + YCbCr->RGB at 12-bit precision (4:4:4/grayscale only —
+    every plane shares the padded width ``pw``)."""
     if len(comps) == 1:
         plane = planes[comps[0]["id"]]
         out: list[int] = []
@@ -1018,6 +1064,38 @@ def _decode_scan12(sof, scan_tables, qt, huff_dc, huff_ac, segs, ri):
             ):
                 out.append(0 if val < 0 else (4095 if val > 4095 else val))
     return w, h, 3, 4095, out
+
+
+def _render_coef_store12(sof, qt, store):
+    """12-bit twin of ``_render_coef_store`` (round 15): dequantize +
+    IDCT with the T.81 2^(P-1) level shift (2048, clamp 4095) into
+    integer planes, then the shared 12-bit crop/color path. 4:4:4 or
+    grayscale only — subsampled 12-bit stays the named gate."""
+    w, h, comps = sof
+    for c in comps:
+        if (c["h"], c["v"]) != (1, 1):
+            raise NotImplementedError(
+                "subsampled 12-bit JPEG (4:4:4 / grayscale decode only)"
+            )
+    planes = {}
+    pw = None
+    for c in comps:
+        pw, ph = c["bw_pad"] * 8, c["bh_pad"] * 8
+        plane = [0] * (pw * ph)
+        q = qt[c["tq"]]
+        for bi, zz in enumerate(store[c["id"]]):
+            nat = [0.0] * 64
+            for k in range(64):
+                if zz[k]:
+                    nat[ZIGZAG[k]] = zz[k] * q[k]
+            px = _idct8x8(nat, shift=2048, maxv=4095)
+            by, bx = divmod(bi, c["bw_pad"])
+            ox, oy = bx * 8, by * 8
+            for yy in range(8):
+                row = (oy + yy) * pw + ox
+                plane[row:row + 8] = px[yy * 8:yy * 8 + 8]
+        planes[c["id"]] = plane
+    return _compose12(w, h, comps, planes, pw)
 
 
 def encode_jpeg12(
@@ -1107,10 +1185,12 @@ def encode_jpeg12(
 
 
 def _enc_ac_first(bw: _BitWriter, zz: list[int], ss: int, se: int,
-                  al: int) -> None:
+                  al: int, ac_enc=None) -> None:
     """Progressive AC 'first' scan for one block: run/size over the
     point-transformed (toward-zero |v| >> Al) band, EOB0 at block end
-    (this encoder never emits EOBn > 0 — less compact, always valid)."""
+    (this encoder never emits EOBn > 0 — less compact, always valid).
+    ``ac_enc`` swaps in the wider 12-bit table (round 15)."""
+    enc = _AC_ENC if ac_enc is None else ac_enc
     run = 0
     for k in range(ss, se + 1):
         v = zz[k]
@@ -1121,24 +1201,26 @@ def _enc_ac_first(bw: _BitWriter, zz: list[int], ss: int, se: int,
         if v < 0:
             va = -va
         while run > 15:
-            bw.write(*_AC_ENC[0xF0])
+            bw.write(*enc[0xF0])
             run -= 16
         s = _category(va)
-        bw.write(*_AC_ENC[(run << 4) | s])
+        bw.write(*enc[(run << 4) | s])
         bw.write(va if va > 0 else va + (1 << s) - 1, s)
         run = 0
     if run:
-        bw.write(*_AC_ENC[0x00])
+        bw.write(*enc[0x00])
 
 
 def _enc_ac_refine(bw: _BitWriter, zz: list[int], ss: int, se: int,
-                   al: int) -> None:
+                   al: int, ac_enc=None) -> None:
     """Progressive AC refinement scan for one block (Ah = Al + 1):
     newly-significant coefficients (|v| >> Al == 1) coded as (run, 1) +
     sign, correction bits for already-nonzero coefficients emitted in
     the exact walk order the decoder consumes them (after the symbol's
-    own sign bit / after ZRL / after EOB)."""
+    own sign bit / after ZRL / after EOB). ``ac_enc`` swaps in the
+    wider 12-bit table (round 15)."""
     ah = al + 1
+    enc = _AC_ENC if ac_enc is None else ac_enc
 
     def hist(v: int) -> int:
         return abs(v) >> ah
@@ -1159,13 +1241,13 @@ def _enc_ac_refine(bw: _BitWriter, zz: list[int], ss: int, se: int,
             j += 1
         if found is None:
             # EOB + correction bits for the remaining nonzero-history
-            bw.write(*_AC_ENC[0x00])
+            bw.write(*enc[0x00])
             for p in range(k, se + 1):
                 if hist(zz[p]) != 0:
                     bw.write((abs(zz[p]) >> al) & 1, 1)
             return
         while run > 15:
-            bw.write(*_AC_ENC[0xF0])
+            bw.write(*enc[0xF0])
             consumed = 0
             while consumed < 16:
                 v = zz[k]
@@ -1175,7 +1257,7 @@ def _enc_ac_refine(bw: _BitWriter, zz: list[int], ss: int, se: int,
                     bw.write((abs(v) >> al) & 1, 1)
                 k += 1
             run -= 16
-        bw.write(*_AC_ENC[(run << 4) | 1])
+        bw.write(*enc[(run << 4) | 1])
         bw.write(1 if zz[found] > 0 else 0, 1)
         for p in range(k, found):
             if hist(zz[p]) != 0:
@@ -1276,6 +1358,116 @@ def encode_jpeg_progressive(
     out += seg(0xC2, sof)
     out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + _DC_VALS)
     out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + _AC_VALS)
+    for comp_ids, ss, se, ah, a_l, entropy in scans:
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | a_l])
+        out += seg(0xDA, sos)
+        out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg12_progressive(
+    w: int,
+    h: int,
+    channels: int,
+    samples: list[int],
+    quant: int = 16,
+    successive: bool = True,
+) -> bytes:
+    """PROGRESSIVE 12-bit JPEG writer (SOF2 precision 12, 4:4:4 —
+    round 15): ``encode_jpeg_progressive``'s scan structure (spectral
+    selection + optional one-level successive approximation) over
+    ``encode_jpeg12``'s sample domain — level shift 2048, 16-bit Pq=1
+    DQT, the wider 12-bit fixed-length tables. Quantized coefficients
+    are IDENTICAL to ``encode_jpeg12``'s at the same ``quant``, so the
+    progressive container must decode (via decode_jpeg_ex) to the same
+    samples as the extended-sequential one — the cross-codec contract
+    the 8-bit pair pins, now at 12 bits."""
+    if channels not in (1, 3):
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(samples) != w * h * channels:
+        raise ValueError("sample buffer does not match dimensions")
+    if any(not 0 <= v <= 4095 for v in samples):
+        raise ValueError("12-bit samples must be in 0..4095")
+    q = [max(1, min(65535, quant))] * 64
+    dc_bits, dc_vals, dc_enc = _fixed_table(_DC12_SYMS, 5)
+    ac_bits, ac_vals, ac_enc = _fixed_table(_AC12_SYMS, 10)
+    if channels == 1:
+        planes = [list(samples)]
+    else:
+        ys, cbs, crs = [], [], []
+        for i in range(0, len(samples), 3):
+            r, g, bl = samples[i], samples[i + 1], samples[i + 2]
+            yv = 0.299 * r + 0.587 * g + 0.114 * bl
+            ys.append(min(4095, max(0, int(round(yv)))))
+            cbs.append(min(4095, max(0, int(round(
+                2048 - 0.168736 * r - 0.331264 * g + 0.5 * bl)))))
+            crs.append(min(4095, max(0, int(round(
+                2048 + 0.5 * r - 0.418688 * g - 0.081312 * bl)))))
+        planes = [ys, cbs, crs]
+    ncomp = len(planes)
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    zz_blocks = []
+    for plane in planes:
+        blocks = []
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            blk = _block_at(plane, w, h, mx * 8, my * 8)
+            coefd = _fdct8x8(blk, shift=2048.0)
+            blocks.append(
+                [int(round(coefd[ZIGZAG[k]] / q[k])) for k in range(64)]
+            )
+        zz_blocks.append(blocks)
+
+    al = 1 if successive else 0
+    scans: list[tuple[list[int], int, int, int, int, bytes]] = []
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for m in range(mcux * mcuy):
+        for ci in range(ncomp):
+            v = zz_blocks[ci][m][0] >> al
+            diff = v - preds[ci]
+            preds[ci] = v
+            t = _category(diff)
+            bw.write(*dc_enc[t])
+            if t:
+                bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    scans.append((list(range(ncomp)), 0, 0, 0, al, bw.flush()))
+    if successive:
+        bw = _BitWriter()
+        for m in range(mcux * mcuy):
+            for ci in range(ncomp):
+                bw.write(zz_blocks[ci][m][0] & 1, 1)
+        scans.append((list(range(ncomp)), 0, 0, 1, 0, bw.flush()))
+    for ci in range(ncomp):
+        bw = _BitWriter()
+        for zz in zz_blocks[ci]:
+            _enc_ac_first(bw, zz, 1, 63, al, ac_enc=ac_enc)
+        scans.append(([ci], 1, 63, 0, al, bw.flush()))
+    if successive:
+        for ci in range(ncomp):
+            bw = _BitWriter()
+            for zz in zz_blocks[ci]:
+                _enc_ac_refine(bw, zz, 1, 63, 0, ac_enc=ac_enc)
+            scans.append(([ci], 1, 63, 1, 0, bw.flush()))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xDB,
+        bytes([0x10]) + b"".join(struct.pack(">H", v) for v in q),
+    )
+    sof = struct.pack(">BHHB", 12, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)
     for comp_ids, ss, se, ah, a_l, entropy in scans:
         sos = bytes([len(comp_ids)])
         for ci in comp_ids:

@@ -2702,6 +2702,11 @@ TAIL_QUERIES = (
     # (SURVEY.md §2.18). Tail this round, in-window next per the
     # rotation policy.
     "mp1_subband_features_documents",
+    # round-15 addition: 12-bit PROGRESSIVE JPEG — the same even
+    # constant-block oracle as the in-window jpeg12 row over the SOF2
+    # container (encode_jpeg12_progressive), closing the last
+    # non-arithmetic JPEG gate; tail this round per the rotation policy
+    "jpeg12p_pixel_stats_documents",
     # round-15 rotation (verdict-r14 #1): out of the window after 3-4
     # recorded green driver appearances each (in-window siblings noted
     # at the round-15 WINDOW comment); the four round-14 rows took the

@@ -5713,6 +5713,86 @@ def q_jpeg12_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg12p_pixel_stats_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id, codes, COALESCE(len(codes),0) AS L FROM a),
+v AS (SELECT doc_id, list_transform(generate_series(0,3), bb ->
+        CASE WHEN L=0 THEN 2048 ELSE 32*codes[(bb % L) + 1] END) AS vals
+      FROM b)
+SELECT doc_id,
+  FLOOR(CAST(list_sum(vals) AS DOUBLE)/4*10000.0 + 0.5)/10000.0 AS mean_val,
+  CAST(list_max(vals) AS INTEGER) AS max_val
+FROM v ORDER BY doc_id
+""",
+)
+def q_jpeg12p_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-BIT PROGRESSIVE JPEG round trip, hash-oracled (round 15 — the
+    last non-arithmetic JPEG gate closes): the SAME even constant-block
+    law and the SAME oracle as jpeg12_pixel_stats_documents, but the
+    container is SOF2 progressive at precision 12
+    (encode_jpeg12_progressive with one level of successive
+    approximation — DC/AC first scans at Al=1 plus DC-bit and
+    AC-correction-bit refinement scans, all at 12-bit magnitudes the
+    8-bit tables cannot code) decoded through decode_jpeg_ex's
+    precision-agnostic coefficient-store accumulation and 2048/4095
+    render. Registering both containers against one oracle proves the
+    progressive path is not a weaker twin (the deep_melt_arrow
+    precedent). The JPEG gate is now exactly arithmetic coding +
+    12-bit subsampling."""
+    import pandas as pd  # noqa: F401
+
+    from mongo_analyser_spark.operators.jpeg import (
+        decode_jpeg_ex,
+        encode_jpeg12_progressive,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import math
+
+        import pandas as pd
+
+        blocks = [(0, 0), (8, 0), (0, 8), (8, 8)]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                ln = len(codes)
+                px = [0] * 256
+                for b, (ox, oy) in enumerate(blocks):
+                    v = 32 * codes[b % ln] if ln else 2048
+                    for yy in range(8):
+                        base = (oy + yy) * 16 + ox
+                        px[base : base + 8] = [v] * 8
+                _w, _h, _ch, _mx, out = decode_jpeg_ex(
+                    encode_jpeg12_progressive(16, 16, 1, px)
+                )
+                mean = math.floor(sum(out) / 256 * 10000.0 + 0.5) / 10000.0
+                rows.append((doc_id, mean, max(out)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "mean_val", "max_val"]
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, mean_val double, max_val int"
+    ).orderBy("doc_id")
+
+
+@register(
     "mp4_jpeg_frames_documents",
     """
 WITH a AS (

@@ -662,6 +662,62 @@ def test_jpeg12_ex_delegates_8bit_and_gates_stay():
         jpeg.encode_jpeg12(1, 1, 1, [4096])
 
 
+# --- 12-bit progressive (round 15) ------------------------------------------
+
+
+def test_jpeg12_progressive_matches_sequential_decode():
+    """The cross-codec contract at 12 bits: encode_jpeg12_progressive's
+    quantized coefficients are identical to encode_jpeg12's, so the two
+    containers must decode to the SAME samples — with and without the
+    successive-approximation level (which exercises DC bit refinement
+    and AC correction-bit refinement at 12-bit magnitudes, sizes the
+    8-bit tables cannot code)."""
+    import random
+
+    from mongo_analyser_spark.operators import jpeg
+
+    rng = random.Random(3)
+    for w, h, ch in ((16, 16, 1), (10, 13, 3)):
+        samples = [rng.randrange(4096) for _ in range(w * h * ch)]
+        seq = jpeg.decode_jpeg_ex(jpeg.encode_jpeg12(w, h, ch, samples))
+        for succ in (True, False):
+            prog = jpeg.decode_jpeg_ex(
+                jpeg.encode_jpeg12_progressive(
+                    w, h, ch, samples, successive=succ
+                )
+            )
+            assert prog == seq, (w, h, ch, succ)
+
+
+def test_jpeg12_progressive_flat_blocks_exact_and_gates():
+    from mongo_analyser_spark.operators import jpeg
+
+    # even flat blocks are bit-exact through the flat-16 quantizer in
+    # the progressive container too (DC-only blocks)
+    px = _blocks12((32, 2048, 4064, 1000))
+    w, h, ch, mx, out = jpeg.decode_jpeg_ex(
+        jpeg.encode_jpeg12_progressive(16, 16, 1, px)
+    )
+    assert (w, h, ch, mx) == (16, 16, 1, 4095)
+    assert out == px
+    p = jpeg.encode_jpeg12_progressive(16, 16, 1, px)
+    # the byte-contract 8-bit decoder still gates 12-bit progressive
+    with pytest.raises(NotImplementedError, match="precision 12"):
+        jpeg.decode_jpeg(p)
+    # subsampled 12-bit progressive stays the named gate
+    bad = bytearray(p)
+    i = bad.find(b"\xff\xc2")
+    assert bad[i + 4] == 12
+    bad[i + 11] = 0x22
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        jpeg.decode_jpeg_ex(bytes(bad))
+    # other precisions rejected by name
+    odd = bytearray(p)
+    odd[i + 4] = 10
+    with pytest.raises(NotImplementedError, match="precision 10"):
+        jpeg.decode_jpeg_ex(bytes(odd))
+
+
 # --- untrusted-input hardening (round 13 fuzz sweep) -----------------------
 
 
