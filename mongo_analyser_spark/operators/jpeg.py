@@ -15,18 +15,20 @@ once at EOI) — 8-bit precision, grayscale or YCbCr with arbitrary h×v
 sampling factors (4:4:4 / 4:2:2 / 4:2:0 via pixel-replication
 upsample), byte-stuffing, DRI/RSTn restart intervals. `decode_jpeg_ex`
 (since round 13, the decode_wav/decode_wav_ex split) additionally
-decodes 12-BIT streams (level shift 2048, 16-bit DQT,
-4:4:4/grayscale) returning integer samples with maxval 4095 — both
+decodes 12-BIT streams (level shift 2048, 16-bit DQT, grayscale or
+YCbCr with arbitrary h×v sampling factors — subsampled since
+round 15) returning integer samples with maxval 4095 — both
 extended-sequential (SOF1) and, since round 15, PROGRESSIVE (SOF2:
 the 8-bit coefficient-store accumulation is precision-agnostic, only
-the render shift/clamp differ). Arithmetic coding and 12-bit
-subsampling raise NotImplementedError — the genuinely
-codec-library-bound residue.
+the render shift/clamp differ). Only arithmetic coding raises
+NotImplementedError — the genuinely codec-library-bound residue (the
+QM-coder conditioning tables, see the permanent-gates note in
+SURVEY.md).
 
 Encoders: `encode_jpeg` (baseline, 4:4:4 or 4:2:0 with 2×2-average
-chroma downsample), `encode_jpeg12` (12-bit SOF1 4:4:4 with its own
-wider fixed-length tables), `encode_jpeg12_progressive` (the same
-scan structure at precision 12, coefficient-identical to
+chroma downsample), `encode_jpeg12` (12-bit SOF1, 4:4:4 or 4:2:0,
+with its own wider fixed-length tables), `encode_jpeg12_progressive`
+(the same scan structure at precision 12, coefficient-identical to
 encode_jpeg12) and `encode_jpeg_progressive` (SOF2 4:4:4, spectral
 selection with optional one-level successive approximation) — the
 progressive fixtures exercise every progressive decode path, and their
@@ -750,23 +752,7 @@ def encode_jpeg(
             cbs.append(min(255, max(0, int(round(128 - 0.168736 * r - 0.331264 * g + 0.5 * bl)))))
             crs.append(min(255, max(0, int(round(128 + 0.5 * r - 0.418688 * g - 0.081312 * bl)))))
         if subsample:
-            cw, ch = -(-w // 2), -(-h // 2)
-
-            def down(plane):
-                out = []
-                for y in range(ch):
-                    for x in range(cw):
-                        acc = cnt = 0
-                        for dy in range(2):
-                            for dx in range(2):
-                                sy, sx = 2 * y + dy, 2 * x + dx
-                                if sy < h and sx < w:
-                                    acc += plane[sy * w + sx]
-                                    cnt += 1
-                        out.append(int(round(acc / cnt)))
-                return out
-
-            planes = [ys, down(cbs), down(crs)]
+            planes = [ys, _down2x2(cbs, w, h), _down2x2(crs, w, h)]
             samp = [(2, 2), (1, 1), (1, 1)]
         else:
             planes = [ys, cbs, crs]
@@ -845,12 +831,13 @@ _AC12_SYMS = sorted(
 @untrusted_decoder
 def decode_jpeg_ex(b: bytes) -> tuple[int, int, int, int, list[int]]:
     """(width, height, channels, maxval, flat row-major samples) from a
-    sequential JPEG at EITHER precision: 8-bit delegates to
-    ``decode_jpeg`` (maxval 255), 12-bit (SOF0/SOF1, 4:4:4 or
-    grayscale) decodes here with level shift 2048 and maxval 4095 —
-    the ``decode_wav``/``decode_wav_ex`` split applied to JPEG.
-    Subsampled or progressive 12-bit streams raise NotImplementedError
-    (the remaining honest gate along with arithmetic coding)."""
+    JPEG at EITHER precision: 8-bit delegates to ``decode_jpeg``
+    (maxval 255); 12-bit (SOF0/SOF1 sequential or SOF2 progressive,
+    grayscale or YCbCr with arbitrary h×v sampling factors since
+    round 15) decodes here with level shift 2048 and maxval 4095 —
+    the ``decode_wav``/``decode_wav_ex`` split applied to JPEG. Only
+    arithmetic-coded streams raise NotImplementedError (the remaining
+    honest gate)."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -990,15 +977,21 @@ def decode_jpeg_ex(b: bytes) -> tuple[int, int, int, int, list[int]]:
 
 
 def _decode_scan12(sof, scan_tables, qt, huff_dc, huff_ac, segs, ri):
+    """12-bit twin of ``_decode_scan`` (subsampled since round 15):
+    full MCU interleave over arbitrary h×v sampling factors, int
+    planes, shift 2048 / clamp 4095."""
     w, h, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if len(comps) == 1:
+        hmax = vmax = comps[0]["h"] = comps[0]["v"] = 1
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {}
     for c in comps:
-        if (c["h"], c["v"]) != (1, 1):
-            raise NotImplementedError(
-                "subsampled 12-bit JPEG (4:4:4 / grayscale decode only)"
-            )
-    mcux, mcuy = -(-w // 8), -(-h // 8)
-    pw = mcux * 8
-    planes = {c["id"]: [0] * (pw * mcuy * 8) for c in comps}
+        c["pw"] = mcux * c["h"] * 8
+        c["ph"] = mcuy * c["v"] * 8
+        planes[c["id"]] = [0] * (c["pw"] * c["ph"])
     preds = {c["id"]: 0 for c in comps}
     seg_i = 0
     reader = _BitReader(segs[0])
@@ -1013,38 +1006,43 @@ def _decode_scan12(sof, scan_tables, qt, huff_dc, huff_ac, segs, ri):
         for c in comps:
             td, ta = scan_tables[c["id"]]
             q = qt[c["tq"]]
-            coef = [0.0] * 64
-            t = reader.decode(huff_dc[td])
-            diff = _extend(reader.receive(t), t) if t else 0
-            preds[c["id"]] += diff
-            coef[0] = preds[c["id"]] * q[0]
-            k = 0
-            while k < 63:
-                rs = reader.decode(huff_ac[ta])
-                r, s = rs >> 4, rs & 15
-                if s == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    break
-                k += r + 1
-                if k > 63:
-                    raise ValueError("JPEG AC index overflow")
-                coef[ZIGZAG[k]] = _extend(reader.receive(s), s) * q[k]
-            px = _idct8x8(coef, shift=2048, maxv=4095)
-            plane = planes[c["id"]]
-            ox, oy = mx * 8, my * 8
-            for yy in range(8):
-                row = (oy + yy) * pw + ox
-                plane[row:row + 8] = px[yy * 8:yy * 8 + 8]
-    return _compose12(w, h, comps, planes, pw)
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coef = [0.0] * 64
+                    t = reader.decode(huff_dc[td])
+                    diff = _extend(reader.receive(t), t) if t else 0
+                    preds[c["id"]] += diff
+                    coef[0] = preds[c["id"]] * q[0]
+                    k = 0
+                    while k < 63:
+                        rs = reader.decode(huff_ac[ta])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break
+                        k += r + 1
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        coef[ZIGZAG[k]] = _extend(reader.receive(s), s) * q[k]
+                    px = _idct8x8(coef, shift=2048, maxv=4095)
+                    plane, pw = planes[c["id"]], c["pw"]
+                    ox = (mx * c["h"] + bx) * 8
+                    oy = (my * c["v"] + by) * 8
+                    for yy in range(8):
+                        row = (oy + yy) * pw + ox
+                        plane[row:row + 8] = px[yy * 8:yy * 8 + 8]
+    return _compose12(w, h, comps, planes, hmax, vmax)
 
 
-def _compose12(w, h, comps, planes, pw):
-    """Crop + YCbCr->RGB at 12-bit precision (4:4:4/grayscale only —
-    every plane shares the padded width ``pw``)."""
+def _compose12(w, h, comps, planes, hmax, vmax):
+    """Crop + upsample (pixel replication) + YCbCr->RGB at 12-bit
+    precision — ``_compose_pixels`` with the 2048 chroma center and a
+    4095 clamp. Each comp dict carries its plane stride in ``pw``."""
     if len(comps) == 1:
-        plane = planes[comps[0]["id"]]
+        c = comps[0]
+        plane, pw = planes[c["id"]], c["pw"]
         out: list[int] = []
         for y in range(h):
             out.extend(plane[y * pw:y * pw + w])
@@ -1054,9 +1052,15 @@ def _compose12(w, h, comps, planes, pw):
     out = []
     for y in range(h):
         for x in range(w):
-            yv = py_[y * pw + x]
-            bv = pb[y * pw + x] - 2048
-            rv = pr[y * pw + x] - 2048
+            yv = py_[
+                (y * cy["v"] // vmax) * cy["pw"] + (x * cy["h"] // hmax)
+            ]
+            bv = pb[
+                (y * cb["v"] // vmax) * cb["pw"] + (x * cb["h"] // hmax)
+            ] - 2048
+            rv = pr[
+                (y * cr["v"] // vmax) * cr["pw"] + (x * cr["h"] // hmax)
+            ] - 2048
             for val in (
                 int(round(yv + 1.402 * rv)),
                 int(round(yv - 0.344136 * bv - 0.714136 * rv)),
@@ -1067,20 +1071,19 @@ def _compose12(w, h, comps, planes, pw):
 
 
 def _render_coef_store12(sof, qt, store):
-    """12-bit twin of ``_render_coef_store`` (round 15): dequantize +
-    IDCT with the T.81 2^(P-1) level shift (2048, clamp 4095) into
-    integer planes, then the shared 12-bit crop/color path. 4:4:4 or
-    grayscale only — subsampled 12-bit stays the named gate."""
+    """12-bit twin of ``_render_coef_store`` (round 15, subsampled
+    since the same round): dequantize + IDCT with the T.81 2^(P-1)
+    level shift (2048, clamp 4095) into integer planes over each
+    component's padded grid, then the shared 12-bit
+    crop/upsample/color path."""
     w, h, comps = sof
-    for c in comps:
-        if (c["h"], c["v"]) != (1, 1):
-            raise NotImplementedError(
-                "subsampled 12-bit JPEG (4:4:4 / grayscale decode only)"
-            )
+    hmax, vmax, mcux, mcuy = _comp_geometry(sof)
+    if len(comps) == 1:
+        hmax = vmax = 1
     planes = {}
-    pw = None
     for c in comps:
         pw, ph = c["bw_pad"] * 8, c["bh_pad"] * 8
+        c["pw"], c["ph"] = pw, ph
         plane = [0] * (pw * ph)
         q = qt[c["tq"]]
         for bi, zz in enumerate(store[c["id"]]):
@@ -1095,7 +1098,76 @@ def _render_coef_store12(sof, qt, store):
                 row = (oy + yy) * pw + ox
                 plane[row:row + 8] = px[yy * 8:yy * 8 + 8]
         planes[c["id"]] = plane
-    return _compose12(w, h, comps, planes, pw)
+    return _compose12(w, h, comps, planes, hmax, vmax)
+
+
+def _rgb12_to_ycbcr_planes(samples: list[int]) -> list[list[int]]:
+    """12-bit RGB -> [Y, Cb, Cr] integer planes about the 2048 center."""
+    ys, cbs, crs = [], [], []
+    for i in range(0, len(samples), 3):
+        r, g, bl = samples[i], samples[i + 1], samples[i + 2]
+        yv = 0.299 * r + 0.587 * g + 0.114 * bl
+        ys.append(min(4095, max(0, int(round(yv)))))
+        cbs.append(min(4095, max(0, int(round(
+            2048 - 0.168736 * r - 0.331264 * g + 0.5 * bl)))))
+        crs.append(min(4095, max(0, int(round(
+            2048 + 0.5 * r - 0.418688 * g - 0.081312 * bl)))))
+    return [ys, cbs, crs]
+
+
+def _down2x2(plane: list[int], w: int, h: int) -> list[int]:
+    """2x2-average downsample (border cells average the 1-2 in-image
+    samples) — shared by the 8- and 12-bit 4:2:0 encoders."""
+    cw, ch = -(-w // 2), -(-h // 2)
+    out = []
+    for y in range(ch):
+        for x in range(cw):
+            acc = cnt = 0
+            for dy in range(2):
+                for dx in range(2):
+                    sy, sx = 2 * y + dy, 2 * x + dx
+                    if sy < h and sx < w:
+                        acc += plane[sy * w + sx]
+                        cnt += 1
+            out.append(int(round(acc / cnt)))
+    return out
+
+
+def _plan12_planes(
+    w: int, h: int, channels: int, samples: list[int], subsample: bool
+):
+    """Validate + split 12-bit input into (planes, samp, dims) for the
+    two 12-bit encoders. ``subsample`` requires channels=3 (grayscale
+    has nothing to subsample)."""
+    if channels not in (1, 3):
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(samples) != w * h * channels:
+        raise ValueError("sample buffer does not match dimensions")
+    if any(not 0 <= v <= 4095 for v in samples):
+        raise ValueError("12-bit samples must be in 0..4095")
+    if channels == 1:
+        if subsample:
+            raise ValueError("subsample requires 3-channel input")
+        planes = [list(samples)]
+        samp = [(1, 1)]
+    else:
+        planes = _rgb12_to_ycbcr_planes(samples)
+        if subsample:
+            cw, ch = -(-w // 2), -(-h // 2)
+            planes = [
+                planes[0],
+                _down2x2(planes[1], w, h),
+                _down2x2(planes[2], w, h),
+            ]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1)] * 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    dims = [
+        (-(-w * sh // hmax), -(-h * sv // vmax)) for (sh, sv) in samp
+    ]
+    return planes, samp, dims, hmax, vmax
 
 
 def encode_jpeg12(
@@ -1105,37 +1177,25 @@ def encode_jpeg12(
     samples: list[int],
     quant: int = 16,
     restart_interval: int = 0,
+    subsample: bool = False,
 ) -> bytes:
-    """Extended-sequential 12-bit JPEG writer (SOF1, 4:4:4): grayscale
+    """Extended-sequential 12-bit JPEG writer (SOF1): grayscale
     (channels=1, samples 0..4095) or color (channels=3, 12-bit RGB in,
-    YCbCr about the 2048 center). Level shift 2048; flat quantizer
-    written as a 16-bit DQT (Pq=1 — exercising the decoder's wide-table
-    branch); in-code fixed-length huffman tables wide enough for 12-bit
-    categories (16 DC at 5 bits, EOB+ZRL+16×14 run/size AC at 10 bits,
-    both under the all-ones ceiling — the encode_jpeg discipline)."""
-    if channels not in (1, 3):
-        raise ValueError(f"unsupported channel count {channels}")
-    if len(samples) != w * h * channels:
-        raise ValueError("sample buffer does not match dimensions")
-    if any(not 0 <= v <= 4095 for v in samples):
-        raise ValueError("12-bit samples must be in 0..4095")
+    YCbCr about the 2048 center; 4:4:4, or 4:2:0 with
+    ``subsample=True`` via 2x2-average chroma downsample — round 15).
+    Level shift 2048; flat quantizer written as a 16-bit DQT (Pq=1 —
+    exercising the decoder's wide-table branch); in-code fixed-length
+    huffman tables wide enough for 12-bit categories (16 DC at 5 bits,
+    EOB+ZRL+16×14 run/size AC at 10 bits, both under the all-ones
+    ceiling — the encode_jpeg discipline)."""
     q = [max(1, min(65535, quant))] * 64
     dc_bits, dc_vals, dc_enc = _fixed_table(_DC12_SYMS, 5)
     ac_bits, ac_vals, ac_enc = _fixed_table(_AC12_SYMS, 10)
-    if channels == 1:
-        planes = [list(samples)]
-    else:
-        ys, cbs, crs = [], [], []
-        for i in range(0, len(samples), 3):
-            r, g, bl = samples[i], samples[i + 1], samples[i + 2]
-            yv = 0.299 * r + 0.587 * g + 0.114 * bl
-            ys.append(min(4095, max(0, int(round(yv)))))
-            cbs.append(min(4095, max(0, int(round(
-                2048 - 0.168736 * r - 0.331264 * g + 0.5 * bl)))))
-            crs.append(min(4095, max(0, int(round(
-                2048 + 0.5 * r - 0.418688 * g - 0.081312 * bl)))))
-        planes = [ys, cbs, crs]
-    mcux, mcuy = -(-w // 8), -(-h // 8)
+    planes, samp, dims, hmax, vmax = _plan12_planes(
+        w, h, channels, samples, subsample
+    )
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     bw = _BitWriter()
     preds = [0] * len(planes)
     parts: list[bytes] = []
@@ -1149,11 +1209,17 @@ def encode_jpeg12(
             preds = [0] * len(planes)
         my, mx = divmod(m, mcux)
         for ci, plane in enumerate(planes):
-            block = _block_at(plane, w, h, mx * 8, my * 8)
-            preds[ci] = _encode_block(
-                bw, block, q, preds[ci],
-                dc_enc=dc_enc, ac_enc=ac_enc, shift=2048.0,
-            )
+            sh, sv = samp[ci]
+            pw, ph = dims[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    block = _block_at(
+                        plane, pw, ph, (mx * sh + bx) * 8, (my * sv + by) * 8
+                    )
+                    preds[ci] = _encode_block(
+                        bw, block, q, preds[ci],
+                        dc_enc=dc_enc, ac_enc=ac_enc, shift=2048.0,
+                    )
     parts.append(bw.flush())
     scan = b"".join(parts)
 
@@ -1169,8 +1235,8 @@ def encode_jpeg12(
         out += seg(0xDD, struct.pack(">H", restart_interval))
     ncomp = len(planes)
     sof = struct.pack(">BHHB", 12, h, w, ncomp)
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
     out += seg(0xC1, sof)
     out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
     out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)
@@ -1376,59 +1442,67 @@ def encode_jpeg12_progressive(
     samples: list[int],
     quant: int = 16,
     successive: bool = True,
+    subsample: bool = False,
 ) -> bytes:
-    """PROGRESSIVE 12-bit JPEG writer (SOF2 precision 12, 4:4:4 —
-    round 15): ``encode_jpeg_progressive``'s scan structure (spectral
-    selection + optional one-level successive approximation) over
+    """PROGRESSIVE 12-bit JPEG writer (SOF2 precision 12 — round 15):
+    ``encode_jpeg_progressive``'s scan structure (spectral selection +
+    optional one-level successive approximation) over
     ``encode_jpeg12``'s sample domain — level shift 2048, 16-bit Pq=1
-    DQT, the wider 12-bit fixed-length tables. Quantized coefficients
-    are IDENTICAL to ``encode_jpeg12``'s at the same ``quant``, so the
+    DQT, the wider 12-bit fixed-length tables; 4:4:4, or 4:2:0 with
+    ``subsample=True``. Quantized coefficients are IDENTICAL to
+    ``encode_jpeg12``'s at the same ``quant``/``subsample``, so the
     progressive container must decode (via decode_jpeg_ex) to the same
     samples as the extended-sequential one — the cross-codec contract
-    the 8-bit pair pins, now at 12 bits."""
-    if channels not in (1, 3):
-        raise ValueError(f"unsupported channel count {channels}")
-    if len(samples) != w * h * channels:
-        raise ValueError("sample buffer does not match dimensions")
-    if any(not 0 <= v <= 4095 for v in samples):
-        raise ValueError("12-bit samples must be in 0..4095")
+    the 8-bit pair pins, now at 12 bits.
+
+    Per T.81 the interleaved DC scan covers the PADDED MCU grid (edge
+    MCUs carry dummy blocks, encoded here from edge-replicated
+    content) while the non-interleaved AC scans cover only each
+    component's own nbx×nby block grid."""
     q = [max(1, min(65535, quant))] * 64
     dc_bits, dc_vals, dc_enc = _fixed_table(_DC12_SYMS, 5)
     ac_bits, ac_vals, ac_enc = _fixed_table(_AC12_SYMS, 10)
-    if channels == 1:
-        planes = [list(samples)]
-    else:
-        ys, cbs, crs = [], [], []
-        for i in range(0, len(samples), 3):
-            r, g, bl = samples[i], samples[i + 1], samples[i + 2]
-            yv = 0.299 * r + 0.587 * g + 0.114 * bl
-            ys.append(min(4095, max(0, int(round(yv)))))
-            cbs.append(min(4095, max(0, int(round(
-                2048 - 0.168736 * r - 0.331264 * g + 0.5 * bl)))))
-            crs.append(min(4095, max(0, int(round(
-                2048 + 0.5 * r - 0.418688 * g - 0.081312 * bl)))))
-        planes = [ys, cbs, crs]
+    planes, samp, dims, hmax, vmax = _plan12_planes(
+        w, h, channels, samples, subsample
+    )
     ncomp = len(planes)
-    mcux, mcuy = -(-w // 8), -(-h // 8)
-    zz_blocks = []
-    for plane in planes:
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    geom = []  # per comp: (bw_pad, bh_pad, nbx, nby)
+    zz_blocks = []  # per comp: padded-grid raster-order zigzag blocks
+    for ci, plane in enumerate(planes):
+        sh, sv = samp[ci]
+        pw, ph = dims[ci]
+        bw_pad, bh_pad = mcux * sh, mcuy * sv
+        nbx, nby = -(-pw // 8), -(-ph // 8)
+        geom.append((bw_pad, bh_pad, nbx, nby))
         blocks = []
-        for m in range(mcux * mcuy):
-            my, mx = divmod(m, mcux)
-            blk = _block_at(plane, w, h, mx * 8, my * 8)
-            coefd = _fdct8x8(blk, shift=2048.0)
-            blocks.append(
-                [int(round(coefd[ZIGZAG[k]] / q[k])) for k in range(64)]
-            )
+        for by in range(bh_pad):
+            for bx in range(bw_pad):
+                blk = _block_at(plane, pw, ph, bx * 8, by * 8)
+                coefd = _fdct8x8(blk, shift=2048.0)
+                blocks.append(
+                    [int(round(coefd[ZIGZAG[k]] / q[k])) for k in range(64)]
+                )
         zz_blocks.append(blocks)
+
+    def mcu_block_indices(m: int):
+        """(ci, padded-grid index) pairs for MCU m, T.81 order."""
+        my, mx = divmod(m, mcux)
+        for ci in range(ncomp):
+            sh, sv = samp[ci]
+            bw_pad = geom[ci][0]
+            for by in range(sv):
+                for bx in range(sh):
+                    yield ci, (my * sv + by) * bw_pad + (mx * sh + bx)
 
     al = 1 if successive else 0
     scans: list[tuple[list[int], int, int, int, int, bytes]] = []
     bw = _BitWriter()
     preds = [0] * ncomp
     for m in range(mcux * mcuy):
-        for ci in range(ncomp):
-            v = zz_blocks[ci][m][0] >> al
+        for ci, bidx in mcu_block_indices(m):
+            v = zz_blocks[ci][bidx][0] >> al
             diff = v - preds[ci]
             preds[ci] = v
             t = _category(diff)
@@ -1439,19 +1513,29 @@ def encode_jpeg12_progressive(
     if successive:
         bw = _BitWriter()
         for m in range(mcux * mcuy):
-            for ci in range(ncomp):
-                bw.write(zz_blocks[ci][m][0] & 1, 1)
+            for ci, bidx in mcu_block_indices(m):
+                bw.write(zz_blocks[ci][bidx][0] & 1, 1)
         scans.append((list(range(ncomp)), 0, 0, 1, 0, bw.flush()))
     for ci in range(ncomp):
+        bw_pad, _bh, nbx, nby = geom[ci]
         bw = _BitWriter()
-        for zz in zz_blocks[ci]:
-            _enc_ac_first(bw, zz, 1, 63, al, ac_enc=ac_enc)
+        for by in range(nby):
+            for bx in range(nbx):
+                _enc_ac_first(
+                    bw, zz_blocks[ci][by * bw_pad + bx], 1, 63, al,
+                    ac_enc=ac_enc,
+                )
         scans.append(([ci], 1, 63, 0, al, bw.flush()))
     if successive:
         for ci in range(ncomp):
+            bw_pad, _bh, nbx, nby = geom[ci]
             bw = _BitWriter()
-            for zz in zz_blocks[ci]:
-                _enc_ac_refine(bw, zz, 1, 63, 0, ac_enc=ac_enc)
+            for by in range(nby):
+                for bx in range(nbx):
+                    _enc_ac_refine(
+                        bw, zz_blocks[ci][by * bw_pad + bx], 1, 63, 0,
+                        ac_enc=ac_enc,
+                    )
             scans.append(([ci], 1, 63, 1, 0, bw.flush()))
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -1463,8 +1547,8 @@ def encode_jpeg12_progressive(
         bytes([0x10]) + b"".join(struct.pack(">H", v) for v in q),
     )
     sof = struct.pack(">BHHB", 12, h, w, ncomp)
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
     out += seg(0xC2, sof)
     out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
     out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)

@@ -649,17 +649,27 @@ def test_jpeg12_ex_delegates_8bit_and_gates_stay():
     # the byte-contract decoder still gates 12-bit
     with pytest.raises(NotImplementedError, match="precision 12"):
         jpeg.decode_jpeg(p12)
-    # subsampled 12-bit stays gated: flip the SOF1 sampling byte to 2x2
-    # (SOF1 payload: precision, H, W, ncomp, then [id, hv, tq])
-    bad = bytearray(p12)
+    # a LYING SOF sampling byte must surface as the armor's ValueError,
+    # never IndexError: a 4:2:0 stream whose Y factor claims 1x1 makes
+    # the decoder expect 12 blocks where only 6 were coded, exhausting
+    # the entropy stream
+    # (SOF1 payload: precision, H, W, ncomp, then [id, hv, tq] triples)
+    p420 = jpeg.encode_jpeg12(
+        16, 16, 3, _gray_rgb12_blocks((32, 2048, 4064, 1000)),
+        subsample=True,
+    )
+    bad = bytearray(p420)
     i = bad.find(b"\xff\xc1")
-    assert bad[i + 4] == 12
-    bad[i + 11] = 0x22
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    assert bad[i + 4] == 12 and bad[i + 11] == 0x22
+    bad[i + 11] = 0x11
+    with pytest.raises(ValueError):
         jpeg.decode_jpeg_ex(bytes(bad))
     # bad sample range rejected at encode
     with pytest.raises(ValueError, match="0..4095"):
         jpeg.encode_jpeg12(1, 1, 1, [4096])
+    # subsampling a grayscale image is meaningless and rejected
+    with pytest.raises(ValueError):
+        jpeg.encode_jpeg12(16, 16, 1, [0] * 256, subsample=True)
 
 
 # --- 12-bit progressive (round 15) ------------------------------------------
@@ -704,18 +714,99 @@ def test_jpeg12_progressive_flat_blocks_exact_and_gates():
     # the byte-contract 8-bit decoder still gates 12-bit progressive
     with pytest.raises(NotImplementedError, match="precision 12"):
         jpeg.decode_jpeg(p)
-    # subsampled 12-bit progressive stays the named gate
-    bad = bytearray(p)
-    i = bad.find(b"\xff\xc2")
-    assert bad[i + 4] == 12
-    bad[i + 11] = 0x22
-    with pytest.raises(NotImplementedError, match="subsampled"):
-        jpeg.decode_jpeg_ex(bytes(bad))
     # other precisions rejected by name
+    i = p.find(b"\xff\xc2")
+    assert p[i + 4] == 12
     odd = bytearray(p)
     odd[i + 4] = 10
     with pytest.raises(NotImplementedError, match="precision 10"):
         jpeg.decode_jpeg_ex(bytes(odd))
+
+
+# --- 12-bit subsampled (round 15 — the JPEG gate narrows to exactly
+# --- arithmetic coding) ------------------------------------------------------
+
+
+def _gray_rgb12_blocks(vals):
+    """16x16 3-channel image of four constant 8x8 blocks with R=G=B=v:
+    the YCbCr forward transform is exact (Y=v, Cb=Cr=2048), constant
+    chroma survives the 2x2-average downsample exactly, and even v
+    round-trips the flat-16 quantizer bit-exactly — so the 4:2:0
+    12-bit round trip must be EXACT."""
+    px = [0] * (256 * 3)
+    for b, (ox, oy) in enumerate([(0, 0), (8, 0), (0, 8), (8, 8)]):
+        for yy in range(8):
+            for xx in range(8):
+                i = ((oy + yy) * 16 + ox + xx) * 3
+                px[i:i + 3] = [vals[b]] * 3
+    return px
+
+
+def test_jpeg12_subsampled_flat_blocks_exact_both_containers():
+    from mongo_analyser_spark.operators import jpeg
+
+    for vals in [(32, 2048, 4064, 1000), (0, 2, 4094, 2046)]:
+        px = _gray_rgb12_blocks(vals)
+        for enc in (jpeg.encode_jpeg12, jpeg.encode_jpeg12_progressive):
+            w, h, ch, mx, out = jpeg.decode_jpeg_ex(
+                enc(16, 16, 3, px, subsample=True)
+            )
+            assert (w, h, ch, mx) == (16, 16, 3, 4095), enc.__name__
+            assert out == px, enc.__name__
+
+
+def test_jpeg12_subsampled_cross_codec_and_edges():
+    """Sequential and progressive 4:2:0 12-bit containers carry
+    IDENTICAL quantized coefficients, so they must decode identically —
+    including non-multiple-of-16 dimensions where the MCU grid pads
+    (dummy-block DC coding + crop) and the chroma border averages
+    fewer than 4 samples."""
+    from mongo_analyser_spark.operators import jpeg
+
+    for w, h in ((20, 12), (9, 17), (16, 16)):
+        px = [
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in (
+                (x * 180 + y * 140) % 4096,
+                (x * 90 + y * 70) % 4096,
+                (x * 45 + y * 35) % 4096,
+            )
+        ]
+        seq = jpeg.decode_jpeg_ex(
+            jpeg.encode_jpeg12(w, h, 3, px, subsample=True)
+        )
+        for succ in (True, False):
+            prog = jpeg.decode_jpeg_ex(
+                jpeg.encode_jpeg12_progressive(
+                    w, h, 3, px, subsample=True, successive=succ
+                )
+            )
+            assert prog == seq, (w, h, succ)
+        # and the lossy error stays within the flat-16 + 4:2:0 budget
+        out = seq[4]
+        assert max(abs(a - b) for a, b in zip(out, px)) <= 2600, (w, h)
+
+
+def test_jpeg12_subsampled_restart_interval():
+    from mongo_analyser_spark.operators import jpeg
+
+    px = _gray_rgb12_blocks((32, 2048, 4064, 1000)) * 4  # 16x64 via rows
+    # build a 64x16 image (4 MCUs wide) so restart markers fire
+    wide = [0] * (64 * 16 * 3)
+    base = _gray_rgb12_blocks((32, 2048, 4064, 1000))
+    for y in range(16):
+        for x in range(64):
+            sv = base[((y % 16) * 16 + (x % 16)) * 3]
+            i = (y * 64 + x) * 3
+            wide[i:i + 3] = [sv] * 3
+    w, h, ch, mx, out = jpeg.decode_jpeg_ex(
+        jpeg.encode_jpeg12(64, 16, 3, wide, subsample=True,
+                           restart_interval=2)
+    )
+    assert (w, h, ch, mx) == (64, 16, 3, 4095)
+    assert out == wide
 
 
 # --- untrusted-input hardening (round 13 fuzz sweep) -----------------------
