@@ -145,7 +145,8 @@ def _gif_header(b: bytes) -> tuple[int, int, int]:
 def parse_image_header(payload: bytes) -> dict[str, Any] | None:
     """Container-header metadata (mime, width, height, n_frames) from raw
     image bytes — stdlib only, no codecs. Returns None for unrecognized
-    (or too-short) payloads. Formats: PNG/APNG, JPEG, GIF87a/89a, BMP."""
+    (or too-short) payloads. Formats: PNG/APNG, JPEG, GIF87a/89a, BMP,
+    WebP, TIFF."""
     b = payload
     if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
         w, h, frames = _png_header(b)
@@ -166,6 +167,18 @@ def parse_image_header(payload: bytes) -> dict[str, Any] | None:
         h = int.from_bytes(b[22:26], "little", signed=True)
         return {
             "mime": "image/bmp", "width": abs(w), "height": abs(h), "n_frames": 1,
+        }
+    if len(b) >= 8 and b[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF (round 15): dims straight from the first IFD — works for
+        # ANY compression inside, including ones the pixel decoder gates
+        from mongo_analyser_spark.operators.tiff import _read_ifd
+
+        tags = _read_ifd(b, "<" if b[:2] == b"II" else ">")
+        if 256 not in tags or 257 not in tags:
+            raise ValueError("TIFF IFD missing dimensions")
+        return {
+            "mime": "image/tiff", "width": tags[256][0],
+            "height": tags[257][0], "n_frames": 1,
         }
     if len(b) >= 30 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         # WebP (round 13, header-only — VP8/VP8L pixel decode is the

@@ -354,8 +354,9 @@ def decode_bmp(b: bytes) -> tuple[int, int, int, bytearray]:
 
 @untrusted_decoder
 def decode_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
-    """Dispatch: PNG, 24-bit BMP, and JPEG (baseline AND progressive)
-    decode fully in stdlib (operators/jpeg.py); anything else raises
+    """Dispatch: PNG, 24-bit BMP, JPEG (baseline AND progressive), and
+    baseline TIFF (round 15) decode fully in stdlib
+    (operators/{jpeg,tiff}.py); anything else raises
     NotImplementedError at the exact point a codec library call would go
     (multi-frame GIF/APNG pixels decode via operators/frames.py)."""
     if payload[:8] == _PNG_SIG:
@@ -370,9 +371,13 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
         from mongo_analyser_spark.operators.vp8l import decode_webp_lossless
 
         return decode_webp_lossless(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from mongo_analyser_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
-        "pixel decode beyond PNG/BMP/JPEG/lossless-WebP requires an "
-        "image codec (PIL) not present in this container (GIF/APNG "
+        "pixel decode beyond PNG/BMP/JPEG/lossless-WebP/TIFF requires "
+        "an image codec (PIL) not present in this container (GIF/APNG "
         "FRAMES decode in stdlib via operators/frames.decode_frames)"
     )
 

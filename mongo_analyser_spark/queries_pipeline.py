@@ -5793,6 +5793,172 @@ def q_jpeg12p_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg12s_pixel_stats_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id, codes, COALESCE(len(codes),0) AS L FROM a),
+v AS (SELECT doc_id, list_transform(generate_series(0,3), bb ->
+        CASE WHEN L=0 THEN 2048 ELSE 32*codes[(bb % L) + 1] END) AS vals
+      FROM b)
+SELECT doc_id,
+  FLOOR(CAST(list_sum(vals) AS DOUBLE)/4*10000.0 + 0.5)/10000.0 AS mean_val,
+  CAST(list_max(vals) AS INTEGER) AS max_val
+FROM v ORDER BY doc_id
+""",
+)
+def q_jpeg12s_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-BIT SUBSAMPLED (4:2:0) JPEG round trip, hash-oracled
+    (round 15 — the JPEG gate narrows to exactly arithmetic coding):
+    the SAME constant-block law and the SAME oracle as the other two
+    12-bit containers, but the image is 3-channel with R=G=B=v, so the
+    forward YCbCr transform is exact (Y=v, Cb=Cr=2048), the constant
+    chroma planes survive the encoder's 2x2-average downsample and the
+    decoder's pixel-replication upsample exactly, and even v
+    round-trips the flat-16 quantizer bit-exactly — any bit lost in
+    the MCU interleave (4 Y + Cb + Cr blocks per 16x16 MCU), the
+    subsampled geometry, or the 2048-centered color convert breaks the
+    hash. The mean over the 768 RGB samples equals the mean over the 4
+    block values because all three channels carry v."""
+    import pandas as pd  # noqa: F401
+
+    from mongo_analyser_spark.operators.jpeg import (
+        decode_jpeg_ex,
+        encode_jpeg12,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import math
+
+        import pandas as pd
+
+        blocks = [(0, 0), (8, 0), (0, 8), (8, 8)]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                ln = len(codes)
+                px = [0] * (256 * 3)
+                for b, (ox, oy) in enumerate(blocks):
+                    v = 32 * codes[b % ln] if ln else 2048
+                    for yy in range(8):
+                        base = ((oy + yy) * 16 + ox) * 3
+                        px[base : base + 24] = [v] * 24
+                _w, _h, _ch, _mx, out = decode_jpeg_ex(
+                    encode_jpeg12(16, 16, 3, px, subsample=True)
+                )
+                mean = (
+                    math.floor(sum(out) / len(out) * 10000.0 + 0.5) / 10000.0
+                )
+                rows.append((doc_id, mean, max(out)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "mean_val", "max_val"]
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, mean_val double, max_val int"
+    ).orderBy("doc_id")
+
+
+@register(
+    "tiff_pixel_stats_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id, codes, COALESCE(len(codes),0) AS L FROM a),
+v AS (SELECT doc_id, list_transform(generate_series(0,255), i ->
+        ((CASE WHEN L=0 THEN 128 ELSE codes[1] END) + 3*(i%16) + 5*(i//16)) % 256
+      ) AS vals FROM b)
+SELECT doc_id,
+  FLOOR(CAST(list_sum(vals) AS DOUBLE)/256*10000.0 + 0.5)/10000.0 AS mean_val,
+  CAST(list_max(vals) AS INTEGER) AS max_val
+FROM v ORDER BY doc_id
+""",
+)
+def q_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF round trip, hash-oracled (round 15 — a new image
+    container family: TIFF 6.0, operators/tiff.py): each document's
+    first code seeds a 16x16 grayscale GRADIENT p(x,y) = (a+3x+5y) mod
+    256 (non-constant, so LZW table growth, PackBits run detection and
+    the horizontal-differencing predictor all do real work), written
+    with per-doc profile variety — compression cycles none/PackBits/LZW
+    by L mod 3, byte order II/MM by L mod 2, predictor on for LZW,
+    4-strip layout — and decoded through the production decode_pixels
+    dispatch. Every supported compression is LOSSLESS, so the oracle
+    states the stats straight from the law; any bit lost in the IFD
+    walk, either LZW early-change boundary, a PackBits run, or the
+    predictor accumulation breaks the hash."""
+    import pandas as pd  # noqa: F401
+
+    from mongo_analyser_spark.operators.pixels import decode_pixels
+    from mongo_analyser_spark.operators.tiff import encode_tiff
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import math
+
+        import pandas as pd
+
+        comps = ["none", "packbits", "lzw"]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                ln = len(codes)
+                a = codes[0] if ln else 128
+                px = bytes(
+                    (a + 3 * x + 5 * y) % 256
+                    for y in range(16)
+                    for x in range(16)
+                )
+                comp = comps[ln % 3]
+                payload = encode_tiff(
+                    16, 16, 1, px,
+                    compression=comp,
+                    byte_order="II" if ln % 2 == 0 else "MM",
+                    predictor=(comp == "lzw"),
+                    rows_per_strip=4,
+                )
+                _w, _h, _ch, out = decode_pixels(payload)
+                mean = (
+                    math.floor(sum(out) / 256 * 10000.0 + 0.5) / 10000.0
+                )
+                rows.append((doc_id, mean, max(out)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "mean_val", "max_val"]
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, mean_val double, max_val int"
+    ).orderBy("doc_id")
+
+
+@register(
     "mp4_jpeg_frames_documents",
     """
 WITH a AS (
