@@ -5959,6 +5959,187 @@ def q_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "html_extract_documents",
+    """
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(COALESCE(text,''), '\\s+', ' ', 'g')) AS body
+  FROM documents),
+e AS (SELECT doc_id,
+        CASE WHEN body = ''
+             THEN 'D' || doc_id || chr(10) || 'x&y<z'
+             ELSE 'D' || doc_id || chr(10) || 'x&y<z' || chr(10) || body
+        END AS extracted
+      FROM c)
+SELECT doc_id,
+  CAST(length(extracted) AS INTEGER) AS n_chars,
+  CAST(length(extracted) - length(replace(extracted, chr(10), '')) + 1
+       AS INTEGER) AS n_lines,
+  split_part(extracted, chr(10), 1) AS first_line
+FROM e ORDER BY doc_id
+""",
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML text extraction, hash-oracled (round 15 — the web-corpus
+    ingestion stage, operators/textextract.py): each document is
+    wrapped into a real HTML page — title D{doc_id}, a <style> block, a
+    comment, an <h1> whose content is ONLY character references
+    (named &amp;/&lt; and numeric &#121;), the escaped body inside <p>
+    with inline <b> markup, and a <script> containing fake markup —
+    then stripped by the production extractor. The oracle states the
+    expected text directly from the source: title, the decoded entity
+    line 'x&y<z', then the whitespace-collapsed body. Script/style
+    leakage, a missed entity, broken block-newline structure, or a
+    whitespace-policy drift all break the hash."""
+    import pandas as pd  # noqa: F401
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import html as _html
+
+        import pandas as pd
+
+        from mongo_analyser_spark.operators.textextract import (
+            html_text_features,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = _html.escape(text or "")
+                page = (
+                    f"<html><head><title>D{doc_id}</title>"
+                    "<style>p{color:red}</style></head><body>"
+                    "<!-- not content -->"
+                    "<h1>x&amp;y&lt;&#122;</h1>"
+                    f"<p>{body.replace(' agg ', ' <b>agg</b> ')}</p>"
+                    '<script>var t = "<p>not text</p>";</script>'
+                    "</body></html>"
+                )
+                f = html_text_features(page)
+                first = f["text"].split("\n", 1)[0] if f["text"] else ""
+                rows.append((doc_id, f["n_chars"], f["n_lines"], first))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_chars", "n_lines", "first_line"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_chars int, n_lines int, first_line string",
+    ).orderBy("doc_id")
+
+
+@register(
+    "warc_extract_documents",
+    """
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(COALESCE(text,''), '\\s+', ' ', 'g')) AS body
+  FROM documents),
+e AS (SELECT doc_id,
+        CASE WHEN body = '' THEN 'W' || doc_id
+             ELSE 'W' || doc_id || chr(10) || body END AS extracted
+      FROM c)
+SELECT doc_id,
+  2 AS n_records,
+  200 AS http_status,
+  CAST(length(extracted) AS INTEGER) AS n_chars,
+  split_part(extracted, chr(10), 1) AS first_line
+FROM e ORDER BY doc_id
+""",
+)
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC -> HTTP -> HTML -> text, hash-oracled (round 15 — the full
+    web-corpus ingestion chain in one row, sources/warc.py +
+    operators/textextract.py): each document becomes a two-record
+    member-gzip ``.warc.gz`` (warcinfo + an HTTP 200 response whose
+    body is an HTML page titled W{doc_id} around the escaped text),
+    walked by the production parse_warc, split by split_http_payload,
+    and stripped by extract_text_html. The oracle states the record
+    count, status, and extracted text straight from the source — a
+    framing drift in any of the three stages (gzip member walk, WARC
+    header grammar, HTTP head split, markup strip) breaks the hash."""
+    import pandas as pd  # noqa: F401
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import html as _html
+
+        import pandas as pd
+
+        from mongo_analyser_spark.operators.textextract import (
+            extract_text_html,
+        )
+        from mongo_analyser_spark.sources.warc import (
+            build_warc,
+            build_warc_record,
+            http_response_payload,
+            parse_warc,
+            split_http_payload,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                page = (
+                    f"<html><head><title>W{doc_id}</title></head>"
+                    f"<body><p>{_html.escape(text or '')}</p>"
+                    "</body></html>"
+                ).encode()
+                rid = f"{int(doc_id):032x}"
+                payload = build_warc(
+                    [
+                        build_warc_record(
+                            "warcinfo", b"software: spark\r\n", rid,
+                            content_type="application/warc-fields",
+                        ),
+                        build_warc_record(
+                            "response", http_response_payload(page), rid,
+                            target_uri=f"http://corpus.local/{doc_id}",
+                            content_type=(
+                                "application/http;msgtype=response"
+                            ),
+                        ),
+                    ],
+                    gzip_members=True,
+                )
+                recs = list(parse_warc(payload))
+                resp = next(
+                    r for r in recs if r["warc-type"] == "response"
+                )
+                status, _hdrs, body = split_http_payload(resp["content"])
+                txt = extract_text_html(body.decode())
+                first = txt.split("\n", 1)[0] if txt else ""
+                rows.append(
+                    (doc_id, len(recs), status, len(txt), first)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_records", "http_status", "n_chars",
+                    "first_line",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_records int, http_status int, n_chars int, "
+        "first_line string",
+    ).orderBy("doc_id")
+
+
+@register(
     "mp4_jpeg_frames_documents",
     """
 WITH a AS (
