@@ -2707,6 +2707,23 @@ TAIL_QUERIES = (
     # container (encode_jpeg12_progressive), closing the last
     # non-arithmetic JPEG gate; tail this round per the rotation policy
     "jpeg12p_pixel_stats_documents",
+    # round-15 addition: 12-bit SUBSAMPLED (4:2:0) JPEG — the third
+    # container against the same even constant-block oracle (3-channel
+    # gray-RGB law), closing the 12-bit-subsampling gate; the JPEG gate
+    # is now exactly arithmetic coding. Tail this round per policy.
+    "jpeg12s_pixel_stats_documents",
+    # round-15 addition: baseline TIFF 6.0 round trip (operators/tiff.py
+    # — new image container family: strips, none/PackBits/LZW with the
+    # early-change width convention, predictor, both byte orders),
+    # gradient law so every compressor does real work; hash-oracled
+    "tiff_pixel_stats_documents",
+    # round-15 additions: the web-corpus ingestion chain — stdlib HTML
+    # text extraction (entities/script-style/block-newline policy) and
+    # the WARC -> HTTP -> HTML -> text composition over the member-gzip
+    # source (sources/warc.py); both hash-oracled against SQL-stated
+    # expected text
+    "html_extract_documents",
+    "warc_extract_documents",
     # round-15 rotation (verdict-r14 #1): out of the window after 3-4
     # recorded green driver appearances each (in-window siblings noted
     # at the round-15 WINDOW comment); the four round-14 rows took the
