@@ -894,6 +894,46 @@ def main_codec_throughput(reps_scale: float = 1.0) -> None:
          frames.encode_mp4_mjpeg(32, 32, [jpeg_frame] * 4),
          frames.decode_mp4, 10),
     ]
+
+    # round-15 families: TIFF (image container), HTML extraction and
+    # the WARC record walk (the web-ingestion text stages — measured on
+    # a ~64 KB page, the crawl-median scale)
+    from mongo_analyser_spark.operators import textextract, tiff
+    from mongo_analyser_spark.sources import warc as warc_src
+
+    gray = bytes(rng.randrange(256) for _ in range(w * h))
+    page = (
+        "<html><head><title>t</title><style>p{}</style></head><body>"
+        + "".join(
+            f"<p>para {i} with <b>inline</b> &amp; entities</p>"
+            for i in range(1000)
+        )
+        + "<script>var x=1;</script></body></html>"
+    )
+    warc_payload = warc_src.build_warc(
+        [
+            warc_src.build_warc_record(
+                "response",
+                warc_src.http_response_payload(page.encode()),
+                "0" * 32,
+                target_uri="http://x/",
+                content_type="application/http;msgtype=response",
+            )
+        ],
+        gzip_members=True,
+    )
+    cases += [
+        ("tiff_lzw_pred_64x64",
+         tiff.encode_tiff(w, h, 1, gray, compression="lzw",
+                          predictor=True),
+         tiff.decode_tiff, 10),
+        ("tiff_packbits_64x64",
+         tiff.encode_tiff(w, h, 1, gray, compression="packbits"),
+         tiff.decode_tiff, 20),
+        ("html_extract_64k", page, textextract.extract_text_html, 10),
+        ("warc_gz_record_walk",
+         warc_payload, lambda b: list(warc_src.parse_warc(b)), 10),
+    ]
     print("| family | payload KB | docs/s/core | MB/s/core | "
           "core-h per TB |")
     print("|---|---|---|---|---|")
