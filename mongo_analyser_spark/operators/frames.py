@@ -1132,6 +1132,137 @@ def decode_mp4(payload: bytes) -> tuple[int, int, int, list[bytearray]]:
 
 
 # ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — raw planar video (round 15)
+# ---------------------------------------------------------------------------
+#
+# The mjpegtools interchange format (fully public, plain-text header +
+# raw planes) — the standard UNCOMPRESSED video carrier, and the one
+# container whose samples need no entropy decode at all.
+
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def _y4m_geometry(chroma: str, w: int, h: int) -> tuple[int, int]:
+    """(frame_bytes, channels) for a colourspace tag."""
+    if chroma in ("C420", "C420jpeg", "C420mpeg2", "C420paldv"):
+        return w * h + 2 * (((w + 1) // 2) * ((h + 1) // 2)), 3
+    if chroma == "C444":
+        return 3 * w * h, 3
+    if chroma == "Cmono":
+        return w * h, 1
+    raise NotImplementedError(f"Y4M colourspace {chroma}")
+
+
+def encode_y4m(
+    w: int,
+    h: int,
+    frames_y: list[bytes],
+    chroma_planes: list[tuple[bytes, bytes]] | None = None,
+    chroma: str = "C420jpeg",
+    rate: str = "25:1",
+) -> bytes:
+    """YUV4MPEG2 writer: luma planes per frame plus optional explicit
+    chroma planes (defaults to neutral 128s at the tag's geometry)."""
+    frame_bytes, ch = _y4m_geometry(chroma, w, h)
+    out = bytearray(
+        _Y4M_MAGIC + f"W{w} H{h} F{rate} Ip A1:1 {chroma}\n".encode()
+    )
+    if chroma == "Cmono":
+        csize = 0
+    elif chroma == "C444":
+        csize = w * h
+    else:
+        csize = ((w + 1) // 2) * ((h + 1) // 2)
+    for i, y in enumerate(frames_y):
+        if len(y) != w * h:
+            raise ValueError("Y4M luma plane does not match dimensions")
+        out += b"FRAME\n"
+        out += y
+        if ch == 3:
+            if chroma_planes is not None:
+                cb, cr = chroma_planes[i]
+                if len(cb) != csize or len(cr) != csize:
+                    raise ValueError("Y4M chroma plane size mismatch")
+                out += cb + cr
+            else:
+                out += bytes([128]) * (2 * csize)
+    return bytes(out)
+
+
+@untrusted_decoder
+def decode_y4m(payload: bytes) -> tuple[int, int, int, list[bytearray]]:
+    """(width, height, channels, composed frames) from a YUV4MPEG2
+    stream: C420*/C444 frames upsample chroma by pixel replication and
+    convert full-range YCbCr->RGB with the JPEG integer convention
+    (the _compose_pixels math); Cmono frames stay single-channel.
+    Unknown colourspaces raise NotImplementedError by name; framing
+    lies raise ValueError."""
+    if payload[:10] != _Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n", 10)
+    if nl < 0:
+        raise ValueError("Y4M header without newline")
+    w = h = None
+    chroma = "C420jpeg"  # the spec default when no C tag is present
+    for tok in payload[10:nl].decode("ascii", "replace").split():
+        if tok[:1] == "W":
+            w = int(tok[1:])
+        elif tok[:1] == "H":
+            h = int(tok[1:])
+        elif tok[:1] == "C":
+            chroma = tok
+        # F/I/A/X parameters do not affect pixel decode
+    if not w or not h:
+        raise ValueError("Y4M header missing dimensions")
+    check_dims(w, h, "Y4M")
+    frame_bytes, ch = _y4m_geometry(chroma, w, h)
+    cw = (w + 1) // 2 if chroma.startswith("C420") else w
+    frames: list[bytearray] = []
+    pos = nl + 1
+    n = len(payload)
+    while pos < n:
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("Y4M frame header expected")
+        pos = fnl + 1
+        if pos + frame_bytes > n:
+            raise ValueError("Y4M frame truncated")
+        raw = payload[pos:pos + frame_bytes]
+        pos += frame_bytes
+        if ch == 1:
+            frames.append(bytearray(raw))
+            continue
+        ysize = w * h
+        if chroma == "C444":
+            cb = raw[ysize:2 * ysize]
+            cr = raw[2 * ysize:]
+        else:
+            csize = cw * ((h + 1) // 2)
+            cb = raw[ysize:ysize + csize]
+            cr = raw[ysize + csize:]
+        rgb = bytearray(w * h * 3)
+        half = chroma.startswith("C420")
+        for yy in range(h):
+            crow = (yy // 2 if half else yy) * cw
+            for xx in range(w):
+                yv = raw[yy * w + xx]
+                ci = crow + (xx // 2 if half else xx)
+                bv = cb[ci] - 128
+                rv = cr[ci] - 128
+                r = int(round(yv + 1.402 * rv))
+                g = int(round(yv - 0.344136 * bv - 0.714136 * rv))
+                bl = int(round(yv + 1.772 * bv))
+                o = (yy * w + xx) * 3
+                rgb[o] = 0 if r < 0 else (255 if r > 255 else r)
+                rgb[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+                rgb[o + 2] = 0 if bl < 0 else (255 if bl > 255 else bl)
+        frames.append(rgb)
+    if not frames:
+        raise ValueError("Y4M stream has no frames")
+    return w, h, ch, frames
+
+
+# ---------------------------------------------------------------------------
 # unified multi-frame dispatch
 # ---------------------------------------------------------------------------
 
@@ -1153,6 +1284,8 @@ def decode_frames(payload: bytes) -> tuple[int, int, int, list[bytearray]]:
         return decode_avi(payload)
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return decode_mp4(payload)
+    if payload[:10] == _Y4M_MAGIC:
+        return decode_y4m(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from mongo_analyser_spark.operators.vp8l import decode_webp_lossless
 

@@ -272,6 +272,40 @@ def parse_video_header(payload: bytes) -> dict[str, Any] | None:
                 "n_frames": max(count, 1),
             }
         raise ValueError("MP4 has no video track")
+    if b[:10] == b"YUV4MPEG2 ":
+        # Y4M (round 15): dims from the plain-text header, frame count
+        # by striding the fixed frame size — no sample decode needed
+        from mongo_analyser_spark.operators.frames import (
+            _y4m_geometry,
+        )
+
+        nl = b.find(b"\n", 10)
+        if nl < 0:
+            raise ValueError("Y4M header without newline")
+        w = h = None
+        chroma = "C420jpeg"
+        for tok in b[10:nl].decode("ascii", "replace").split():
+            if tok[:1] == "W":
+                w = int(tok[1:])
+            elif tok[:1] == "H":
+                h = int(tok[1:])
+            elif tok[:1] == "C":
+                chroma = tok
+        if not w or not h:
+            raise ValueError("Y4M header missing dimensions")
+        frame_bytes, _ch = _y4m_geometry(chroma, w, h)
+        n_frames = 0
+        pos = nl + 1
+        while pos < len(b):
+            fnl = b.find(b"\n", pos)
+            if fnl < 0 or b[pos:pos + 5] != b"FRAME":
+                raise ValueError("Y4M frame header expected")
+            pos = fnl + 1 + frame_bytes
+            n_frames += 1
+        return {
+            "mime": "video/x-yuv4mpeg", "width": w, "height": h,
+            "n_frames": max(n_frames, 1),
+        }
     return None
 
 

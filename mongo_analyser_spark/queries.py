@@ -2724,6 +2724,12 @@ TAIL_QUERIES = (
     # expected text
     "html_extract_documents",
     "warc_extract_documents",
+    # round-15 addition: Y4M/YUV4MPEG2 raw planar video — the
+    # uncompressed video carrier beside the AVI/MP4 containers
+    # (plain-text header + fixed-stride frames, 4:2:0 replication
+    # upsample with the exact-for-neutral-chroma YCbCr convert);
+    # hash-oracled with the same k=4 floor sampling law
+    "y4m_frame_pixels_documents",
     # round-15 rotation (verdict-r14 #1): out of the window after 3-4
     # recorded green driver appearances each (in-window siblings noted
     # at the round-15 WINDOW comment); the four round-14 rows took the

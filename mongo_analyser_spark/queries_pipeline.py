@@ -6140,6 +6140,83 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "y4m_frame_pixels_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id, codes, COALESCE(len(codes),0) AS L,
+             1 + COALESCE(len(codes),0) % 4 AS n FROM a),
+idx AS (SELECT doc_id, codes, L, n,
+  list_sort(list_distinct(list_transform(generate_series(0,3),
+    t -> CAST(FLOOR(CAST(t AS DOUBLE)*(n-1)/3) AS INTEGER)))) AS fis FROM b),
+e AS (SELECT doc_id, CAST(n AS INTEGER) AS n_frames, u.fi AS frame_idx,
+        CASE WHEN L=0 THEN 128.0
+             ELSE CAST(2*codes[(u.fi % L) + 1] AS DOUBLE) END AS frame_luma
+      FROM idx, LATERAL unnest(fis) AS u(fi))
+SELECT doc_id, n_frames, frame_idx, frame_luma
+FROM e ORDER BY doc_id, frame_idx
+""",
+)
+def q_y4m_frame_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y4M (YUV4MPEG2) raw-video round trip, hash-oracled (round 15 —
+    the UNCOMPRESSED video carrier joins AVI/MP4,
+    operators/frames.decode_y4m): each document's codes become a real
+    YUV4MPEG2 stream of 1 + len%4 C420jpeg frames whose luma planes are
+    constant 2·codes[j mod L] with neutral chroma — the full-range
+    YCbCr->RGB convert is exact for neutral chroma, so frame luma IS
+    the plane value. The production path (sample_frame_pixel_rows →
+    decode_frames → decode_y4m) parses the plain-text header, strides
+    the fixed frame size, replicates the 4:2:0 chroma and converts;
+    the oracle states luma straight from the codes with the same k=4
+    floor sampling law as the AVI/MP4 rows."""
+    import pandas as pd  # noqa: F401
+
+    from mongo_analyser_spark.operators.frames import encode_y4m
+    from mongo_analyser_spark.operators.multimodal import (
+        sample_frame_pixel_rows,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                ln = len(codes)
+                n = 1 + ln % 4
+                ys = [
+                    bytes([2 * codes[j % ln] if ln else 128]) * 256
+                    for j in range(n)
+                ]
+                payload = encode_y4m(16, 16, ys)
+                for nf, fi, luma in sample_frame_pixel_rows(payload, 4):
+                    rows.append((doc_id, nf, fi, luma))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "frame_idx", "frame_luma"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_frames int, frame_idx int, frame_luma double",
+    ).orderBy("doc_id", "frame_idx")
+
+
+@register(
     "mp4_jpeg_frames_documents",
     """
 WITH a AS (

@@ -743,3 +743,72 @@ def test_mp4_multi_chunk_and_co64_layouts():
     assert (w, h, ch, len(frames)) == (16, 16, 1, 4)
     for v, f in zip(valsets, frames):
         assert bytes(f) == _const_block_frame(v)
+
+
+# --- Y4M / YUV4MPEG2 (round 15) ---------------------------------------------
+
+
+def test_y4m_c420_gray_exact_and_dispatch():
+    from mongo_analyser_spark.operators.frames import (
+        decode_frames,
+        decode_y4m,
+        encode_y4m,
+    )
+
+    w, h = 16, 12
+    ys = [bytes([v]) * (w * h) for v in (40, 200, 128)]
+    p = encode_y4m(w, h, ys)
+    W, H, ch, frames = decode_y4m(p)
+    assert (W, H, ch, len(frames)) == (w, h, 3, 3)
+    # neutral chroma: the full-range convert is exact, RGB == (v,v,v)
+    for f, v in zip(frames, (40, 200, 128)):
+        assert set(f) == {v}
+    assert decode_frames(p)[3][0][:3] == bytearray([40, 40, 40])
+
+
+def test_y4m_mono_c444_and_odd_dims():
+    import random
+
+    from mongo_analyser_spark.operators.frames import decode_y4m, encode_y4m
+
+    w, h = 16, 12
+    ys = [bytes([v]) * (w * h) for v in (40, 200)]
+    p = encode_y4m(w, h, ys, chroma="Cmono")
+    W, H, ch, frames = decode_y4m(p)
+    assert ch == 1 and bytes(frames[1]) == ys[1]
+    rng = random.Random(1)
+    y = bytes(rng.randrange(256) for _ in range(w * h))
+    cb = bytes(rng.randrange(256) for _ in range(w * h))
+    cr = bytes(rng.randrange(256) for _ in range(w * h))
+    W, H, ch, frames = decode_y4m(
+        encode_y4m(w, h, [y], [(cb, cr)], chroma="C444")
+    )
+    assert ch == 3 and len(frames) == 1
+    # spot-check one pixel against the shared YCbCr convention
+    yv, bv, rv = y[0], cb[0] - 128, cr[0] - 128
+    exp_r = max(0, min(255, int(round(yv + 1.402 * rv))))
+    assert frames[0][0] == exp_r
+    # odd dims: 4:2:0 chroma geometry is ceil(w/2) x ceil(h/2)
+    W, H, ch, frames = decode_y4m(encode_y4m(9, 7, [bytes([77]) * 63]))
+    assert (W, H) == (9, 7) and set(frames[0]) == {77}
+
+
+def test_y4m_header_and_armor():
+    import pytest as _pytest
+
+    from mongo_analyser_spark.operators.frames import decode_y4m, encode_y4m
+    from mongo_analyser_spark.operators.multimodal import parse_video_header
+
+    p = encode_y4m(16, 12, [bytes(16 * 12)] * 3)
+    assert parse_video_header(p) == {
+        "mime": "video/x-yuv4mpeg", "width": 16, "height": 12,
+        "n_frames": 3,
+    }
+    with _pytest.raises(ValueError):
+        decode_y4m(p[:-5])  # truncated frame
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W2 H2\nNOTFRAME\n\x00\x00\x00\x00\x00\x00")
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 C444\nFRAME\n")  # missing dims
+    with _pytest.raises(NotImplementedError, match="C999"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C999\nFRAME\n\x00\x00\x00\x00")
