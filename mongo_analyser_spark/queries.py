@@ -2724,6 +2724,11 @@ TAIL_QUERIES = (
     # expected text
     "html_extract_documents",
     "warc_extract_documents",
+    # round-15 addition: RFC 3986 URL canonicalization — the crawl-dedup
+    # key (scheme/host case, default ports, dot segments, percent
+    # policy, tracking params, credential strip — one oracle variant
+    # per step)
+    "url_canonical_documents",
     # round-15 addition: Y4M/YUV4MPEG2 raw planar video — the
     # uncompressed video carrier beside the AVI/MP4 containers
     # (plain-text header + fixed-stride frames, 4:2:0 replication

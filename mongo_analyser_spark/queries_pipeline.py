@@ -6140,6 +6140,95 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "url_canonical_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id,
+        COALESCE(len(codes),0) % 6 AS v,
+        CAST(CASE WHEN COALESCE(len(codes),0)=0 THEN 0 ELSE codes[1] END
+             AS VARCHAR) AS t
+      FROM a)
+SELECT doc_id,
+  CASE v
+    WHEN 0 THEN 'http://example.com/a/c' || t || '?x=1'
+    WHEN 1 THEN 'https://example.com/p' || t || '/'
+    WHEN 2 THEN 'http://example.com/'
+    WHEN 3 THEN 'http://example.com/A' || t || '%2F?q=~'
+    WHEN 4 THEN 'http://example.com/a//b' || t || '?y=2'
+    ELSE 'http://example.com/p' || t
+  END AS canonical,
+  'example.com' AS host,
+  CAST(CASE v WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 0
+              WHEN 3 THEN 1 WHEN 4 THEN 2 ELSE 1 END AS INTEGER)
+    AS path_depth
+FROM b ORDER BY doc_id
+""",
+)
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization, hash-oracled (round 15 — the crawl-dedup
+    key, operators/urltools.py): each document selects one of six messy
+    URL variants (uppercase scheme/host + default port + dot segments +
+    fragment; :443 + ./; bare host; mixed percent-escapes %41/%2f/%7e;
+    doubled slashes + utm_/fbclid tracking params; userinfo
+    credentials) parameterized by its first code, and the production
+    canonicalizer must reduce every one to the exact RFC 3986 §6 form
+    the oracle states — scheme/host case, port drop, dot-segment
+    resolution, unreserved percent-decode with hex uppercasing,
+    tracking-param drop, and credential stripping each have a dedicated
+    variant that breaks the hash if the step drifts."""
+    import pandas as pd  # noqa: F401
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from mongo_analyser_spark.operators.urltools import url_features
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                ln = len(codes)
+                t = str(codes[0]) if ln else "0"
+                v = ln % 6
+                url = [
+                    f"HTTP://Example.COM:80/a/b/../c{t}?x=1#frag",
+                    f"https://EXAMPLE.com:443/./p{t}/",
+                    "http://example.com",
+                    f"http://example.com/%41{t}%2f?q=%7e",
+                    f"http://example.com/a//b{t}?utm_source=x&y=2"
+                    "&fbclid=z",
+                    f"http://User:Pw@example.com/p{t}",
+                ][v]
+                f = url_features(url, drop_tracking=True)
+                rows.append(
+                    (doc_id, f["canonical"], f["host"], f["path_depth"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "canonical", "host", "path_depth"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, canonical string, host string, path_depth int",
+    ).orderBy("doc_id")
+
+
+@register(
     "y4m_frame_pixels_documents",
     """
 WITH a AS (
