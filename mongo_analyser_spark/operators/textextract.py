@@ -111,6 +111,62 @@ def extract_text_html(html: str) -> str:
     return p.text()
 
 
+def sniff_charset(
+    body: bytes, content_type: str | None = None
+) -> tuple[str, bool]:
+    """(encoding, certain) for crawled HTML bytes — the HTML5 §13.2.3
+    order: BOM (decisive), then the transport-layer Content-Type
+    charset parameter, then a prescan of the first 1024 bytes for
+    ``<meta charset=...>`` / ``<meta http-equiv=content-type ...>``,
+    else the spec's windows-1252 default (certain=False)."""
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8", True
+    if body[:2] == b"\xff\xfe":
+        return "utf-16-le", True
+    if body[:2] == b"\xfe\xff":
+        return "utf-16-be", True
+    if content_type:
+        for part in content_type.split(";")[1:]:
+            k, sep, v = part.partition("=")
+            if sep and k.strip().lower() == "charset":
+                return v.strip().strip("\"'").lower(), True
+    head = body[:1024].decode("iso-8859-1", "replace").lower()
+    i = 0
+    while True:
+        i = head.find("<meta", i)
+        if i < 0:
+            break
+        j = head.find(">", i)
+        tag = head[i:j if j > 0 else len(head)]
+        m = tag.find("charset")
+        if m >= 0:
+            rest = tag[m + 7:].lstrip().lstrip("=").strip()
+            # charset=X or content="text/html; charset=X"
+            enc = rest.split(";")[0].strip(" \"'/")
+            for stop in (" ", "\"", "'"):
+                enc = enc.split(stop)[0]
+            if enc:
+                return enc.lower(), True
+        i += 5
+    return "windows-1252", False
+
+
+def decode_html_bytes(
+    body: bytes, content_type: str | None = None
+) -> tuple[str, str]:
+    """(encoding, decoded text) — sniff, strip the BOM, decode with
+    replacement (crawled bytes lie about their own charset)."""
+    enc, _certain = sniff_charset(body, content_type)
+    if body[:3] == b"\xef\xbb\xbf":
+        body = body[3:]
+    elif body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        body = body[2:]
+    try:
+        return enc, body.decode(enc, "replace")
+    except LookupError:  # unknown label in the wild -> spec default
+        return "windows-1252", body.decode("cp1252", "replace")
+
+
 def html_text_features(html: str) -> dict:
     """Deterministic features of the extracted text: the numbers a
     quality-filter stage reads before deciding to keep a crawled page

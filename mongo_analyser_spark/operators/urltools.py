@@ -143,6 +143,28 @@ def canonicalize_url(url: str, drop_tracking: bool = False) -> str | None:
     return out
 
 
+def robots_features(
+    robots_txt: str, agent: str, urls: list[str]
+) -> dict:
+    """Crawl-politeness features from a robots.txt body (stdlib
+    ``urllib.robotparser`` — first-match-wins per the original REP
+    draft, which is that module's documented behavior): per-URL allow
+    flags for ``agent``, the agent's crawl delay, and the sitemap
+    count. The corpus-build filter joins these against the URL table
+    before fetching."""
+    from urllib.robotparser import RobotFileParser
+
+    rp = RobotFileParser()
+    rp.parse((robots_txt or "").splitlines())
+    delay = rp.crawl_delay(agent)
+    maps = rp.site_maps()
+    return {
+        "allowed": [bool(rp.can_fetch(agent, u)) for u in urls],
+        "crawl_delay": int(delay) if delay is not None else None,
+        "n_sitemaps": len(maps) if maps else 0,
+    }
+
+
 def url_features(url: str, drop_tracking: bool = False) -> dict:
     """The per-URL columns a curation stage keys on."""
     canon = canonicalize_url(url, drop_tracking=drop_tracking)

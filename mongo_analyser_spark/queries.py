@@ -2724,6 +2724,12 @@ TAIL_QUERIES = (
     # expected text
     "html_extract_documents",
     "warc_extract_documents",
+    # round-15 additions: charset sniffing/decode (HTML5 prescan order:
+    # BOM > transport header > meta, windows-1252 uncertain default)
+    # and robots.txt crawl policy (stdlib robotparser first-match-wins
+    # group semantics, crawl delay, sitemap count)
+    "charset_decode_documents",
+    "robots_policy_documents",
     # round-15 addition: RFC 3986 URL canonicalization — the crawl-dedup
     # key (scheme/host case, default ports, dot segments, percent
     # policy, tracking params, credential strip — one oracle variant

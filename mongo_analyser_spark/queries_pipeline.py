@@ -6229,6 +6229,180 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "charset_decode_documents",
+    """
+WITH c AS (
+  SELECT doc_id, COALESCE(text,'') AS body,
+         COALESCE(length(text),0) % 5 AS v
+  FROM documents)
+SELECT doc_id,
+  CASE v WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16-le'
+         WHEN 2 THEN 'iso-8859-1' WHEN 3 THEN 'utf-8'
+         ELSE 'windows-1252' END AS encoding,
+  v <> 4 AS certain,
+  CAST(length(body) AS INTEGER) AS n_chars
+FROM c ORDER BY doc_id
+""",
+)
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing + decode, hash-oracled (round 15 — the
+    crawled-bytes-to-text step, textextract.sniff_charset per the
+    HTML5 §13.2.3 order): each document's text is encoded four ways —
+    (0) UTF-8 with BOM, (1) UTF-16-LE with BOM, (2) latin-1 declared
+    only by the transport Content-Type parameter, (3) UTF-8 declared
+    only by a <meta charset> tag in the first 1024 bytes, (4) no
+    declaration at all (the spec's windows-1252 default, the one
+    UNCERTAIN case) — and decode_html_bytes must identify the label
+    and recover the EXACT original text (ASCII corpus, so every
+    encoding round-trips; the BOM must also be stripped or n_chars
+    breaks). The oracle states label, certainty, and length per
+    variant."""
+    import pandas as pd  # noqa: F401
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from mongo_analyser_spark.operators.textextract import (
+            decode_html_bytes,
+            sniff_charset,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                v = len(t) % 5
+                meta = '<meta charset="utf-8">'
+                body, ct = [
+                    (b"\xef\xbb\xbf" + t.encode("utf-8"), None),
+                    (b"\xff\xfe" + t.encode("utf-16-le"), None),
+                    (
+                        t.encode("latin-1"),
+                        "text/html; charset=ISO-8859-1",
+                    ),
+                    ((meta + t).encode("utf-8"), None),
+                    (t.encode("ascii"), None),
+                ][v]
+                enc, certain = sniff_charset(body, ct)
+                _enc2, txt = decode_html_bytes(body, ct)
+                if v == 3:
+                    txt = txt[len(meta):]  # strip the declaration tag
+                assert txt == t  # ASCII corpus: exact round trip
+                rows.append((doc_id, enc, certain, len(txt)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "encoding", "certain", "n_chars"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, encoding string, certain boolean, n_chars int",
+    ).orderBy("doc_id")
+
+
+@register(
+    "robots_policy_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id, COALESCE(len(codes),0) % 3 AS v FROM a)
+SELECT doc_id,
+  CASE v WHEN 0 THEN FALSE WHEN 1 THEN FALSE ELSE TRUE END
+    AS allowed_private,
+  CASE v WHEN 0 THEN TRUE WHEN 1 THEN FALSE ELSE FALSE END
+    AS allowed_pub,
+  CASE v WHEN 0 THEN 2 ELSE CAST(NULL AS INTEGER) END AS crawl_delay,
+  CAST(CASE v WHEN 2 THEN 1 ELSE 0 END AS INTEGER) AS n_sitemaps
+FROM b ORDER BY doc_id
+""",
+)
+def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl policy, hash-oracled (round 15 — the
+    politeness filter of the crawl tier, urltools.robots_features over
+    stdlib urllib.robotparser): each document selects one of three
+    policy files — (0) a Disallow/Allow pair where FIRST-MATCH-WINS
+    makes /private/ok disallowed despite the later Allow, plus a
+    Crawl-delay; (1) a per-agent total block with an open wildcard
+    group, proving group selection picks the specific agent; (2) a
+    code-parameterized Disallow plus a Sitemap line. The oracle states
+    the allow flags, delay, and sitemap count per variant — a drift in
+    group matching, rule order, or delay parsing breaks the hash."""
+    import pandas as pd  # noqa: F401
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from mongo_analyser_spark.operators.urltools import (
+            robots_features,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                ln = len(codes)
+                t = str(codes[0]) if ln else "0"
+                v = ln % 3
+                robots = [
+                    "User-agent: *\nDisallow: /private/\n"
+                    "Allow: /private/ok\nCrawl-delay: 2\n",
+                    "User-agent: sparkbot\nDisallow: /\n\n"
+                    "User-agent: *\nDisallow:\n",
+                    f"User-agent: *\nDisallow: /pub{t}\n"
+                    "Sitemap: http://example.com/sitemap.xml\n",
+                ][v]
+                f = robots_features(
+                    robots,
+                    "sparkbot",
+                    [
+                        "http://example.com/private/ok",
+                        f"http://example.com/pub{t}",
+                    ],
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        f["allowed"][0],
+                        f["allowed"][1],
+                        f["crawl_delay"],
+                        f["n_sitemaps"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "allowed_private", "allowed_pub",
+                    "crawl_delay", "n_sitemaps",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, allowed_private boolean, allowed_pub boolean, "
+        "crawl_delay int, n_sitemaps int",
+    ).orderBy("doc_id")
+
+
+@register(
     "y4m_frame_pixels_documents",
     """
 WITH a AS (

@@ -67,3 +67,48 @@ def test_features():
     assert html_text_features("") == {
         "text": "", "n_chars": 0, "n_lines": 0, "text_ratio": 0.0,
     }
+
+
+def test_sniff_charset_precedence():
+    from mongo_analyser_spark.operators.textextract import sniff_charset
+
+    t = "héllo"
+    # BOM is decisive and beats any header
+    assert sniff_charset(
+        b"\xef\xbb\xbf" + t.encode("utf-8"),
+        "text/html; charset=iso-8859-1",
+    ) == ("utf-8", True)
+    assert sniff_charset(b"\xff\xfex\x00", None) == ("utf-16-le", True)
+    assert sniff_charset(b"\xfe\xff\x00x", None) == ("utf-16-be", True)
+    # transport header beats the meta prescan
+    assert sniff_charset(
+        b'<meta charset="utf-8">x', "text/html; charset=ISO-8859-1"
+    ) == ("iso-8859-1", True)
+    # meta variants
+    assert sniff_charset(b'<meta charset="utf-8">x', None) == (
+        "utf-8", True,
+    )
+    assert sniff_charset(
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=iso-8859-1">x',
+        None,
+    ) == ("iso-8859-1", True)
+    # nothing declared -> the spec default, uncertain
+    assert sniff_charset(b"plain ascii", None) == ("windows-1252", False)
+
+
+def test_decode_html_bytes_strips_bom_and_survives_bogus_labels():
+    from mongo_analyser_spark.operators.textextract import decode_html_bytes
+
+    t = "héllo wörld"
+    enc, txt = decode_html_bytes(b"\xef\xbb\xbf" + t.encode("utf-8"))
+    assert (enc, txt) == ("utf-8", t)
+    enc, txt = decode_html_bytes(b"\xff\xfe" + t.encode("utf-16-le"))
+    assert (enc, txt) == ("utf-16-le", t)
+    enc, txt = decode_html_bytes(
+        t.encode("latin-1"), "text/html; charset=ISO-8859-1"
+    )
+    assert (enc, txt) == ("iso-8859-1", t)
+    # an unknown label in the wild falls back to the spec default
+    enc, txt = decode_html_bytes(b"<meta charset=bogus-enc>xyz")
+    assert enc == "windows-1252" and txt.endswith("xyz")

@@ -88,3 +88,42 @@ def test_url_features():
         "has_query": True,
     }
     assert url_features("garbage")["canonical"] is None
+
+
+def test_robots_features_first_match_and_groups():
+    from mongo_analyser_spark.operators.urltools import robots_features
+
+    # first-match-wins: the later Allow cannot rescue /private/ok
+    f = robots_features(
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+        "Crawl-delay: 2\n",
+        "sparkbot",
+        ["http://e.com/private/ok", "http://e.com/pub"],
+    )
+    assert f == {"allowed": [False, True], "crawl_delay": 2,
+                 "n_sitemaps": 0}
+    # group selection: the specific agent's total block wins over the
+    # open wildcard group
+    f = robots_features(
+        "User-agent: sparkbot\nDisallow: /\n\nUser-agent: *\nDisallow:\n",
+        "sparkbot",
+        ["http://e.com/x"],
+    )
+    assert f["allowed"] == [False]
+    f = robots_features(
+        "User-agent: sparkbot\nDisallow: /\n\nUser-agent: *\nDisallow:\n",
+        "otherbot",
+        ["http://e.com/x"],
+    )
+    assert f["allowed"] == [True]
+    # sitemaps count; empty/None bodies allow everything
+    f = robots_features(
+        "User-agent: *\nDisallow: /p\nSitemap: http://e.com/s.xml\n",
+        "sparkbot",
+        ["http://e.com/p", "http://e.com/q"],
+    )
+    assert f == {"allowed": [False, True], "crawl_delay": None,
+                 "n_sitemaps": 1}
+    assert robots_features(None, "a", ["http://e.com/x"])["allowed"] == [
+        True,
+    ]
