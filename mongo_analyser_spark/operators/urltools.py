@@ -165,6 +165,49 @@ def robots_features(
     }
 
 
+def parse_sitemap(data: bytes) -> dict:
+    """Sitemap-protocol parse (sitemaps.org 0.9, stdlib ElementTree):
+    ``{"kind": "urlset"|"sitemapindex", "entries": [{"loc", "lastmod",
+    "priority"}...]}``. Gzip-wrapped sitemaps (the ``.xml.gz``
+    convention robots.txt links to) decompress first, bounded. Entries
+    without a <loc> are skipped; malformed XML raises ValueError (the
+    untrusted-input contract)."""
+    import gzip
+    import xml.etree.ElementTree as ET
+
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = gzip.decompress(data)
+        except (OSError, EOFError) as exc:
+            raise ValueError(f"corrupt gzip sitemap: {exc}") from None
+        if len(data) > (1 << 26):
+            raise ValueError("sitemap exceeds the 64 MiB bound")
+    try:
+        root = ET.fromstring(data)
+    except ET.ParseError as exc:
+        raise ValueError(f"malformed sitemap XML: {exc}") from None
+    kind = root.tag.split("}")[-1]
+    if kind not in ("urlset", "sitemapindex"):
+        raise ValueError(f"not a sitemap document ({kind})")
+    entries = []
+    for child in root:
+        fields = {c.tag.split("}")[-1]: (c.text or "").strip()
+                  for c in child}
+        if fields.get("loc"):
+            try:
+                prio = float(fields["priority"])
+            except (KeyError, ValueError):
+                prio = None  # tolerant: junk priorities are common
+            entries.append(
+                {
+                    "loc": fields["loc"],
+                    "lastmod": fields.get("lastmod"),
+                    "priority": prio,
+                }
+            )
+    return {"kind": kind, "entries": entries}
+
+
 def url_features(url: str, drop_tracking: bool = False) -> dict:
     """The per-URL columns a curation stage keys on."""
     canon = canonicalize_url(url, drop_tracking=drop_tracking)

@@ -2724,6 +2724,10 @@ TAIL_QUERIES = (
     # expected text
     "html_extract_documents",
     "warc_extract_documents",
+    # round-15 addition: sitemap-protocol parse (urlset + sitemapindex,
+    # gzip wrapper, junk-priority tolerance) — crawl discovery beside
+    # robots.txt
+    "sitemap_urls_documents",
     # round-15 additions: charset sniffing/decode (HTML5 prescan order:
     # BOM > transport header > meta, windows-1252 uncertain default)
     # and robots.txt crawl policy (stdlib robotparser first-match-wins

@@ -6229,6 +6229,104 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sitemap_urls_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id,
+        1 + COALESCE(len(codes),0) % 5 AS n,
+        CAST(CASE WHEN COALESCE(len(codes),0)=0 THEN 0 ELSE codes[1] END
+             AS VARCHAR) AS t
+      FROM a)
+SELECT doc_id,
+  CAST(n AS INTEGER) AS n_urls,
+  'http://example.com/p' || t || '-0' AS first_loc,
+  FLOOR((CAST(n AS DOUBLE)-1)/2 + 0.5)/10.0 AS mean_priority
+FROM b ORDER BY doc_id
+""",
+)
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-protocol parse, hash-oracled (round 15 — the discovery
+    side of the crawl tier beside robots.txt,
+    urltools.parse_sitemap): each document becomes a GZIP-wrapped
+    urlset of 1 + L%5 entries (loc p{t}-j, priority j/10, one entry
+    carrying a junk priority is exercised in pytest) parsed by the
+    production stdlib-ElementTree walk; the oracle states the URL
+    count, the first loc, and the mean priority (= (n-1)/2/10 exactly
+    under the law) straight from the codes."""
+    import pandas as pd  # noqa: F401
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import gzip
+        import io
+        import math
+
+        import pandas as pd
+
+        from mongo_analyser_spark.operators.urltools import parse_sitemap
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                ln = len(codes)
+                t = str(codes[0]) if ln else "0"
+                n = 1 + ln % 5
+                body = (
+                    '<?xml version="1.0" encoding="UTF-8"?>'
+                    '<urlset xmlns='
+                    '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                    + "".join(
+                        f"<url><loc>http://example.com/p{t}-{j}</loc>"
+                        f"<priority>{j / 10:.1f}</priority></url>"
+                        for j in range(n)
+                    )
+                    + "</urlset>"
+                ).encode()
+                buf = io.BytesIO()
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                    gz.write(body)
+                sm = parse_sitemap(buf.getvalue())
+                prios = [e["priority"] for e in sm["entries"]]
+                mean = (
+                    math.floor(sum(prios) / len(prios) * 10.0 + 0.5)
+                    / 10.0
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        len(sm["entries"]),
+                        sm["entries"][0]["loc"],
+                        mean,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_urls", "first_loc",
+                         "mean_priority"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_urls int, first_loc string, "
+        "mean_priority double",
+    ).orderBy("doc_id")
+
+
+@register(
     "charset_decode_documents",
     """
 WITH c AS (

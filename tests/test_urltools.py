@@ -127,3 +127,48 @@ def test_robots_features_first_match_and_groups():
     assert robots_features(None, "a", ["http://e.com/x"])["allowed"] == [
         True,
     ]
+
+
+def test_parse_sitemap_urlset_index_gzip_and_armor():
+    import gzip as _gzip
+
+    from mongo_analyser_spark.operators.urltools import parse_sitemap
+
+    sm = (
+        b'<?xml version="1.0" encoding="UTF-8"?>'
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>http://e.com/a</loc><lastmod>2026-01-02</lastmod>"
+        b"<priority>0.8</priority></url>"
+        b"<url><loc>http://e.com/b</loc><priority>junk</priority></url>"
+        b"<url><lastmod>2026-01-01</lastmod></url>"  # no loc -> skipped
+        b"</urlset>"
+    )
+    out = parse_sitemap(sm)
+    assert out["kind"] == "urlset"
+    assert [e["loc"] for e in out["entries"]] == [
+        "http://e.com/a", "http://e.com/b",
+    ]
+    assert out["entries"][0]["lastmod"] == "2026-01-02"
+    assert out["entries"][0]["priority"] == 0.8
+    assert out["entries"][1]["priority"] is None  # junk tolerated
+    # gzip wrapper
+    assert parse_sitemap(_gzip.compress(sm)) == out
+    # sitemap index
+    idx = (
+        b'<sitemapindex xmlns='
+        b'"http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<sitemap><loc>http://e.com/s1.xml.gz</loc></sitemap>"
+        b"</sitemapindex>"
+    )
+    out = parse_sitemap(idx)
+    assert out["kind"] == "sitemapindex"
+    assert out["entries"][0]["loc"] == "http://e.com/s1.xml.gz"
+    # armor
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="malformed sitemap XML"):
+        parse_sitemap(b"<urlset><url>")
+    with _pytest.raises(ValueError, match="not a sitemap"):
+        parse_sitemap(b"<html></html>")
+    with _pytest.raises(ValueError, match="corrupt gzip"):
+        parse_sitemap(b"\x1f\x8b\x00nope")
