@@ -2724,6 +2724,12 @@ TAIL_QUERIES = (
     # expected text
     "html_extract_documents",
     "warc_extract_documents",
+    # round-15 capstone: the COMPLETE web-ingestion front-end in one
+    # hash-oracled chain — WARC member-gzip walk -> HTTP split ->
+    # charset sniff/decode (fed by the record's real Content-Type) ->
+    # HTML extract -> canonical-URL dedup key -> keep gate; five
+    # components compose, the oracle states every column
+    "web_corpus_build_documents",
     # round-15 addition: sitemap-protocol parse (urlset + sitemapindex,
     # gzip wrapper, junk-priority tolerance) — crawl discovery beside
     # robots.txt

@@ -6229,6 +6229,159 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "web_corpus_build_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    trim(regexp_replace(COALESCE(text,''), '\\s+', ' ', 'g')) AS body,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id, body,
+        COALESCE(len(codes),0) % 6 AS vu,
+        COALESCE(len(codes),0) % 5 AS vc,
+        CAST(CASE WHEN COALESCE(len(codes),0)=0 THEN 0 ELSE codes[1] END
+             AS VARCHAR) AS t
+      FROM a),
+e AS (SELECT doc_id,
+        CASE WHEN body = '' THEN 'W' || doc_id
+             ELSE 'W' || doc_id || chr(10) || body END AS extracted
+      FROM b),
+f AS (SELECT doc_id,
+        CASE vu
+          WHEN 0 THEN 'http://example.com/a/c' || t || '?x=1'
+          WHEN 1 THEN 'https://example.com/p' || t || '/'
+          WHEN 2 THEN 'http://example.com/'
+          WHEN 3 THEN 'http://example.com/A' || t || '%2F?q=~'
+          WHEN 4 THEN 'http://example.com/a//b' || t || '?y=2'
+          ELSE 'http://example.com/p' || t
+        END AS canonical,
+        CASE vc WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16-le'
+                WHEN 2 THEN 'iso-8859-1' WHEN 3 THEN 'utf-8'
+                ELSE 'windows-1252' END AS encoding,
+        CAST(length(extracted) AS INTEGER) AS n_chars
+      FROM e JOIN b USING (doc_id))
+SELECT doc_id, canonical, encoding, n_chars, n_chars >= 20 AS keep
+FROM f ORDER BY doc_id
+""",
+)
+def q_web_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete web-corpus ingestion front-end in ONE hash-oracled
+    chain (round 15): per document, a member-gzip WARC response whose
+    target URI is one of the six messy URL variants and whose HTML body
+    is stored under one of the five charset declarations — then the
+    PRODUCTION pipeline runs end-to-end: parse_warc (gzip member walk +
+    record grammar) → split_http_payload (wire headers) →
+    decode_html_bytes (HTML5 sniff order, fed by the record's REAL
+    Content-Type header) → extract_text_html (markup strip; the meta
+    declaration sits in <head> and contributes no text) →
+    canonicalize_url (the dedup key) → the keep gate (n_chars ≥ 20).
+    Five components compose and the oracle states every output column
+    from the source — a drift in ANY stage breaks the hash. This is
+    the corpus_build_documents pattern applied to crawl input."""
+    import pandas as pd  # noqa: F401
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import html as _html
+
+        import pandas as pd
+
+        from mongo_analyser_spark.operators.textextract import (
+            decode_html_bytes,
+            extract_text_html,
+        )
+        from mongo_analyser_spark.operators.urltools import url_features
+        from mongo_analyser_spark.sources.warc import (
+            build_warc,
+            build_warc_record,
+            http_response_payload,
+            parse_warc,
+            split_http_payload,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                ln = len(codes)
+                t = str(codes[0]) if ln else "0"
+                vu, vc = ln % 6, ln % 5
+                messy = [
+                    f"HTTP://Example.COM:80/a/b/../c{t}?x=1#frag",
+                    f"https://EXAMPLE.com:443/./p{t}/",
+                    "http://example.com",
+                    f"http://example.com/%41{t}%2f?q=%7e",
+                    f"http://example.com/a//b{t}?utm_source=x&y=2"
+                    "&fbclid=z",
+                    f"http://User:Pw@example.com/p{t}",
+                ][vu]
+                meta = '<meta charset="utf-8">' if vc == 3 else ""
+                page = (
+                    f"<html><head><title>W{doc_id}</title>{meta}"
+                    f"</head><body><p>{_html.escape(text or '')}</p>"
+                    "</body></html>"
+                )
+                enc_body, ct = [
+                    (b"\xef\xbb\xbf" + page.encode("utf-8"),
+                     "text/html"),
+                    (b"\xff\xfe" + page.encode("utf-16-le"),
+                     "text/html"),
+                    (page.encode("latin-1"),
+                     "text/html; charset=ISO-8859-1"),
+                    (page.encode("utf-8"), "text/html"),
+                    (page.encode("ascii"), "text/html"),
+                ][vc]
+                payload = build_warc(
+                    [
+                        build_warc_record(
+                            "response",
+                            http_response_payload(enc_body, ct),
+                            f"{int(doc_id):032x}",
+                            target_uri=messy,
+                            content_type=(
+                                "application/http;msgtype=response"
+                            ),
+                        )
+                    ],
+                    gzip_members=True,
+                )
+                rec = next(iter(parse_warc(payload)))
+                _status, hdrs, body = split_http_payload(rec["content"])
+                enc, txt_raw = decode_html_bytes(
+                    body, hdrs.get("content-type")
+                )
+                txt = extract_text_html(txt_raw)
+                canon = url_features(
+                    rec["warc-target-uri"], drop_tracking=True
+                )["canonical"]
+                rows.append(
+                    (doc_id, canon, enc, len(txt), len(txt) >= 20)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "canonical", "encoding", "n_chars", "keep",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, canonical string, encoding string, n_chars int, "
+        "keep boolean",
+    ).orderBy("doc_id")
+
+
+@register(
     "sitemap_urls_documents",
     """
 WITH a AS (
