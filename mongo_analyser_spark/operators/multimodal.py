@@ -168,6 +168,15 @@ def parse_image_header(payload: bytes) -> dict[str, Any] | None:
         return {
             "mime": "image/bmp", "width": abs(w), "height": abs(h), "n_frames": 1,
         }
+    if len(b) >= 2 and b[:1] == b"P" and b[1:2] in b"2356":
+        # netpbm (round 15): dims straight from the ASCII header
+        from mongo_analyser_spark.operators.pixels import _pnm_tokens
+
+        (w, h), _ = _pnm_tokens(b, 2, 2)
+        return {
+            "mime": "image/x-portable-anymap", "width": w, "height": h,
+            "n_frames": 1,
+        }
     if len(b) >= 8 and b[:4] in (b"II*\x00", b"MM\x00*"):
         # TIFF (round 15): dims straight from the first IFD — works for
         # ANY compression inside, including ones the pixel decoder gates

@@ -353,6 +353,88 @@ def decode_bmp(b: bytes) -> tuple[int, int, int, bytearray]:
 
 
 @untrusted_decoder
+def _pnm_tokens(b: bytes, need: int, pos: int) -> tuple[list[int], int]:
+    """``need`` whitespace-separated integers from a netpbm header/body,
+    skipping ``#`` comments; returns (values, next position)."""
+    vals: list[int] = []
+    n = len(b)
+    while len(vals) < need:
+        while pos < n and b[pos] in b" \t\r\n":
+            pos += 1
+        if pos < n and b[pos] == 0x23:  # '#' comment to end of line
+            while pos < n and b[pos] not in b"\r\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < n and b[pos] not in b" \t\r\n#":
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated netpbm header")
+        try:
+            vals.append(int(b[start:pos]))
+        except ValueError:
+            raise ValueError("non-numeric netpbm header token")
+    return vals, pos
+
+
+@untrusted_decoder
+def decode_pnm(b: bytes) -> tuple[int, int, int, bytearray]:
+    """netpbm (round 15 — the interchange format of CV corpora): P2/P3
+    (ASCII) and P5/P6 (binary) grayscale/RGB at maxval <= 255, with
+    ``#`` comments anywhere in the header. 16-bit maxvals and P1/P4
+    bitmaps raise by name."""
+    if len(b) < 2 or b[0:1] != b"P":
+        raise ValueError("not a netpbm payload")
+    kind = b[1:2]
+    if kind in (b"1", b"4"):
+        raise NotImplementedError("netpbm bitmap (P1/P4)")
+    if kind not in (b"2", b"3", b"5", b"6"):
+        raise ValueError("not a netpbm payload")
+    ch = 3 if kind in (b"3", b"6") else 1
+    (w, h, maxval), pos = _pnm_tokens(b, 3, 2)
+    check_dims(w, h, "netpbm")
+    if not 0 < maxval <= 255:
+        raise NotImplementedError(
+            f"netpbm maxval {maxval} (8-bit only)"
+        )
+    count = w * h * ch
+    if kind in (b"2", b"3"):
+        vals, _pos = _pnm_tokens(b, count, pos)
+        if any(not 0 <= v <= maxval for v in vals):
+            raise ValueError("netpbm sample exceeds maxval")
+        return w, h, ch, bytearray(vals)
+    # binary: exactly ONE whitespace byte after maxval, then raster
+    pos += 1
+    if pos + count > len(b):
+        raise ValueError("netpbm raster truncated")
+    return w, h, ch, bytearray(b[pos:pos + count])
+
+
+def encode_pnm(
+    w: int, h: int, channels: int, pixels: bytes, ascii_form: bool = False
+) -> bytes:
+    """The fixture twin: P5/P6 binary or P2/P3 ASCII, with a comment
+    line so decoders must skip one."""
+    if channels not in (1, 3):
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != w * h * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    if ascii_form:
+        kind = "P2" if channels == 1 else "P3"
+        body = "\n".join(
+            " ".join(
+                str(v)
+                for v in pixels[y * w * channels:(y + 1) * w * channels]
+            )
+            for y in range(h)
+        )
+        return (
+            f"{kind}\n# fixture\n{w} {h}\n255\n{body}\n".encode()
+        )
+    kind = "P5" if channels == 1 else "P6"
+    return f"{kind}\n# fixture\n{w} {h}\n255\n".encode() + bytes(pixels)
+
+
 def decode_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
     """Dispatch: PNG, 24-bit BMP, JPEG (baseline AND progressive), and
     baseline TIFF (round 15) decode fully in stdlib
@@ -375,10 +457,13 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
         from mongo_analyser_spark.operators.tiff import decode_tiff
 
         return decode_tiff(payload)
+    if payload[:1] == b"P" and payload[1:2] in b"123456":
+        return decode_pnm(payload)
     raise NotImplementedError(
-        "pixel decode beyond PNG/BMP/JPEG/lossless-WebP/TIFF requires "
-        "an image codec (PIL) not present in this container (GIF/APNG "
-        "FRAMES decode in stdlib via operators/frames.decode_frames)"
+        "pixel decode beyond PNG/BMP/JPEG/lossless-WebP/TIFF/netpbm "
+        "requires an image codec (PIL) not present in this container "
+        "(GIF/APNG FRAMES decode in stdlib via "
+        "operators/frames.decode_frames)"
     )
 
 

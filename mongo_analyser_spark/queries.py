@@ -2724,6 +2724,10 @@ TAIL_QUERIES = (
     # expected text
     "html_extract_documents",
     "warc_extract_documents",
+    # round-15 addition: netpbm P2/P3/P5/P6 (the CV-corpus interchange
+    # formats) — same gradient oracle as the TIFF row, all four
+    # subformats cycled per doc
+    "pnm_pixel_stats_documents",
     # round-15 capstone: the COMPLETE web-ingestion front-end in one
     # hash-oracled chain — WARC member-gzip walk -> HTTP split ->
     # charset sniff/decode (fed by the record's real Content-Type) ->

@@ -6229,6 +6229,90 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pnm_pixel_stats_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id, codes, COALESCE(len(codes),0) AS L FROM a),
+v AS (SELECT doc_id, list_transform(generate_series(0,255), i ->
+        ((CASE WHEN L=0 THEN 128 ELSE codes[1] END) + 3*(i%16) + 5*(i//16)) % 256
+      ) AS vals FROM b)
+SELECT doc_id,
+  FLOOR(CAST(list_sum(vals) AS DOUBLE)/256*10000.0 + 0.5)/10000.0 AS mean_val,
+  CAST(list_max(vals) AS INTEGER) AS max_val
+FROM v ORDER BY doc_id
+""",
+)
+def q_pnm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """netpbm round trip, hash-oracled (round 15 — the CV-corpus
+    interchange formats, operators/pixels.decode_pnm): the SAME
+    gradient law and the SAME oracle as tiff_pixel_stats_documents,
+    cycling all four subformats per doc — P5/P2 grayscale and P6/P3
+    gray-RGB (each channel carries the same value, so the mean over
+    samples equals the gray mean) — binary rasters whose first byte
+    may be '#' (must not be eaten as a comment) and ASCII bodies with
+    a comment line both decode through the production decode_pixels
+    dispatch. Lossless, so the oracle states stats from the law."""
+    import pandas as pd  # noqa: F401
+
+    from mongo_analyser_spark.operators.pixels import (
+        decode_pixels,
+        encode_pnm,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                ln = len(codes)
+                a = codes[0] if ln else 128
+                gray = bytes(
+                    (a + 3 * x + 5 * y) % 256
+                    for y in range(16)
+                    for x in range(16)
+                )
+                ascii_form, ch = [
+                    (False, 1), (True, 1), (False, 3), (True, 3),
+                ][ln % 4]
+                px = (
+                    gray if ch == 1
+                    else bytes(v for v in gray for _ in range(3))
+                )
+                payload = encode_pnm(16, 16, ch, px, ascii_form)
+                _w, _h, _c, out = decode_pixels(payload)
+                n = len(out)
+                mean = (
+                    math.floor(sum(out) / n * 10000.0 + 0.5) / 10000.0
+                )
+                rows.append((doc_id, mean, max(out)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "mean_val", "max_val"]
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, mean_val double, max_val int"
+    ).orderBy("doc_id")
+
+
+@register(
     "web_corpus_build_documents",
     """
 WITH a AS (

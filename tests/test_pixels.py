@@ -883,3 +883,58 @@ def test_mp4_stsz_count_bounded_before_allocation():
     _s.pack_into(">II", base, i + 8, 4, 0xF0000000)  # fixed=4, count=4e9
     with pytest.raises(ValueError, match="stsz"):
         decode_mp4(bytes(base))
+
+
+# --- netpbm (round 15) -------------------------------------------------------
+
+
+def test_pnm_roundtrips_all_four_subformats():
+    import random
+
+    from mongo_analyser_spark.operators import pixels
+
+    rng = random.Random(5)
+    for w, h, ch in ((16, 16, 1), (7, 3, 3), (1, 1, 1)):
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        for asc in (False, True):
+            p = pixels.encode_pnm(w, h, ch, px, ascii_form=asc)
+            assert pixels.decode_pnm(p)[3] == bytearray(px)
+            # the shared dispatch routes netpbm too
+            assert pixels.decode_pixels(p)[3] == bytearray(px)
+
+
+def test_pnm_binary_raster_starting_with_hash_byte():
+    """'#' starts a comment only in the HEADER — a binary raster whose
+    first byte is 0x23 must decode as a sample."""
+    from mongo_analyser_spark.operators.pixels import decode_pnm
+
+    w, h, c, out = decode_pnm(b"P5\n2 1\n255\n" + bytes([0x23, 0x41]))
+    assert bytes(out) == bytes([0x23, 0x41])
+
+
+def test_pnm_gates_and_armor():
+    from mongo_analyser_spark.operators.pixels import decode_pnm
+
+    with pytest.raises(NotImplementedError, match="P1/P4"):
+        decode_pnm(b"P4\n1 1\n\x00")
+    with pytest.raises(NotImplementedError, match="maxval 65535"):
+        decode_pnm(b"P5\n2 2\n65535\n" + b"\x00" * 8)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_pnm(b"P5\n2 2\n255\n\x00")
+    with pytest.raises(ValueError, match="exceeds maxval"):
+        decode_pnm(b"P2\n2 2\n255\n1 2 3 999\n")
+    with pytest.raises(ValueError, match="non-numeric"):
+        decode_pnm(b"P5\n2 x\n255\n")
+    with pytest.raises(ValueError, match="not a netpbm"):
+        decode_pnm(b"P9\n")
+
+
+def test_pnm_header_metadata():
+    from mongo_analyser_spark.operators.multimodal import parse_image_header
+    from mongo_analyser_spark.operators.pixels import encode_pnm
+
+    p = encode_pnm(12, 9, 3, bytes(12 * 9 * 3), ascii_form=True)
+    assert parse_image_header(p) == {
+        "mime": "image/x-portable-anymap", "width": 12, "height": 9,
+        "n_frames": 1,
+    }
