@@ -922,7 +922,14 @@ def main_codec_throughput(reps_scale: float = 1.0) -> None:
         ],
         gzip_members=True,
     )
+    y4m_payload = frames.encode_y4m(
+        64, 64, [bytes(rng.randrange(256) for _ in range(64 * 64))
+                 for _ in range(4)]
+    )
     cases += [
+        ("y4m_c420_4f_64x64", y4m_payload, frames.decode_y4m, 5),
+        ("pnm_p6_64x64",
+         px.encode_pnm(w, h, 3, rgb), px.decode_pnm, 30),
         ("tiff_lzw_pred_64x64",
          tiff.encode_tiff(w, h, 1, gray, compression="lzw",
                           predictor=True),
