@@ -2724,6 +2724,10 @@ TAIL_QUERIES = (
     # expected text
     "html_extract_documents",
     "warc_extract_documents",
+    # round-15 addition: WebDataset tar-shard samples (the multimodal
+    # training-data container) — tar walk, first-dot key grouping, and
+    # a netpbm member decode under one oracle
+    "webdataset_samples_documents",
     # round-15 addition: netpbm P2/P3/P5/P6 (the CV-corpus interchange
     # formats) — same gradient oracle as the TIFF row, all four
     # subformats cycled per doc

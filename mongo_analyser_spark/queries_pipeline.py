@@ -6229,6 +6229,119 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "webdataset_samples_documents",
+    """
+WITH a AS (
+  SELECT doc_id, COALESCE(text,'') AS body,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id, body,
+        1 + COALESCE(len(codes),0) % 3 AS n,
+        CASE WHEN COALESCE(len(codes),0)=0 THEN 0 ELSE codes[1] END AS a0
+      FROM a),
+v AS (SELECT doc_id, n, a0, body,
+        list_transform(generate_series(0,15), i -> (a0 + 7*i) % 256) AS px
+      FROM b)
+SELECT doc_id,
+  CAST(n AS INTEGER) AS n_samples,
+  CAST(3*n AS INTEGER) AS n_files,
+  CAST(a0 AS VARCHAR) AS cls0,
+  CAST(length(body) AS INTEGER) AS txt_len,
+  FLOOR(CAST(list_sum(px) AS DOUBLE)/16*10000.0 + 0.5)/10000.0 AS ppm_mean
+FROM v ORDER BY doc_id
+""",
+)
+def q_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard round trip, hash-oracled (round 15 — the
+    multimodal training-data container, sources/webdataset.py): each
+    document becomes a gzip shard of 1 + L%3 samples, each sample three
+    members under one key (``.txt`` = the document bytes, ``.cls`` =
+    the first code, ``.ppm`` = a 4x4 netpbm gradient seeded by it),
+    walked by the production iter_tar_samples (key grouping by the
+    first-dot rule) with the ``.ppm`` member decoded through
+    decode_pixels — tar framing, sample assembly, and the image decode
+    all sit under one oracle that states sample/file counts, the label,
+    the text length, and the pixel mean straight from the source."""
+    import pandas as pd  # noqa: F401
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import math
+
+        import pandas as pd
+
+        from mongo_analyser_spark.operators.pixels import (
+            decode_pixels,
+            encode_pnm,
+        )
+        from mongo_analyser_spark.sources.webdataset import (
+            build_webdataset,
+            iter_tar_samples,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                ln = len(codes)
+                a0 = codes[0] if ln else 0
+                n = 1 + ln % 3
+                gray = bytes((a0 + 7 * i) % 256 for i in range(16))
+                shard = build_webdataset(
+                    [
+                        {
+                            "__key__": f"d{doc_id}-{j}",
+                            "txt": (text or "").encode(),
+                            "cls": str(a0).encode(),
+                            "ppm": encode_pnm(4, 4, 1, gray),
+                        }
+                        for j in range(n)
+                    ],
+                    gzip_shard=True,
+                )
+                samples = list(iter_tar_samples(shard))
+                n_files = sum(len(s) - 1 for s in samples)
+                first = samples[0]
+                _w, _h, _c, out = decode_pixels(first["ppm"])
+                mean = (
+                    math.floor(sum(out) / 16 * 10000.0 + 0.5) / 10000.0
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        len(samples),
+                        n_files,
+                        first["cls"].decode(),
+                        len(first["txt"]),
+                        mean,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "n_files", "cls0",
+                    "txt_len", "ppm_mean",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples int, n_files int, cls0 string, "
+        "txt_len int, ppm_mean double",
+    ).orderBy("doc_id")
+
+
+@register(
     "pnm_pixel_stats_documents",
     """
 WITH a AS (
