@@ -183,11 +183,15 @@ def parse_image_header(payload: bytes) -> dict[str, Any] | None:
         from mongo_analyser_spark.operators.tiff import _read_ifd
 
         tags = _read_ifd(b, "<" if b[:2] == b"II" else ">")
-        if 256 not in tags or 257 not in tags:
-            raise ValueError("TIFF IFD missing dimensions")
+        dims = []
+        for tag in (256, 257):
+            v = tags.get(tag)
+            if not (isinstance(v, list) and v and isinstance(v[0], int)):
+                raise ValueError("TIFF IFD missing dimensions")
+            dims.append(v[0])
         return {
-            "mime": "image/tiff", "width": tags[256][0],
-            "height": tags[257][0], "n_frames": 1,
+            "mime": "image/tiff", "width": dims[0],
+            "height": dims[1], "n_frames": 1,
         }
     if len(b) >= 30 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         # WebP (round 13, header-only — VP8/VP8L pixel decode is the

@@ -209,16 +209,20 @@ def _apply_predictor(row: bytearray, nch: int) -> None:
         row[i] = (row[i] - row[i - nch]) & 0xFF
 
 
-def _read_ifd(b: bytes, e: str):
-    """First-IFD tag dict: tag -> list of int values."""
-    (ifd_off,) = struct.unpack(e + "I", b[4:8])
+def _read_ifd(b: bytes, e: str, ifd_off: int | None = None):
+    """IFD tag dict: tag -> list of int values (BYTE/SHORT/LONG), str
+    (ASCII, NUL-trimmed), or (num, den) tuples (RATIONAL — parsed for
+    the EXIF reuse of this walker). ``ifd_off`` defaults to the first
+    IFD from the header."""
+    if ifd_off is None:
+        (ifd_off,) = struct.unpack(e + "I", b[4:8])
     if ifd_off + 2 > len(b):
         raise ValueError("TIFF IFD offset out of range")
     (nent,) = struct.unpack(e + "H", b[ifd_off:ifd_off + 2])
     if nent > 4096:
         raise ValueError("implausible TIFF IFD entry count")
-    tags: dict[int, list[int]] = {}
-    sizes = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+    tags: dict[int, object] = {}
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
     fmt = {1: "B", 3: "H", 4: "I"}
     for k in range(nent):
         off = ifd_off + 2 + 12 * k
@@ -227,7 +231,7 @@ def _read_ifd(b: bytes, e: str):
         tag, typ = struct.unpack(e + "HH", b[off:off + 4])
         (count,) = struct.unpack(e + "I", b[off + 4:off + 8])
         if typ not in sizes:
-            continue  # RATIONAL/ASCII metadata — not needed here
+            continue  # SBYTE/FLOAT/… metadata — not needed here
         total = sizes[typ] * count
         if count > (1 << 20):
             raise ValueError("implausible TIFF tag count")
@@ -238,9 +242,19 @@ def _read_ifd(b: bytes, e: str):
             if voff + total > len(b):
                 raise ValueError("TIFF tag value out of range")
             raw = b[voff:voff + total]
-        tags[tag] = list(
-            struct.unpack(e + fmt[typ] * count, raw)
-        )
+        if typ == 2:
+            tags[tag] = raw.split(b"\0", 1)[0].decode(
+                "ascii", "replace"
+            )
+        elif typ == 5:
+            tags[tag] = [
+                struct.unpack(e + "II", raw[8 * i:8 * i + 8])
+                for i in range(count)
+            ]
+        else:
+            tags[tag] = list(
+                struct.unpack(e + fmt[typ] * count, raw)
+            )
     return tags
 
 
@@ -263,6 +277,12 @@ def decode_tiff(b: bytes) -> tuple[int, int, int, bytearray]:
     if magic != 42:
         raise ValueError("bad TIFF magic")
     t = _read_ifd(b, e)
+    # a tag stored with a lying type (ASCII/RATIONAL where an integer
+    # belongs) must read as malformed, not duck-type its way through
+    t = {
+        k: v for k, v in t.items()
+        if isinstance(v, list) and v and isinstance(v[0], int)
+    }
     for req in (256, 257, 273, 279):
         if req not in t:
             raise ValueError(f"TIFF missing required tag {req}")
@@ -431,4 +451,181 @@ def encode_tiff(
     out += packed
     out += struct.pack(e + "I", 0)  # no next IFD
     out += extra
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# EXIF (round 15) — the same IFD grammar embedded in JPEG APP1
+# ---------------------------------------------------------------------------
+#
+# EXIF metadata IS a TIFF stream ("Exif\0\0" + II/MM header + IFD0, with
+# tag 34665 pointing at the Exif sub-IFD), so the walker above reads it
+# unchanged. Corpus curation needs this both ways: INSPECT (orientation
+# decides a rotate-before-train, capture time feeds dedup heuristics)
+# and STRIP (EXIF routinely carries GPS/PII).
+
+#: IFD0 / Exif-sub-IFD tags surfaced by parse_exif
+_EXIF_TAGS = {
+    271: "make", 272: "model", 274: "orientation", 306: "datetime",
+    33434: "exposure", 34855: "iso",
+    40962: "pixel_x", 40963: "pixel_y",
+}
+_EXIF_POINTER = 34665
+
+
+def parse_exif(jpeg: bytes) -> dict | None:
+    """EXIF fields from a JPEG's APP1 segment (None when absent):
+    make/model/datetime strings, orientation (1-8), and from the Exif
+    sub-IFD exposure (num, den), iso, pixel_x/pixel_y. Malformed EXIF
+    raises ValueError — the untrusted-input contract — but a JPEG
+    without EXIF is simply None."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    n = len(jpeg)
+    while pos + 4 <= n and jpeg[pos] == 0xFF:
+        marker = jpeg[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", jpeg[pos + 2:pos + 4])
+        if marker == 0xDA:
+            break  # entropy data follows; EXIF must precede it
+        if marker == 0xE1 and jpeg[pos + 4:pos + 10] == b"Exif\x00\x00":
+            blob = jpeg[pos + 10:pos + 2 + seglen]
+            if blob[:2] == b"II":
+                e = "<"
+            elif blob[:2] == b"MM":
+                e = ">"
+            else:
+                raise ValueError("EXIF blob without TIFF header")
+            ifd0 = _read_ifd(blob, e)
+            out: dict = {}
+
+            def take(tags):
+                for tag, name in _EXIF_TAGS.items():
+                    if tag not in tags:
+                        continue
+                    v = tags[tag]
+                    if name == "exposure":
+                        if isinstance(v, list) and v and isinstance(
+                            v[0], tuple
+                        ):
+                            out[name] = v[0]
+                    elif isinstance(v, str):
+                        out[name] = v
+                    elif isinstance(v, list) and v and isinstance(
+                        v[0], int
+                    ):
+                        out[name] = v[0]
+
+            take(ifd0)
+            ptr = ifd0.get(_EXIF_POINTER)
+            if isinstance(ptr, list) and ptr and isinstance(ptr[0], int):
+                take(_read_ifd(blob, e, ifd_off=ptr[0]))
+            return out
+        pos += 2 + seglen
+    return None
+
+
+def _pack_ifd(e: str, entries, base: int) -> bytes:
+    """One IFD at absolute offset ``base`` inside the EXIF blob:
+    entries are (tag, type, count, payload bytes)."""
+    extra = bytearray()
+    extra_base = base + 2 + 12 * len(entries) + 4
+    packed = bytearray(struct.pack(e + "H", len(entries)))
+    for tag, typ, count, body in sorted(entries):
+        packed += struct.pack(e + "HHI", tag, typ, count)
+        if len(body) <= 4:
+            packed += body + b"\0" * (4 - len(body))
+        else:
+            packed += struct.pack(e + "I", extra_base + len(extra))
+            extra += body
+    packed += struct.pack(e + "I", 0)
+    return bytes(packed + extra)
+
+
+def encode_exif_app1(
+    make: str = "",
+    model: str = "",
+    orientation: int = 1,
+    datetime: str = "",
+    exposure: tuple[int, int] | None = None,
+    iso: int | None = None,
+    byte_order: str = "II",
+) -> bytes:
+    """APP1 payload ("Exif\\0\\0" + TIFF blob) for fixtures: IFD0 with
+    make/model/orientation/datetime and an Exif sub-IFD carrying
+    exposure/iso when given."""
+    e = "<" if byte_order == "II" else ">"
+
+    def ascii_e(s: str) -> bytes:
+        return s.encode("ascii") + b"\0"
+
+    sub: list = []
+    if exposure is not None:
+        sub.append((33434, 5, 1, struct.pack(e + "II", *exposure)))
+    if iso is not None:
+        sub.append((34855, 3, 1, struct.pack(e + "H", iso)))
+
+    ifd0: list = [
+        (271, 2, len(make) + 1, ascii_e(make)),
+        (272, 2, len(model) + 1, ascii_e(model)),
+        (274, 3, 1, struct.pack(e + "H", orientation)),
+        (306, 2, len(datetime) + 1, ascii_e(datetime)),
+    ]
+    # compute IFD0 size to place the sub-IFD right after it
+    n0 = len(ifd0) + (1 if sub else 0)
+    ifd0_base = 8
+    # worst case: every ASCII value out of line
+    probe = _pack_ifd(
+        e,
+        ifd0 + ([(34665, 4, 1, struct.pack(e + "I", 0))] if sub else []),
+        ifd0_base,
+    )
+    sub_base = ifd0_base + len(probe)
+    if sub:
+        ifd0.append((34665, 4, 1, struct.pack(e + "I", sub_base)))
+    blob = bytearray()
+    blob += b"II" if e == "<" else b"MM"
+    blob += struct.pack(e + "H", 42)
+    blob += struct.pack(e + "I", ifd0_base)
+    blob += _pack_ifd(e, ifd0, ifd0_base)
+    if sub:
+        blob += _pack_ifd(e, sub, sub_base)
+    return b"Exif\x00\x00" + bytes(blob)
+
+
+def insert_exif(jpeg: bytes, app1_payload: bytes) -> bytes:
+    """Insert an APP1 EXIF segment right after SOI."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    seg = struct.pack(">BBH", 0xFF, 0xE1, len(app1_payload) + 2)
+    return jpeg[:2] + seg + app1_payload + jpeg[2:]
+
+
+def strip_exif(jpeg: bytes) -> bytes:
+    """Remove every APP1 EXIF segment (the PII-scrub twin of
+    parse_exif) — other segments pass through untouched."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    out = bytearray(jpeg[:2])
+    pos = 2
+    n = len(jpeg)
+    while pos + 4 <= n and jpeg[pos] == 0xFF:
+        marker = jpeg[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            out += jpeg[pos:pos + 2]
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", jpeg[pos + 2:pos + 4])
+        if marker == 0xDA:
+            break
+        if not (
+            marker == 0xE1
+            and jpeg[pos + 4:pos + 10] == b"Exif\x00\x00"
+        ):
+            out += jpeg[pos:pos + 2 + seglen]
+        pos += 2 + seglen
+    out += jpeg[pos:]
     return bytes(out)

@@ -2724,6 +2724,10 @@ TAIL_QUERIES = (
     # expected text
     "html_extract_documents",
     "warc_extract_documents",
+    # round-15 addition: EXIF inspect + strip (the TIFF IFD walker on
+    # the JPEG APP1 blob — orientation/make/ISO/RATIONAL exposure in
+    # both byte orders, and the PII-scrub strip twin)
+    "exif_metadata_documents",
     # round-15 addition: WebDataset tar-shard samples (the multimodal
     # training-data container) — tar walk, first-dot key grouping, and
     # a netpbm member decode under one oracle

@@ -6229,6 +6229,103 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exif_metadata_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id,
+        CASE WHEN COALESCE(len(codes),0)=0 THEN 0 ELSE codes[1] END AS a0
+      FROM a)
+SELECT doc_id,
+  'Cam-' || CAST(a0 AS VARCHAR) AS make,
+  CAST(1 + a0 % 8 AS INTEGER) AS orientation,
+  CAST(100 + a0 AS INTEGER) AS iso,
+  CAST(2 + a0 % 500 AS INTEGER) AS exposure_den,
+  FALSE AS exif_after_strip
+FROM b ORDER BY doc_id
+""",
+)
+def q_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF inspect + strip, hash-oracled (round 15 — the curation
+    metadata/PII pass, operators/tiff.parse_exif reusing the TIFF IFD
+    walker on the APP1 blob): each document's first code parameterizes
+    an EXIF block (make, orientation, ISO, a RATIONAL exposure)
+    embedded into a real JPEG; parse_exif must read every field back
+    (byte order alternating II/MM per doc), and strip_exif must remove
+    the segment while leaving the image decodable — the oracle states
+    the fields and the after-strip absence."""
+    import pandas as pd  # noqa: F401
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from mongo_analyser_spark.operators.jpeg import encode_jpeg
+        from mongo_analyser_spark.operators.tiff import (
+            encode_exif_app1,
+            insert_exif,
+            parse_exif,
+            strip_exif,
+        )
+
+        base = encode_jpeg(8, 8, 1, bytes([128]) * 64)
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                a0 = codes[0] if codes else 0
+                j = insert_exif(
+                    base,
+                    encode_exif_app1(
+                        make=f"Cam-{a0}",
+                        model="X",
+                        orientation=1 + a0 % 8,
+                        datetime="2026:08:16 00:00:00",
+                        exposure=(1, 2 + a0 % 500),
+                        iso=100 + a0,
+                        byte_order="II" if a0 % 2 == 0 else "MM",
+                    ),
+                )
+                ex = parse_exif(j)
+                stripped = parse_exif(strip_exif(j))
+                rows.append(
+                    (
+                        doc_id,
+                        ex["make"],
+                        ex["orientation"],
+                        ex["iso"],
+                        ex["exposure"][1],
+                        stripped is not None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "make", "orientation", "iso",
+                    "exposure_den", "exif_after_strip",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, make string, orientation int, iso int, "
+        "exposure_den int, exif_after_strip boolean",
+    ).orderBy("doc_id")
+
+
+@register(
     "webdataset_samples_documents",
     """
 WITH a AS (

@@ -194,3 +194,78 @@ def test_dispatch_and_header():
         assert hdr == {
             "mime": "image/tiff", "width": 12, "height": 9, "n_frames": 1,
         }
+
+
+# --- EXIF (round 15) ---------------------------------------------------------
+
+
+def test_exif_roundtrip_both_byte_orders():
+    from mongo_analyser_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from mongo_analyser_spark.operators.tiff import (
+        encode_exif_app1,
+        insert_exif,
+        parse_exif,
+        strip_exif,
+    )
+
+    base = encode_jpeg(8, 8, 1, bytes([128]) * 64)
+    assert parse_exif(base) is None
+    for bo in ("II", "MM"):
+        j = insert_exif(
+            base,
+            encode_exif_app1(
+                make="SparkCam", model="X-1", orientation=6,
+                datetime="2026:08:16 12:00:00", exposure=(1, 250),
+                iso=400, byte_order=bo,
+            ),
+        )
+        assert parse_exif(j) == {
+            "make": "SparkCam", "model": "X-1", "orientation": 6,
+            "datetime": "2026:08:16 12:00:00", "exposure": (1, 250),
+            "iso": 400,
+        }, bo
+        # the image decodes identically with and without the segment
+        assert decode_jpeg(j)[3] == decode_jpeg(base)[3]
+        s = strip_exif(j)
+        assert parse_exif(s) is None
+        assert decode_jpeg(s)[3] == decode_jpeg(base)[3]
+
+
+def test_exif_without_sub_ifd_and_armor():
+    from mongo_analyser_spark.operators.jpeg import encode_jpeg
+    from mongo_analyser_spark.operators.tiff import (
+        encode_exif_app1,
+        insert_exif,
+        parse_exif,
+    )
+
+    base = encode_jpeg(8, 8, 1, bytes(64))
+    j = insert_exif(
+        base, encode_exif_app1(make="A", model="B", orientation=3,
+                               datetime="d")
+    )
+    ex = parse_exif(j)
+    assert ex["orientation"] == 3 and "iso" not in ex
+    with pytest.raises(ValueError, match="not a JPEG"):
+        parse_exif(b"nope")
+    # an APP1 that claims EXIF but has no TIFF header is malformed
+    bad = insert_exif(base, b"Exif\x00\x00XX")
+    with pytest.raises(ValueError, match="TIFF header"):
+        parse_exif(bad)
+
+
+def test_tiff_tags_with_lying_types_read_as_malformed():
+    """ImageWidth re-typed as ASCII must be a loud ValueError, not a
+    duck-typed misread (the type-2/5 support added for EXIF must not
+    weaken decode_tiff)."""
+    from mongo_analyser_spark.operators.tiff import decode_tiff, encode_tiff
+
+    t = bytearray(encode_tiff(8, 8, 1, bytes(64)))
+    ifd = struct.unpack("<I", t[4:8])[0]
+    n = struct.unpack("<H", t[ifd:ifd + 2])[0]
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        if struct.unpack("<H", t[off:off + 2])[0] == 256:
+            t[off + 2:off + 4] = struct.pack("<H", 2)  # type -> ASCII
+    with pytest.raises(ValueError, match="missing required tag"):
+        decode_tiff(bytes(t))
