@@ -1560,3 +1560,162 @@ def decode_mp1(payload: bytes) -> Tuple[int, List[List[float]]]:
     if rate is None:
         raise ValueError("no decodable layer I frame")
     return rate, lanes
+
+
+# ---------------------------------------------------------------------------
+# ID3 tags (round 15) — the EXIF twin for audio corpora
+# ---------------------------------------------------------------------------
+#
+# Audio corpus curation inspects (artist/title/date feed dedup and
+# provenance) and strips (comments/private frames carry PII) the same
+# way image pipelines treat EXIF. ID3 is a public spec (id3.org):
+# ID3v2.3/2.4 headers with syncsafe sizes and per-frame text encodings,
+# plus the fixed 128-byte ID3v1 trailer.
+
+#: ID3v2 text frames surfaced by parse_id3 (v1 fields map onto them)
+_ID3_FRAMES = {
+    "TIT2": "title", "TPE1": "artist", "TALB": "album",
+    "TYER": "year", "TDRC": "year", "TRCK": "track",
+}
+
+
+def _syncsafe(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def _id3_text(payload: bytes) -> str:
+    """Decode one text frame: leading encoding byte then text, NUL
+    terminators trimmed."""
+    if not payload:
+        return ""
+    enc = payload[0]
+    body = payload[1:]
+    try:
+        if enc == 0:
+            s = body.decode("latin-1")
+        elif enc == 1:
+            s = body.decode("utf-16")  # BOM-led per the spec
+        elif enc == 2:
+            s = body.decode("utf-16-be")
+        elif enc == 3:
+            s = body.decode("utf-8")
+        else:
+            raise ValueError(f"ID3 text encoding {enc}")
+    except UnicodeDecodeError:
+        raise ValueError("undecodable ID3 text frame")
+    return s.split("\0", 1)[0]
+
+
+def parse_id3(payload: bytes) -> dict | None:
+    """Tag dict (title/artist/album/year/track + ``version``) from an
+    MPEG-audio payload: an ID3v2.2/2.3/2.4 header at the start wins;
+    otherwise the ID3v1 trailer ("TAG" at EOF-128). None when neither
+    is present; malformed v2 structures raise ValueError."""
+    b = payload
+    if b[:3] == b"ID3" and len(b) >= 10:
+        major = b[3]
+        if major not in (3, 4):
+            raise NotImplementedError(f"ID3v2.{major} (2.3/2.4 only)")
+        size = _syncsafe(b[6:10])
+        end = 10 + size
+        if end > len(b):
+            raise ValueError("ID3v2 tag overruns the payload")
+        out: dict = {"version": f"2.{major}"}
+        pos = 10
+        if b[5] & 0x40:  # extended header: skip by its own size
+            if pos + 4 > end:
+                raise ValueError("truncated ID3v2 extended header")
+            ext = (
+                _syncsafe(b[pos:pos + 4]) if major == 4
+                else struct.unpack(">I", b[pos:pos + 4])[0] + 4
+            )
+            pos += ext
+        while pos + 10 <= end:
+            fid = b[pos:pos + 4]
+            if fid == b"\0\0\0\0":
+                break  # padding
+            raw = b[pos + 4:pos + 8]
+            fsize = _syncsafe(raw) if major == 4 else struct.unpack(
+                ">I", raw
+            )[0]
+            pos += 10
+            if pos + fsize > end:
+                raise ValueError("ID3v2 frame overruns the tag")
+            try:
+                name = _ID3_FRAMES.get(fid.decode("ascii"))
+            except UnicodeDecodeError:
+                raise ValueError("non-ASCII ID3v2 frame id")
+            if name is not None:
+                out[name] = _id3_text(b[pos:pos + fsize])
+            pos += fsize
+        return out
+    if len(b) >= 128 and b[-128:-125] == b"TAG":
+        t = b[-128:]
+
+        def fixed(lo, hi):
+            return t[lo:hi].split(b"\0", 1)[0].decode(
+                "latin-1"
+            ).strip()
+
+        out = {
+            "version": "1",
+            "title": fixed(3, 33),
+            "artist": fixed(33, 63),
+            "album": fixed(63, 93),
+            "year": fixed(93, 97),
+        }
+        if t[125] == 0 and t[126] != 0:  # ID3v1.1 track convention
+            out["track"] = str(t[126])
+        return out
+    return None
+
+
+def encode_id3v2(
+    fields: dict,
+    major: int = 4,
+    audio: bytes = b"",
+    padding: int = 16,
+) -> bytes:
+    """Fixture writer: an ID3v2.3/2.4 tag (text frames from ``fields``
+    keyed by the public names above, UTF-8 for 2.4 / UTF-16 for 2.3 —
+    each version's canonical encoding) prepended to ``audio``."""
+    rev = {v: k for k, v in _ID3_FRAMES.items() if k != "TYER"}
+    if major == 3:
+        rev["year"] = "TYER"
+    frames = bytearray()
+    for name, value in fields.items():
+        fid = rev[name].encode("ascii")
+        if major == 4:
+            body = b"\x03" + str(value).encode("utf-8")
+            size = bytes(
+                [(len(body) >> s) & 0x7F for s in (21, 14, 7, 0)]
+            )
+        else:
+            body = b"\x01" + str(value).encode("utf-16")
+            size = struct.pack(">I", len(body))
+        frames += fid + size + b"\0\0" + body
+    frames += b"\0" * padding
+    header = b"ID3" + bytes([major, 0, 0]) + bytes(
+        [(len(frames) >> s) & 0x7F for s in (21, 14, 7, 0)]
+    )
+    return header + bytes(frames) + audio
+
+
+def encode_id3v1(fields: dict, audio: bytes = b"") -> bytes:
+    """Fixture writer: the fixed 128-byte ID3v1.1 trailer."""
+
+    def pad(s: str, n: int) -> bytes:
+        return s.encode("latin-1")[:n].ljust(n, b"\0")
+
+    t = (
+        b"TAG"
+        + pad(fields.get("title", ""), 30)
+        + pad(fields.get("artist", ""), 30)
+        + pad(fields.get("album", ""), 30)
+        + pad(fields.get("year", ""), 4)
+        + pad("", 28)
+        + b"\0"
+        + bytes([int(fields.get("track", 0)) & 0xFF])
+        + b"\0"
+    )
+    return audio + t

@@ -2724,6 +2724,10 @@ TAIL_QUERIES = (
     # expected text
     "html_extract_documents",
     "warc_extract_documents",
+    # round-15 addition: ID3v1/v2.3/v2.4 tag parse — the EXIF twin for
+    # audio corpora (syncsafe frames, per-frame text encodings, the
+    # fixed v1 trailer)
+    "id3_metadata_documents",
     # round-15 addition: EXIF inspect + strip (the TIFF IFD walker on
     # the JPEG APP1 blob — orientation/make/ISO/RATIONAL exposure in
     # both byte orders, and the PII-scrub strip twin)

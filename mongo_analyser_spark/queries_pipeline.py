@@ -6229,6 +6229,100 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "id3_metadata_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id,
+        COALESCE(len(codes),0) % 3 AS v,
+        CASE WHEN COALESCE(len(codes),0)=0 THEN 0 ELSE codes[1] END AS a0
+      FROM a)
+SELECT doc_id,
+  CASE v WHEN 0 THEN '2.4' WHEN 1 THEN '2.3' ELSE '1' END AS version,
+  'T' || CAST(a0 AS VARCHAR) AS title,
+  'A' || CAST(a0 AS VARCHAR) AS artist,
+  CAST(1990 + a0 % 40 AS VARCHAR) AS year,
+  CAST(1 + a0 % 20 AS VARCHAR) AS track
+FROM b ORDER BY doc_id
+""",
+)
+def q_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3 tag parse, hash-oracled (round 15 — the EXIF twin for audio
+    corpora, operators/audio.parse_id3): each document's first code
+    parameterizes title/artist/year/track written as ID3v2.4 (UTF-8
+    syncsafe frames), ID3v2.3 (UTF-16 big-endian sizes) or an ID3v1.1
+    trailer by L mod 3, around a fake MPEG payload; the production
+    parser must read identical fields back from all three containers
+    — the oracle states them once."""
+    import pandas as pd  # noqa: F401
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from mongo_analyser_spark.operators.audio import (
+            encode_id3v1,
+            encode_id3v2,
+            parse_id3,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                a0 = codes[0] if codes else 0
+                v = len(codes) % 3
+                fields = {
+                    "title": f"T{a0}",
+                    "artist": f"A{a0}",
+                    "album": "corpus",
+                    "year": str(1990 + a0 % 40),
+                    "track": str(1 + a0 % 20),
+                }
+                payload = [
+                    lambda: encode_id3v2(fields, 4, b"\xff\xfbxx"),
+                    lambda: encode_id3v2(fields, 3, b"\xff\xfbxx"),
+                    lambda: encode_id3v1(fields, b"\xff\xfbxx"),
+                ][v]()
+                tag = parse_id3(payload)
+                rows.append(
+                    (
+                        doc_id,
+                        tag["version"],
+                        tag["title"],
+                        tag["artist"],
+                        tag["year"],
+                        tag["track"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "version", "title", "artist", "year",
+                    "track",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, version string, title string, artist string, "
+        "year string, track string",
+    ).orderBy("doc_id")
+
+
+@register(
     "exif_metadata_documents",
     """
 WITH a AS (

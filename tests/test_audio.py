@@ -937,3 +937,59 @@ def test_ms_adpcm_wsamples_per_block_trims_without_fact():
     struct.pack_into("<H", over, fmt_off + 18, spb_now + 1)
     with pytest.raises(ValueError, match="wSamplesPerBlock"):
         decode_wav_ex(bytes(over))
+
+
+# --- ID3 tags (round 15) -----------------------------------------------------
+
+
+def test_id3v2_both_majors_roundtrip():
+    from mongo_analyser_spark.operators.audio import encode_id3v2, parse_id3
+
+    f = {"title": "Söng", "artist": "Ärtist", "album": "Al",
+         "year": "2026", "track": "7"}
+    for major in (3, 4):
+        out = parse_id3(encode_id3v2(f, major=major, audio=b"\xff\xfbx"))
+        assert out == {"version": f"2.{major}", **f}, major
+
+
+def test_id3v1_trailer_and_absence():
+    from mongo_analyser_spark.operators.audio import encode_id3v1, parse_id3
+
+    p = encode_id3v1(
+        {"title": "T", "artist": "A", "album": "B", "year": "2026",
+         "track": 7},
+        audio=b"x" * 200,
+    )
+    assert parse_id3(p) == {
+        "version": "1", "title": "T", "artist": "A", "album": "B",
+        "year": "2026", "track": "7",
+    }
+    assert parse_id3(b"\xff\xfbjunk" * 40) is None
+
+
+def test_id3_armor_and_gates():
+    import random
+
+    import pytest as _pytest
+
+    from mongo_analyser_spark.operators.audio import encode_id3v2, parse_id3
+
+    base = encode_id3v2({"title": "T"}, major=4)
+    # unsupported major raises by name
+    v22 = bytearray(base)
+    v22[3] = 2
+    with _pytest.raises(NotImplementedError, match="ID3v2.2"):
+        parse_id3(bytes(v22))
+    # a tag size overrunning the payload is malformed
+    trunc = base[: len(base) // 2]
+    with _pytest.raises(ValueError):
+        parse_id3(trunc)
+    # byte-flip fuzz: ValueError/NotImplementedError only
+    rng = random.Random(3)
+    for _ in range(300):
+        buf = bytearray(base)
+        buf[rng.randrange(len(buf))] = rng.randrange(256)
+        try:
+            parse_id3(bytes(buf))
+        except (ValueError, NotImplementedError):
+            pass
