@@ -1719,3 +1719,144 @@ def encode_id3v1(fields: dict, audio: bytes = b"") -> bytes:
         + b"\0"
     )
     return audio + t
+
+
+# ---------------------------------------------------------------------------
+# AIFF (round 15) — the big-endian PCM sibling of WAV
+# ---------------------------------------------------------------------------
+#
+# AIFF (Apple, 1988 — EA-IFF-85 chunk grammar) still carries a real
+# share of archival/music corpora. Its one genuinely interesting field
+# is COMM's sample rate: an IEEE 754 80-bit extended float, parsed and
+# written here from the representation's definition (sign, 15-bit
+# exponent biased 16383, explicit-integer-bit 64-bit mantissa).
+
+
+def _f80_decode(b: bytes) -> float:
+    if len(b) != 10:
+        raise ValueError("extended float must be 10 bytes")
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:])
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise ValueError("non-finite AIFF sample rate")
+    # sample rates live in a narrow band; an exponent outside double
+    # range is an untrusted-input lie, not a number (fuzz-found: 2.0**e
+    # raises OverflowError, which must surface as the ValueError
+    # contract)
+    if not 16383 - 80 <= exp <= 16383 + 80:
+        raise ValueError("implausible AIFF extended-float exponent")
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _f80_encode(x: float) -> bytes:
+    if x == 0:
+        return b"\0" * 10
+    if x < 0 or x != x or x in (float("inf"),):
+        raise ValueError("AIFF sample rate must be finite positive")
+    exp = 16383 + 63
+    mant = x
+    while mant >= 1 << 64:
+        mant /= 2.0
+        exp += 1
+    while mant < 1 << 63:
+        mant *= 2.0
+        exp -= 1
+    return struct.pack(">HQ", exp, int(mant))
+
+
+def encode_aiff(
+    sample_rate: int, channels: List[List[int]], bits: int = 16
+) -> bytes:
+    """AIFF writer: big-endian PCM16 (or PCM8, signed), interleaved
+    SSND, COMM with the 80-bit rate."""
+    if bits not in (8, 16):
+        raise ValueError("AIFF fixture writer supports 8/16-bit PCM")
+    n_ch = len(channels)
+    n = len(channels[0]) if channels else 0
+    if any(len(c) != n for c in channels):
+        raise ValueError("AIFF channels must be equal length")
+    frames = bytearray()
+    for i in range(n):
+        for c in channels:
+            v = int(c[i])
+            if bits == 16:
+                frames += struct.pack(">h", max(-32768, min(32767, v)))
+            else:
+                frames += struct.pack(">b", max(-128, min(127, v)))
+    comm = struct.pack(">hIh", n_ch, n, bits) + _f80_encode(
+        float(sample_rate)
+    )
+    ssnd = struct.pack(">II", 0, 0) + bytes(frames)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack(">I", len(body)) + body + (
+            b"\0" if len(body) & 1 else b""
+        )
+
+    body = b"AIFF" + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_aiff(payload: bytes) -> Tuple[int, List[List[float]]]:
+    """(sample_rate, per-channel sample lists scaled to [-1, 1)) from
+    an AIFF (PCM 8/16-bit, any channel count) — the decode_wav_ex
+    convention. AIFC compressed variants raise by name."""
+    b = payload
+    if len(b) < 12 or b[:4] != b"FORM":
+        raise ValueError("not an AIFF payload")
+    (form_size,) = struct.unpack(">I", b[4:8])
+    end = min(8 + form_size, len(b))
+    kind = b[8:12]
+    if kind == b"AIFC":
+        raise NotImplementedError(
+            "AIFC compressed AIFF is outside the stdlib decoder"
+        )
+    if kind != b"AIFF":
+        raise ValueError("not an AIFF payload")
+    pos = 12
+    comm = None
+    ssnd = None
+    while pos + 8 <= end:
+        tag = b[pos:pos + 4]
+        (size,) = struct.unpack(">I", b[pos + 4:pos + 8])
+        if pos + 8 + size > end:
+            raise ValueError("AIFF chunk overruns the payload")
+        if tag == b"COMM":
+            if size < 18:
+                raise ValueError("AIFF COMM chunk too short")
+            comm = b[pos + 8:pos + 8 + 18]
+        elif tag == b"SSND":
+            if size < 8:
+                raise ValueError("AIFF SSND chunk too short")
+            ssnd = b[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    n_ch, n_frames, bits = struct.unpack(">hIh", comm[:8])
+    rate = _f80_decode(comm[8:18])
+    if not 0 < rate <= 1e7 or n_ch <= 0 or n_ch > 64:
+        raise ValueError("implausible AIFF COMM values")
+    if bits not in (8, 16):
+        raise NotImplementedError(f"AIFF {bits}-bit PCM (8/16 only)")
+    offset, _block = struct.unpack(">II", ssnd[:8])
+    raw = ssnd[8 + offset:]
+    width = bits // 8
+    need = n_frames * n_ch * width
+    if len(raw) < need:
+        raise ValueError("AIFF SSND shorter than COMM frame count")
+    out: List[List[float]] = [[] for _ in range(n_ch)]
+    scale = float(1 << (bits - 1))
+    for i in range(n_frames):
+        base = i * n_ch * width
+        for c in range(n_ch):
+            off = base + c * width
+            if bits == 16:
+                (v,) = struct.unpack(">h", raw[off:off + 2])
+            else:
+                (v,) = struct.unpack(">b", raw[off:off + 1])
+            out[c].append(v / scale)
+    return int(round(rate)), out

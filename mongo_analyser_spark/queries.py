@@ -2724,6 +2724,10 @@ TAIL_QUERIES = (
     # expected text
     "html_extract_documents",
     "warc_extract_documents",
+    # round-15 addition: AIFF container (big-endian PCM, 80-bit
+    # extended-float rate) — the wav_multichannel law through a second
+    # audio container against the SAME oracle
+    "aiff_audio_features_documents",
     # round-15 addition: ID3v1/v2.3/v2.4 tag parse — the EXIF twin for
     # audio corpora (syncsafe frames, per-frame text encodings, the
     # fixed v1 trailer)

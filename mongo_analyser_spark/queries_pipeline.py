@@ -6229,6 +6229,124 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "aiff_audio_features_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id, codes, COALESCE(len(codes),0) // 2 AS fl FROM a),
+s AS (SELECT doc_id, fl,
+  list_transform(list_filter(codes, (x,i) -> i % 2 = 1 AND i <= 2*fl),
+                 c -> (c - 64)/128.0) AS c0,
+  list_transform(list_filter(codes, (x,i) -> i % 2 = 0 AND i <= 2*fl),
+                 c -> (c - 64)/128.0) AS c1
+  FROM b),
+u AS (
+  SELECT doc_id, 0 AS channel, c0 AS smp FROM s
+  UNION ALL SELECT doc_id, 1, c1 FROM s),
+f AS (
+  SELECT doc_id, channel,
+    COALESCE(len(smp), 0) AS n,
+    COALESCE(list_sum(smp), 0) AS sv,
+    COALESCE(list_sum(list_transform(smp, v -> v * v)), 0) AS sq,
+    COALESCE(list_max(list_transform(smp, v -> abs(v))), 0.0) AS pk,
+    COALESCE(len(list_filter(smp, (x, i) -> i > 1 AND smp[i-1] * x < 0)), 0) AS zc
+  FROM u)
+SELECT doc_id, CAST(channel AS INT) AS channel, CAST(n AS INTEGER) AS n_samples,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE FLOOR(CAST(sv AS DOUBLE) / n * 10000.0 + 0.5) / 10000.0 END AS mean,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE FLOOR(sqrt(CAST(sq AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0
+  END AS rms,
+  FLOOR(CAST(pk AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS peak,
+  CAST(zc AS INTEGER) AS zero_crossings
+FROM f ORDER BY doc_id, channel
+""",
+)
+def q_aiff_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIFF stereo round trip against the SAME oracle as
+    wav_multichannel_features_documents (round 15 — the
+    both-containers-one-oracle precedent applied to audio containers):
+    the identical (c-64)/128 dyadic sample law travels as BIG-ENDIAN
+    PCM16 inside an EA-IFF-85 FORM/AIFF container with the 80-bit
+    extended-float sample rate (operators/audio.encode_aiff), decoded
+    by decode_aiff — int samples (c-64)*256 scale to exactly
+    (c-64)/128, so every feature stays order-free exact. A bit lost in
+    the COMM extended-float parse, the big-endian frame de-interleave,
+    or the SSND offset handling breaks the hash."""
+    import pandas as pd  # noqa: F401
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import math
+
+        import pandas as pd
+
+        from mongo_analyser_spark.operators.audio import (
+            decode_aiff,
+            encode_aiff,
+        )
+
+        def q4(x):
+            return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                fl = len(codes) // 2
+                ch0 = [(codes[2 * i] - 64) * 256 for i in range(fl)]
+                ch1 = [(codes[2 * i + 1] - 64) * 256 for i in range(fl)]
+                _rate, out = decode_aiff(
+                    encode_aiff(8000, [ch0, ch1])
+                )
+                for channel, smp in enumerate(out):
+                    n = len(smp)
+                    if n == 0:
+                        rows.append((doc_id, channel, 0, 0.0, 0.0,
+                                     0.0, 0))
+                        continue
+                    sv = sum(smp)
+                    sq = sum(v * v for v in smp)
+                    pk = max(abs(v) for v in smp)
+                    zc = sum(
+                        1
+                        for i in range(1, n)
+                        if smp[i - 1] * smp[i] < 0
+                    )
+                    rows.append(
+                        (
+                            doc_id, channel, n, q4(sv / n),
+                            q4(math.sqrt(sq / n)), q4(pk), zc,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "channel", "n_samples", "mean", "rms",
+                    "peak", "zero_crossings",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, channel int, n_samples int, mean double, "
+        "rms double, peak double, zero_crossings int",
+    ).orderBy("doc_id", "channel")
+
+
+@register(
     "id3_metadata_documents",
     """
 WITH a AS (

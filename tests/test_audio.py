@@ -993,3 +993,60 @@ def test_id3_armor_and_gates():
             parse_id3(bytes(buf))
         except (ValueError, NotImplementedError):
             pass
+
+
+# --- AIFF (round 15) ---------------------------------------------------------
+
+
+def test_aiff_roundtrip_and_f80():
+    import random
+
+    from mongo_analyser_spark.operators.audio import (
+        _f80_decode,
+        _f80_encode,
+        decode_aiff,
+        encode_aiff,
+    )
+
+    for r in (1, 8000, 11025, 22050, 44100, 48000, 96000, 192000):
+        assert _f80_decode(_f80_encode(float(r))) == float(r), r
+    rng = random.Random(2)
+    for n_ch in (1, 2, 4):
+        chans = [
+            [rng.randrange(-32768, 32768) for _ in range(50)]
+            for _ in range(n_ch)
+        ]
+        rate, out = decode_aiff(encode_aiff(44100, chans))
+        assert rate == 44100 and len(out) == n_ch
+        for c in range(n_ch):
+            for i in range(50):
+                assert out[c][i] == chans[c][i] / 32768.0
+    # 8-bit PCM
+    ch8 = [[rng.randrange(-128, 128) for _ in range(30)]]
+    rate, out = decode_aiff(encode_aiff(8000, ch8, bits=8))
+    assert rate == 8000
+    assert all(out[0][i] == ch8[0][i] / 128.0 for i in range(30))
+
+
+def test_aiff_gates_and_armor():
+    import pytest as _pytest
+
+    from mongo_analyser_spark.operators.audio import decode_aiff, encode_aiff
+
+    with _pytest.raises(NotImplementedError, match="AIFC"):
+        decode_aiff(b"FORM\x00\x00\x00\x04AIFC")
+    good = encode_aiff(44100, [[1] * 10])
+    for bad in (b"nope", b"FORMxxxxAIFF", good[:-6]):
+        with _pytest.raises(ValueError):
+            decode_aiff(bad)
+    # byte-flip fuzz
+    import random
+
+    rng = random.Random(4)
+    for _ in range(200):
+        buf = bytearray(good)
+        buf[rng.randrange(len(buf))] = rng.randrange(256)
+        try:
+            decode_aiff(bytes(buf))
+        except (ValueError, NotImplementedError):
+            pass
