@@ -168,6 +168,60 @@ def parse_image_header(payload: bytes) -> dict[str, Any] | None:
         return {
             "mime": "image/bmp", "width": abs(w), "height": abs(h), "n_frames": 1,
         }
+    if len(b) >= 6 and b[:4] == b"\0\0\x01\0" and b[4:6] != b"\0\0":
+        # ICO (round 15): dims of the LARGEST directory entry (0 means
+        # 256 per the format); no member decode needed
+        count = int.from_bytes(b[4:6], "little")
+        if count > 256 or len(b) < 6 + 16 * count:
+            raise ValueError("truncated ICO directory")
+        best = (0, 0)
+        for k in range(count):
+            e = 6 + 16 * k
+            w = b[e] or 256
+            h = b[e + 1] or 256
+            if w * h > best[0] * best[1]:
+                best = (w, h)
+        return {
+            "mime": "image/x-icon", "width": best[0],
+            "height": best[1], "n_frames": count,
+        }
+    if len(b) >= 5 and (b[:4] == b"<svg" or (
+        b[:5] == b"<?xml" and b"<svg" in b[:1024]
+    )):
+        # SVG (round 15): width/height attributes (px units) or the
+        # viewBox fallback — header-only, no rendering
+        import re as _re
+        import xml.etree.ElementTree as _ET
+
+        try:
+            root = _ET.fromstring(b.decode("utf-8", "replace"))
+        except _ET.ParseError as exc:
+            raise ValueError(f"malformed SVG: {exc}") from None
+        if root.tag.split("}")[-1] != "svg":
+            raise ValueError("XML payload is not an SVG document")
+
+        def dim(name):
+            v = root.get(name)
+            if v is None:
+                return None
+            m = _re.fullmatch(r"\s*(\d+(?:\.\d+)?)(?:px)?\s*", v)
+            return int(float(m.group(1))) if m else None
+
+        w, h = dim("width"), dim("height")
+        if w is None or h is None:
+            vb = (root.get("viewBox") or "").replace(",", " ").split()
+            if len(vb) == 4:
+                try:
+                    w = w if w is not None else int(float(vb[2]))
+                    h = h if h is not None else int(float(vb[3]))
+                except ValueError:
+                    raise ValueError("malformed SVG viewBox")
+        if w is None or h is None:
+            raise ValueError("SVG without width/height or viewBox")
+        return {
+            "mime": "image/svg+xml", "width": w, "height": h,
+            "n_frames": 1,
+        }
     if len(b) >= 2 and b[:1] == b"P" and b[1:2] in b"2356":
         # netpbm (round 15): dims straight from the ASCII header
         from mongo_analyser_spark.operators.pixels import _pnm_tokens

@@ -514,3 +514,95 @@ def resize_nearest(payload: bytes, new_w: int, new_h: int) -> bytes:
             d = (y * new_w + x) * ch
             out[d:d + ch] = px[s:s + ch]
     return encode_png(new_w, new_h, ch, bytes(out))
+
+
+@untrusted_decoder
+def decode_ico(b: bytes) -> tuple[int, int, list[tuple[int, int, int, bytearray]]]:
+    """ICO/favicon container (round 15 — the crawl's most common image
+    wrapper after the big four): (count, best_index, decoded images).
+    Members are PNG (full decode via decode_png) or 32-bpp BI_RGB DIBs
+    (BGRA bottom-up with the doubled-height AND-mask convention —
+    alpha-carrying icons ignore the mask, which this profile returns as
+    a 3-channel RGB like the BMP path). Other member formats raise by
+    name; framing lies raise ValueError."""
+    if len(b) < 6:
+        raise ValueError("not an ICO payload")
+    reserved, typ, count = int.from_bytes(b[0:2], "little"), int.from_bytes(
+        b[2:4], "little"
+    ), int.from_bytes(b[4:6], "little")
+    if reserved != 0 or typ not in (1, 2):
+        raise ValueError("not an ICO payload")
+    if count == 0 or count > 256:
+        raise ValueError("implausible ICO image count")
+    images: list[tuple[int, int, int, bytearray]] = []
+    for k in range(count):
+        e = 6 + 16 * k
+        if e + 16 > len(b):
+            raise ValueError("truncated ICO directory")
+        size = int.from_bytes(b[e + 8:e + 12], "little")
+        off = int.from_bytes(b[e + 12:e + 16], "little")
+        if off + size > len(b):
+            raise ValueError("ICO member out of range")
+        blob = b[off:off + size]
+        if blob[:8] == _PNG_SIG:
+            images.append(decode_png(blob))
+            continue
+        if len(blob) < 40:
+            raise ValueError("ICO DIB header too short")
+        (hdr_size, w, h2) = (
+            int.from_bytes(blob[0:4], "little"),
+            int.from_bytes(blob[4:8], "little", signed=True),
+            int.from_bytes(blob[8:12], "little", signed=True),
+        )
+        bpp = int.from_bytes(blob[14:16], "little")
+        comp = int.from_bytes(blob[16:20], "little")
+        if hdr_size != 40:
+            raise NotImplementedError(
+                f"ICO DIB header size {hdr_size} (BITMAPINFOHEADER only)"
+            )
+        if comp != 0 or bpp != 32:
+            raise NotImplementedError(
+                f"ICO DIB bpp={bpp}/compression={comp} "
+                "(32-bpp BI_RGB only; PNG members decode fully)"
+            )
+        h = h2 // 2  # XOR rows + AND mask rows
+        check_dims(w, abs(h), "ICO")
+        if h <= 0 or w <= 0:
+            raise ValueError("implausible ICO DIB dimensions")
+        need = 40 + w * h * 4
+        if len(blob) < need:
+            raise ValueError("ICO DIB pixel data truncated")
+        out = bytearray(w * h * 3)
+        for y in range(h):
+            src = 40 + (h - 1 - y) * w * 4  # bottom-up
+            for x in range(w):
+                i = src + 4 * x
+                o = (y * w + x) * 3
+                out[o] = blob[i + 2]
+                out[o + 1] = blob[i + 1]
+                out[o + 2] = blob[i]
+        images.append((w, h, 3, out))
+    best = max(
+        range(count), key=lambda i: images[i][0] * images[i][1]
+    )
+    return count, best, images
+
+
+def encode_ico(members: list[bytes]) -> bytes:
+    """Fixture writer: wrap already-encoded PNG members (the modern
+    favicon layout) into an ICO directory."""
+    count = len(members)
+    out = bytearray(b"\0\0\x01\0" + count.to_bytes(2, "little"))
+    off = 6 + 16 * count
+    for blob in members:
+        if blob[:8] != _PNG_SIG:
+            raise ValueError("encode_ico wraps PNG members only")
+        w = int.from_bytes(blob[16:20], "big")
+        h = int.from_bytes(blob[20:24], "big")
+        out += bytes([w % 256, h % 256, 0, 0])
+        out += (1).to_bytes(2, "little") + (32).to_bytes(2, "little")
+        out += len(blob).to_bytes(4, "little") + off.to_bytes(4, "little")
+        off += len(blob)
+    for blob in members:
+        out += blob
+    return bytes(out)

@@ -2724,6 +2724,11 @@ TAIL_QUERIES = (
     # expected text
     "html_extract_documents",
     "warc_extract_documents",
+    # round-15 addition: ICO/favicon container (PNG + 32bpp-DIB
+    # members, largest-member selection) — third container on the
+    # shared gradient oracle; SVG header metadata rides
+    # parse_image_header (pytest-covered)
+    "ico_pixel_stats_documents",
     # round-15 addition: AIFF container (big-endian PCM, 80-bit
     # extended-float rate) — the wav_multichannel law through a second
     # audio container against the SAME oracle

@@ -6229,6 +6229,90 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ico_pixel_stats_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id, codes, COALESCE(len(codes),0) AS L FROM a),
+v AS (SELECT doc_id, list_transform(generate_series(0,255), i ->
+        ((CASE WHEN L=0 THEN 128 ELSE codes[1] END) + 3*(i%16) + 5*(i//16)) % 256
+      ) AS vals FROM b)
+SELECT doc_id,
+  2 AS n_members,
+  FLOOR(CAST(list_sum(vals) AS DOUBLE)/256*10000.0 + 0.5)/10000.0 AS mean_val,
+  CAST(list_max(vals) AS INTEGER) AS max_val
+FROM v ORDER BY doc_id
+""",
+)
+def q_ico_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICO/favicon round trip, hash-oracled (round 15 — the crawl's
+    image wrapper, operators/pixels.decode_ico): each document becomes
+    a two-member ICO (an 8x8 decoy PNG plus the 16x16 gradient-law
+    PNG), and the decoder must pick the LARGEST member (the favicon
+    convention) and decode it exactly — the SAME gradient oracle as
+    the TIFF and netpbm rows, with the member count proving the
+    directory walk."""
+    import pandas as pd  # noqa: F401
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import math
+
+        import pandas as pd
+
+        from mongo_analyser_spark.operators.pixels import (
+            decode_ico,
+            encode_ico,
+            encode_png,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                ln = len(codes)
+                a = codes[0] if ln else 128
+                gray = bytes(
+                    (a + 3 * x + 5 * y) % 256
+                    for y in range(16)
+                    for x in range(16)
+                )
+                ico = encode_ico(
+                    [
+                        encode_png(8, 8, 1, bytes(64)),
+                        encode_png(16, 16, 1, gray),
+                    ]
+                )
+                count, best, imgs = decode_ico(ico)
+                _w, _h, _c, out = imgs[best]
+                mean = (
+                    math.floor(sum(out) / 256 * 10000.0 + 0.5) / 10000.0
+                )
+                rows.append((doc_id, count, mean, max(out)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_members", "mean_val", "max_val"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_members int, mean_val double, max_val int",
+    ).orderBy("doc_id")
+
+
+@register(
     "aiff_audio_features_documents",
     """
 WITH a AS (

@@ -938,3 +938,90 @@ def test_pnm_header_metadata():
         "mime": "image/x-portable-anymap", "width": 12, "height": 9,
         "n_frames": 1,
     }
+
+
+# --- ICO / SVG (round 15) ----------------------------------------------------
+
+
+def test_ico_png_members_and_best_selection():
+    ico = pixels.encode_ico(
+        [
+            pixels.encode_png(4, 4, 3, bytes(range(48))),
+            pixels.encode_png(8, 8, 1, bytes(range(64))),
+        ]
+    )
+    count, best, imgs = pixels.decode_ico(ico)
+    assert count == 2 and best == 1
+    assert imgs[0][:3] == (4, 4, 3)
+    assert bytes(imgs[1][3]) == bytes(range(64))
+
+
+def test_ico_dib_member_bgra_bottom_up():
+    # 2x2 32-bpp BI_RGB DIB with the doubled-height AND-mask convention
+    w, h = 2, 2
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0, 0, 0, 0, 0, 0
+    )
+    rows = (
+        bytes((70, 80, 90, 255)) + bytes((100, 110, 120, 255))  # bottom
+        + bytes((10, 20, 30, 255)) + bytes((40, 50, 60, 255))   # top
+        + b"\0" * 8                                              # mask
+    )
+    member = dib + rows
+    ico = bytearray(b"\0\0\x01\0\x01\0")
+    ico += bytes([w, h, 0, 0])
+    ico += (1).to_bytes(2, "little") + (32).to_bytes(2, "little")
+    ico += len(member).to_bytes(4, "little") + (22).to_bytes(4, "little")
+    ico += member
+    _count, _best, imgs = pixels.decode_ico(bytes(ico))
+    assert imgs[0][:3] == (2, 2, 3)
+    assert bytes(imgs[0][3][:6]) == bytes([30, 20, 10, 60, 50, 40])
+
+
+def test_ico_gates_and_armor():
+    ico = pixels.encode_ico([pixels.encode_png(4, 4, 1, bytes(16))])
+    for bad in (b"", b"\0\0\x09\0\x01\0", ico[:20]):
+        with pytest.raises((ValueError, NotImplementedError)):
+            pixels.decode_ico(bad)
+    import random
+
+    rng = random.Random(9)
+    for _ in range(200):
+        buf = bytearray(ico)
+        buf[rng.randrange(len(buf))] = rng.randrange(256)
+        try:
+            pixels.decode_ico(bytes(buf))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_ico_svg_header_metadata():
+    from mongo_analyser_spark.operators.multimodal import parse_image_header
+
+    ico = pixels.encode_ico(
+        [
+            pixels.encode_png(4, 4, 3, bytes(48)),
+            pixels.encode_png(16, 16, 1, bytes(256)),
+        ]
+    )
+    assert parse_image_header(ico) == {
+        "mime": "image/x-icon", "width": 16, "height": 16, "n_frames": 2,
+    }
+    # the 0-means-256 directory convention
+    big = bytearray(ico)
+    big[6] = big[7] = 0
+    assert parse_image_header(bytes(big))["width"] == 256
+    svg = (
+        b'<svg xmlns="http://www.w3.org/2000/svg" width="120px" '
+        b'height="80"><rect/></svg>'
+    )
+    assert parse_image_header(svg) == {
+        "mime": "image/svg+xml", "width": 120, "height": 80,
+        "n_frames": 1,
+    }
+    vb = b'<?xml version="1.0"?>\n<svg viewBox="0 0 300 150"></svg>'
+    assert parse_image_header(vb)["width"] == 300
+    with pytest.raises(ValueError):
+        parse_image_header(b'<svg width="abc"></svg>')
+    with pytest.raises(ValueError):
+        parse_image_header(b"<svg ")  # malformed XML
