@@ -2724,6 +2724,10 @@ TAIL_QUERIES = (
     # expected text
     "html_extract_documents",
     "warc_extract_documents",
+    # round-15 consolidation: the header-metadata dispatch across ALL
+    # round-15 containers (TIFF/netpbm/ICO/SVG/Y4M/PNG) in one oracled
+    # row — the 200th registered query
+    "media_header_matrix_documents",
     # round-15 addition: ICO/favicon container (PNG + 32bpp-DIB
     # members, largest-member selection) — third container on the
     # shared gradient oracle; SVG header metadata rides

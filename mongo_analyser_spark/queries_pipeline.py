@@ -6229,6 +6229,115 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_header_matrix_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+b AS (SELECT doc_id,
+        COALESCE(len(codes),0) % 6 AS v,
+        CASE WHEN COALESCE(len(codes),0)=0 THEN 0 ELSE codes[1] END AS a0
+      FROM a),
+c AS (SELECT doc_id, v, 1 + a0 % 32 AS w, 1 + a0 % 24 AS h FROM b)
+SELECT doc_id,
+  CASE v WHEN 0 THEN 'image/tiff' WHEN 1 THEN 'image/x-portable-anymap'
+         WHEN 2 THEN 'image/x-icon' WHEN 3 THEN 'image/svg+xml'
+         WHEN 4 THEN 'video/x-yuv4mpeg' ELSE 'image/png' END AS mime,
+  CAST(CASE WHEN v = 2 THEN 16 ELSE w END AS INTEGER) AS width,
+  CAST(CASE WHEN v = 2 THEN 16 ELSE h END AS INTEGER) AS height,
+  CAST(CASE v WHEN 2 THEN 2 WHEN 4 THEN 3 ELSE 1 END AS INTEGER)
+    AS n_frames
+FROM c ORDER BY doc_id
+""",
+)
+def q_media_header_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The header-metadata dispatch surface across the round-15
+    containers in ONE hash-oracled row: each document builds one of six
+    payloads — TIFF, netpbm P6, a two-member ICO, an SVG, a 3-frame
+    Y4M, or a PNG — with code-parameterized dimensions, and
+    parse_image_header / parse_video_header must return the exact
+    mime/width/height/n_frames the oracle states. This pins the
+    DISPATCH (magic recognition across every new format) as a
+    first-class contract, not just the per-format decoders."""
+    import pandas as pd  # noqa: F401
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from mongo_analyser_spark.operators.frames import encode_y4m
+        from mongo_analyser_spark.operators.multimodal import (
+            parse_image_header,
+            parse_video_header,
+        )
+        from mongo_analyser_spark.operators.pixels import (
+            encode_ico,
+            encode_png,
+            encode_pnm,
+        )
+        from mongo_analyser_spark.operators.tiff import encode_tiff
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                a0 = codes[0] if codes else 0
+                v = len(codes) % 6
+                w, h = 1 + a0 % 32, 1 + a0 % 24
+                blank = bytes(w * h)
+                payload = [
+                    lambda: encode_tiff(w, h, 1, blank),
+                    lambda: encode_pnm(w, h, 1, blank),
+                    lambda: encode_ico(
+                        [
+                            encode_png(8, 8, 1, bytes(64)),
+                            encode_png(16, 16, 1, bytes(256)),
+                        ]
+                    ),
+                    lambda: (
+                        f'<svg xmlns="http://www.w3.org/2000/svg" '
+                        f'width="{w}" height="{h}"></svg>'
+                    ).encode(),
+                    lambda: encode_y4m(w, h, [blank] * 3),
+                    lambda: encode_png(w, h, 1, blank),
+                ][v]()
+                hdr = (
+                    parse_video_header(payload)
+                    if v == 4
+                    else parse_image_header(payload)
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        hdr["mime"],
+                        hdr["width"],
+                        hdr["height"],
+                        hdr["n_frames"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime", "width", "height", "n_frames"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, mime string, width int, height int, n_frames int",
+    ).orderBy("doc_id")
+
+
+@register(
     "ico_pixel_stats_documents",
     """
 WITH a AS (
