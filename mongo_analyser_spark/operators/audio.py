@@ -1860,3 +1860,97 @@ def decode_aiff(payload: bytes) -> Tuple[int, List[List[float]]]:
                 (v,) = struct.unpack(">b", raw[off:off + 1])
             out[c].append(v / scale)
     return int(round(rate)), out
+
+
+# ---------------------------------------------------------------------------
+# Sun AU / .snd (round 15) — the third PCM audio container
+# ---------------------------------------------------------------------------
+#
+# The NeXT/Sun audio format (public: the ".snd" header is documented in
+# Sun's audio file reference and the format is the RFC 2046
+# audio/basic carrier): big-endian header of six 32-bit words, then raw
+# frames. Encodings supported here: 1 = G.711 mu-law (the compander
+# above), 2 = 8-bit linear PCM (SIGNED, unlike WAV's unsigned 8-bit),
+# 3 = 16-bit big-endian linear PCM. Everything else raises by name.
+
+_AU_MAGIC = b".snd"
+
+
+def encode_au(
+    sample_rate: int,
+    channels: List[List[int]],
+    encoding: int = 3,
+    annotation: bytes = b"",
+) -> bytes:
+    """AU writer over the supported encodings; 16-bit samples are
+    clamped int16, 8-bit signed int8, mu-law takes linear ints."""
+    if encoding not in (1, 2, 3):
+        raise ValueError("encode_au supports encodings 1/2/3")
+    n_ch = len(channels)
+    n = len(channels[0]) if channels else 0
+    if any(len(c) != n for c in channels):
+        raise ValueError("AU channels must be equal length")
+    frames = bytearray()
+    for i in range(n):
+        for c in channels:
+            v = int(c[i])
+            if encoding == 3:
+                frames += struct.pack(">h", max(-32768, min(32767, v)))
+            elif encoding == 2:
+                frames += struct.pack(">b", max(-128, min(127, v)))
+            else:
+                frames.append(mulaw_compress(v))
+    ann = annotation + b"\0" * ((-len(annotation)) % 8 or 8)
+    off = 24 + len(ann)
+    return (
+        _AU_MAGIC
+        + struct.pack(
+            ">IIIII", off, len(frames), encoding, sample_rate, n_ch
+        )
+        + ann
+        + bytes(frames)
+    )
+
+
+def decode_au(payload: bytes) -> Tuple[int, List[List[float]]]:
+    """(sample_rate, per-channel sample lists scaled to [-1, 1)) from a
+    Sun AU payload — the decode_wav_ex convention; mu-law expands
+    through the shared G.711 compander. Unsupported encodings (ADPCM,
+    float, A-law-in-AU) raise by name; framing lies raise ValueError."""
+    b = payload
+    if len(b) < 24 or b[:4] != _AU_MAGIC:
+        raise ValueError("not a Sun AU payload")
+    off, dsize, enc, rate, n_ch = struct.unpack(">IIIII", b[4:24])
+    if off < 24 or off > len(b):
+        raise ValueError("AU data offset out of range")
+    if not 0 < rate <= 10_000_000 or not 0 < n_ch <= 64:
+        raise ValueError("implausible AU header values")
+    raw = b[off:]
+    if dsize != 0xFFFFFFFF:
+        if dsize > len(raw):
+            raise ValueError("AU data size overruns the payload")
+        raw = raw[:dsize]
+    if enc == 1:
+        width, scale = 1, 32768.0
+    elif enc == 2:
+        width, scale = 1, 128.0
+    elif enc == 3:
+        width, scale = 2, 32768.0
+    else:
+        raise NotImplementedError(
+            f"AU encoding {enc} (mu-law/PCM8/PCM16 only)"
+        )
+    n_frames = len(raw) // (width * n_ch)
+    out: List[List[float]] = [[] for _ in range(n_ch)]
+    for i in range(n_frames):
+        base = i * n_ch * width
+        for c in range(n_ch):
+            o = base + c * width
+            if enc == 3:
+                (v,) = struct.unpack(">h", raw[o:o + 2])
+            elif enc == 2:
+                (v,) = struct.unpack(">b", raw[o:o + 1])
+            else:
+                v = mulaw_expand(raw[o])
+            out[c].append(v / scale)
+    return rate, out

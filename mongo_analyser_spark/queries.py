@@ -2724,6 +2724,10 @@ TAIL_QUERIES = (
     # expected text
     "html_extract_documents",
     "warc_extract_documents",
+    # round-15 addition: Sun AU/.snd (the RFC 2046 audio/basic carrier)
+    # — the G.711 law through a third audio container, SAME oracle as
+    # the g711-in-WAV row
+    "au_audio_features_documents",
     # round-15 consolidation: the header-metadata dispatch across ALL
     # round-15 containers (TIFF/netpbm/ICO/SVG/Y4M/PNG) in one oracled
     # row — the 200th registered query

@@ -6229,6 +6229,111 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "au_audio_features_documents",
+    """
+WITH a AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(COALESCE(text,''), ''), x -> ascii(x)),
+                c -> c BETWEEN 1 AND 127) AS codes
+  FROM documents),
+s AS (SELECT doc_id, list_transform(codes, c ->
+        CASE WHEN ((255 - c) & 128) = 128
+             THEN 132 - (((255 - c) & 15) * 8 + 132) * (1 << (((255 - c) >> 4) & 7))
+             ELSE (((255 - c) & 15) * 8 + 132) * (1 << (((255 - c) >> 4) & 7)) - 132
+        END) AS smp FROM a),
+f AS (
+  SELECT doc_id,
+    COALESCE(len(smp), 0) AS n,
+    COALESCE(list_sum(list_transform(smp, v -> v * v)), 0) AS sum_sq,
+    COALESCE(list_max(list_transform(smp, v -> abs(v))), 0) AS peak,
+    COALESCE(len(list_filter(smp, (x, i) -> i > 1 AND smp[i-1] * x < 0)), 0) AS zc
+  FROM s)
+SELECT doc_id,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST(n AS INTEGER) AS n_samples,
+  FLOOR(CAST(n AS DOUBLE) / 8000.0 * 10000.0 + 0.5) / 10000.0 AS duration_s,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE FLOOR(sqrt(CAST(sum_sq AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0
+  END AS rms,
+  CAST(peak AS INTEGER) AS peak,
+  CAST(zc AS INTEGER) AS zero_crossings
+FROM f ORDER BY doc_id
+""",
+)
+def q_au_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sun AU (.snd) mu-law round trip against the SAME oracle as
+    g711_audio_features_documents (round 15 — the RFC 2046 audio/basic
+    carrier joins WAV and AIFF): the identical mulaw_expand(c) sample
+    law travels as encoding-1 frames inside a big-endian .snd header
+    with an annotation block (exercising the data-offset handling),
+    decoded by decode_au's shared-compander branch. A bit lost in the
+    six-word header parse, the offset skip, or the compander breaks
+    the hash."""
+    import math
+
+    import pandas as pd  # noqa: F401
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(fanout_for_python)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from mongo_analyser_spark.operators.audio import (
+            decode_au,
+            encode_au,
+            mulaw_expand,
+        )
+
+        def q4(x):
+            return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [
+                    c
+                    for c in (text or "").encode("ascii", "ignore")
+                    if 1 <= c <= 127
+                ]
+                lin = [mulaw_expand(c) for c in codes]
+                rate, out = decode_au(
+                    encode_au(8000, [lin], encoding=1,
+                              annotation=b"corpus")
+                )
+                smp = [int(round(v * 32768.0)) for v in out[0]]
+                n = len(smp)
+                sum_sq = sum(v * v for v in smp)
+                peak = max((abs(v) for v in smp), default=0)
+                zc = sum(
+                    1 for i in range(1, n) if smp[i - 1] * smp[i] < 0
+                )
+                rows.append(
+                    (
+                        doc_id, rate, n, q4(n / 8000.0),
+                        q4(math.sqrt(sum_sq / n)) if n else 0.0,
+                        peak, zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "duration_s",
+                    "rms", "peak", "zero_crossings",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, sample_rate int, n_samples int, duration_s double, "
+        "rms double, peak int, zero_crossings int",
+    ).orderBy("doc_id")
+
+
+@register(
     "media_header_matrix_documents",
     """
 WITH a AS (

@@ -1050,3 +1050,66 @@ def test_aiff_gates_and_armor():
             decode_aiff(bytes(buf))
         except (ValueError, NotImplementedError):
             pass
+
+
+# --- Sun AU / .snd (round 15) -------------------------------------------------
+
+
+def test_au_roundtrips_all_encodings():
+    import random
+
+    from mongo_analyser_spark.operators.audio import (
+        decode_au,
+        encode_au,
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    rng = random.Random(6)
+    ch = [[rng.randrange(-32768, 32768) for _ in range(40)]
+          for _ in range(2)]
+    rate, out = decode_au(encode_au(8000, ch))
+    assert rate == 8000
+    for c in range(2):
+        assert all(out[c][i] == ch[c][i] / 32768.0 for i in range(40))
+    # 8-bit linear is SIGNED in AU (unlike WAV)
+    ch8 = [[rng.randrange(-128, 128) for _ in range(30)]]
+    rate, out = decode_au(encode_au(11025, ch8, encoding=2))
+    assert rate == 11025
+    assert all(out[0][i] == ch8[0][i] / 128.0 for i in range(30))
+    # mu-law rides the shared compander; annotation shifts the offset
+    lin = [rng.randrange(-30000, 30000) for _ in range(50)]
+    _, out = decode_au(
+        encode_au(8000, [lin], encoding=1, annotation=b"note")
+    )
+    assert all(
+        out[0][i] == mulaw_expand(mulaw_compress(lin[i])) / 32768.0
+        for i in range(50)
+    )
+
+
+def test_au_gates_and_armor():
+    import random
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from mongo_analyser_spark.operators.audio import decode_au, encode_au
+
+    # encoding 7 (A-law-in-AU) gated by name
+    hdr = b".snd" + _struct.pack(">IIIII", 24, 0xFFFFFFFF, 7, 8000, 1)
+    with _pytest.raises(NotImplementedError, match="AU encoding 7"):
+        decode_au(hdr)
+    good = encode_au(8000, [[1000] * 20])
+    for bad in (b"nope", good[:10],
+                b".snd" + _struct.pack(">IIIII", 5, 0, 3, 8000, 1)):
+        with _pytest.raises(ValueError):
+            decode_au(bad)
+    rng = random.Random(8)
+    for _ in range(200):
+        buf = bytearray(good)
+        buf[rng.randrange(len(buf))] = rng.randrange(256)
+        try:
+            decode_au(bytes(buf))
+        except (ValueError, NotImplementedError):
+            pass
