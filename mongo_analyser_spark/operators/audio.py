@@ -711,34 +711,46 @@ def parse_audio_header(payload: bytes) -> dict | None:
     }
 
 
+def _channel_features(chans: List[list]) -> List[dict]:
+    """The shared per-channel feature law over decoded channel lists
+    (int or float samples — the _q4 quantization is the contract)."""
+    out = []
+    for ci, s in enumerate(chans):
+        n = len(s)
+        sum_v = sum(s)
+        sum_sq = sum(v * v for v in s)
+        zc = sum(1 for i in range(1, n) if s[i - 1] * s[i] < 0)
+        out.append(
+            {
+                "channel": ci,
+                "n_samples": n,
+                "mean": _q4(sum_v / n) if n else 0.0,
+                "rms": _q4(math.sqrt(sum_sq / n)) if n else 0.0,
+                "peak": _q4(float(max((abs(v) for v in s), default=0))),
+                "zero_crossings": zc,
+            }
+        )
+    return out
+
+
 def audio_multichannel_features(payload: bytes) -> List[dict]:
-    """``wav_multichannel_features`` with codec dispatch (round 13):
-    FLAC payloads (``fLaC`` magic) decode through the real
-    operators/flac.py codec — integer samples, same per-channel feature
-    law — everything else goes through ``decode_wav_ex``. This is the
-    CLI's audio entry point, so `media --kind audio` now handles both
-    container families."""
+    """``wav_multichannel_features`` with codec dispatch (round 13;
+    AIFF/AU since round 15): FLAC (``fLaC``), AIFF (``FORM``+AIFF) and
+    Sun AU (``.snd``) payloads decode through their own codecs —
+    same per-channel feature law — everything else goes through
+    ``decode_wav_ex``. This is the CLI's audio entry point, so
+    `media --kind audio` handles every supported container family."""
     if payload[:4] == b"fLaC":
         from mongo_analyser_spark.operators.flac import decode_flac
 
         _rate, chans = decode_flac(payload)
-        out = []
-        for ci, s in enumerate(chans):
-            n = len(s)
-            sum_v = sum(s)
-            sum_sq = sum(v * v for v in s)
-            zc = sum(1 for i in range(1, n) if s[i - 1] * s[i] < 0)
-            out.append(
-                {
-                    "channel": ci,
-                    "n_samples": n,
-                    "mean": _q4(sum_v / n) if n else 0.0,
-                    "rms": _q4(math.sqrt(sum_sq / n)) if n else 0.0,
-                    "peak": _q4(float(max((abs(v) for v in s), default=0))),
-                    "zero_crossings": zc,
-                }
-            )
-        return out
+        return _channel_features(chans)
+    if payload[:4] == b"FORM":
+        _rate, chans = decode_aiff(payload)
+        return _channel_features(chans)
+    if payload[:4] == _AU_MAGIC:
+        _rate, chans = decode_au(payload)
+        return _channel_features(chans)
     return wav_multichannel_features(payload)
 
 

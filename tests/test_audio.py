@@ -1113,3 +1113,29 @@ def test_au_gates_and_armor():
             decode_au(bytes(buf))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_audio_feature_dispatch_covers_all_containers():
+    """The CLI audio entry point routes by magic: WAV, FLAC, AIFF and
+    Sun AU all land on the same per-channel feature law."""
+    from mongo_analyser_spark.operators.audio import (
+        audio_multichannel_features,
+        encode_aiff,
+        encode_au,
+        encode_wav,
+    )
+    from mongo_analyser_spark.operators.flac import encode_flac
+
+    f = audio_multichannel_features(
+        encode_aiff(8000, [[256 * 10] * 20, [256 * -5] * 20])
+    )
+    assert [x["channel"] for x in f] == [0, 1]
+    assert f[0]["mean"] == 0.0781 and f[1]["mean"] == -0.0391
+    f = audio_multichannel_features(encode_au(8000, [[1000] * 15]))
+    assert f[0]["n_samples"] == 15
+    f = audio_multichannel_features(encode_wav(8000, [100] * 10))
+    assert f[0]["n_samples"] == 10
+    f = audio_multichannel_features(
+        encode_flac(8000, [[50] * 32, [-50] * 32])
+    )
+    assert len(f) == 2 and f[0]["n_samples"] == 32
