@@ -336,24 +336,31 @@ def simhash_bits(
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.md5("tok"))
-    # project each hex digit to an int ONCE, then the 64 bit-sums are
-    # shift/mask only — 16 conv(substring) per row instead of 64
-    # (sf0.1 bench: 3.9 s → 3.3 s, bit-identical output)
-    n_digits = (num_bits + 3) // 4
-    dig = tok.select(
+    # parse the hex ONCE into 32-bit integer words (r15, guide §1.2
+    # per-task work): the per-digit form ran 16 conv(substring) per
+    # token row — the conv parse dominated the scan stage (0.89 s of
+    # the 1.20 s simhash_bits at sf0.1). Two 8-hex-char conv words plus
+    # shift/mask bit extraction inside the aggregates reads the same
+    # bits (digit b//4's bit 3-b%4 is word bit 31 - b%32) for 2 convs
+    # per row; measured 1.20 s → 0.70 s, output bit-identical. 32-bit
+    # words so conv()'s unsigned string value always casts into BIGINT
+    # (same guard as hamming_pairs).
+    n_words = (num_bits + 31) // 32
+    wrd = tok.select(
         id_col,
         *[
-            F.expr(f"CAST(conv(substring(h, {i + 1}, 1), 16, 10) AS INT)").alias(f"d{i}")
-            for i in range(n_digits)
+            F.expr(f"CAST(conv(substring(h, {w * 8 + 1}, 8), 16, 10) AS BIGINT)").alias(
+                f"w{w}"
+            )
+            for w in range(n_words)
         ],
     )
     aggs = []
     for b in range(num_bits):
-        d, shift = b // 4, 3 - b % 4
-        digit = F.col(f"d{d}")
-        bit = (digit if shift == 0 else F.shiftright(digit, shift)).bitwiseAND(1)
+        word = F.col(f"w{b // 32}")
+        bit = F.shiftright(word, 31 - b % 32).bitwiseAND(1)
         aggs.append(F.sum(bit * 2 - 1).alias(f"b{b}"))
-    wide = dig.groupBy(id_col).agg(*aggs)
+    wide = wrd.groupBy(id_col).agg(*aggs)
     bits = F.concat(
         *[
             F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
@@ -895,18 +902,29 @@ def _repeated_gram_starts(
     hash (measured: sf0.1 fresh-plan median 2.86 -> 2.56 s)."""
     toks = tokens(F.col(text_col))
     hashed = hashed_shingles(F.col(text_col), n)
-    repeated = (
+    # r15 (guide §1.2 "remove unnecessary passes"): the repeated-gram
+    # branch and the position branch both consumed the raw docs, so the
+    # tokenize + zip_with-gram + xxhash64 chain — the dominant per-row
+    # cost of this probe (0.89 s of its 2.23 s at sf0.1) — ran TWICE,
+    # as two parquet scans in the physical plan. Materialize the
+    # per-doc hashed-gram array once (one skinny row per doc, the same
+    # fingerprint-artifact discipline as simhash_pairs/minhash) and
+    # derive both branches from it: measured 2.23 s → 1.41 s including
+    # the checkpoint build, byte-identical starts.
+    per_doc = (
         docs.where(F.size(toks) >= n)
-        .select(F.explode(F.array_distinct(hashed)).alias("g"))
+        .select(id_col, hashed.alias("__g"))
+        .localCheckpoint()
+    )
+    repeated = (
+        per_doc.select(F.explode(F.array_distinct(F.col("__g"))).alias("g"))
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("nd"))
         .where(F.col("nd") >= min_docs)
         .select("g")
     )
-    grams = (
-        docs.where(F.size(toks) >= n)
-        .select(id_col, F.posexplode(hashed))
-        .select(id_col, (F.col("pos") + 1).alias("s"), F.col("col").alias("g"))
+    grams = per_doc.select(id_col, F.posexplode(F.col("__g"))).select(
+        id_col, (F.col("pos") + 1).alias("s"), F.col("col").alias("g")
     )
     return (
         grams.join(repeated, "g")

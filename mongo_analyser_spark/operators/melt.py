@@ -93,12 +93,30 @@ def melt(
     rule (analyser.py:44-45).
     """
     json_cols = json_cols or {}
+    # Stage every from_json parse in its OWN projection below the explode
+    # (round-15 optimization, guide §4.4/§1.2 "don't compute things
+    # twice"): referencing `from_json(col).sub` from each melted entry
+    # re-embeds the full JSON parse into the Generate's struct array once
+    # per leaf reference — 4 parses per row for a 1-field schema (isnull,
+    # isnotnull, string cast, double cast), and higher-order/codegen CSE
+    # does not deduplicate them inside Generate. One materialized parsed
+    # column makes it exactly one parse per row (measured on the events
+    # melt at sf0.1, noop sink: 1.45 s → 0.41 s, output bit-identical).
+    staged = df
+    parsed_ref: dict[str, Column] = {}
+    for name, schema in json_cols.items():
+        if include is not None and name not in include:
+            continue
+        if name in {f.name for f in df.schema.fields}:
+            alias = f"__melt_parsed_{name}"
+            staged = staged.withColumn(alias, F.from_json(F.col(name), schema))
+            parsed_ref[name] = F.col(alias)
     entries: list[Column] = []
     for f in df.schema.fields:
         if include is not None and f.name not in include:
             continue
         if f.name in json_cols:
-            parsed = F.from_json(F.col(f.name), json_cols[f.name])
+            parsed = parsed_ref[f.name]
             # node row: the JSON string column is a document; the raw JSON
             # string stands in for the reference's deep-hash of the dict
             # (analyser.py:23-30) so cardinality is observable
@@ -118,7 +136,7 @@ def melt(
                 _walk(f"{f.name}.{sub.name}", sub.dataType, parsed.getField(sub.name), entries)
         else:
             _walk(f.name, f.dataType, F.col(f.name), entries)
-    return df.select(F.explode(F.array(*entries)).alias("m")).select("m.*")
+    return staged.select(F.explode(F.array(*entries)).alias("m")).select("m.*")
 
 
 def melt_array_elements(df: DataFrame, array_col: str) -> DataFrame:
