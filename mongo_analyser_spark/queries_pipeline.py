@@ -34,7 +34,7 @@ from mongo_analyser_spark.operators.similarity import (
     brute_force_topk,
     srp_planes,
 )
-from mongo_analyser_spark.operators.fanout import fanout_for_python
+from mongo_analyser_spark.operators.fanout import fanout_for_python, sort_after_python
 from mongo_analyser_spark.operators.field_stats import TS_FMT
 from mongo_analyser_spark.queries import ORACLE_GENERATORS, register
 from mongo_analyser_spark.sources.parquet import load_table
@@ -2559,7 +2559,7 @@ def q_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run,
         "doc_id long, width int, height int, channels int, mean_luma double",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -3010,7 +3010,7 @@ def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, width int, height int, channels int, "
         "mean_luma double, mean_delta double",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 def _bpe_pretok_counts_sql() -> str:
@@ -4529,7 +4529,7 @@ def q_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, sample_rate int, n_samples int, duration_s double,"
         " rms double, peak int, zero_crossings int",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -4942,7 +4942,7 @@ def q_wav_resample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, sample_rate int, n_samples int, duration_s double,"
         " rms double, peak int, zero_crossings int",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -5037,7 +5037,7 @@ def q_wav_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, frame_idx int, n_samples int, rms double,"
         " peak int, zero_crossings int",
-    ).orderBy("doc_id", "frame_idx")
+    ).transform(sort_after_python, "doc_id", "frame_idx")
 
 
 @register(
@@ -5142,7 +5142,7 @@ def q_wav_multichannel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, channel int, n_samples int, mean double, rms double,"
         " peak double, zero_crossings int",
-    ).orderBy("doc_id", "channel")
+    ).transform(sort_after_python, "doc_id", "channel")
 
 
 @register(
@@ -5239,7 +5239,7 @@ def q_wav_pcm24_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, n_samples int, mean double, rms double, peak int,"
         " zero_crossings int",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 def _deep_melt_sql(depth: int = 8) -> str:
@@ -5452,7 +5452,7 @@ def q_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run,
         "doc_id long, n_frames int, frame_idx int, frame_luma double",
-    ).orderBy("doc_id", "frame_idx")
+    ).transform(sort_after_python, "doc_id", "frame_idx")
 
 
 @register(
@@ -5537,7 +5537,7 @@ def q_gif_frame_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run,
         "doc_id long, n_frames int, frame_idx int, frame_luma double",
-    ).orderBy("doc_id", "frame_idx")
+    ).transform(sort_after_python, "doc_id", "frame_idx")
 
 
 @register(
@@ -5631,7 +5631,7 @@ def q_avi_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run,
         "doc_id long, n_frames int, frame_idx int, frame_luma double",
-    ).orderBy("doc_id", "frame_idx")
+    ).transform(sort_after_python, "doc_id", "frame_idx")
 
 
 @register(
@@ -5709,7 +5709,7 @@ def q_jpeg12_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.mapInPandas(
         run, "doc_id long, mean_val double, max_val int"
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -5789,7 +5789,7 @@ def q_jpeg12p_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.mapInPandas(
         run, "doc_id long, mean_val double, max_val int"
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -5870,7 +5870,7 @@ def q_jpeg12s_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.mapInPandas(
         run, "doc_id long, mean_val double, max_val int"
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -5955,7 +5955,7 @@ def q_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.mapInPandas(
         run, "doc_id long, mean_val double, max_val int"
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -6032,7 +6032,7 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run,
         "doc_id long, n_chars int, n_lines int, first_line string",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -6136,7 +6136,7 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, n_records int, http_status int, n_chars int, "
         "first_line string",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -6225,7 +6225,7 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run,
         "doc_id long, canonical string, host string, path_depth int",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -6330,7 +6330,7 @@ def q_au_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, sample_rate int, n_samples int, duration_s double, "
         "rms double, peak int, zero_crossings int",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -6439,7 +6439,7 @@ def q_media_header_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run,
         "doc_id long, mime string, width int, height int, n_frames int",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -6523,7 +6523,7 @@ def q_ico_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run,
         "doc_id long, n_members int, mean_val double, max_val int",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -6641,7 +6641,7 @@ def q_aiff_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, channel int, n_samples int, mean double, "
         "rms double, peak double, zero_crossings int",
-    ).orderBy("doc_id", "channel")
+    ).transform(sort_after_python, "doc_id", "channel")
 
 
 @register(
@@ -6735,7 +6735,7 @@ def q_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, version string, title string, artist string, "
         "year string, track string",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -6832,7 +6832,7 @@ def q_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, make string, orientation int, iso int, "
         "exposure_den int, exif_after_strip boolean",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -6945,7 +6945,7 @@ def q_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, n_samples int, n_files int, cls0 string, "
         "txt_len int, ppm_mean double",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -7029,7 +7029,7 @@ def q_pnm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.mapInPandas(
         run, "doc_id long, mean_val double, max_val int"
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -7182,7 +7182,7 @@ def q_web_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, canonical string, encoding string, n_chars int, "
         "keep boolean",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -7280,7 +7280,7 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, n_urls int, first_loc string, "
         "mean_priority double",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -7358,7 +7358,7 @@ def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run,
         "doc_id long, encoding string, certain boolean, n_chars int",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -7454,7 +7454,7 @@ def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, allowed_private boolean, allowed_pub boolean, "
         "crawl_delay int, n_sitemaps int",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -7531,7 +7531,7 @@ def q_y4m_frame_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run,
         "doc_id long, n_frames int, frame_idx int, frame_luma double",
-    ).orderBy("doc_id", "frame_idx")
+    ).transform(sort_after_python, "doc_id", "frame_idx")
 
 
 @register(
@@ -7623,7 +7623,7 @@ def q_mp4_jpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run,
         "doc_id long, n_frames int, frame_idx int, frame_luma double",
-    ).orderBy("doc_id", "frame_idx")
+    ).transform(sort_after_python, "doc_id", "frame_idx")
 
 
 @register(
@@ -7731,7 +7731,7 @@ def q_flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, sample_rate int, n_samples int, duration_s double, "
         "rms double, peak int, zero_crossings int",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -7843,7 +7843,7 @@ def q_g711_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, sample_rate int, n_samples int, duration_s double, "
         "rms double, peak int, zero_crossings int",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -7947,7 +7947,7 @@ def q_webp_lossless_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, n_px int, mean_r double, mean_g double, "
         "mean_b double, peak int",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 _ADPCM_N = 24  # nibbles per doc — fixed so the oracle can unroll exactly
@@ -8102,7 +8102,7 @@ def q_adpcm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, sample_rate int, n_samples int, duration_s double, "
         "rms double, peak int, zero_crossings int",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 def _mp1_sql() -> str:
@@ -8253,7 +8253,7 @@ def q_mp1_subband_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, sample_rate int, n_samples int, rms double, "
         "peak double, sb0_mean double",
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 # re-run tail curation so the registry order is import-order-robust (this

@@ -532,9 +532,15 @@ def test_wav_rows_fan_out_before_python(spark):
         "wav_resample_features_documents",
     ):
         q = QUERIES[name](spark, SF)
-        plan = formatted_plan(q)
+        # r15: the skinny feature output is checkpointed before the
+        # deterministic sort (sort_after_python — a bare orderBy would
+        # re-execute the Python stage in the range sampler), so the
+        # Python-stage shape is pinned on the pre-checkpoint child.
+        child = getattr(q, "_pre_sort_child", q)
+        plan = formatted_plan(child)
         assert "MapInPandas" in plan
-        assert num_exchanges(q) >= 2, name  # fanout + output sort
+        assert num_exchanges(child) >= 1, name  # explicit fanout
+        assert "Sort" in formatted_plan(q)  # deterministic output sort
 
 
 def test_scd2_pit_join_is_joinless(spark):
