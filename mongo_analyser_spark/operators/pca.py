@@ -35,6 +35,8 @@ import struct
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mongo_analyser_spark.operators.fanout import sort_after_python
+
 
 def _fold_dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -313,7 +315,11 @@ def pca_power_project(
             (F.col("pos") + 1).cast("int").alias("pos"),
             "val",
         )
-        .orderBy(id_col, "pos")
+        # r15: materialize the skinny (id, pos, val) rows before the
+        # deterministic sort — a bare orderBy makes the range sampler
+        # re-run the k x d projection fold (and, on the wide path, the
+        # Arrow JL stage below it) a second time (guide §2.4)
+        .transform(sort_after_python, id_col, "pos")
     )
 
 
@@ -477,5 +483,8 @@ def jl_project(
                 lambda p: F.round(_fold_dot(vec, p), round_to),
             ).alias("proj"),
         )
-        .orderBy(id_col)
+        # r15: no output sort — the projection is shuffle-free as the
+        # docstring claims (the old orderBy added a range exchange whose
+        # sampler re-ran the fold); callers that need an order sort their
+        # own (skinnier) final form
     )

@@ -37,6 +37,8 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mongo_analyser_spark.operators.fanout import sort_after_python
+
 from mongo_analyser_spark.functions.text import tokens
 
 
@@ -187,7 +189,10 @@ def tfidf_cosine_pairs(
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
-        .orderBy("id_a", "id_b")
+        # r15: checkpoint the skinny pair rows before the deterministic
+        # sort — the bare orderBy re-ran the verify join segment in the
+        # range sampler (guide §2.4)
+        .transform(sort_after_python, "id_a", "id_b")
     )
 
 

@@ -256,7 +256,7 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo_analyser_spark.operators.quality import char_entropy
 
     docs = fanout_for_python(load_table(spark, sf_dir, "documents"))
-    return char_entropy(docs).orderBy("doc_id")
+    return char_entropy(docs).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -436,7 +436,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (north-star MinHash dedup, stage 1): k min-
     aggregates in one pass over exploded shingles."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(docs, "doc_id", "text", NUM_MINHASH).orderBy(
+    return minhash_signatures(docs, "doc_id", "text", NUM_MINHASH).transform(sort_after_python, 
         "doc_id", "hash_idx"
     )
 
@@ -503,7 +503,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_corpus_contamination(
         train, test, "doc_id", "text",
         NUM_MINHASH, LSH_BANDS, LSH_ROWS, min_jaccard=0.5,
-    ).orderBy("train_id", "test_id")
+    ).transform(sort_after_python, "train_id", "test_id")
 
 
 def _ngram_list_sql(n: int) -> str:
@@ -1738,7 +1738,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sp.off").alias("off"),
             F.col("sp.chunk").alias("chunk"),
         )
-        .orderBy("doc_id", "chunk_idx")
+        .transform(sort_after_python, "doc_id", "chunk_idx")
     )
 
 
@@ -1782,7 +1782,7 @@ def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sp.tok_off").alias("tok_off"),
             F.col("sp.chunk").alias("chunk"),
         )
-        .orderBy("doc_id", "chunk_idx")
+        .transform(sort_after_python, "doc_id", "chunk_idx")
     )
 
 
@@ -1818,7 +1818,7 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scale",
             F.array_join(F.col("q").cast("array<string>"), ",").alias("q_csv"),
         )
-        .orderBy("vec_id")
+        .transform(sort_after_python, "vec_id")
     )
 
 
@@ -1963,7 +1963,7 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(payload).cast("long").alias("media_len"),
         F.md5(payload).alias("media_md5"),
         F.lit("text/plain").alias("mime"),
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -2592,7 +2592,7 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo_analyser_spark.operators.quality import gopher_rules
 
     docs = load_table(spark, sf_dir, "documents")
-    return gopher_rules(docs).orderBy("doc_id")
+    return gopher_rules(docs).transform(sort_after_python, "doc_id")
 
 
 @register(
@@ -2723,7 +2723,7 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         with_bpe_token_count(base, "text", load_fixture_merges(), "n_bpe")
         .select("doc_id", "n_ws", "n_bpe")
-        .orderBy("doc_id")
+        .transform(sort_after_python, "doc_id")
     )
 
 
@@ -2786,7 +2786,7 @@ def q_pii_scrub_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", *pii_counts("__s"), scrub_pii("__s").alias("scrubbed")
         )
-        .orderBy("doc_id")
+        .transform(sort_after_python, "doc_id")
     )
 
 
@@ -2820,7 +2820,7 @@ def q_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", ascii_codes("text").alias("codes"))
         .select("doc_id", dhash_bits_expr(F.col("codes")).alias("dhash"))
-        .orderBy("doc_id")
+        .transform(sort_after_python, "doc_id")
     )
 
 
@@ -3062,7 +3062,7 @@ def q_bpe_token_counts_pretok(spark: SparkSession, sf_dir: str) -> DataFrame:
             base, "__t", load_fixture_merges(), "n_bpe", pretokenize=True
         )
         .select("doc_id", "n_bpe")
-        .orderBy("doc_id")
+        .transform(sort_after_python, "doc_id")
     )
 
 
@@ -3103,7 +3103,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         with_bpe_tokens(docs.select("doc_id", "text"), "text", load_fixture_merges())
         .select("doc_id", "bpe_tokens", "n_bpe")
-        .orderBy("doc_id")
+        .transform(sort_after_python, "doc_id")
     )
 
 
@@ -3155,7 +3155,7 @@ def q_token_budget_select_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "quality", "n_tokens")
     return token_budget_select(
         scored, "doc_id", "quality", "n_tokens", 1, 2
-    ).orderBy("doc_id")
+    ).transform(sort_after_python, "doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -3481,7 +3481,7 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "codes_csv"
             ),
         )
-        .orderBy("vec_id")
+        .transform(sort_after_python, "vec_id")
     )
 
 
@@ -3931,7 +3931,7 @@ def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode("proj").alias("pos", "val")
     ).select(
         "vec_id", (F.col("pos") + 1).cast("int").alias("pos"), "val"
-    ).orderBy("vec_id", "pos")
+    ).transform(sort_after_python, "vec_id", "pos")
 
 
 # --------------------------------------------------------------------------
@@ -4813,7 +4813,7 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media"
         ),
     )
-    return frame_sample(docs, "doc_id", "media", k=4).orderBy(
+    return frame_sample(docs, "doc_id", "media", k=4).transform(sort_after_python, 
         "doc_id", "frame_idx"
     )
 
@@ -5317,7 +5317,7 @@ def q_deep_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("type_tag") != "dict", F.col("value_json")).alias(
             "leaf_json"
         ),
-    ).orderBy("doc_id", "path")
+    ).transform(sort_after_python, "doc_id", "path")
 
 
 @register("deep_melt_arrow_documents", _deep_melt_sql(8))
@@ -5354,7 +5354,7 @@ def q_deep_melt_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("type_tag") != "dict", F.col("value_json")).alias(
             "leaf_json"
         ),
-    ).orderBy("doc_id", "path")
+    ).transform(sort_after_python, "doc_id", "path")
 
 
 @register(
