@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mongo_analyser_spark.operators.fanout import sort_after_python
+
 
 def _sub_l2(a: Column, b: Column) -> Column:
     """Left-fold squared L2 between two (sub-)vectors — sequential
@@ -459,7 +461,7 @@ def pq_adc_topk_arrow(
     return (
         scored.withColumn("rnk", F.row_number().over(win).cast("int"))
         .where(F.col("rnk") <= k)
-        .orderBy("qid", "rnk")
+        .transform(sort_after_python, "qid", "rnk")
     )
 
 
@@ -505,7 +507,7 @@ def pq_adc_rerank_topk_arrow(
     return (
         rer.withColumn("rnk", F.row_number().over(win).cast("int"))
         .where(F.col("rnk") <= k)
-        .orderBy("qid", "rnk")
+        .transform(sort_after_python, "qid", "rnk")
     )
 
 
@@ -574,7 +576,7 @@ def pq_adc_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(win).cast("int"))
         .where(F.col("rnk") <= k)
-        .orderBy("qid", "rnk")
+        .transform(sort_after_python, "qid", "rnk")
     )
 
 
@@ -624,7 +626,7 @@ def pq_adc_rerank_topk(
     return (
         rer.withColumn("rnk", F.row_number().over(win).cast("int"))
         .where(F.col("rnk") <= k)
-        .orderBy("qid", "rnk")
+        .transform(sort_after_python, "qid", "rnk")
     )
 
 
@@ -658,7 +660,7 @@ def pq_exact_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(win).cast("int"))
         .where(F.col("rnk") <= k)
-        .orderBy("qid", "rnk")
+        .transform(sort_after_python, "qid", "rnk")
     )
 
 
@@ -721,7 +723,7 @@ def pq_recall_report(
                 6,
             ).alias("recall_at_k"),
         )
-        .orderBy("qid")
+        .transform(sort_after_python, "qid")
     )
 
 
@@ -923,7 +925,7 @@ def ivfpq_topk_arrow(
     return (
         rer.withColumn("rnk", F.row_number().over(win2).cast("int"))
         .where(F.col("rnk") <= k)
-        .orderBy("qid", "rnk")
+        .transform(sort_after_python, "qid", "rnk")
     )
 
 
@@ -971,5 +973,5 @@ def ivfpq_recall_report(
                 6,
             ).alias("recall_at_k"),
         )
-        .orderBy("qid")
+        .transform(sort_after_python, "qid")
     )

@@ -26,6 +26,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mongo_analyser_spark.operators.fanout import sort_after_python
+
 
 def as_double_vec(col: Column | str) -> Column:
     """Cast array<float> → array<double> ONCE, before any pair join.
@@ -154,7 +156,7 @@ def brute_force_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "vid", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
-        .orderBy("qid", "rnk")
+        .transform(sort_after_python, "qid", "rnk")
     )
 
 
@@ -486,7 +488,7 @@ def ivf_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "vid", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
-        .orderBy("qid", "rnk")
+        .transform(sort_after_python, "qid", "rnk")
     )
 
 
@@ -569,7 +571,7 @@ def ann_srp_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "vid", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
-        .orderBy("qid", "rnk")
+        .transform(sort_after_python, "qid", "rnk")
     )
 
 
@@ -665,5 +667,5 @@ def brute_force_topk_arrow(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "vid", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
-        .orderBy("qid", "rnk")
+        .transform(sort_after_python, "qid", "rnk")
     )

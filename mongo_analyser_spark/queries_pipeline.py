@@ -4308,7 +4308,7 @@ def q_theta_sketch_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("group").alias("grp"), "n_sketch", "theta", "est_distinct"
         )
-        .orderBy("grp")
+        .transform(sort_after_python, "grp")
     )
 
 
@@ -4568,7 +4568,7 @@ def q_ewma_smooth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ewma_smooth(ev, "user_id", ["ts", "event_id"], "value", k=16)
         .select("event_id", "user_id", "value", "ewma", "residual")
-        .orderBy("event_id")
+        .transform(sort_after_python, "event_id")
     )
 
 
@@ -4631,7 +4631,7 @@ def q_scd2_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__vt").isNull().alias("is_current"),
             "n_events",
         )
-        .orderBy("user_id", "version")
+        .transform(sort_after_python, "user_id", "version")
     )
 
 
