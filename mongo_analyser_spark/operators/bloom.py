@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mongo_analyser_spark.operators.fanout import sort_after_python
+
 from mongo_analyser_spark.functions.text import shingles
 from mongo_analyser_spark.operators.dsir import md5_bucket
 
@@ -194,19 +196,29 @@ def bloom_ngram_contamination(
         test.select(gram_src), F.col("g"), num_hashes, num_bits
     )
 
-    # Bloom verdict: expression-only over the broadcast one-row bitmap
+    # Bloom verdict: expression-only over the broadcast one-row bitmap.
+    # r15: the distinct-shingle chain is STAGED into its own projected
+    # column — referencing the expression from both n_grams and the
+    # bloom-probe filter evaluated the zip_with gram build twice per row
+    # (no CSE across HOF consumers; the hof-inline-producer class).
     grams = F.array_distinct(shingles(F.col(text_col), n))
-    bloomed = train.crossJoin(F.broadcast(words_row)).select(
-        F.col(id_col).alias("train_id"),
-        F.size(grams).cast("long").alias("n_grams"),
-        F.size(
-            F.filter(
-                grams,
-                lambda g: bloom_member(g, F.col("words"), num_hashes, num_bits),
+    bloomed = (
+        train.select(F.col(id_col).alias("train_id"), grams.alias("__g"))
+        .crossJoin(F.broadcast(words_row))
+        .select(
+            "train_id",
+            F.size("__g").cast("long").alias("n_grams"),
+            F.size(
+                F.filter(
+                    F.col("__g"),
+                    lambda g: bloom_member(
+                        g, F.col("words"), num_hashes, num_bits
+                    ),
+                )
             )
+            .cast("long")
+            .alias("n_bloom_hits"),
         )
-        .cast("long")
-        .alias("n_bloom_hits"),
     )
 
     # exact certification: hashed-gram equi-join with a TEXT-equality
@@ -247,5 +259,8 @@ def bloom_ngram_contamination(
             (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias("n_false_pos"),
             (F.col("n_bloom_hits") > 0).alias("bloom_flag"),
         )
-        .orderBy("train_id")
+        # r15: checkpoint before the sort — the bloom-probe segment sits
+        # under a broadcast join with no exchange, so the bare orderBy
+        # re-ran every per-gram probe in the range sampler (guide §2.4)
+        .transform(sort_after_python, "train_id")
     )

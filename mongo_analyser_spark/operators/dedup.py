@@ -949,16 +949,31 @@ def merge_start_intervals(starts: Column, n: int) -> Column:
     adversarial alternating hits); this is O(hits). tests/test_dedup.py
     checks it against a Python reference union on seeded random start
     sets."""
-    empty = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
-    size = F.size(starts)
-    bidx = F.filter(
-        F.sequence(F.lit(1), size),
+    return _spans_from_boundaries(starts, _span_boundaries(starts, n), n)
+
+
+def _span_boundaries(starts: Column, n: int) -> Column:
+    """Boundary indices of ``merge_start_intervals``: positions i where
+    a new span opens (i == 1 or s[i] > s[i-1] + n). Split out (r15) so
+    ``remove_repeated_spans`` can MATERIALIZE it in its own projection:
+    the composed expression references this filter three times (slice,
+    size, zip head), and interpreted HOFs get no CSE — the filter ran
+    3x per row inline."""
+    return F.filter(
+        F.sequence(F.lit(1), F.size(starts)),
         lambda i: (i == 1)
         | (
             F.element_at(starts, i)
             > F.element_at(starts, F.greatest(i - 1, F.lit(1))) + n
         ),
     )
+
+
+def _spans_from_boundaries(starts: Column, bidx: Column, n: int) -> Column:
+    """Merged spans from the sorted starts and their (possibly staged)
+    boundary-index array — see ``merge_start_intervals``."""
+    empty = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    size = F.size(starts)
     nxt = F.concat(
         F.slice(bidx, 2, F.greatest(F.size(bidx) - 1, F.lit(0))),
         F.array(size + 1),
@@ -1011,10 +1026,24 @@ def remove_repeated_spans(
     toks = tokens(F.col(text_col))
     starts = _repeated_gram_starts(docs, id_col, text_col, n, min_docs)
     j = docs.select(id_col, F.col(text_col)).join(starts, id_col, "left")
-    spans = merge_start_intervals(
-        F.coalesce(F.col("starts"), F.expr("array()")), n
+    # r15: stage the boundary-index filter in its own projection — the
+    # composed merge_start_intervals expression evaluates it 3x per row
+    # (slice + size + zip head; interpreted HOFs get no CSE), the
+    # _boundaries discipline this module already documents.
+    st = F.coalesce(F.col("starts"), F.expr("array()"))
+    # empty-starts guard: sequence(1, 0) descends through index 0, so
+    # the boundary filter must not evaluate on empty arrays (the
+    # composed form hid this under its lazy `when`)
+    staged_b = j.select(
+        id_col,
+        toks.alias("__t"),
+        st.alias("__st"),
+        F.when(F.size(st) > 0, _span_boundaries(st, n))
+        .otherwise(F.expr("CAST(array() AS array<int>)"))
+        .alias("__b"),
     )
-    jj = j.select(id_col, toks.alias("__t"), spans.alias("spans"))
+    spans = _spans_from_boundaries(F.col("__st"), F.col("__b"), n)
+    jj = staged_b.select(id_col, F.col("__t"), spans.alias("spans"))
     covered = F.flatten(
         F.transform("spans", lambda sp: F.sequence(sp["s"], sp["e"]))
     )

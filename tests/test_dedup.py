@@ -354,7 +354,10 @@ def test_decontaminate_query_broadcasts_heldout_side(spark):
     from mongo_analyser_spark.plans import formatted_plan
     from mongo_analyser_spark.queries import QUERIES
 
-    plan = formatted_plan(QUERIES["decontaminate_documents"](spark, "/root/testdata/sf0.001"))
+    q = QUERIES["decontaminate_documents"](spark, "/root/testdata/sf0.001")
+    # r15: the deterministic sort is applied via sort_after_python, so
+    # the join shape is pinned on the pre-checkpoint child plan
+    plan = formatted_plan(getattr(q, "_pre_sort_child", q))
     assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
     assert "SortMergeJoin" not in plan
 
