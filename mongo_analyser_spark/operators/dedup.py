@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mongo_analyser_spark.operators.fanout import sort_after_python
+
 from mongo_analyser_spark.functions.text import shingles, tokens
 
 
@@ -461,7 +463,10 @@ def hamming_pairs(
         .select("id_a", "id_b", hamming.alias("hamming"))
         .distinct()  # a close pair can collide in several bands
         .filter(F.col("hamming") <= max_hamming)
-        .orderBy("id_a", "id_b")
+        # r15: checkpoint the (skinny) verified pairs before the sort —
+        # the bare orderBy re-ran the distinct's merge + hamming filter
+        # in the range sampler (guide §2.4)
+        .transform(sort_after_python, "id_a", "id_b")
     )
 
 
