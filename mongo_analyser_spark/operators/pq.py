@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from mongo_analyser_spark.operators.fanout import sort_after_python
+from mongo_analyser_spark.operators.fanout import sort_plain, unsorted
 
 
 def _sub_l2(a: Column, b: Column) -> Column:
@@ -461,7 +461,7 @@ def pq_adc_topk_arrow(
     return (
         scored.withColumn("rnk", F.row_number().over(win).cast("int"))
         .where(F.col("rnk") <= k)
-        .transform(sort_after_python, "qid", "rnk")
+        .transform(sort_plain, "qid", "rnk")
     )
 
 
@@ -507,7 +507,7 @@ def pq_adc_rerank_topk_arrow(
     return (
         rer.withColumn("rnk", F.row_number().over(win).cast("int"))
         .where(F.col("rnk") <= k)
-        .transform(sort_after_python, "qid", "rnk")
+        .transform(sort_plain, "qid", "rnk")
     )
 
 
@@ -576,7 +576,7 @@ def pq_adc_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(win).cast("int"))
         .where(F.col("rnk") <= k)
-        .transform(sort_after_python, "qid", "rnk")
+        .transform(sort_plain, "qid", "rnk")
     )
 
 
@@ -626,7 +626,7 @@ def pq_adc_rerank_topk(
     return (
         rer.withColumn("rnk", F.row_number().over(win).cast("int"))
         .where(F.col("rnk") <= k)
-        .transform(sort_after_python, "qid", "rnk")
+        .transform(sort_plain, "qid", "rnk")
     )
 
 
@@ -660,7 +660,7 @@ def pq_exact_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(win).cast("int"))
         .where(F.col("rnk") <= k)
-        .transform(sort_after_python, "qid", "rnk")
+        .transform(sort_plain, "qid", "rnk")
     )
 
 
@@ -703,7 +703,12 @@ def pq_recall_report(
             df, id_col, vec_col, query_ids, dim, m, k_cent, k,
             refine_steps=refine_steps,
         )
-    exact = pq_exact_topk(df, id_col, vec_col, query_ids, k)
+    # r15: the report only counts overlaps — consume the top-k frames
+    # BELOW their deterministic output sorts (identical rows; the inner
+    # sort/checkpoint is dead weight under joins and aggregates, and
+    # the duplicated exact subtree dedupes via runtime exchange reuse)
+    adc = unsorted(adc)
+    exact = unsorted(pq_exact_topk(df, id_col, vec_col, query_ids, k))
     hits = (
         exact.select("qid", "vid")
         .join(adc.select("qid", "vid"), ["qid", "vid"], "left_semi")
@@ -723,7 +728,7 @@ def pq_recall_report(
                 6,
             ).alias("recall_at_k"),
         )
-        .transform(sort_after_python, "qid")
+        .transform(sort_plain, "qid")
     )
 
 
@@ -925,7 +930,7 @@ def ivfpq_topk_arrow(
     return (
         rer.withColumn("rnk", F.row_number().over(win2).cast("int"))
         .where(F.col("rnk") <= k)
-        .transform(sort_after_python, "qid", "rnk")
+        .transform(sort_plain, "qid", "rnk")
     )
 
 
@@ -953,7 +958,10 @@ def ivfpq_recall_report(
         df, id_col, vec_col, query_ids, dim, centroids, m, k_cent,
         shortlist=shortlist, k=k, refine_steps=refine_steps, cb=cb,
     )
-    exact = pq_exact_topk(df, id_col, vec_col, query_ids, k)
+    # r15: count-only consumption — use the frames below their output
+    # sorts (see pq_recall_report)
+    approx = unsorted(approx)
+    exact = unsorted(pq_exact_topk(df, id_col, vec_col, query_ids, k))
     hits = (
         exact.select("qid", "vid")
         .join(approx.select("qid", "vid"), ["qid", "vid"], "left_semi")
@@ -973,5 +981,5 @@ def ivfpq_recall_report(
                 6,
             ).alias("recall_at_k"),
         )
-        .transform(sort_after_python, "qid")
+        .transform(sort_plain, "qid")
     )

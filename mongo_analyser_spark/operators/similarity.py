@@ -26,7 +26,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mongo_analyser_spark.operators.fanout import sort_after_python
+from mongo_analyser_spark.operators.fanout import sort_after_python, sort_plain
 
 
 def as_double_vec(col: Column | str) -> Column:
@@ -667,5 +667,7 @@ def brute_force_topk_arrow(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "vid", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
-        .transform(sort_after_python, "qid", "rnk")
+        # r15 session-3 A/B: the window's qid exchange bounds the
+        # sampler's re-read — the bare sort wins here (guide §2.4)
+        .transform(sort_plain, "qid", "rnk")
     )

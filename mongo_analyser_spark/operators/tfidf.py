@@ -37,7 +37,7 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from mongo_analyser_spark.operators.fanout import sort_after_python
+from mongo_analyser_spark.operators.fanout import sort_after_python, unsorted
 
 from mongo_analyser_spark.functions.text import tokens
 
@@ -252,8 +252,12 @@ def tfidf_pairs_recall_report(
     true_pairs = tfidf_exact_pairs(
         docs, threshold, id_col, text_col, tokenizer
     ).select("id_a", "id_b")
-    found = tfidf_cosine_pairs(
-        docs, threshold, prefix, id_col, text_col, tokenizer
+    # r15: the report only counts pairs — consume the blocked-pairs
+    # frame BELOW its deterministic output sort (identical rows; the
+    # checkpoint+sort tail costs a materialization job + range exchange
+    # that counting never needs; measured -0.4 s same-session A/B)
+    found = unsorted(
+        tfidf_cosine_pairs(docs, threshold, prefix, id_col, text_col, tokenizer)
     ).select("id_a", "id_b")
     matched = true_pairs.join(found, ["id_a", "id_b"], "left_semi")
     return (

@@ -34,7 +34,12 @@ from mongo_analyser_spark.operators.similarity import (
     brute_force_topk,
     srp_planes,
 )
-from mongo_analyser_spark.operators.fanout import fanout_for_python, sort_after_python
+from mongo_analyser_spark.operators.fanout import (
+    fanout_for_python,
+    sort_after_python,
+    sort_plain,
+    unsorted,
+)
 from mongo_analyser_spark.operators.field_stats import TS_FMT
 from mongo_analyser_spark.queries import ORACLE_GENERATORS, register
 from mongo_analyser_spark.sources.parquet import load_table
@@ -436,8 +441,10 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (north-star MinHash dedup, stage 1): k min-
     aggregates in one pass over exploded shingles."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(docs, "doc_id", "text", NUM_MINHASH).transform(sort_after_python, 
-        "doc_id", "hash_idx"
+    # r15 session-3 A/B: the min-aggregate's exchange bounds the range
+    # sampler's re-read — the bare sort wins (sort_plain, guide §2.4)
+    return minhash_signatures(docs, "doc_id", "text", NUM_MINHASH).transform(
+        sort_plain, "doc_id", "hash_idx"
     )
 
 
@@ -1494,11 +1501,16 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = brute_force_topk(emb, "vec_id", "embedding", ANN_QUERY_IDS, k=3).select(
-        "qid", "vid"
-    )
-    approx = ann_srp_topk(
-        emb, "vec_id", "embedding", ANN_QUERY_IDS, SRP_PLANES, EMB_DIM, k=3
+    # r15: count-only consumption — take both top-k frames BELOW their
+    # deterministic output sorts (identical rows, inner sort dead under
+    # the join/aggregate; measured -0.2 s same-session A/B)
+    exact = unsorted(
+        brute_force_topk(emb, "vec_id", "embedding", ANN_QUERY_IDS, k=3)
+    ).select("qid", "vid")
+    approx = unsorted(
+        ann_srp_topk(
+            emb, "vec_id", "embedding", ANN_QUERY_IDS, SRP_PLANES, EMB_DIM, k=3
+        )
     ).select("qid", F.col("vid").alias("a_vid"))
     hits = (
         exact.join(
@@ -1579,11 +1591,15 @@ def q_ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = brute_force_topk(emb, "vec_id", "embedding", ANN_QUERY_IDS, k=3).select(
-        "qid", "vid"
-    )
-    approx = ivf_topk(
-        emb, "vec_id", "embedding", ANN_QUERY_IDS, IVF_CELLS, EMB_DIM, k=3
+    # r15: count-only consumption — frames below their output sorts
+    # (see q_ann_recall_report)
+    exact = unsorted(
+        brute_force_topk(emb, "vec_id", "embedding", ANN_QUERY_IDS, k=3)
+    ).select("qid", "vid")
+    approx = unsorted(
+        ivf_topk(
+            emb, "vec_id", "embedding", ANN_QUERY_IDS, IVF_CELLS, EMB_DIM, k=3
+        )
     ).select("qid", F.col("vid").alias("a_vid"))
     hits = (
         exact.join(
@@ -4308,7 +4324,9 @@ def q_theta_sketch_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("group").alias("grp"), "n_sketch", "theta", "est_distinct"
         )
-        .transform(sort_after_python, "grp")
+        # r15 session-3 A/B: the sketch aggregate's exchange bounds the
+        # sampler's re-read — the bare sort wins (guide §2.4)
+        .transform(sort_plain, "grp")
     )
 
 
