@@ -73,44 +73,116 @@ _C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
 def _idct8x8(coef: list[float], shift: int = 128, maxv: int = 255) -> list[int]:
     """Separable 2-D inverse DCT + level shift + clamp (natural order).
     ``shift``/``maxv`` default to 8-bit precision; 12-bit scans pass
-    2048/4095 (T.81 table 6: level shift is 2^(P-1))."""
+    2048/4095 (T.81 table 6: level shift is 2^(P-1)).
+
+    r15 (guide §1.2): the C[u]·row[u] products are hoisted out of the
+    inner x loop (they were recomputed 8× each) and the u fold is
+    unrolled. Bit-identical: every term keeps the exact two-step
+    rounding ((C[u]*row[u])*COS[x][u]) and the exact left-fold
+    accumulation order of the nested-loop form (fuzz-pinned against
+    the reference loops in tests/test_codec_kernels.py)."""
+    C = _C
+    COS = _COS
     tmp = [0.0] * 64
     for y in range(8):
-        row = coef[y * 8:y * 8 + 8]
+        o = y * 8
+        a0 = C[0] * coef[o]
+        a1 = C[1] * coef[o + 1]
+        a2 = C[2] * coef[o + 2]
+        a3 = C[3] * coef[o + 3]
+        a4 = C[4] * coef[o + 4]
+        a5 = C[5] * coef[o + 5]
+        a6 = C[6] * coef[o + 6]
+        a7 = C[7] * coef[o + 7]
         for x in range(8):
+            cx = COS[x]
             s = 0.0
-            for u in range(8):
-                s += _C[u] * row[u] * _COS[x][u]
-            tmp[y * 8 + x] = s / 2.0
+            s += a0 * cx[0]
+            s += a1 * cx[1]
+            s += a2 * cx[2]
+            s += a3 * cx[3]
+            s += a4 * cx[4]
+            s += a5 * cx[5]
+            s += a6 * cx[6]
+            s += a7 * cx[7]
+            tmp[o + x] = s / 2.0
     out = [0] * 64
     for x in range(8):
+        b0 = C[0] * tmp[x]
+        b1 = C[1] * tmp[8 + x]
+        b2 = C[2] * tmp[16 + x]
+        b3 = C[3] * tmp[24 + x]
+        b4 = C[4] * tmp[32 + x]
+        b5 = C[5] * tmp[40 + x]
+        b6 = C[6] * tmp[48 + x]
+        b7 = C[7] * tmp[56 + x]
         for y in range(8):
+            cy = COS[y]
             s = 0.0
-            for v in range(8):
-                s += _C[v] * tmp[v * 8 + x] * _COS[y][v]
+            s += b0 * cy[0]
+            s += b1 * cy[1]
+            s += b2 * cy[2]
+            s += b3 * cy[3]
+            s += b4 * cy[4]
+            s += b5 * cy[5]
+            s += b6 * cy[6]
+            s += b7 * cy[7]
             val = int(round(s / 2.0)) + shift
             out[y * 8 + x] = 0 if val < 0 else (maxv if val > maxv else val)
     return out
 
 
 def _fdct8x8(block: list[int], shift: float = 128.0) -> list[float]:
-    """Separable 2-D forward DCT over level-shifted samples."""
+    """Separable 2-D forward DCT over level-shifted samples.
+
+    r15: same hoist/unroll treatment as ``_idct8x8``; term grouping and
+    fold order are unchanged, so output doubles are bit-identical."""
+    C = _C
+    COS = _COS
     sh = [v - shift for v in block]
     tmp = [0.0] * 64
     for y in range(8):
-        row = sh[y * 8:y * 8 + 8]
+        o = y * 8
+        r0 = sh[o]
+        r1 = sh[o + 1]
+        r2 = sh[o + 2]
+        r3 = sh[o + 3]
+        r4 = sh[o + 4]
+        r5 = sh[o + 5]
+        r6 = sh[o + 6]
+        r7 = sh[o + 7]
         for u in range(8):
             s = 0.0
-            for x in range(8):
-                s += row[x] * _COS[x][u]
-            tmp[y * 8 + u] = s * _C[u] / 2.0
+            s += r0 * COS[0][u]
+            s += r1 * COS[1][u]
+            s += r2 * COS[2][u]
+            s += r3 * COS[3][u]
+            s += r4 * COS[4][u]
+            s += r5 * COS[5][u]
+            s += r6 * COS[6][u]
+            s += r7 * COS[7][u]
+            tmp[o + u] = s * C[u] / 2.0
     out = [0.0] * 64
     for u in range(8):
+        t0 = tmp[u]
+        t1 = tmp[8 + u]
+        t2 = tmp[16 + u]
+        t3 = tmp[24 + u]
+        t4 = tmp[32 + u]
+        t5 = tmp[40 + u]
+        t6 = tmp[48 + u]
+        t7 = tmp[56 + u]
         for v in range(8):
             s = 0.0
-            for y in range(8):
-                s += tmp[y * 8 + u] * _COS[y][v]
-            out[v * 8 + u] = s * _C[v] / 2.0
+            s += t0 * COS[0][v]
+            s += t1 * COS[1][v]
+            s += t2 * COS[2][v]
+            s += t3 * COS[3][v]
+            s += t4 * COS[4][v]
+            s += t5 * COS[5][v]
+            s += t6 * COS[6][v]
+            s += t7 * COS[7][v]
+            out[v * 8 + u] = s * C[v] / 2.0
     return out
 
 
@@ -142,32 +214,55 @@ def _extend(v: int, t: int) -> int:
 
 class _BitReader:
     """MSB-first reader over one entropy-coded segment (already
-    de-stuffed and split at restart markers)."""
+    de-stuffed and split at restart markers).
+
+    r15 (guide §1.2 per-task work): the segment folds into ONE
+    big-endian int up front so every read is a shift+mask — the per-bit
+    byte-indexed form was ~30% of the baseline-decode profile. Same
+    bits (bit p of the stream is bit nbits-1-p of the int), same
+    truncation error on the same boundary; consecutive reads make the
+    any-bit-past-the-end check equal to the old first-bad-bit check."""
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0  # bit position
+        self._val = int.from_bytes(data, "big")
+        self._nbits = len(data) << 3
 
     def bit(self) -> int:
-        if (self.pos >> 3) >= len(self.data):
+        pos = self.pos
+        if pos >= self._nbits:
             raise ValueError("truncated JPEG entropy stream")
-        byte = self.data[self.pos >> 3]
-        b = (byte >> (7 - (self.pos & 7))) & 1
-        self.pos += 1
-        return b
+        self.pos = pos + 1
+        return (self._val >> (self._nbits - 1 - pos)) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        if not n:
+            return 0
+        pos = self.pos
+        nbits = self._nbits
+        if pos + n > nbits:
+            raise ValueError("truncated JPEG entropy stream")
+        self.pos = pos + n
+        return (self._val >> (nbits - pos - n)) & ((1 << n) - 1)
 
     def decode(self, table: dict) -> int:
+        # inline per-bit reads (the symbol walk is the decode hot loop);
+        # pos advances only on success — every failure path raises out
+        # of the decode either way
+        val = self._val
+        nbits = self._nbits
+        pos = self.pos
+        get = table.get
         code = 0
         for length in range(1, 17):
-            code = (code << 1) | self.bit()
-            sym = table.get((length, code))
+            if pos >= nbits:
+                raise ValueError("truncated JPEG entropy stream")
+            code = (code << 1) | ((val >> (nbits - 1 - pos)) & 1)
+            pos += 1
+            sym = get((length, code))
             if sym is not None:
+                self.pos = pos
                 return sym
         raise ValueError("invalid huffman code in JPEG entropy stream")
 

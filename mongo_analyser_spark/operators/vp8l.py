@@ -60,37 +60,56 @@ _DIST_MAP = [
 
 
 class _LsbReader:
-    """LSB-first bit reader (VP8L packs bits little-endian)."""
+    """LSB-first bit reader (VP8L packs bits little-endian).
+
+    r15 (guide §1.2 per-task work): the byte buffer is folded into ONE
+    little-endian int up front so ``read`` is a shift+mask instead of a
+    per-bit loop — the per-bit form was ~30% of the decode profile
+    (1.03M calls per 300 images). Bit-identical by construction: bit i
+    of the int IS bit (i&7) of byte (i>>3), the exact bit the loop
+    extracted; the truncation guard errors on the same boundary
+    (any requested bit at or past len(data)*8)."""
 
     def __init__(self, data: bytes, bitpos: int = 0):
         self.data = data
         self.pos = bitpos
+        self._val = int.from_bytes(data, "little")
+        self._nbits = len(data) << 3
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            p = self.pos + i
-            if (p >> 3) >= len(self.data):
-                raise ValueError("truncated VP8L bitstream")
-            v |= ((self.data[p >> 3] >> (p & 7)) & 1) << i
-        self.pos += n
-        return v
+        pos = self.pos
+        if n and pos + n > self._nbits:
+            raise ValueError("truncated VP8L bitstream")
+        self.pos = pos + n
+        return (self._val >> pos) & ((1 << n) - 1)
 
 
 class _LsbWriter:
+    """r15 (guide §1.2): bits accumulate LSB-first in a small int and
+    flush to the bytearray a whole byte at a time — the per-bit append
+    was ~17% of the encode profile. Identical stream: bit k of a write
+    lands at absolute bit (total_bits_so_far + k), exactly where the
+    per-bit loop put it."""
+
     def __init__(self) -> None:
         self.out = bytearray()
-        self.bit = 0
+        self._acc = 0
+        self._nbits = 0
 
     def write(self, value: int, n: int) -> None:
-        for i in range(n):
-            if self.bit == 0:
-                self.out.append(0)
-            if (value >> i) & 1:
-                self.out[-1] |= 1 << self.bit
-            self.bit = (self.bit + 1) & 7
+        acc = self._acc | ((value & ((1 << n) - 1)) << self._nbits)
+        nb = self._nbits + n
+        out = self.out
+        while nb >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+        self._acc = acc
+        self._nbits = nb
 
     def bytes(self) -> bytes:
+        if self._nbits:
+            return bytes(self.out) + bytes([self._acc])
         return bytes(self.out)
 
 
@@ -129,11 +148,23 @@ def _build_huffman(lengths: list[int]) -> dict:
 def _read_symbol(r: _LsbReader, table: dict) -> int:
     if "single" in table:
         return table["single"]
+    # r15: inline the per-bit reads over the reader's folded int — one
+    # symbol walk was ~1M read(1) calls per 300 images (guide §1.2);
+    # same bits, same truncation error, pos advances only on success
+    # (the failure paths raise out of the decode either way)
+    val = r._val
+    pos = r.pos
+    nbits = r._nbits
+    get = table.get
     code = 0
     for length in range(1, 16):
-        code = (code << 1) | r.read(1)
-        sym = table.get((length, code))
+        if pos >= nbits:
+            raise ValueError("truncated VP8L bitstream")
+        code = (code << 1) | ((val >> pos) & 1)
+        pos += 1
+        sym = get((length, code))
         if sym is not None:
+            r.pos = pos
             return sym
     raise ValueError("invalid VP8L huffman code")
 
@@ -660,11 +691,12 @@ def _encode_lengths(w: _LsbWriter, lengths: list[int]) -> None:
             cl_table[s] = (code, l)
             code += 1
     w.write(0, 1)  # no max_symbol shortcut
+    # MSB-first code bits through the LSB-first writer: pre-reverse
+    # each 4-bit code-length code once and emit it in one write
+    rev_table = {l: (_rev_bits(c, n), n) for l, (c, n) in cl_table.items()}
     for l in lengths:
-        c, n = cl_table[l]
-        # MSB-first code bits through the LSB-first writer
-        for b in range(n - 1, -1, -1):
-            w.write((c >> b) & 1, 1)
+        r, n = rev_table[l]
+        w.write(r, n)
 
 
 def _enc_tables_for(argb: list[int]) -> list[dict]:
@@ -700,13 +732,23 @@ def _enc_tables_for(argb: list[int]) -> list[dict]:
     return tables
 
 
+def _rev_bits(c: int, n: int) -> int:
+    """Bit-reverse an n-bit code — huffman code bits go MSB-first into
+    the LSB-first writer, so emitting the reversed value in one write
+    lands every bit where the per-bit loop put it (r15, guide §1.2)."""
+    r = 0
+    for _ in range(n):
+        r = (r << 1) | (c & 1)
+        c >>= 1
+    return r
+
+
 def _put_code(w: _LsbWriter, enc: dict, sym: int) -> None:
     e = enc[sym]
     if e is None:
         return  # single-symbol code: zero bits
     c, n = e
-    for b in range(n - 1, -1, -1):
-        w.write((c >> b) & 1, 1)
+    w.write(_rev_bits(c, n), n)
 
 
 def _write_literal_body(
