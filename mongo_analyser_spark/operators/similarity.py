@@ -26,7 +26,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mongo_analyser_spark.operators.fanout import sort_after_python, sort_plain
+from mongo_analyser_spark.operators.fanout import sort_plain
 
 
 def as_double_vec(col: Column | str) -> Column:
@@ -156,7 +156,11 @@ def brute_force_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "vid", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
-        .transform(sort_after_python, "qid", "rnk")
+        # r15: the window's qid exchange bounds the range sampler's
+        # re-read (checkpoint measured neutral solo) and the bare tail
+        # skips the checkpoint's build-time planning pass — the recall
+        # reports consume this frame via unsorted() (guide §2.4)
+        .transform(sort_plain, "qid", "rnk")
     )
 
 
@@ -488,7 +492,11 @@ def ivf_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "vid", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
-        .transform(sort_after_python, "qid", "rnk")
+        # r15: the window's qid exchange bounds the range sampler's
+        # re-read (checkpoint measured neutral solo) and the bare tail
+        # skips the checkpoint's build-time planning pass — the recall
+        # reports consume this frame via unsorted() (guide §2.4)
+        .transform(sort_plain, "qid", "rnk")
     )
 
 
@@ -571,7 +579,11 @@ def ann_srp_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("qid", "vid", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
-        .transform(sort_after_python, "qid", "rnk")
+        # r15: the window's qid exchange bounds the range sampler's
+        # re-read (checkpoint measured neutral solo) and the bare tail
+        # skips the checkpoint's build-time planning pass — the recall
+        # reports consume this frame via unsorted() (guide §2.4)
+        .transform(sort_plain, "qid", "rnk")
     )
 
 
