@@ -196,15 +196,50 @@ def _check_jpeg_dims(w: int, h: int) -> None:
     check_dims(w, h, "JPEG")
 
 
+#: pure-function memo (bits, vals) -> decode table (r15). The in-code
+#: encoders emit a fixed DHT set, so the memo stabilizes at a handful
+#: of entries; it is derived data rebuilt in every process, capped so
+#: foreign streams with many distinct tables stay bounded.
+_HUFF_MEMO: dict = {}
+_HUFF_MEMO_CAP = 1024
+
+
 def _build_huff_decode(bits: list[int], vals: bytes) -> dict:
-    """Canonical huffman (length, code) -> symbol map from DHT data."""
+    """Canonical huffman (length, code) -> symbol map from DHT data.
+
+    r15 (guide §1.2): also fills a one-level LUT over the next
+    ``maxlen`` bits (``__lut__`` key) and memoizes on the DHT payload —
+    the per-symbol decode becomes one peek + one list index. JPEG codes
+    may be INCOMPLETE, so unmatched patterns stay None and fall back to
+    the exact bit-walk for its error semantics."""
+    key = (tuple(bits), bytes(vals))
+    hit = _HUFF_MEMO.get(key)
+    if hit is not None:
+        return hit
     table, code, k = {}, 0, 0
+    maxlen = 0
+    entries = []
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             table[(length, code)] = vals[k]
+            entries.append((length, code, vals[k]))
             k += 1
             code += 1
+            maxlen = length
         code <<= 1
+    if entries and all(c < (1 << l) for l, c, _ in entries):
+        # (oversubscribed DHT data could push codes past their length's
+        # range — such tables keep the walk path and its exact errors)
+        lut = [None] * (1 << maxlen)
+        for l, c, v in entries:
+            # MSB-first stream: codes of length l own the contiguous
+            # index range [c << (maxlen-l), (c+1) << (maxlen-l))
+            span = 1 << (maxlen - l)
+            base = c * span
+            lut[base : base + span] = [(v, l)] * span
+        table["__lut__"] = (lut, maxlen)
+    if len(_HUFF_MEMO) < _HUFF_MEMO_CAP:
+        _HUFF_MEMO[key] = table
     return table
 
 
@@ -247,6 +282,34 @@ class _BitReader:
         return (self._val >> (nbits - pos - n)) & ((1 << n) - 1)
 
     def decode(self, table: dict) -> int:
+        # r15: one-level LUT peek over the next maxlen bits (zero-padded
+        # at the stream tail); any miss — no LUT, unmatched pattern, or
+        # a matched code longer than the remaining bits — falls back to
+        # the exact bit-walk so error semantics are unchanged
+        ent = table.get("__lut__")
+        if ent is not None:
+            lut, maxlen = ent
+            pos = self.pos
+            nbits = self._nbits
+            rem = nbits - pos
+            if rem >= maxlen:
+                peek = (self._val >> (nbits - pos - maxlen)) & (
+                    (1 << maxlen) - 1
+                )
+            elif rem > 0:
+                peek = (self._val & ((1 << rem) - 1)) << (maxlen - rem)
+            else:
+                peek = None
+            if peek is not None:
+                hit = lut[peek]
+                if hit is not None:
+                    sym, l = hit
+                    if l <= rem:
+                        self.pos = pos + l
+                        return sym
+        return self._decode_walk(table)
+
+    def _decode_walk(self, table: dict) -> int:
         # inline per-bit reads (the symbol walk is the decode hot loop);
         # pos advances only on success — every failure path raises out
         # of the decode either way

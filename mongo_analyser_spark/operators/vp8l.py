@@ -113,17 +113,40 @@ class _LsbWriter:
         return bytes(self.out)
 
 
+#: pure-function memo lengths-tuple -> decode table (r15). Huffman
+#: tables recur heavily across documents (tiny images produce few
+#: distinct length vectors); the memo is derived data rebuilt in every
+#: process — nothing persists across runs. Capped so a pathological
+#: corpus cannot grow it unboundedly.
+_HUFF_MEMO: dict = {}
+_HUFF_MEMO_CAP = 8192
+
+
 def _build_huffman(lengths: list[int]) -> dict:
     """Canonical huffman (deflate convention): (len, code) -> symbol,
     codes read MSB-of-code-first. A single used symbol decodes with
     zero bits (spec: a code of length 0 for everything but one symbol
-    means that symbol is implicit)."""
+    means that symbol is implicit).
+
+    r15 (guide §1.2): alongside the walk table the builder fills a
+    one-level LUT over the next ``maxlen`` bits (``lut``/``maxlen``
+    keys) when maxlen is small, and the whole result is memoized on the
+    lengths tuple — the per-symbol decode becomes one peek + one list
+    index. The code is complete (Kraft-checked), so every maxlen-bit
+    pattern maps to exactly the symbol the bit-walk would find."""
+    key = tuple(lengths)
+    hit = _HUFF_MEMO.get(key)
+    if hit is not None:
+        return hit
     used = [(l, s) for s, l in enumerate(lengths) if l > 0]
     if not used:
         raise ValueError("VP8L prefix code with no symbols")
     if len(used) == 1:
-        return {"single": used[0][1]}
-    table: dict = {}
+        table = {"single": used[0][1]}
+        if len(_HUFF_MEMO) < _HUFF_MEMO_CAP:
+            _HUFF_MEMO[key] = table
+        return table
+    table = {}
     code = 0
     maxlen = max(l for l, _ in used)
     counts = [0] * (maxlen + 1)
@@ -133,25 +156,35 @@ def _build_huffman(lengths: list[int]) -> dict:
     for l in range(1, maxlen + 1):
         code = (code + counts[l - 1]) << 1
         next_code[l] = code
-    for s, l in enumerate(lengths):
-        if l > 0:
-            table[(l, next_code[l])] = s
-            next_code[l] += 1
     # completeness check: a malformed (over/under-subscribed) code must
     # fail here, not loop during pixel decode
     kraft = sum(1 << (maxlen - l) for l, _ in used)
     if kraft != 1 << maxlen:
         raise ValueError("VP8L prefix code is not complete")
+    entries = []
+    for s, l in enumerate(lengths):
+        if l > 0:
+            table[(l, next_code[l])] = s
+            entries.append((s, l, next_code[l]))
+            next_code[l] += 1
+    if maxlen <= 11:
+        lut = [None] * (1 << maxlen)
+        for s, l, c in entries:
+            # LSB-first stream: the low l bits of the peeked index are
+            # the bit-reverse of the MSB-first canonical code
+            lut[_rev_bits(c, l) :: 1 << l] = [(s, l)] * (1 << (maxlen - l))
+        table["lut"] = lut
+        table["maxlen"] = maxlen
+        table["mask"] = (1 << maxlen) - 1
+    if len(_HUFF_MEMO) < _HUFF_MEMO_CAP:
+        _HUFF_MEMO[key] = table
     return table
 
 
-def _read_symbol(r: _LsbReader, table: dict) -> int:
-    if "single" in table:
-        return table["single"]
-    # r15: inline the per-bit reads over the reader's folded int — one
-    # symbol walk was ~1M read(1) calls per 300 images (guide §1.2);
-    # same bits, same truncation error, pos advances only on success
-    # (the failure paths raise out of the decode either way)
+def _read_symbol_walk(r: _LsbReader, table: dict) -> int:
+    # per-bit walk over the reader's folded int — the LUT fallback for
+    # long codes; pos advances only on success (failure paths raise out
+    # of the decode either way)
     val = r._val
     pos = r.pos
     nbits = r._nbits
@@ -167,6 +200,24 @@ def _read_symbol(r: _LsbReader, table: dict) -> int:
             r.pos = pos
             return sym
     raise ValueError("invalid VP8L huffman code")
+
+
+def _read_symbol(r: _LsbReader, table: dict) -> int:
+    if "single" in table:
+        return table["single"]
+    lut = table.get("lut")
+    if lut is None:
+        return _read_symbol_walk(r, table)
+    # r15: one peek + one list index (zero-padding past the stream end
+    # is safe: the code is complete, so the entry is the symbol the walk
+    # would find iff its length fits the remaining bits — otherwise the
+    # walk would have run out, i.e. truncated)
+    pos = r.pos
+    s, l = lut[(r._val >> pos) & table["mask"]]
+    if pos + l > r._nbits:
+        raise ValueError("truncated VP8L bitstream")
+    r.pos = pos + l
+    return s
 
 
 def _read_code_lengths(r: _LsbReader, alphabet: int) -> list[int]:

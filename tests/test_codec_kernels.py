@@ -158,3 +158,129 @@ def test_vp8l_reader_truncation_boundary():
         raise AssertionError("expected truncation error")
     except ValueError:
         pass
+
+
+def _random_complete_lengths(rng, nsym):
+    """A Kraft-complete canonical length vector via huffman over random
+    frequencies (the only shape _build_huffman accepts)."""
+    import heapq
+
+    freqs = [rng.randrange(1, 100) for _ in range(nsym)]
+    heap = [(f, i, None) for i, f in enumerate(freqs)]
+    heapq.heapify(heap)
+    nxt = nsym
+    while len(heap) > 1:
+        a = heapq.heappop(heap)
+        b = heapq.heappop(heap)
+        heapq.heappush(heap, (a[0] + b[0], nxt, (a, b)))
+        nxt += 1
+    depths = [0] * nsym
+    stack = [(heap[0], 0)]
+    while stack:
+        (f, i, ch), d = stack.pop()
+        if ch is None:
+            depths[i] = max(d, 1)
+        else:
+            stack.append((ch[0], d + 1))
+            stack.append((ch[1], d + 1))
+    return depths
+
+
+def _vp8l_read_symbol_ref(r, table):
+    """Pre-LUT per-bit walk, kept verbatim as reference."""
+    if "single" in table:
+        return table["single"]
+    code = 0
+    for length in range(1, 16):
+        if r.pos >= r._nbits:
+            raise ValueError("truncated VP8L bitstream")
+        code = (code << 1) | ((r._val >> r.pos) & 1)
+        r.pos += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid VP8L huffman code")
+
+
+def test_vp8l_lut_symbol_decode_matches_walk():
+    from mongo_analyser_spark.operators.vp8l import (
+        _build_huffman,
+        _read_symbol,
+    )
+
+    rng = random.Random(31)
+    for _ in range(600):
+        lengths = _random_complete_lengths(rng, rng.randrange(2, 40))
+        table = _build_huffman(lengths)
+        assert "lut" in table or max(lengths) > 11
+        data = bytes(rng.randrange(256) for _ in range(10))
+        r1, r2 = _LsbReader(data), _LsbReader(data)
+        while True:
+            e1 = e2 = s1 = s2 = None
+            try:
+                s1 = _vp8l_read_symbol_ref(r1, table)
+            except ValueError as e:
+                e1 = str(e)
+                r1.pos = r1._nbits  # reference walk consumed to the end
+            try:
+                s2 = _read_symbol(r2, table)
+            except ValueError as e:
+                e2 = str(e)
+            assert s1 == s2 and e1 == e2, (s1, s2, e1, e2, lengths)
+            if e1 is not None:
+                break
+            assert r1.pos == r2.pos
+
+
+def _jpeg_decode_ref(r, table):
+    """Pre-LUT per-bit walk, kept verbatim as reference."""
+    code = 0
+    for length in range(1, 17):
+        if r.pos >= r._nbits:
+            raise ValueError("truncated JPEG entropy stream")
+        code = (code << 1) | ((r._val >> (r._nbits - 1 - r.pos)) & 1)
+        r.pos += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in JPEG entropy stream")
+
+
+def test_jpeg_lut_decode_matches_walk():
+    from mongo_analyser_spark.operators.jpeg import _build_huff_decode
+
+    rng = random.Random(32)
+    for _ in range(600):
+        nsym = rng.randrange(1, 30)
+        lens = sorted(rng.randrange(1, 13) for _ in range(nsym))
+        # keep Kraft <= 1 (valid, possibly INCOMPLETE, JPEG tables)
+        kraft = sum(2.0 ** -l for l in lens)
+        i = 0
+        while kraft > 1.0:
+            if lens[i % nsym] < 16:
+                kraft -= 2.0 ** -lens[i % nsym]
+                lens[i % nsym] += 1
+                kraft += 2.0 ** -lens[i % nsym]
+            i += 1
+        lens.sort()
+        bits = [0] * 16
+        for l in lens:
+            bits[l - 1] += 1
+        vals = bytes(rng.randrange(256) for _ in range(nsym))
+        table = _build_huff_decode(bits, vals)
+        data = bytes(rng.randrange(256) for _ in range(8))
+        r1, r2 = _BitReader(data), _BitReader(data)
+        while True:
+            e1 = e2 = s1 = s2 = None
+            try:
+                s1 = _jpeg_decode_ref(r1, table)
+            except ValueError as e:
+                e1 = str(e)
+            try:
+                s2 = r2.decode(table)
+            except ValueError as e:
+                e2 = str(e)
+            assert s1 == s2 and e1 == e2, (s1, s2, e1, e2, bits)
+            if e1 is not None:
+                break
+            assert r1.pos == r2.pos
