@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mongo_analyser_spark.operators.fanout import sort_after_python
+from mongo_analyser_spark.operators.fanout import sort_plain
 
 from mongo_analyser_spark.functions.text import shingles, tokens
 
@@ -463,10 +463,11 @@ def hamming_pairs(
         .select("id_a", "id_b", hamming.alias("hamming"))
         .distinct()  # a close pair can collide in several bands
         .filter(F.col("hamming") <= max_hamming)
-        # r15: checkpoint the (skinny) verified pairs before the sort —
-        # the bare orderBy re-ran the distinct's merge + hamming filter
-        # in the range sampler (guide §2.4)
-        .transform(sort_after_python, "id_a", "id_b")
+        # r15 session-4 A/B: the distinct's exchange already bounds the
+        # range sampler's re-read (merge + filter over shuffle output),
+        # so the checkpoint was pure loss — bare sort (guide §2.4;
+        # dhash_pairs same-session 2.22 s ckpt vs 2.11 s bare)
+        .transform(sort_plain, "id_a", "id_b")
     )
 
 

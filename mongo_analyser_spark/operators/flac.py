@@ -91,6 +91,23 @@ class _BitWriter:
             q -= 32
         self.write(1, q + 1)
 
+    def write_run(self, value: int, bits: int) -> None:
+        """Append ``bits`` bits of ``value`` MSB-first in one fold —
+        bit-identical to the equivalent sequence of ``write`` calls
+        (r15, guide §1.2: the per-call form flushed byte-by-byte
+        through a Python loop; this emits all whole bytes via ONE
+        ``int.to_bytes``). Used by the residual writer, which folds a
+        whole Rice partition into one big int first."""
+        acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        n = self.n + bits
+        rem = n & 7
+        nbytes = n >> 3
+        if nbytes:
+            self.out += (acc >> rem).to_bytes(nbytes, "big")
+            acc &= (1 << rem) - 1
+        self.acc = acc
+        self.n = rem
+
     def align(self) -> None:
         if self.n:
             self.write(0, 8 - self.n)
@@ -291,16 +308,32 @@ def _best_rice_param(res: list[int], maxp: int = 14) -> int:
 
 
 def _write_residual(w: _BitWriter, res: list[int]) -> None:
-    """One-partition Rice coding, 4-bit parameter space (method 0)."""
+    """One-partition Rice coding, 4-bit parameter space (method 0).
+
+    r15 (guide §1.2): the whole partition is folded into ONE big int
+    (2 int ops per residual) and emitted via ``write_run`` instead of
+    2-3 ``write``/``unary`` method calls per residual — each residual
+    contributes exactly the bits the per-call form wrote: q zeros, a
+    one, then the p low bits of the zigzag code (pinned against the
+    per-call reference in tests/test_codec_kernels.py)."""
     p = _best_rice_param(res)
-    w.write(0, 2)  # coding method 0: 4-bit params
-    w.write(0, 4)  # partition order 0
-    w.write(p, 4)
-    for r in res:
-        u = _zigzag(r)
-        w.unary(u >> p)
-        if p:
-            w.write(u & ((1 << p) - 1), p)
+    # header: method 0 (2 bits) + partition order 0 (4) + param (4)
+    acc = p
+    nbits = 10
+    if p:
+        mask = (1 << p) - 1
+        p1 = p + 1
+        for r in res:
+            u = (r << 1) if r >= 0 else ((-r << 1) - 1)
+            q = u >> p
+            nbits += q + p1
+            acc = (acc << (q + p1)) | (1 << p) | (u & mask)
+    else:
+        for r in res:
+            u = (r << 1) if r >= 0 else ((-r << 1) - 1)
+            nbits += u + 1
+            acc = (acc << (u + 1)) | 1
+    w.write_run(acc, nbits)
 
 
 def _read_residual(r: _BitReader, block_size: int, order: int) -> list[int]:
@@ -377,22 +410,32 @@ def encode_flac(
         hdr = w.bytes()
         w = _BitWriter()
         for ch in blk:
-            order = min(
-                range(5),
-                key=lambda o: (
-                    sum(_zigzag(v) for v in _fixed_residual(ch, o))
-                    if len(ch) > o
-                    else 1 << 62
-                ),
-            )
-            if len(ch) <= order:
-                order = 0
+            # r15 (guide §1.2): the order-o fixed residual IS the o-th
+            # forward difference (RFC 9639 §9.2.1 binomial weights), so
+            # build the five candidates incrementally — each order is
+            # one diff of the previous — and cost each with the
+            # closed-form zigzag total instead of a per-element
+            # generator. min() tie-break preserved (strict < keeps the
+            # lowest order on equal cost, infeasible orders excluded
+            # exactly as the old len(ch) > o guard did); the winning
+            # residual is reused instead of recomputed. Exact integer
+            # identities throughout — bit-identical streams.
+            order, best_res = 0, list(ch)
+            best_cost = _zigzag_total(best_res)
+            cand = best_res
+            for o in range(1, 5):
+                if len(ch) <= o:
+                    break
+                cand = [cand[i] - cand[i - 1] for i in range(1, len(cand))]
+                cost = _zigzag_total(cand)
+                if cost < best_cost:
+                    order, best_cost, best_res = o, cost, cand
             w.write(0, 1)  # subframe header padding bit
             w.write(0b001000 | order, 6)  # FIXED, order
             w.write(0, 1)  # no wasted bits
             for v in ch[:order]:
                 w.write(v & 0xFFFF, 16)  # warm-up samples
-            _write_residual(w, _fixed_residual(ch, order))
+            _write_residual(w, best_res)
         w.align()
         body = hdr + bytes([_crc8(hdr)]) + w.bytes()
         frames += body + struct.pack(">H", _crc16(body))

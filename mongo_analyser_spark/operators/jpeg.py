@@ -52,6 +52,8 @@ from __future__ import annotations
 import math
 import struct
 
+import numpy as _np
+
 from mongo_analyser_spark.operators.pixels import untrusted_decoder
 
 #: zigzag scan order: position k in the scan -> natural row-major index
@@ -185,6 +187,61 @@ def _fdct8x8(block: list[int], shift: float = 128.0) -> list[float]:
             out[v * 8 + u] = s * C[v] / 2.0
     return out
 
+
+
+#: numpy mirrors of the DCT constant tables (r15 batch kernels)
+_COS_NP = _np.array(_COS)
+_C_NP = _np.array(_C)
+
+
+def _idct_batch(coefs: list[list[float]], shift: int = 128, maxv: int = 255) -> list[list[int]]:
+    """``[_idct8x8(c, shift, maxv) for c in coefs]``, vectorized across
+    the batch (r15, guide §4.2 "hand whole batches to vectorized native
+    libraries"). Bit-identical by construction: the u-accumulation
+    loop, term grouping ((C[u]*coef)*COS) and /2.0 steps are the exact
+    per-element op sequence of the scalar form (numpy float64 mul/add
+    are the same IEEE ops), and ``np.rint`` is the same round-half-even
+    as Python ``round``. Fuzz-pinned against the scalar in
+    tests/test_codec_kernels.py."""
+    if not coefs:
+        return []
+    m = _np.array(coefs, dtype=_np.float64).reshape(-1, 8, 8)
+    a = m * _C_NP  # a[n,y,u] = C[u]*coef[n,y,u]
+    tmp = _np.zeros_like(a)
+    for u in range(8):
+        tmp += a[:, :, u, None] * _COS_NP[None, :, u]  # += a[n,y,u]*COS[x,u]
+    tmp /= 2.0
+    b = _C_NP[None, :, None] * tmp  # b[n,u,x] = C[u]*tmp[n,u,x]
+    out = _np.zeros_like(b)
+    for u in range(8):
+        out += _COS_NP[None, :, u][:, :, None] * b[:, None, u, :]
+    vals = _np.rint(out / 2.0).astype(_np.int64) + shift
+    _np.clip(vals, 0, maxv, out=vals)
+    return vals.reshape(-1, 64).tolist()
+
+
+def _fdct_quant_batch(
+    blocks: list[list[int]], q: list[int], shift: float = 128.0
+) -> list[list[int]]:
+    """Quantized zigzag coefficients for a batch of blocks —
+    bit-identical to ``[int(round(_fdct8x8(b, shift)[ZIGZAG[k]] / q[k]))
+    for k in range(64)]`` per block, vectorized with the scalar form's
+    exact op order (see ``_idct_batch``; the divide-then-round is the
+    same IEEE divide + half-even rounding elementwise)."""
+    if not blocks:
+        return []
+    sh = _np.array(blocks, dtype=_np.float64).reshape(-1, 8, 8) - shift
+    tmp = _np.zeros_like(sh)
+    for i in range(8):
+        tmp += sh[:, :, i, None] * _COS_NP[None, i, :]  # += sh[n,y,i]*COS[i,u]
+    tmp = tmp * _C_NP / 2.0
+    out = _np.zeros_like(tmp)
+    for i in range(8):
+        out += _COS_NP[i, :][None, :, None] * tmp[:, None, i, :]
+    out = out * _C_NP[None, :, None] / 2.0  # out[n,v,u]
+    coef = out.reshape(-1, 64)
+    zz = _np.rint(coef[:, ZIGZAG] / _np.asarray(q, dtype=_np.float64))
+    return zz.astype(_np.int64).tolist()
 
 
 def _check_jpeg_dims(w: int, h: int) -> None:
@@ -670,12 +727,17 @@ def _render_coef_store(sof, qt, store):
         plane = bytearray(pw * ph)
         q = qt[c["tq"]]
         blocks = store[c["id"]]
-        for bi, zz in enumerate(blocks):
+        nats = []
+        for zz in blocks:
             nat = [0.0] * 64
             for k in range(64):
                 if zz[k]:
                     nat[ZIGZAG[k]] = zz[k] * q[k]
-            px = _idct8x8(nat)
+            nats.append(nat)
+        # r15: one batched IDCT per component instead of a per-block
+        # call — bit-identical (see _idct_batch)
+        pxs = _idct_batch(nats)
+        for bi, px in enumerate(pxs):
             by, bx = divmod(bi, c["bw_pad"])
             ox, oy = bx * 8, by * 8
             for yy in range(8):
@@ -695,11 +757,14 @@ def _decode_scan(sof, scan_tables, qt, huff_dc, huff_ac, segs, ri):
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     planes = {}
+    pws = {}
     for c in comps:
         c["pw"] = mcux * c["h"] * 8
         c["ph"] = mcuy * c["v"] * 8
         planes[c["id"]] = bytearray(c["pw"] * c["ph"])
+        pws[c["id"]] = c["pw"]
     preds = {c["id"]: 0 for c in comps}
+    pending: list[tuple[int, int, int, list[float]]] = []
     seg_i = 0
     reader = _BitReader(segs[0])
     for m in range(mcux * mcuy):
@@ -733,13 +798,19 @@ def _decode_scan(sof, scan_tables, qt, huff_dc, huff_ac, segs, ri):
                         if k > 63:
                             raise ValueError("JPEG AC index overflow")
                         coef[ZIGZAG[k]] = _extend(reader.receive(s), s) * q[k]
-                    px = _idct8x8(coef)
-                    plane, pw = planes[c["id"]], c["pw"]
                     ox = (mx * c["h"] + bx) * 8
                     oy = (my * c["v"] + by) * 8
-                    for yy in range(8):
-                        row = (oy + yy) * pw + ox
-                        plane[row:row + 8] = bytes(px[yy * 8:yy * 8 + 8])
+                    pending.append((c["id"], ox, oy, coef))
+    # r15: entropy decode above, ONE batched IDCT here, paste below —
+    # bit-identical (see _idct_batch); error paths unchanged (every
+    # raise happens before any IDCT ran, as before)
+    pxs = _idct_batch([p[3] for p in pending])
+    for (cid, ox, oy, _), px in zip(pending, pxs):
+        plane = planes[cid]
+        pw = pws[cid]
+        for yy in range(8):
+            row = (oy + yy) * pw + ox
+            plane[row:row + 8] = bytes(px[yy * 8:yy * 8 + 8])
     return _compose_pixels(w, h, comps, planes, hmax, vmax)
 
 
@@ -821,6 +892,26 @@ class _BitWriter:
                 self.out.append(0x00)  # byte stuffing
         self.acc &= (1 << self.n) - 1
 
+    def write_run(self, code: int, length: int) -> None:
+        """Append ``length`` bits in one fold — bit-identical to the
+        equivalent ``write`` sequence including byte stuffing (each
+        emitted 0xFF is followed by 0x00; ``bytes.replace`` performs
+        exactly the per-byte rule). Used by the block entropy encoder,
+        which folds a whole block's codes into one int first (r15,
+        guide §1.2)."""
+        acc = (self.acc << length) | code
+        n = self.n + length
+        rem = n & 7
+        nbytes = n >> 3
+        if nbytes:
+            chunk = (acc >> rem).to_bytes(nbytes, "big")
+            if b"\xff" in chunk:
+                chunk = chunk.replace(b"\xff", b"\xff\x00")
+            self.out += chunk
+            acc &= (1 << rem) - 1
+        self.acc = acc
+        self.n = rem
+
     def flush(self) -> bytes:
         if self.n:
             pad = 8 - self.n
@@ -843,13 +934,31 @@ def _encode_block(
 ) -> int:
     dc_enc = _DC_ENC if dc_enc is None else dc_enc
     ac_enc = _AC_ENC if ac_enc is None else ac_enc
-    coef = _fdct8x8(block, shift)
-    zz = [int(round(coef[ZIGZAG[k]] / q[k])) for k in range(64)]
+    zz = _fdct_quant_batch([block], q, shift)[0]
+    return _encode_zz(bw, zz, pred, dc_enc, ac_enc)
+
+
+def _encode_zz(
+    bw: _BitWriter,
+    zz: list[int],
+    pred: int,
+    dc_enc: dict,
+    ac_enc: dict,
+) -> int:
+    """Entropy-encode one quantized zigzag block (the back half of the
+    old ``_encode_block``; split in r15 so the FDCT+quantize runs
+    batched). The block's codes are folded into ONE int and emitted via
+    ``write_run`` — bit-identical to the per-code ``write`` calls."""
+    acc = 0
+    nbits = 0
     diff = zz[0] - pred
     t = _category(diff)
-    bw.write(*dc_enc[t])
+    c, ln = dc_enc[t]
+    acc = (acc << ln) | c
+    nbits += ln
     if t:
-        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        acc = (acc << t) | (diff if diff > 0 else diff + (1 << t) - 1)
+        nbits += t
     run = 0
     for k in range(1, 64):
         v = zz[k]
@@ -857,14 +966,22 @@ def _encode_block(
             run += 1
             continue
         while run > 15:
-            bw.write(*ac_enc[0xF0])  # ZRL
+            c, ln = ac_enc[0xF0]  # ZRL
+            acc = (acc << ln) | c
+            nbits += ln
             run -= 16
         s = _category(v)
-        bw.write(*ac_enc[(run << 4) | s])
-        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        c, ln = ac_enc[(run << 4) | s]
+        acc = (acc << (ln + s)) | (c << s) | (
+            v if v > 0 else v + (1 << s) - 1
+        )
+        nbits += ln + s
         run = 0
     if run:
-        bw.write(*ac_enc[0x00])  # EOB
+        c, ln = ac_enc[0x00]  # EOB
+        acc = (acc << ln) | c
+        nbits += ln
+    bw.write_run(acc, nbits)
     return zz[0]
 
 
@@ -924,25 +1041,36 @@ def encode_jpeg(
     for (sh, sv) in samp:
         dims.append((-(-w * sh // hmax), -(-h * sv // vmax)))
 
-    bw = _BitWriter()
-    preds = [0] * len(planes)
-    parts: list[bytes] = []
+    # r15: gather every block in scan order, run ONE batched
+    # FDCT+quantize, then entropy-encode — bit-identical (see
+    # _fdct_quant_batch; predictors/restarts depend only on the
+    # quantized DCs, which are unchanged)
+    metas: list[tuple[int, int]] = []  # (mcu, component)
+    blocks: list[list[int]] = []
     for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            parts.append(bw.flush())
-            parts.append(bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)]))
-            bw = _BitWriter()
-            preds = [0] * len(planes)
         my, mx = divmod(m, mcux)
         for ci, plane in enumerate(planes):
             sh, sv = samp[ci]
             pw, ph = dims[ci]
             for by in range(sv):
                 for bx in range(sh):
-                    block = _block_at(
+                    metas.append((m, ci))
+                    blocks.append(_block_at(
                         plane, pw, ph, (mx * sh + bx) * 8, (my * sv + by) * 8
-                    )
-                    preds[ci] = _encode_block(bw, block, q, preds[ci])
+                    ))
+    zzs = _fdct_quant_batch(blocks, q)
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    parts: list[bytes] = []
+    prev_m = 0
+    for (m, ci), zz in zip(metas, zzs):
+        if restart_interval and m != prev_m and m % restart_interval == 0:
+            parts.append(bw.flush())
+            parts.append(bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)]))
+            bw = _BitWriter()
+            preds = [0] * len(planes)
+        prev_m = m
+        preds[ci] = _encode_zz(bw, zz, preds[ci], _DC_ENC, _AC_ENC)
     parts.append(bw.flush())
     scan = b"".join(parts)
 
@@ -1146,11 +1274,14 @@ def _decode_scan12(sof, scan_tables, qt, huff_dc, huff_ac, segs, ri):
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     planes = {}
+    pws = {}
     for c in comps:
         c["pw"] = mcux * c["h"] * 8
         c["ph"] = mcuy * c["v"] * 8
         planes[c["id"]] = [0] * (c["pw"] * c["ph"])
+        pws[c["id"]] = c["pw"]
     preds = {c["id"]: 0 for c in comps}
+    pending: list[tuple[int, int, int, list[float]]] = []
     seg_i = 0
     reader = _BitReader(segs[0])
     for m in range(mcux * mcuy):
@@ -1184,13 +1315,17 @@ def _decode_scan12(sof, scan_tables, qt, huff_dc, huff_ac, segs, ri):
                         if k > 63:
                             raise ValueError("JPEG AC index overflow")
                         coef[ZIGZAG[k]] = _extend(reader.receive(s), s) * q[k]
-                    px = _idct8x8(coef, shift=2048, maxv=4095)
-                    plane, pw = planes[c["id"]], c["pw"]
                     ox = (mx * c["h"] + bx) * 8
                     oy = (my * c["v"] + by) * 8
-                    for yy in range(8):
-                        row = (oy + yy) * pw + ox
-                        plane[row:row + 8] = px[yy * 8:yy * 8 + 8]
+                    pending.append((c["id"], ox, oy, coef))
+    # r15: one batched IDCT (see _decode_scan / _idct_batch)
+    pxs = _idct_batch([p[3] for p in pending], shift=2048, maxv=4095)
+    for (cid, ox, oy, _), px in zip(pending, pxs):
+        plane = planes[cid]
+        pw = pws[cid]
+        for yy in range(8):
+            row = (oy + yy) * pw + ox
+            plane[row:row + 8] = px[yy * 8:yy * 8 + 8]
     return _compose12(w, h, comps, planes, hmax, vmax)
 
 
@@ -1244,12 +1379,16 @@ def _render_coef_store12(sof, qt, store):
         c["pw"], c["ph"] = pw, ph
         plane = [0] * (pw * ph)
         q = qt[c["tq"]]
-        for bi, zz in enumerate(store[c["id"]]):
+        nats = []
+        for zz in store[c["id"]]:
             nat = [0.0] * 64
             for k in range(64):
                 if zz[k]:
                     nat[ZIGZAG[k]] = zz[k] * q[k]
-            px = _idct8x8(nat, shift=2048, maxv=4095)
+            nats.append(nat)
+        # r15: one batched IDCT per component (see _idct_batch)
+        pxs = _idct_batch(nats, shift=2048, maxv=4095)
+        for bi, px in enumerate(pxs):
             by, bx = divmod(bi, c["bw_pad"])
             ox, oy = bx * 8, by * 8
             for yy in range(8):
@@ -1354,30 +1493,35 @@ def encode_jpeg12(
     )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    bw = _BitWriter()
-    preds = [0] * len(planes)
-    parts: list[bytes] = []
+    # r15: batched FDCT+quantize, then entropy (see encode_jpeg)
+    metas: list[tuple[int, int]] = []
+    blocks: list[list[int]] = []
     for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            parts.append(bw.flush())
-            parts.append(
-                bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
-            )
-            bw = _BitWriter()
-            preds = [0] * len(planes)
         my, mx = divmod(m, mcux)
         for ci, plane in enumerate(planes):
             sh, sv = samp[ci]
             pw, ph = dims[ci]
             for by in range(sv):
                 for bx in range(sh):
-                    block = _block_at(
+                    metas.append((m, ci))
+                    blocks.append(_block_at(
                         plane, pw, ph, (mx * sh + bx) * 8, (my * sv + by) * 8
-                    )
-                    preds[ci] = _encode_block(
-                        bw, block, q, preds[ci],
-                        dc_enc=dc_enc, ac_enc=ac_enc, shift=2048.0,
-                    )
+                    ))
+    zzs = _fdct_quant_batch(blocks, q, shift=2048.0)
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    parts: list[bytes] = []
+    prev_m = 0
+    for (m, ci), zz in zip(metas, zzs):
+        if restart_interval and m != prev_m and m % restart_interval == 0:
+            parts.append(bw.flush())
+            parts.append(
+                bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            )
+            bw = _BitWriter()
+            preds = [0] * len(planes)
+        prev_m = m
+        preds[ci] = _encode_zz(bw, zz, preds[ci], dc_enc, ac_enc)
     parts.append(bw.flush())
     scan = b"".join(parts)
 
@@ -1528,15 +1672,14 @@ def encode_jpeg_progressive(
     mcux, mcuy = -(-w // 8), -(-h // 8)
     zz_blocks = []
     for plane in planes:
-        blocks = []
-        for m in range(mcux * mcuy):
-            my, mx = divmod(m, mcux)
-            blk = _block_at(plane, w, h, mx * 8, my * 8)
-            coefd = _fdct8x8(blk)
-            blocks.append(
-                [int(round(coefd[ZIGZAG[k]] / q[k])) for k in range(64)]
-            )
-        zz_blocks.append(blocks)
+        # r15: one batched FDCT+quantize per plane (see _fdct_quant_batch)
+        zz_blocks.append(_fdct_quant_batch(
+            [
+                _block_at(plane, w, h, (m % mcux) * 8, (m // mcux) * 8)
+                for m in range(mcux * mcuy)
+            ],
+            q,
+        ))
 
     al = 1 if successive else 0
     scans: list[tuple[list[int], int, int, int, int, bytes]] = []
@@ -1634,15 +1777,16 @@ def encode_jpeg12_progressive(
         bw_pad, bh_pad = mcux * sh, mcuy * sv
         nbx, nby = -(-pw // 8), -(-ph // 8)
         geom.append((bw_pad, bh_pad, nbx, nby))
-        blocks = []
-        for by in range(bh_pad):
-            for bx in range(bw_pad):
-                blk = _block_at(plane, pw, ph, bx * 8, by * 8)
-                coefd = _fdct8x8(blk, shift=2048.0)
-                blocks.append(
-                    [int(round(coefd[ZIGZAG[k]] / q[k])) for k in range(64)]
-                )
-        zz_blocks.append(blocks)
+        # r15: one batched FDCT+quantize per plane (see _fdct_quant_batch)
+        zz_blocks.append(_fdct_quant_batch(
+            [
+                _block_at(plane, pw, ph, bx * 8, by * 8)
+                for by in range(bh_pad)
+                for bx in range(bw_pad)
+            ],
+            q,
+            shift=2048.0,
+        ))
 
     def mcu_block_indices(m: int):
         """(ci, padded-grid index) pairs for MCU m, T.81 order."""

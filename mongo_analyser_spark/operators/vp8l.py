@@ -107,6 +107,25 @@ class _LsbWriter:
         self._acc = acc
         self._nbits = nb
 
+    def write_run(self, value: int, n: int) -> None:
+        """Append ``n`` bits in one fold — bit-identical to the
+        equivalent ``write`` sequence (bit k of the value lands at
+        absolute bit total_so_far+k); whole bytes flush via ONE
+        little-endian ``int.to_bytes`` (r15, guide §1.2). Used by the
+        encoder, which folds whole code-length vectors / pixel bodies
+        into one int first."""
+        acc = self._acc | ((value & ((1 << n) - 1)) << self._nbits)
+        nb = self._nbits + n
+        nbytes = nb >> 3
+        if nbytes:
+            self.out += (acc & ((1 << (nbytes * 8)) - 1)).to_bytes(
+                nbytes, "little"
+            )
+            acc >>= nbytes * 8
+            nb &= 7
+        self._acc = acc
+        self._nbits = nb
+
     def bytes(self) -> bytes:
         if self._nbits:
             return bytes(self.out) + bytes([self._acc])
@@ -727,27 +746,26 @@ def _encode_lengths(w: _LsbWriter, lengths: list[int]) -> None:
         if len(used) == 2:
             w.write(used[1], 8)
         return
-    w.write(0, 1)  # normal
     # code-length code: every value 0..15 gets length 4 (complete:
     # 16·2^-4 == 1) — written for all 19 slots so no RLE codes are
-    # available, and lengths are emitted one literal at a time
-    w.write(15, 4)  # num_codes = 19
-    for i in range(19):
-        w.write(4 if _CL_ORDER[i] <= 15 else 0, 3)
-    cl_lengths = [4 if i <= 15 else 0 for i in range(19)]
-    cl_table = {}
-    code = 0
-    for s, l in enumerate(cl_lengths):
-        if l:
-            cl_table[s] = (code, l)
-            code += 1
-    w.write(0, 1)  # no max_symbol shortcut
-    # MSB-first code bits through the LSB-first writer: pre-reverse
-    # each 4-bit code-length code once and emit it in one write
-    rev_table = {l: (_rev_bits(c, n), n) for l, (c, n) in cl_table.items()}
-    for l in lengths:
-        r, n = rev_table[l]
-        w.write(r, n)
+    # available. The whole header (normal bit + num_codes + 19 slot
+    # lengths + no-max_symbol bit) is a CONSTANT bit pattern, folded
+    # once at import (_CL_HEADER); the canonical 4-bit code for length
+    # l is l itself, so each emitted code is the pre-reversed nibble
+    # _REV4[l]. Two lengths pack per byte (LSB-first nibble order) and
+    # the whole vector flushes through ONE write_run — bit-identical to
+    # the per-symbol writes (r15, guide §1.2; pinned against the old
+    # form in tests/test_codec_kernels.py).
+    w.write_run(*_CL_HEADER)
+    rev = _REV4
+    half = len(lengths) >> 1
+    packed = bytes(
+        rev[lengths[2 * i]] | (rev[lengths[2 * i + 1]] << 4)
+        for i in range(half)
+    )
+    w.write_run(int.from_bytes(packed, "little"), 8 * half)
+    if len(lengths) & 1:
+        w.write(rev[lengths[-1]], 4)
 
 
 def _enc_tables_for(argb: list[int]) -> list[dict]:
@@ -777,7 +795,10 @@ def _enc_tables_for(argb: list[int]) -> list[dict]:
         single = sum(1 for l in lengths if l) == 1
         for s, l in enumerate(lengths):
             if l:
-                enc[s] = None if single else (next_code[l], l)
+                # store the code PRE-REVERSED for the LSB-first writer
+                # (r15) — the only consumers are _put_code and the body
+                # fold, both of which emit reversed bits
+                enc[s] = None if single else (_rev_bits(next_code[l], l), l)
                 next_code[l] += 1
         tables.append(enc)
     return tables
@@ -794,12 +815,36 @@ def _rev_bits(c: int, n: int) -> int:
     return r
 
 
+def _fold_lsb(pairs: list[tuple[int, int]]) -> tuple[int, int]:
+    """Fold (value, nbits) writes into one (value, nbits) pair with the
+    LSB-first writer's semantics — for hoisting constant bit patterns."""
+    acc = 0
+    nb = 0
+    for v, n in pairs:
+        acc |= (v & ((1 << n) - 1)) << nb
+        nb += n
+    return acc, nb
+
+
+#: the constant 'normal prefix code' header _encode_lengths always
+#: emits: normal bit, num_codes=19, the 19 flat 3-bit slot lengths,
+#: no-max_symbol bit (r15 — folded once at import)
+_CL_HEADER = _fold_lsb(
+    [(0, 1), (15, 4)]
+    + [(4 if _CL_ORDER[i] <= 15 else 0, 3) for i in range(19)]
+    + [(0, 1)]
+)
+#: canonical 4-bit code for code-length l over the flat code IS l;
+#: pre-reversed for the LSB-first writer
+_REV4 = [_rev_bits(l, 4) for l in range(16)]
+
+
 def _put_code(w: _LsbWriter, enc: dict, sym: int) -> None:
     e = enc[sym]
     if e is None:
         return  # single-symbol code: zero bits
-    c, n = e
-    w.write(_rev_bits(c, n), n)
+    c, n = e  # code already pre-reversed by _enc_tables_for (r15)
+    w.write(c, n)
 
 
 def _write_literal_body(
@@ -815,11 +860,23 @@ def _write_literal_body(
     tables = _enc_tables_for(argb)
     for enc in tables:
         _encode_lengths(w, enc["__lengths__"])
+    # r15: fold the whole pixel body (4 codes per pixel, pre-reversed)
+    # into one int and emit it via a single write_run — bit-identical
+    # to the per-code writes
+    t0, t1, t2, t3 = tables[0], tables[1], tables[2], tables[3]
+    acc = 0
+    nb = 0
     for px in argb:
-        _put_code(w, tables[0], (px >> 8) & 0xFF)
-        _put_code(w, tables[1], (px >> 16) & 0xFF)
-        _put_code(w, tables[2], px & 0xFF)
-        _put_code(w, tables[3], (px >> 24) & 0xFF)
+        for e in (
+            t0[(px >> 8) & 0xFF],
+            t1[(px >> 16) & 0xFF],
+            t2[px & 0xFF],
+            t3[(px >> 24) & 0xFF],
+        ):
+            if e is not None:
+                acc |= e[0] << nb
+                nb += e[1]
+    w.write_run(acc, nb)
 
 
 def encode_webp_lossless(

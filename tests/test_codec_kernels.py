@@ -284,3 +284,136 @@ def test_jpeg_lut_decode_matches_walk():
             if e1 is not None:
                 break
             assert r1.pos == r2.pos
+
+
+def test_bitwriter_write_run_matches_sequential_writes():
+    """r15 bulk folds: write_run == the equivalent write sequence for
+    all three writers (FLAC MSB-first, JPEG MSB-first + byte stuffing,
+    VP8L LSB-first)."""
+    from mongo_analyser_spark.operators.flac import _BitWriter as FlacW
+    from mongo_analyser_spark.operators.jpeg import _BitWriter as JpegW
+    from mongo_analyser_spark.operators.vp8l import _LsbWriter
+
+    rng = random.Random(77)
+    for cls in (FlacW, JpegW, _LsbWriter):
+        for _ in range(200):
+            pieces = [
+                (rng.randrange(1 << n), n)
+                for n in (rng.randrange(1, 40) for _ in range(rng.randrange(1, 30)))
+            ]
+            # bias toward 0xFF-heavy output to exercise JPEG stuffing
+            if rng.random() < 0.5:
+                pieces = [(( (1 << n) - 1), n) for _, n in pieces]
+            a, b = cls(), cls()
+            for v, n in pieces:
+                a.write(v, n)
+            acc = 0
+            nb = 0
+            if cls is _LsbWriter:
+                for v, n in pieces:
+                    acc |= (v & ((1 << n) - 1)) << nb
+                    nb += n
+            else:
+                for v, n in pieces:
+                    acc = (acc << n) | (v & ((1 << n) - 1))
+                    nb += n
+            b.write_run(acc, nb)
+            assert a.out == b.out
+            if cls is _LsbWriter:
+                assert (a._acc, a._nbits) == (b._acc, b._nbits)
+            else:
+                assert (a.acc, a.n) == (b.acc, b.n)
+
+
+def test_flac_order_selection_matches_min_over_fixed_residuals():
+    """The incremental-diff order selection == argmin over
+    _fixed_residual zigzag sums with the old guard and tie-break, and
+    encode_flac round trips losslessly on the shapes that exercise
+    short channels and every order."""
+    from mongo_analyser_spark.operators.flac import (
+        _fixed_residual,
+        _zigzag,
+        _zigzag_total,
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = random.Random(78)
+    for _ in range(300):
+        n = rng.randrange(1, 80)
+        style = rng.randrange(4)
+        if style == 0:
+            ch = [rng.randrange(-32768, 32768) for _ in range(n)]
+        elif style == 1:
+            ch = [0] * n
+        elif style == 2:
+            v = 0
+            ch = []
+            for _ in range(n):
+                v = max(-32768, min(32767, v + rng.randrange(-9, 10)))
+                ch.append(v)
+        else:
+            ch = [((-1) ** i) * (i % 7) * 100 for i in range(n)]
+        # reference selection (the pre-r15 expression)
+        ref = min(
+            range(5),
+            key=lambda o: (
+                sum(_zigzag(v) for v in _fixed_residual(ch, o))
+                if len(ch) > o
+                else 1 << 62
+            ),
+        )
+        if len(ch) <= ref:
+            ref = 0
+        # incremental selection (the encode_flac r15 form)
+        order, best = 0, _zigzag_total(list(ch))
+        cand = list(ch)
+        for o in range(1, 5):
+            if len(ch) <= o:
+                break
+            cand = [cand[i] - cand[i - 1] for i in range(1, len(cand))]
+            cost = _zigzag_total(cand)
+            if cost < best:
+                order, best = o, cost
+        assert order == ref, (ch, order, ref)
+        _, out = decode_flac(encode_flac(8000, [ch], block_size=16))
+        assert out == [ch]
+
+
+def test_jpeg_batched_dct_matches_scalar():
+    """_idct_batch / _fdct_quant_batch == the scalar per-block forms,
+    bit for bit, at 8- and 12-bit precision."""
+    from mongo_analyser_spark.operators.jpeg import (
+        ZIGZAG,
+        _fdct8x8,
+        _fdct_quant_batch,
+        _idct8x8,
+        _idct_batch,
+    )
+
+    rng = random.Random(79)
+    for shift, maxv in ((128, 255), (2048, 4095)):
+        coefs = [
+            [
+                rng.uniform(-8 * maxv, 8 * maxv) if rng.random() < 0.3 else 0.0
+                for _ in range(64)
+            ]
+            for _ in range(37)
+        ]
+        assert _idct_batch(coefs, shift, maxv) == [
+            _idct8x8(c, shift, maxv) for c in coefs
+        ]
+        q = [rng.choice([1, 3, 16, 255])] * 64
+        blocks = [
+            [rng.randrange(maxv + 1) for _ in range(64)] for _ in range(37)
+        ]
+        ref = [
+            [
+                int(round(_fdct8x8(b, float(shift))[ZIGZAG[k]] / q[k]))
+                for k in range(64)
+            ]
+            for b in blocks
+        ]
+        assert _fdct_quant_batch(blocks, q, float(shift)) == ref
+    assert _idct_batch([]) == []
+    assert _fdct_quant_batch([], [1] * 64) == []
