@@ -825,28 +825,34 @@ def _compose_pixels(w, h, comps, planes, hmax, vmax):
         for y in range(h):
             out[y * w:(y + 1) * w] = plane[y * pw:y * pw + w]
         return w, h, 1, out
-    # component order in SOF is Y, Cb, Cr for JFIF streams
+    # component order in SOF is Y, Cb, Cr for JFIF streams.
+    # r15: vectorized upsample (integer replication indexing) + color
+    # convert — per-cell op order identical to the scalar loop
+    # (int-exact index math; same IEEE mul/add sequence; np.rint ==
+    # round-half-even), pinned in tests/test_codec_kernels.py.
     cy, cb, cr = comps[0], comps[1], comps[2]
-    out = bytearray(w * h * 3)
-    for y in range(h):
-        for x in range(w):
-            yv = planes[cy["id"]][
-                (y * cy["v"] // vmax) * cy["pw"] + (x * cy["h"] // hmax)
-            ]
-            bv = planes[cb["id"]][
-                (y * cb["v"] // vmax) * cb["pw"] + (x * cb["h"] // hmax)
-            ] - 128
-            rv = planes[cr["id"]][
-                (y * cr["v"] // vmax) * cr["pw"] + (x * cr["h"] // hmax)
-            ] - 128
-            r = int(round(yv + 1.402 * rv))
-            g = int(round(yv - 0.344136 * bv - 0.714136 * rv))
-            bl = int(round(yv + 1.772 * bv))
-            o = (y * w + x) * 3
-            out[o] = 0 if r < 0 else (255 if r > 255 else r)
-            out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
-            out[o + 2] = 0 if bl < 0 else (255 if bl > 255 else bl)
-    return w, h, 3, out
+    yv = _upsampled(planes[cy["id"]], cy, w, h, hmax, vmax)
+    bv = _upsampled(planes[cb["id"]], cb, w, h, hmax, vmax) - 128
+    rv = _upsampled(planes[cr["id"]], cr, w, h, hmax, vmax) - 128
+    r = _np.rint(yv + 1.402 * rv).astype(_np.int64)
+    g = _np.rint(yv - 0.344136 * bv - 0.714136 * rv).astype(_np.int64)
+    bl = _np.rint(yv + 1.772 * bv).astype(_np.int64)
+    rgb = _np.stack([r, g, bl], axis=-1)
+    _np.clip(rgb, 0, 255, out=rgb)
+    return w, h, 3, bytearray(rgb.astype(_np.uint8).tobytes())
+
+
+def _upsampled(plane, c, w: int, h: int, hmax: int, vmax: int):
+    """Pixel-replication upsample of one component plane to (h, w) as
+    an int64 array — the vectorized form of the per-pixel
+    ``plane[(y*v//vmax)*pw + (x*h//hmax)]`` indexing (exact integer
+    index math, identical cell selection)."""
+    arr = _np.frombuffer(bytes(plane), dtype=_np.uint8).astype(_np.int64) if isinstance(
+        plane, (bytes, bytearray)
+    ) else _np.asarray(plane, dtype=_np.int64)
+    ys = (_np.arange(h, dtype=_np.int64) * c["v"] // vmax) * c["pw"]
+    xs = _np.arange(w, dtype=_np.int64) * c["h"] // hmax
+    return arr[ys[:, None] + xs[None, :]]
 
 
 # --- encoder ---------------------------------------------------------------
@@ -1019,13 +1025,8 @@ def encode_jpeg(
         planes = [list(pixels)]
         samp = [(1, 1)]
     else:
-        ys, cbs, crs = [], [], []
-        for i in range(0, len(pixels), 3):
-            r, g, bl = pixels[i], pixels[i + 1], pixels[i + 2]
-            yv = 0.299 * r + 0.587 * g + 0.114 * bl
-            ys.append(min(255, max(0, int(round(yv)))))
-            cbs.append(min(255, max(0, int(round(128 - 0.168736 * r - 0.331264 * g + 0.5 * bl)))))
-            crs.append(min(255, max(0, int(round(128 + 0.5 * r - 0.418688 * g - 0.081312 * bl)))))
+        # r15: vectorized, bit-identical (see _rgb_to_ycbcr_planes)
+        ys, cbs, crs = _rgb_to_ycbcr_planes(pixels, 128, 255)
         if subsample:
             planes = [ys, _down2x2(cbs, w, h), _down2x2(crs, w, h)]
             samp = [(2, 2), (1, 1), (1, 1)]
@@ -1340,27 +1341,17 @@ def _compose12(w, h, comps, planes, hmax, vmax):
         for y in range(h):
             out.extend(plane[y * pw:y * pw + w])
         return w, h, 1, 4095, out
+    # r15: vectorized like _compose_pixels (2048 center, 4095 clamp)
     cy, cb, cr = comps
-    py_, pb, pr = planes[cy["id"]], planes[cb["id"]], planes[cr["id"]]
-    out = []
-    for y in range(h):
-        for x in range(w):
-            yv = py_[
-                (y * cy["v"] // vmax) * cy["pw"] + (x * cy["h"] // hmax)
-            ]
-            bv = pb[
-                (y * cb["v"] // vmax) * cb["pw"] + (x * cb["h"] // hmax)
-            ] - 2048
-            rv = pr[
-                (y * cr["v"] // vmax) * cr["pw"] + (x * cr["h"] // hmax)
-            ] - 2048
-            for val in (
-                int(round(yv + 1.402 * rv)),
-                int(round(yv - 0.344136 * bv - 0.714136 * rv)),
-                int(round(yv + 1.772 * bv)),
-            ):
-                out.append(0 if val < 0 else (4095 if val > 4095 else val))
-    return w, h, 3, 4095, out
+    yv = _upsampled(planes[cy["id"]], cy, w, h, hmax, vmax)
+    bv = _upsampled(planes[cb["id"]], cb, w, h, hmax, vmax) - 2048
+    rv = _upsampled(planes[cr["id"]], cr, w, h, hmax, vmax) - 2048
+    r = _np.rint(yv + 1.402 * rv).astype(_np.int64)
+    g = _np.rint(yv - 0.344136 * bv - 0.714136 * rv).astype(_np.int64)
+    bl = _np.rint(yv + 1.772 * bv).astype(_np.int64)
+    rgb = _np.stack([r, g, bl], axis=-1)
+    _np.clip(rgb, 0, 4095, out=rgb)
+    return w, h, 3, 4095, rgb.reshape(-1).tolist()
 
 
 def _render_coef_store12(sof, qt, store):
@@ -1398,36 +1389,57 @@ def _render_coef_store12(sof, qt, store):
     return _compose12(w, h, comps, planes, hmax, vmax)
 
 
+def _clamp_round(v, maxv: int) -> list[int]:
+    """int(round(·)) + [0, maxv] clamp, vectorized — np.rint is the
+    same round-half-even as Python round (r15)."""
+    x = _np.rint(v).astype(_np.int64)
+    _np.clip(x, 0, maxv, out=x)
+    return x.tolist()
+
+
+def _rgb_to_ycbcr_planes(
+    samples, center: int, maxv: int
+) -> tuple[list[int], list[int], list[int]]:
+    """RGB -> (Y, Cb, Cr) integer planes about ``center`` with a
+    ``maxv`` clamp — the shared color-convert of the 8-bit (128/255)
+    and 12-bit (2048/4095) encoders, vectorized (r15, guide §4.2) with
+    the scalar form's exact left-associated op order per component;
+    bit-identical (pinned in tests/test_codec_kernels.py)."""
+    if isinstance(samples, (bytes, bytearray)):
+        s = _np.frombuffer(samples, dtype=_np.uint8).astype(_np.float64)
+    else:
+        s = _np.asarray(samples, dtype=_np.float64)
+    s = s.reshape(-1, 3)
+    r, g, bl = s[:, 0], s[:, 1], s[:, 2]
+    ys = _clamp_round(0.299 * r + 0.587 * g + 0.114 * bl, maxv)
+    cbs = _clamp_round(
+        center - 0.168736 * r - 0.331264 * g + 0.5 * bl, maxv
+    )
+    crs = _clamp_round(
+        center + 0.5 * r - 0.418688 * g - 0.081312 * bl, maxv
+    )
+    return ys, cbs, crs
+
+
 def _rgb12_to_ycbcr_planes(samples: list[int]) -> list[list[int]]:
     """12-bit RGB -> [Y, Cb, Cr] integer planes about the 2048 center."""
-    ys, cbs, crs = [], [], []
-    for i in range(0, len(samples), 3):
-        r, g, bl = samples[i], samples[i + 1], samples[i + 2]
-        yv = 0.299 * r + 0.587 * g + 0.114 * bl
-        ys.append(min(4095, max(0, int(round(yv)))))
-        cbs.append(min(4095, max(0, int(round(
-            2048 - 0.168736 * r - 0.331264 * g + 0.5 * bl)))))
-        crs.append(min(4095, max(0, int(round(
-            2048 + 0.5 * r - 0.418688 * g - 0.081312 * bl)))))
-    return [ys, cbs, crs]
+    return list(_rgb_to_ycbcr_planes(samples, 2048, 4095))
 
 
 def _down2x2(plane: list[int], w: int, h: int) -> list[int]:
     """2x2-average downsample (border cells average the 1-2 in-image
-    samples) — shared by the 8- and 12-bit 4:2:0 encoders."""
+    samples) — shared by the 8- and 12-bit 4:2:0 encoders. Vectorized
+    (r15): the 4 cell sums are exact integer adds and the final
+    acc/cnt + round is the same single IEEE divide + half-even round
+    as the scalar form."""
     cw, ch = -(-w // 2), -(-h // 2)
-    out = []
-    for y in range(ch):
-        for x in range(cw):
-            acc = cnt = 0
-            for dy in range(2):
-                for dx in range(2):
-                    sy, sx = 2 * y + dy, 2 * x + dx
-                    if sy < h and sx < w:
-                        acc += plane[sy * w + sx]
-                        cnt += 1
-            out.append(int(round(acc / cnt)))
-    return out
+    a = _np.zeros((ch * 2, cw * 2), dtype=_np.int64)
+    a[:h, :w] = _np.asarray(plane, dtype=_np.int64).reshape(h, w)
+    m = _np.zeros((ch * 2, cw * 2), dtype=_np.int64)
+    m[:h, :w] = 1
+    acc = a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]
+    cnt = m[0::2, 0::2] + m[0::2, 1::2] + m[1::2, 0::2] + m[1::2, 1::2]
+    return _np.rint(acc / cnt).astype(_np.int64).reshape(-1).tolist()
 
 
 def _plan12_planes(
@@ -1658,16 +1670,8 @@ def encode_jpeg_progressive(
     if channels == 1:
         planes = [list(pixels)]
     else:
-        ys, cbs, crs = [], [], []
-        for i in range(0, len(pixels), 3):
-            r, g, bl = pixels[i], pixels[i + 1], pixels[i + 2]
-            yv = 0.299 * r + 0.587 * g + 0.114 * bl
-            ys.append(min(255, max(0, int(round(yv)))))
-            cbs.append(min(255, max(0, int(round(
-                128 - 0.168736 * r - 0.331264 * g + 0.5 * bl)))))
-            crs.append(min(255, max(0, int(round(
-                128 + 0.5 * r - 0.418688 * g - 0.081312 * bl)))))
-        planes = [ys, cbs, crs]
+        # r15: vectorized, bit-identical (see _rgb_to_ycbcr_planes)
+        planes = list(_rgb_to_ycbcr_planes(pixels, 128, 255))
     ncomp = len(planes)
     mcux, mcuy = -(-w // 8), -(-h // 8)
     zz_blocks = []

@@ -417,3 +417,46 @@ def test_jpeg_batched_dct_matches_scalar():
         assert _fdct_quant_batch(blocks, q, float(shift)) == ref
     assert _idct_batch([]) == []
     assert _fdct_quant_batch([], [1] * 64) == []
+
+
+def test_jpeg_vectorized_color_helpers_match_scalar():
+    """r15 color-path vectorization: _rgb_to_ycbcr_planes and _down2x2
+    == their scalar per-pixel references, bit for bit, at both
+    precisions (128/255 and 2048/4095)."""
+    from mongo_analyser_spark.operators.jpeg import (
+        _down2x2,
+        _rgb_to_ycbcr_planes,
+    )
+
+    rng = random.Random(80)
+    for center, maxv in ((128, 255), (2048, 4095)):
+        for _ in range(40):
+            n = rng.randrange(1, 200)
+            samples = [rng.randrange(maxv + 1) for _ in range(3 * n)]
+            ys, cbs, crs = _rgb_to_ycbcr_planes(samples, center, maxv)
+            for i in range(n):
+                r, g, bl = samples[3 * i], samples[3 * i + 1], samples[3 * i + 2]
+                assert ys[i] == min(maxv, max(0, int(round(
+                    0.299 * r + 0.587 * g + 0.114 * bl))))
+                assert cbs[i] == min(maxv, max(0, int(round(
+                    center - 0.168736 * r - 0.331264 * g + 0.5 * bl))))
+                assert crs[i] == min(maxv, max(0, int(round(
+                    center + 0.5 * r - 0.418688 * g - 0.081312 * bl))))
+    for _ in range(60):
+        w = rng.randrange(1, 20)
+        h = rng.randrange(1, 20)
+        plane = [rng.randrange(4096) for _ in range(w * h)]
+        got = _down2x2(plane, w, h)
+        cw, ch = -(-w // 2), -(-h // 2)
+        ref = []
+        for y in range(ch):
+            for x in range(cw):
+                acc = cnt = 0
+                for dy in range(2):
+                    for dx in range(2):
+                        sy, sx = 2 * y + dy, 2 * x + dx
+                        if sy < h and sx < w:
+                            acc += plane[sy * w + sx]
+                            cnt += 1
+                ref.append(int(round(acc / cnt)))
+        assert got == ref, (w, h)
