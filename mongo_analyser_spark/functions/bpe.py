@@ -133,10 +133,22 @@ def encode_word(
             out.extend(encode_word(run, merges))
         return tuple(out)
     syms = tuple(word)
+    # r15 (guide §1.2 per-task work): a merge can only apply when both
+    # halves are present in the CURRENT symbol sequence, so two set
+    # lookups replace a full scan for every inapplicable merge (most of
+    # the table, for typical words). _merge_word is identity when the
+    # pair is absent, so skipping is output-identical; every applied
+    # merge shortens the sequence, so a length change is the exact
+    # "applied" signal for refreshing the set.
+    present = set(syms)
     for a, b in merges:
         if len(syms) < 2:
             break
-        syms = _merge_word(syms, a, b)
+        if a in present and b in present:
+            merged = _merge_word(syms, a, b)
+            if len(merged) != len(syms):
+                syms = merged
+                present = set(syms)
     return syms
 
 
