@@ -14,6 +14,7 @@ from mongo_analyser_spark.operators.vp8l import (
     _enc_tables_for,
     _encode_lengths,
     _put_code,
+    _rev_bits,
     _write_literal_body,
     decode_webp_lossless,
     encode_webp_lossless,
@@ -309,7 +310,10 @@ def test_color_cache_and_lz77():
         single = sum(1 for l in lengths if l) == 1
         for s, l in enumerate(lengths):
             if l:
-                enc[s] = None if single else (nc[l], l)
+                # codes are stored PRE-REVERSED for the LSB-first writer,
+                # mirroring _enc_tables_for's convention (_put_code emits
+                # the stored bits verbatim)
+                enc[s] = None if single else (_rev_bits(nc[l], l), l)
                 nc[l] += 1
         return enc
 
