@@ -664,6 +664,34 @@ def pq_exact_topk(
     )
 
 
+def _overlap_report(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """(qid, hits, recall_at_k) from two (qid, vid, ...) top-k frames:
+    ONE left join + ONE aggregation (r15 — replaces the semi-join +
+    separate per-qid k-count, which consumed the exact subtree twice).
+    Both frames carry row_number-filtered top-k rows, so (qid, vid) is
+    unique per side, the join never fans out, and count(marker) equals
+    the semi-join hit count; a qid with zero hits counts 0 naturally
+    (the old shape's COALESCE case)."""
+    marked = approx.select("qid", "vid", F.lit(1).alias("__hit"))
+    return (
+        exact.select("qid", "vid")
+        .join(marked, ["qid", "vid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.count("__hit").alias("hits"),
+        )
+        .select(
+            "qid",
+            F.col("hits").cast("long").alias("hits"),
+            F.round(
+                F.col("hits").cast("double") / F.col("k"), 6
+            ).alias("recall_at_k"),
+        )
+        .transform(sort_plain, "qid")
+    )
+
+
 def pq_recall_report(
     df: DataFrame,
     id_col: str,
@@ -705,31 +733,16 @@ def pq_recall_report(
         )
     # r15: the report only counts overlaps — consume the top-k frames
     # BELOW their deterministic output sorts (identical rows; the inner
-    # sort/checkpoint is dead weight under joins and aggregates, and
-    # the duplicated exact subtree dedupes via runtime exchange reuse)
+    # sort/checkpoint is dead weight under joins and aggregates), and
+    # count hits and k in ONE aggregation over a single left join (the
+    # ann_recall_report shape): the old semi-join + separate k-count
+    # consumed the exact-top-k subtree twice, leaning on runtime
+    # exchange reuse to dedupe it. (qid, vid) is unique per side by
+    # construction (row_number-filtered top-k), so the left join never
+    # fans out and count(marker) IS the semi-join hit count.
     adc = unsorted(adc)
     exact = unsorted(pq_exact_topk(df, id_col, vec_col, query_ids, k))
-    hits = (
-        exact.select("qid", "vid")
-        .join(adc.select("qid", "vid"), ["qid", "vid"], "left_semi")
-        .groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    return (
-        exact.groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .join(hits, "qid", "left")
-        .select(
-            "qid",
-            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
-            F.round(
-                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
-                / F.col("k"),
-                6,
-            ).alias("recall_at_k"),
-        )
-        .transform(sort_plain, "qid")
-    )
+    return _overlap_report(exact, adc)
 
 
 def ivfpq_topk_arrow(
@@ -958,28 +971,8 @@ def ivfpq_recall_report(
         df, id_col, vec_col, query_ids, dim, centroids, m, k_cent,
         shortlist=shortlist, k=k, refine_steps=refine_steps, cb=cb,
     )
-    # r15: count-only consumption — use the frames below their output
-    # sorts (see pq_recall_report)
+    # r15: count-only consumption below the output sorts, hits and k in
+    # one aggregation over a single left join (see pq_recall_report)
     approx = unsorted(approx)
     exact = unsorted(pq_exact_topk(df, id_col, vec_col, query_ids, k))
-    hits = (
-        exact.select("qid", "vid")
-        .join(approx.select("qid", "vid"), ["qid", "vid"], "left_semi")
-        .groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    return (
-        exact.groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .join(hits, "qid", "left")
-        .select(
-            "qid",
-            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
-            F.round(
-                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
-                / F.col("k"),
-                6,
-            ).alias("recall_at_k"),
-        )
-        .transform(sort_plain, "qid")
-    )
+    return _overlap_report(exact, approx)
