@@ -31,6 +31,28 @@ TABLES = [
 EVENTS_PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
 
 
+# Per-process parquet schema memo (r15, guide §1.2/§6): spark.read
+# .parquet() infers the schema by READING FOOTERS IN A SPARK JOB on
+# every call — ~0.15 s per load_table even warm, paid per table per
+# query build per bench rep. The schema is catalog METADATA, derived
+# from the file itself on first touch in each process and keyed on
+# (path, mtime_ns, size) so a rewritten file re-infers; no query
+# results or data are memoized, and a fresh process always re-reads
+# the footer. With an explicit schema the read plans zero jobs.
+_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
+
+
+def _stat_key(path: str) -> tuple:
+    if os.path.isdir(path):
+        entries = []
+        for f in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, f))
+            entries.append((f, st.st_mtime_ns, st.st_size))
+        return (path, tuple(entries))
+    st = os.stat(path)
+    return (path, st.st_mtime_ns, st.st_size)
+
+
 # Event-time columns whose parquet encoding has drifted across driver
 # testdata generations; normalize all of them to session-tz TIMESTAMP:
 #  * TIMESTAMP(NANOS) → Spark reads as long (nanosAsLong) → timestamp_micros
@@ -81,8 +103,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise FileNotFoundError(
             f"no table {name!r} under {sf_dir} (available: {available})"
         )
-    df = spark.read.parquet(path)
+    df = spark.read.schema(table_schema(spark, path)).parquet(path)
     return normalize_event_time(df, NANO_TS_COLS.get(name, []))
+
+
+def table_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Memoized parquet schema for ``path`` (see _SCHEMA_CACHE above).
+    First touch in a process infers from the file's own footer (one
+    Spark job); later touches are a dict hit keyed on the file's
+    identity, so re-reads plan zero jobs. Also serves the streaming
+    builders' schema probes (readStream requires a schema up front)."""
+    key = _stat_key(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
 
 
 def list_collections(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,7 +31,9 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet (schema from a driver-side batch probe; file-stream source
     needs a glob, not a bare single-file path — see stream_events)."""
     path = os.path.join(sf_dir, "documents.parquet")
-    raw_schema = spark.read.parquet(path).schema
+    from mongo_analyser_spark.sources.parquet import table_schema
+
+    raw_schema = table_schema(spark, path)
     return spark.readStream.schema(raw_schema).parquet(
         os.path.join(sf_dir, "documents.*")
     )

@@ -159,7 +159,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NANOS-encoded file, and watermark arithmetic must render in UTC
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(path).schema
+    from mongo_analyser_spark.sources.parquet import table_schema
+
+    raw_schema = table_schema(spark, path)
     # the file stream source rejects a plain single-file path ("basePath
     # must be a directory") but accepts the same file via a glob
     df = spark.readStream.schema(raw_schema).parquet(os.path.join(sf_dir, "events.*"))

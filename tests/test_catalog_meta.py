@@ -72,3 +72,36 @@ def test_load_table_sets_nanos_conf_for_foreign_sessions(spark):
     assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert ev.count() == 1000
+
+
+def test_table_schema_memo_hits_and_invalidation(spark, tmp_path):
+    """r15: load_table passes an explicit memoized schema so repeat reads
+    plan ZERO schema-inference jobs — and the memo keys on the file's
+    identity (mtime/size), so a rewritten file re-infers instead of
+    serving a stale schema."""
+    import shutil
+
+    from mongo_analyser_spark.sources import parquet as src
+
+    p = tmp_path / "docs.parquet"
+    shutil.copy(f"{SF}/documents.parquet", p)
+    sf_dir = str(tmp_path)
+
+    src._SCHEMA_CACHE.clear()
+    a = src.load_table(spark, sf_dir, "docs")
+    key = src._stat_key(str(p))
+    assert key in src._SCHEMA_CACHE
+    b = src.load_table(spark, sf_dir, "docs")
+    assert a.schema == b.schema == src._SCHEMA_CACHE[key]
+    # the memoized read sees the same data
+    n = a.count()
+    assert b.count() == n > 0
+
+    # rewrite the file with a different schema: the old key must not
+    # serve — a new key re-infers from the new footer
+    b.select("doc_id").write.mode("overwrite").parquet(str(tmp_path / "docs2.parquet"))
+    p.unlink()
+    shutil.copytree(tmp_path / "docs2.parquet", p)
+    c = src.load_table(spark, sf_dir, "docs")
+    assert [f.name for f in c.schema.fields] == ["doc_id"]
+    assert c.count() == n
