@@ -267,11 +267,23 @@ def tfidf_pairs_recall_report(
         docs, threshold, prefix, id_col, text_col, tokenizer,
         final_sort=False,
     ).select("id_a", "id_b")
-    matched = true_pairs.join(found, ["id_a", "id_b"], "left_semi")
+    # r15: all three counts in ONE aggregation over a full-outer join of
+    # the two (unique-keyed) pair sets — the old shape consumed each
+    # heavyweight subtree twice (its own count + the semi-join) and
+    # leaned on exchange reuse to dedupe the scans
+    t = true_pairs.select("id_a", "id_b", F.lit(1).alias("__t"))
+    f = found.select("id_a", "id_b", F.lit(1).alias("__f"))
     return (
-        true_pairs.agg(F.count(F.lit(1)).alias("true_pairs"))
-        .crossJoin(F.broadcast(found.agg(F.count(F.lit(1)).alias("found_pairs"))))
-        .crossJoin(F.broadcast(matched.agg(F.count(F.lit(1)).alias("matched"))))
+        t.join(f, ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.count("__t").alias("true_pairs"),
+            F.count("__f").alias("found_pairs"),
+            F.count(
+                F.when(
+                    F.col("__t").isNotNull() & F.col("__f").isNotNull(), 1
+                )
+            ).alias("matched"),
+        )
         .select(
             "true_pairs",
             "found_pairs",
