@@ -41,6 +41,14 @@ def get_spark(app_name: str = "mongo_analyser_spark", cpus: int | None = None) -
         # the driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
         # which Spark refuses by default; read as long + convert in loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # r15: DataFrame-debugging call-site capture (Spark 4, default
+        # on) walks the Python stack and adds two py4j round trips for
+        # EVERY DataFrame op — profiled at ~10 ms/op, ~45% of q1's
+        # build phase. Error-message enrichment only (PySpark's own
+        # comment calls it a performance trade); query results and
+        # plans are unaffected. Scale-independent: a cluster session
+        # would set the same.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
