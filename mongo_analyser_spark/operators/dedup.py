@@ -532,6 +532,7 @@ def cosine_near_dup_pairs(
     block_col: str | None = None,
     rows_per_band: int | None = None,
     num_bands: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs with SRP sub-banding — the vector
     twin of MinHash-LSH banding, replacing the within-block cross product
@@ -571,7 +572,11 @@ def cosine_near_dup_pairs(
     )
 
     if rows_per_band is None or num_bands is None:
-        auto_r, auto_b = srp_band_params(df.count())
+        # ``n_rows`` (r15): callers whose input is a WHOLE table pass
+        # the exact parquet-footer count (sources.parquet.table_row_count)
+        # so the band-param sizing plans zero jobs; filtered inputs
+        # still pay the one count job.
+        auto_r, auto_b = srp_band_params(n_rows if n_rows is not None else df.count())
         rows_per_band = rows_per_band or auto_r
         num_bands = num_bands or auto_b
     planes = srp_planes(rows_per_band * num_bands, dim)

@@ -42,7 +42,7 @@ from mongo_analyser_spark.operators.fanout import (
 )
 from mongo_analyser_spark.operators.field_stats import TS_FMT
 from mongo_analyser_spark.queries import ORACLE_GENERATORS, register
-from mongo_analyser_spark.sources.parquet import load_table
+from mongo_analyser_spark.sources.parquet import load_table, table_row_count
 
 EMB_DIM = 64
 NUM_MINHASH = 8
@@ -1112,7 +1112,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_near_dup_pairs(
-        emb, "vec_id", "embedding", EMB_DIM, threshold=0.3, block_col="label"
+        emb, "vec_id", "embedding", EMB_DIM, threshold=0.3, block_col="label",
+        n_rows=table_row_count(sf_dir, "embeddings"),
     )
     return pairs.select(
         F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "cos_sim"
@@ -1361,7 +1362,8 @@ def q_pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_near_dup_pairs(
-        emb, "vec_id", "embedding", EMB_DIM, threshold=0.3, block_col="label"
+        emb, "vec_id", "embedding", EMB_DIM, threshold=0.3, block_col="label",
+        n_rows=table_row_count(sf_dir, "embeddings"),
     )
     # symmetrize via explode, not union-of-selects — a union runs the
     # expensive candidate-pair pipeline once per branch (dedup.py rule)
@@ -2329,7 +2331,8 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_near_dup_pairs(
-        emb, "vec_id", "embedding", EMB_DIM, threshold=0.3, block_col="label"
+        emb, "vec_id", "embedding", EMB_DIM, threshold=0.3, block_col="label",
+        n_rows=table_row_count(sf_dir, "embeddings"),
     ).select("id_a", "id_b")
     return dedup_clusters(
         emb, pairs, "vec_id", left="id_a", right="id_b"

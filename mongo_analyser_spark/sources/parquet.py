@@ -121,6 +121,37 @@ def table_schema(spark: SparkSession, path: str) -> T.StructType:
     return schema
 
 
+# Same catalog-metadata discipline as _SCHEMA_CACHE: a full-table row
+# count is exact in the parquet footer (num_rows), so operators that
+# only need |table| to SIZE themselves (data-scaled LSH band params)
+# can skip a df.count() Spark job per query build. Keyed on file
+# identity; a rewritten file re-reads. Counts of FILTERED frames still
+# need a real job — callers pass the footer count only for whole-table
+# inputs.
+_ROW_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a table from parquet footer metadata (zero
+    Spark jobs; memoized per process on file identity)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = _stat_key(path)
+    n = _ROW_COUNT_CACHE.get(key)
+    if n is None:
+        if os.path.isdir(path):
+            n = sum(
+                pq.read_metadata(os.path.join(path, f)).num_rows
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet")
+            )
+        else:
+            n = pq.read_metadata(path).num_rows
+        _ROW_COUNT_CACHE[key] = n
+    return n
+
+
 def list_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted collection names (analyser.py:237 `sorted(...)`)."""
     names = sorted(

@@ -105,3 +105,30 @@ def test_table_schema_memo_hits_and_invalidation(spark, tmp_path):
     c = src.load_table(spark, sf_dir, "docs")
     assert [f.name for f in c.schema.fields] == ["doc_id"]
     assert c.count() == n
+
+
+def test_table_row_count_matches_scan_and_invalidates(spark, tmp_path):
+    """r15: table_row_count serves the exact footer num_rows with zero
+    Spark jobs (sizes data-scaled LSH band params), keyed on file
+    identity so a rewritten file re-reads; filtered frames never use it."""
+    import shutil
+
+    from mongo_analyser_spark.sources import parquet as src
+
+    p = tmp_path / "docs.parquet"
+    shutil.copy(f"{SF}/documents.parquet", p)
+    sf_dir = str(tmp_path)
+
+    src._ROW_COUNT_CACHE.clear()
+    n = src.table_row_count(sf_dir, "docs")
+    assert n == src.load_table(spark, sf_dir, "docs").count() > 0
+    assert src._stat_key(str(p)) in src._ROW_COUNT_CACHE
+    assert src.table_row_count(sf_dir, "docs") == n
+
+    # rewrite with fewer rows: the new identity must re-read the footer
+    src.load_table(spark, sf_dir, "docs").limit(7).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "docs2.parquet"))
+    p.unlink()
+    shutil.copytree(tmp_path / "docs2.parquet", p)
+    assert src.table_row_count(sf_dir, "docs") == 7
