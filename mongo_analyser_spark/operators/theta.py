@@ -160,11 +160,25 @@ def theta_overlap_report(
     """Pair overlap estimates PLUS the exact intersection count and the
     signed estimate error — the certification row (countmin/bloom
     contract): exact sides exist at fixture scale to verify the
-    estimator; production keeps only the sketch rows."""
-    est = theta_pair_overlap(theta_sketches(df, group_col, item, k), k)
-    items = df.select(
-        F.col(group_col).alias("group"), item.alias("it")
-    ).distinct()
+    estimator; production keeps only the sketch rows.
+
+    The distinct (group, item) frame is materialized ONCE and shared by
+    the sketch and both exact-join sides (r15, guide §1.2): the
+    un-shared form re-ran the corpus explode + distinct per consumer
+    (3x) and hashed md5 per item OCCURRENCE instead of per distinct
+    item. Ranks from distinct items are the same rank multiset
+    (distinct∘md5∘distinct == distinct∘md5), so the sketch — and every
+    estimate — is bit-identical (A/B at sf0.1: 2.55 → 2.28 s min, rows
+    identical). Materializing a distinct-gram frame is acceptable HERE
+    because this is the certification row (exact sides are
+    fixture-scale validation, see module docstring); the production
+    path (theta_sketches alone) stays unmaterialized."""
+    items = (
+        df.select(F.col(group_col).alias("group"), item.alias("it"))
+        .distinct()
+        .localCheckpoint()
+    )
+    est = theta_pair_overlap(theta_sketches(items, "group", F.col("it"), k), k)
     ia = items.select(F.col("group").alias("group_a"), "it")
     ib = items.select(F.col("group").alias("group_b"), "it")
     exact = (
@@ -259,11 +273,18 @@ def theta_difference_report(
     """Difference estimates PLUS the exact |A\\B| / |B\\A| counts and
     signed errors — the certification form (countmin/bloom contract):
     exact distinct-per-group minus exact intersection, both fixture-
-    scale validation sides."""
-    est = theta_pair_difference(theta_sketches(df, group_col, item, k))
-    items = df.select(
-        F.col(group_col).alias("group"), item.alias("it")
-    ).distinct()
+    scale validation sides.
+
+    Shares ONE materialized distinct (group, item) frame across the
+    sketch, per-group-count, and both exact-join consumers — same r15
+    rationale and bit-identity argument as theta_overlap_report (this
+    report had FOUR corpus explode+distinct passes before)."""
+    items = (
+        df.select(F.col(group_col).alias("group"), item.alias("it"))
+        .distinct()
+        .localCheckpoint()
+    )
+    est = theta_pair_difference(theta_sketches(items, "group", F.col("it"), k))
     nd = items.groupBy("group").agg(F.count(F.lit(1)).alias("nd"))
     ia = items.select(F.col("group").alias("group_a"), "it")
     ib = items.select(F.col("group").alias("group_b"), "it")
