@@ -384,6 +384,111 @@ def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_position(scores, F.array_max(scores)).cast("int")
 
 
+def fold_scores_np(X, C):
+    """<X_i, C_j> for every (row, plane/centroid) pair with the
+    interpreted left folds' exact IEEE sequence: one vectorized
+    multiply-add per dimension (the operators/pq.py Arrow contract —
+    each element accumulates ((0 + x0*c0) + x1*c1) + ... in index
+    order), so every double equals the zip_with/aggregate fold's."""
+    import numpy as np
+
+    acc = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+    for j in range(C.shape[1]):
+        acc = acc + X[:, j : j + 1] * C[:, j][None, :]
+    return acc
+
+
+def _scores_arrow(
+    emb: DataFrame, id_col: str, vec_col: str,
+    centroids: list[list[float]], dim: int,
+) -> DataFrame:
+    """(id, vec, vnorm, __scores) — the Arrow twin of ivf_topk's
+    broadcast-data score projection (see ivf_topk body). Rows that the
+    expression form could not score (NULL vector, length ≠ dim) get the
+    same outputs it produces: vnorm is NULL only for NULL vectors (the
+    norm fold runs on the vector's own length), __scores is an all-NULL
+    array (zip_with pads with nulls, poisoning each fold)."""
+    import numpy as np
+    import pandas as pd
+
+    import pyarrow as pa
+
+    Cn = np.asarray(centroids, dtype=np.float64)
+    m = Cn.shape[0]
+    sch = emb.schema
+    id_t = sch[id_col].dataType.simpleString()
+    vec_t = sch[vec_col].dataType.simpleString()
+
+    # mapInArrow, NOT mapInPandas: the pandas hop folds NaN into null
+    # (both in float columns and inside list cells), while the
+    # expression form keeps NaN a VALUE (a NaN vector element flows
+    # through the folds) and NULL only where a fold saw a null. pyarrow
+    # arrays keep the distinction, and the untouched input vec array is
+    # passed through zero-copy.
+    def kern(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            idc, vc = b.column(0), b.column(1)
+            flat = vc.flatten()
+            n = b.num_rows
+            lens = (
+                np.diff(vc.offsets.to_numpy(zero_copy_only=False))
+                if vc.null_count == 0
+                else None
+            )
+            if (
+                lens is not None
+                and (lens == dim).all()
+                and flat.null_count == 0
+            ):
+                X = flat.to_numpy(zero_copy_only=False).astype(
+                    np.float64, copy=False
+                ).reshape(n, dim)
+                nacc = np.zeros(n, dtype=np.float64)
+                for j in range(dim):
+                    nacc = nacc + X[:, j] * X[:, j]
+                vn_arr = pa.array(np.sqrt(nacc), type=pa.float64())
+                S = fold_scores_np(X, Cn)
+                sc_arr = pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(0, (n + 1) * m, m, dtype=np.int32)
+                    ),
+                    pa.array(S.reshape(-1), type=pa.float64()),
+                )
+            else:
+                vn, sc = [], []
+                for v in vc.to_pylist():
+                    # a NULL vector, or a null ELEMENT inside one,
+                    # poisons every fold in the expression form: NULL
+                    # norm and all-NULL scores
+                    if v is None or any(e is None for e in v):
+                        vn.append(None)
+                        sc.append([None] * m)
+                        continue
+                    x = np.asarray(v, dtype=np.float64)
+                    a = 0.0
+                    for xx in x:
+                        a = a + xx * xx
+                    vn.append(float(np.sqrt(a)))
+                    if len(x) != dim:
+                        sc.append([None] * m)
+                    else:
+                        sc.append(list(fold_scores_np(x[None, :], Cn)[0]))
+                vn_arr = pa.array(vn, type=pa.float64())
+                sc_arr = pa.array(sc, type=pa.list_(pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                [idc, vc, vn_arr, sc_arr],
+                names=[id_col, vec_col, "vnorm", "__scores"],
+            )
+
+    return emb.select(id_col, vec_col).mapInArrow(
+        kern,
+        f"{id_col} {id_t}, {vec_col} {vec_t}, vnorm double, "
+        "__scores array<double>",
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     id_col: str,
@@ -434,29 +539,25 @@ def ivf_topk(
     #    bit-identical either way, and the score array is computed ONCE
     #    and reused for cell assignment and nprobe ranking.
     if len(centroids) * dim <= 1024:
-        scores_src = emb
-        scores = ivf_cell_scores(F.col(vec_col), centroids)
+        assigned = emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            norm(F.col(vec_col)).alias("vnorm"),
+            ivf_cell_scores(F.col(vec_col), centroids).alias("__scores"),
+        )
     else:
-        cent_df = emb.sparkSession.createDataFrame(
-            [(centroids,)], "__cent: array<array<double>>"
-        )
-        scores_src = emb.join(F.broadcast(cent_df))
-        scores = F.transform(
-            F.col("__cent"),
-            lambda row: F.aggregate(
-                F.zip_with(
-                    F.col(vec_col), row, lambda x, c: x.cast("double") * c
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-        )
-    assigned = scores_src.select(
-        F.col(id_col),
-        F.col(vec_col),
-        norm(F.col(vec_col)).alias("vnorm"),
-        scores.alias("__scores"),
-    ).withColumn(
+        # Data-scaled quantizer tier (r15, guide §4.2, the round-14
+        # pq.py arrow_cells precedent): the broadcast-DATA expression
+        # form evaluated an interpreted |cells|×dim lambda fold per
+        # corpus row — THE scan cost once cells scale as √n. The Arrow
+        # kernel computes the same score matrix with one vectorized
+        # multiply-add per dimension (left-fold order, so every double
+        # is bit-identical to the zip_with fold; parity pinned in
+        # tests/test_similarity.py) and the same norm fold. The
+        # small-literal tier above keeps the textual expression form the
+        # hash-oracled d=64 rows' claims are read against.
+        assigned = _scores_arrow(emb, id_col, vec_col, centroids, dim)
+    assigned = assigned.withColumn(
         "cell",
         F.array_position(F.col("__scores"), F.array_max("__scores")).cast("int"),
     )

@@ -261,3 +261,79 @@ def test_arrow_topk_exact_parity_with_fold_twin(spark):
         arrow = [tuple(r) for r in brute_force_topk_arrow(
             emb, "vec_id", "embedding", qids, k=5).collect()]
         assert fold == arrow and len(fold) == 40
+
+
+def test_scores_arrow_matches_expression_fold(spark):
+    """r15: ivf_topk's data-scaled (broadcast-data) score projection is
+    an Arrow kernel; every vnorm/score double must be BIT-identical to
+    the interpreted zip_with/aggregate fold, including the edge rows
+    the expression form half-scores (NULL vector -> NULL norm +
+    all-NULL scores; ragged vector -> real norm over its own length +
+    all-NULL scores; NaN elements propagate)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.operators.similarity import (
+        _scores_arrow,
+        norm,
+        srp_planes,
+    )
+
+    dim, m = 16, 9
+    cents = srp_planes(m, dim)
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(dim)]) for i in range(40)]
+    rows.append((100, None))
+    rows.append((101, [1.0] * (dim - 3)))
+    rows.append((102, [1.0] * (dim + 2)))
+    nan_vec = [rng.uniform(-1, 1) for _ in range(dim)]
+    nan_vec[3] = float("nan")
+    rows.append((103, nan_vec))
+    null_el = [rng.uniform(-1, 1) for _ in range(dim)]
+    null_el[5] = None
+    rows.append((104, null_el))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cent_df = spark.createDataFrame([(cents,)], "__cent: array<array<double>>")
+    expr = (
+        df.join(F.broadcast(cent_df))
+        .select(
+            "vec_id",
+            norm(F.col("embedding")).alias("vnorm"),
+            F.transform(
+                F.col("__cent"),
+                lambda row: F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"), row,
+                        lambda x, c: x.cast("double") * c,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+            ).alias("__scores"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    got = (
+        _scores_arrow(df, "vec_id", "embedding", cents, dim)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert len(expr) == len(got)
+
+    def eq(a, b):
+        if a is None or b is None:
+            return a is None and b is None
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return a == b  # exact doubles, no tolerance
+
+    for e, g in zip(expr, got):
+        assert e["vec_id"] == g["vec_id"]
+        assert eq(e["vnorm"], g["vnorm"]), (e["vec_id"], e["vnorm"], g["vnorm"])
+        assert len(e["__scores"]) == len(g["__scores"]) == m
+        for x, y in zip(e["__scores"], g["__scores"]):
+            assert eq(x, y), (e["vec_id"], x, y)
