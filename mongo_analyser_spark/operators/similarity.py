@@ -225,14 +225,86 @@ def with_srp_sig(
         raise ValueError("with_srp_sig requires a non-empty plane matrix")
     if len(planes) * len(planes[0]) <= 1024:
         return df.withColumn(out, srp_bucket(F.col(vec_col), planes))
-    pl_df = df.sparkSession.createDataFrame(
-        [(planes,)], "__planes: array<array<double>>"
+    # Data-scaled plane tier (r15): same Arrow-kernel move as ivf_topk's
+    # broadcast-data branch — the interpreted num_planes×dim fold per
+    # row was the fingerprint stage's cost; the kernel's left-fold
+    # accumulation makes every dot the same double, so every sign (and
+    # the banded pairs downstream) is bit-identical. The ≤1024-value
+    # literal tier above keeps the textual expression form.
+    return _srp_sig_arrow(df, vec_col, planes, out)
+
+
+def _srp_sig_arrow(
+    df: DataFrame, vec_col: str, planes: list[list[float]], out: str
+) -> DataFrame:
+    """All input columns + ``out``: '0'/'1' sign string of <vec, plane>
+    per plane — the Arrow twin of _srp_bits over broadcast plane DATA.
+    Sign rule matches the expression form exactly: fold >= 0 → '1'
+    (where Spark's comparison counts NaN as greatest, so a NaN fold is
+    also '1'), and '0' only for negatives and folds poisoned by a
+    NULL/ragged vector (when(...).otherwise('0'))."""
+    import numpy as np
+    import pyarrow as pa
+
+    Cn = np.asarray(planes, dtype=np.float64)
+    m, dim = Cn.shape
+    in_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
-    return (
-        df.join(F.broadcast(pl_df))
-        .withColumn(out, _srp_bits(F.col(vec_col), F.col("__planes")))
-        .drop("__planes")
-    )
+    vec_idx = df.columns.index(vec_col)
+    names = df.columns + [out]
+
+    def kern(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            vc = b.column(vec_idx)
+            flat = vc.flatten()
+            n = b.num_rows
+            lens = (
+                np.diff(vc.offsets.to_numpy(zero_copy_only=False))
+                if vc.null_count == 0
+                else None
+            )
+            if (
+                lens is not None
+                and (lens == dim).all()
+                and flat.null_count == 0
+            ):
+                X = flat.to_numpy(zero_copy_only=False).astype(
+                    np.float64, copy=False
+                ).reshape(n, dim)
+                S = fold_scores_np(X, Cn)
+                # Spark's `>= 0` is TRUE for NaN (SQL NaN sorts greatest,
+                # not IEEE unordered) — OR in isnan to match
+                bits = np.where(
+                    (S >= 0) | np.isnan(S), 49, 48
+                ).astype(np.uint8)
+                buf = bits.tobytes()
+                sigs = [
+                    buf[i * m : (i + 1) * m].decode("ascii") for i in range(n)
+                ]
+            else:
+                sigs = []
+                for v in vc.to_pylist():
+                    if v is None or any(e is None for e in v) or len(v) != dim:
+                        sigs.append("0" * m)
+                        continue
+                    s = fold_scores_np(
+                        np.asarray(v, dtype=np.float64)[None, :], Cn
+                    )[0]
+                    sigs.append(
+                        "".join(
+                            "1" if (x >= 0 or np.isnan(x)) else "0" for x in s
+                        )
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(b.num_columns)]
+                + [pa.array(sigs, type=pa.string())],
+                names=names,
+            )
+
+    return df.mapInArrow(kern, f"{in_fields}, {out} string")
 
 
 def ivf_centroids(num_cells: int, dim: int) -> list[list[float]]:

@@ -337,3 +337,52 @@ def test_scores_arrow_matches_expression_fold(spark):
         assert len(e["__scores"]) == len(g["__scores"]) == m
         for x, y in zip(e["__scores"], g["__scores"]):
             assert eq(x, y), (e["vec_id"], x, y)
+
+
+def test_srp_sig_arrow_matches_expression_bits(spark):
+    """r15: with_srp_sig's data-scaled (broadcast-data) branch is an
+    Arrow kernel; every sign string must equal the interpreted
+    _srp_bits form exactly, including the rows it zero-fills (NULL
+    vector, null element, ragged length) and NaN propagation
+    (when(NaN >= 0) falls to '0')."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.operators.similarity import (
+        _srp_bits,
+        _srp_sig_arrow,
+        srp_planes,
+    )
+
+    dim, m = 16, 9
+    planes = srp_planes(m, dim)
+    rng = random.Random(11)
+    rows = [(i, "blk", [rng.uniform(-2, 2) for _ in range(dim)]) for i in range(40)]
+    rows.append((100, "blk", None))
+    rows.append((101, "blk", [1.0] * (dim - 3)))
+    rows.append((102, "blk", [1.0] * (dim + 2)))
+    nan_vec = [rng.uniform(-1, 1) for _ in range(dim)]
+    nan_vec[3] = float("nan")
+    rows.append((103, "blk", nan_vec))
+    null_el = [rng.uniform(-1, 1) for _ in range(dim)]
+    null_el[5] = None
+    rows.append((104, "blk", null_el))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, __vec array<double>"
+    )
+
+    pl_df = spark.createDataFrame([(planes,)], "__planes: array<array<double>>")
+    expr = (
+        df.join(F.broadcast(pl_df))
+        .withColumn("sig", _srp_bits(F.col("__vec"), F.col("__planes")))
+        .drop("__planes")
+        .orderBy("vec_id")
+        .collect()
+    )
+    got = _srp_sig_arrow(df, "__vec", planes, "sig").orderBy("vec_id").collect()
+    assert len(expr) == len(got) == len(rows)
+    for e, g in zip(expr, got):
+        assert e["vec_id"] == g["vec_id"] and e["label"] == g["label"]
+        assert e["sig"] == g["sig"], (e["vec_id"], e["sig"], g["sig"])
+        assert (e["__vec"] is None) == (g["__vec"] is None)
