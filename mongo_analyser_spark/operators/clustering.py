@@ -272,6 +272,92 @@ def kmeans_fit(
     return out
 
 
+def _assign_full_arrow(
+    df: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """(id, v array<double>, nrm, cell) — the Arrow twin of
+    semantic_dedup's broadcast-data assignment projection: v is the
+    exact float→double cast of the input vector (Arrow-level cast,
+    nulls preserved), nrm the left-fold norm, cell the 1-based
+    first-max centroid (np.argmax == array_position-of-array_max,
+    including the all-NaN row both resolve to cell 1). Rows the
+    expression form could not score keep its outputs: NULL vector →
+    all-NULL; null element → v keeps the hole, nrm/cell NULL; ragged
+    length → real nrm over the vector's own length, cell NULL."""
+    import numpy as np
+    import pyarrow as pa
+
+    Cn = np.asarray(centroids, dtype=np.float64)
+    k, dim = Cn.shape
+    id_t = df.schema[id_col].dataType.simpleString()
+    src = df.select(id_col, vec_col)
+
+    def kern(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            idc, vc = b.column(0), b.column(1)
+            flat = vc.flatten()
+            n = b.num_rows
+            lens = (
+                np.diff(vc.offsets.to_numpy(zero_copy_only=False))
+                if vc.null_count == 0
+                else None
+            )
+            v_out = vc.cast(pa.list_(pa.float64()))
+            if (
+                lens is not None
+                and (lens == dim).all()
+                and flat.null_count == 0
+            ):
+                X = flat.to_numpy(zero_copy_only=False).astype(
+                    np.float64, copy=False
+                ).reshape(n, dim)
+                nacc = np.zeros(n, dtype=np.float64)
+                for j in range(dim):
+                    nacc = nacc + X[:, j] * X[:, j]
+                nrm_arr = pa.array(np.sqrt(nacc), type=pa.float64())
+                from mongo_analyser_spark.operators.similarity import (
+                    fold_scores_np,
+                )
+
+                S = fold_scores_np(X, Cn)
+                cell_arr = pa.array(
+                    (np.argmax(S, axis=1) + 1).astype(np.int32)
+                )
+            else:
+                from mongo_analyser_spark.operators.similarity import (
+                    fold_scores_np,
+                )
+
+                nrm, cell = [], []
+                for v in vc.to_pylist():
+                    if v is None or any(e is None for e in v):
+                        nrm.append(None)
+                        cell.append(None)
+                        continue
+                    x = np.asarray(v, dtype=np.float64)
+                    a = 0.0
+                    for xx in x:
+                        a = a + xx * xx
+                    nrm.append(float(np.sqrt(a)))
+                    if len(x) != dim:
+                        cell.append(None)
+                    else:
+                        s = fold_scores_np(x[None, :], Cn)[0]
+                        cell.append(int(np.argmax(s)) + 1)
+                nrm_arr = pa.array(nrm, type=pa.float64())
+                cell_arr = pa.array(cell, type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [idc, v_out, nrm_arr, cell_arr],
+                names=["id", "v", "nrm", "cell"],
+            )
+
+    return src.mapInArrow(
+        kern, f"id {id_t}, v array<double>, nrm double, cell int"
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
@@ -313,35 +399,20 @@ def semantic_dedup(
     SQL chain, so assignments are still bit-identical."""
     if not centroids:
         raise ValueError("semantic_dedup requires a non-empty centroid list")
-    from mongo_analyser_spark.operators.similarity import as_double_vec
-
-    cents_row = (
-        df.sparkSession.createDataFrame(
-            [(i + 1, [float(x) for x in row]) for i, row in enumerate(centroids)],
-            "cid int, v array<double>",
-        )
-        .agg(F.sort_array(F.collect_list(F.struct("cid", "v"))).alias("cents"))
-    )
-    vec = as_double_vec(vec_col)
-    scores = F.transform(F.col("cents"), lambda c: _fold_dot(vec, c["v"]))
-    vecs = (
-        df.crossJoin(F.broadcast(cents_row))
-        .select(
-            F.col(id_col).alias("id"),
-            vec.alias("v"),
-            F.sqrt(_fold_dot(vec, vec)).alias("nrm"),
-            F.array_position(scores, F.array_max(scores)).cast("int").alias("cell"),
-        )
-        # referenced three ways below (both self-join sides + the final
-        # flag join): without materialization the interpreted k×dim
-        # assignment fold re-runs per reference (the triangle_counts
-        # lesson — measured 3.66 s -> 2.46 s solo at sf0.1). This
-        # checkpoints vectors too, the simple fixture-scale call; a
-        # 100-TB run would checkpoint only (id, nrm, cell) and re-join
-        # vectors from the scan, the cosine_near_dup_pairs fingerprint
-        # discipline.
-        .localCheckpoint()
-    )
+    # r15 (guide §4.2, the ivf_topk/with_srp_sig move): the k×dim
+    # assignment + norm folds per vector ran interpreted under the
+    # broadcast-data cross join — the Arrow kernel computes the same
+    # doubles in left-fold order (parity pinned in
+    # tests/test_clustering.py, incl. NULL/ragged/NaN rows), so cells,
+    # norms, and every downstream cosine are bit-identical.
+    # Referenced three ways below (both self-join sides + the final
+    # flag join): without materialization the assignment re-runs per
+    # reference (the triangle_counts lesson — measured 3.66 s -> 2.46 s
+    # solo at sf0.1). This checkpoints vectors too, the simple
+    # fixture-scale call; a 100-TB run would checkpoint only
+    # (id, nrm, cell) and re-join vectors from the scan, the
+    # cosine_near_dup_pairs fingerprint discipline.
+    vecs = _assign_full_arrow(df, id_col, vec_col, centroids).localCheckpoint()
     a = vecs.select(
         F.col("id").alias("id_a"),
         F.col("v").alias("va"),

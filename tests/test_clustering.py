@@ -179,3 +179,84 @@ def test_kmeans_step_arrow_flag_same_output(spark):
     assert sorted(map(tuple, a), key=lambda t: (t[0], t[1])) == sorted(
         map(tuple, b), key=lambda t: (t[0], t[1])
     )
+
+
+def test_assign_full_arrow_matches_expression_fold(spark):
+    """r15: semantic_dedup's assignment projection is an Arrow kernel;
+    (v, nrm, cell) must match the broadcast-data expression form
+    exactly on clean rows AND the edge rows it half-scores (NULL
+    vector, null element, ragged length, NaN element — where Spark's
+    array_max/array_position resolve the all-NaN score row to cell 1)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mongo_analyser_spark.operators.clustering import (
+        _assign_full_arrow,
+        _fold_dot,
+    )
+    from mongo_analyser_spark.operators.similarity import (
+        as_double_vec,
+        srp_planes,
+    )
+
+    dim, k = 16, 7
+    cents = srp_planes(k, dim)
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(dim)]) for i in range(40)]
+    rows.append((100, None))
+    rows.append((101, [1.0] * (dim - 3)))
+    rows.append((102, [1.0] * (dim + 2)))
+    nan_vec = [rng.uniform(-1, 1) for _ in range(dim)]
+    nan_vec[3] = float("nan")
+    rows.append((103, nan_vec))
+    null_el = [rng.uniform(-1, 1) for _ in range(dim)]
+    null_el[5] = None
+    rows.append((104, null_el))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents_row = (
+        spark.createDataFrame(
+            [(i + 1, [float(x) for x in row]) for i, row in enumerate(cents)],
+            "cid int, v array<double>",
+        )
+        .agg(F.sort_array(F.collect_list(F.struct("cid", "v"))).alias("cents"))
+    )
+    vec = as_double_vec("embedding")
+    scores = F.transform(F.col("cents"), lambda c: _fold_dot(vec, c["v"]))
+    expr = (
+        df.crossJoin(F.broadcast(cents_row))
+        .select(
+            F.col("vec_id").alias("id"),
+            vec.alias("v"),
+            F.sqrt(_fold_dot(vec, vec)).alias("nrm"),
+            F.array_position(scores, F.array_max(scores)).cast("int").alias("cell"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    got = (
+        _assign_full_arrow(df, "vec_id", "embedding", cents)
+        .orderBy("id")
+        .collect()
+    )
+    assert len(expr) == len(got) == len(rows)
+
+    def eq(a, b):
+        if a is None or b is None:
+            return a is None and b is None
+        if isinstance(a, float) and (math.isnan(a) or math.isnan(b)):
+            return math.isnan(a) and math.isnan(b)
+        return a == b
+
+    for e, g in zip(expr, got):
+        assert e["id"] == g["id"]
+        assert e["cell"] == g["cell"], (e["id"], e["cell"], g["cell"])
+        assert eq(e["nrm"], g["nrm"]), (e["id"], e["nrm"], g["nrm"])
+        if e["v"] is None:
+            assert g["v"] is None
+        else:
+            assert len(e["v"]) == len(g["v"])
+            for x, y in zip(e["v"], g["v"]):
+                assert eq(x, y), (e["id"], x, y)
