@@ -136,40 +136,28 @@ def jaccard_verify(
     text_col: str,
     shingle_n: int = 3,
     min_jaccard: float = 0.0,
-    pairs_materialized: bool = False,
 ) -> DataFrame:
     """Verify candidates with the exact shingle-set Jaccard (integer set
     sizes → one division → deterministic). Output
     (doc_a, doc_b, jaccard double).
 
-    The shingle-set projection is computed ONLY for documents that
-    appear in a candidate pair (r15, guide §3.2 pre-filter-the-big-side):
-    the tiny pair list (2 longs/row, O(duplicates) — orders smaller than
-    the corpus) is materialized once and its distinct per-side ids are
-    broadcast as a semi-filter on the corpus scan, so the corpus-sized
-    shingle pass that the un-filtered form ran TWICE (once per join
-    side, candidates or not) shrinks to the pair members. The per-doc
-    shingle expression is unchanged, so each surviving pair's Jaccard is
-    bit-identical (A/B at sf0.1: verify segment 0.96 → 0.83 s, rows
-    identical). ``pairs_materialized=True`` skips the internal
-    localCheckpoint when the caller already materialized the pair list.
+    The shingle-set frame is deliberately NOT materialized even though
+    both join sides derive from it: shingle sets are corpus-sized
+    (every n-gram of every doc), so at 100 TB recomputing the cheap
+    projection twice beats storing it once — the opposite call from the
+    fixed-width fingerprint/band tables above.
 
     Shingle sets travel as xxhash64 LONG arrays, not string arrays
     (~3x fewer bytes through both joins — the heaviest payload in the
     verify stage); intersection/union SIZES, hence the Jaccard number
     the oracle hashes, are invariant to the injective keying."""
-    if not pairs_materialized:
-        pairs = pairs.localCheckpoint()
-
-    def side(side_col: str, set_col: str) -> DataFrame:
-        ids = pairs.select(F.col(side_col).alias(id_col)).distinct()
-        return df.join(F.broadcast(ids), id_col).select(
-            F.col(id_col).alias(side_col),
-            hashed_shingles(F.col(text_col), shingle_n, distinct=True).alias(set_col),
-        )
-
-    joined = pairs.join(side("doc_a", "set_a"), "doc_a").join(
-        side("doc_b", "set_b"), "doc_b"
+    sets = df.select(
+        F.col(id_col),
+        hashed_shingles(F.col(text_col), shingle_n, distinct=True).alias("sh_set"),
+    )
+    joined = (
+        pairs.join(sets.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh_set", "set_a"), "doc_a")
+        .join(sets.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh_set", "set_b"), "doc_b")
     )
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
     union = (F.size("set_a") + F.size("set_b")).cast("double") - inter
@@ -219,38 +207,20 @@ def cross_corpus_contamination(
         .join(te_side, ["band_id", "band_hash"])
         .select("train_id", "test_id")
         .distinct()
-        # materialized once (2 longs/row, O(contaminated docs)): both
-        # verify sides semi-filter on it, and without the checkpoint
-        # each consumer would re-run the signature/band pipeline
-        .localCheckpoint()
     )
     # hashed shingle-set arrays, same rationale as jaccard_verify: the
-    # Jaccard NUMBER is invariant, the broadcast/join payload ~3x
-    # smaller. Computed ONLY for candidate-pair members (r15, guide
-    # §3.2, the jaccard_verify fix): the un-filtered form ran the
-    # shingle pass over the ENTIRE training corpus when candidates are
-    # O(contaminated docs) — per-doc expression unchanged, Jaccard
-    # bit-identical.
-    sets_tr = train_df.join(
-        F.broadcast(cand.select(F.col("train_id").alias(id_col)).distinct()), id_col
-    ).select(
+    # Jaccard NUMBER is invariant, the broadcast/join payload ~3x smaller
+    sets_tr = train_df.select(
         F.col(id_col).alias("train_id"),
         hashed_shingles(F.col(text_col), shingle_n, distinct=True).alias("set_a"),
     )
-    sets_te = test_df.join(
-        F.broadcast(cand.select(F.col("test_id").alias(id_col)).distinct()), id_col
-    ).select(
+    sets_te = test_df.select(
         F.col(id_col).alias("test_id"),
         hashed_shingles(F.col(text_col), shingle_n, distinct=True).alias("set_b"),
     )
     if broadcast_test:
         sets_te = F.broadcast(sets_te)
-    # cand is broadcast in the verify joins (2 longs/row, bounded by
-    # test-side collisions — same order as the already-broadcast test
-    # band table times the collision rate): keeps the operator's
-    # no-shuffle-join contract now that the checkpointed cand carries no
-    # size estimate for the planner's own broadcast decision
-    joined = F.broadcast(cand).join(sets_tr, "train_id").join(sets_te, "test_id")
+    joined = cand.join(sets_tr, "train_id").join(sets_te, "test_id")
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
     union = (F.size("set_a") + F.size("set_b")).cast("double") - inter
     jac = F.round(inter / union, 6)

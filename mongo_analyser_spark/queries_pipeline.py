@@ -712,9 +712,9 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_match")
         )
     )
-    exact = jaccard_verify(
-        docs, pairs, "doc_id", "text", 3, pairs_materialized=True
-    ).select("doc_a", "doc_b", F.col("jaccard").alias("exact_jaccard"))
+    exact = jaccard_verify(docs, pairs, "doc_id", "text", 3).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("exact_jaccard")
+    )
     est = F.col("n_match").cast("double") / F.lit(NUM_MINHASH)
     return (
         n_match.join(exact, ["doc_a", "doc_b"])
