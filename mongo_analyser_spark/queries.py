@@ -2668,8 +2668,21 @@ WINDOW_QUERIES = (
     #       certification + bloom_decontaminate
     "adpcm_audio_features_documents",
     "deep_melt_arrow_documents",
-    "pca_project_wide_embeddings",
-    "ivfpq_wide_topk_embeddings",
+    # round-16 rotation (verdict-r15 #1): the two rows-only wide-tier
+    # rows made their one deliberate in-window appearance in r15 (the
+    # r7 HLL precedent) and rotate back to the tail — the driver counts
+    # a no_oracle record as not-correct, so a 50/50 zero-err window
+    # requires every slot hash-oracled. Their 64-dim hash-oracled
+    # siblings (pca_project_embeddings, ivfpq_topk_embeddings,
+    # pq_adc_rerank) stay in-window as the exactness witnesses, and the
+    # wide rows keep their pytest fidelity/recall gates + bench rows.
+    # IN: the two round-15 hash-oracled codec additions whose tail
+    # comments already scheduled them "in-window next per the rotation
+    # policy" — MPEG-1 Layer I subbands and progressive 12-bit JPEG —
+    # for their FIRST external records (audio family keeps wav/flac/
+    # g711/pcm24/adpcm in-window; jpeg12 baseline stays in-window).
+    "mp1_subband_features_documents",
+    "jpeg12p_pixel_stats_documents",
 )
 
 # Near-duplicates of an already-in-window sibling ride the tail (still
@@ -2704,18 +2717,16 @@ WINDOW_QUERIES = (
 #   user_totals_events        — ST5 stateful family keeps
 #                               dedup_first_event_per_user_type
 TAIL_QUERIES = (
-    # round-15 addition (verdict-r14 #7): MPEG-1 Audio Layer I subband
-    # round trip, hash-oracled by the stateless requantization formula
-    # (_mp1_sql) — the last formula-derivable MPEG audio layer; PCM
-    # synthesis + Layers II/III/AAC/Opus are declared permanent gates
-    # (SURVEY.md §2.18). Tail this round, in-window next per the
-    # rotation policy.
-    "mp1_subband_features_documents",
-    # round-15 addition: 12-bit PROGRESSIVE JPEG — the same even
-    # constant-block oracle as the in-window jpeg12 row over the SOF2
-    # container (encode_jpeg12_progressive), closing the last
-    # non-arithmetic JPEG gate; tail this round per the rotation policy
-    "jpeg12p_pixel_stats_documents",
+    # round-16 rotation (verdict-r15 #1): the production-width tier back
+    # to the tail after its one deliberate rows-only in-window
+    # appearance (CORRECTNESS_r15 records it; the r7 HLL precedent) —
+    # still registered, benched, and gated by tests/test_pca.py
+    # (planted-subspace fidelity) + tests/test_pq.py (recall@5)
+    "pca_project_wide_embeddings",
+    "ivfpq_wide_topk_embeddings",
+    # (mp1_subband_features_documents / jpeg12p_pixel_stats_documents
+    # promoted in-window round 16 for their first external records, as
+    # their round-15 comments scheduled)
     # round-15 addition: 12-bit SUBSAMPLED (4:2:0) JPEG — the third
     # container against the same even constant-block oracle (3-channel
     # gray-RGB law), closing the 12-bit-subsampling gate; the JPEG gate

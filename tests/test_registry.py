@@ -104,8 +104,13 @@ MUST_BE_CHECKED = [
     # each and in-window family siblings (queries.py round-15 note)
     "adpcm_audio_features_documents",
     "deep_melt_arrow_documents",
-    "pca_project_wide_embeddings",
-    "ivfpq_wide_topk_embeddings",
+    # round-16 rotation (verdict-r15 #1): the two rows-only wide-tier
+    # rows rotated back to the tail after their one deliberate
+    # in-window appearance (CORRECTNESS_r15); the two round-15
+    # hash-oracled codec additions take the slots for their first
+    # external records
+    "mp1_subband_features_documents",
+    "jpeg12p_pixel_stats_documents",
 ]
 
 
@@ -150,16 +155,12 @@ def test_every_query_has_an_oracle_or_is_declared_rows_only():
     # an exact in-window twin). field_stats_events_hll made its one
     # deliberate in-window appearance in round 7 (CORRECTNESS_r07 records
     # the weaker rows-only check); round 8 restored a 50/50 hash-green
-    # window (verdict-r7 #2). Round 15 repeats that precedent for the
-    # production-width tier (verdict-r14 #1): pca_project_wide /
-    # ivfpq_wide make their one deliberate in-window appearance so the
-    # external record shows the declared rows-only check; they rotate
-    # back to the tail next round.
+    # window (verdict-r7 #2). Round 15 repeated that precedent for the
+    # production-width tier (verdict-r14 #1); round 16 restores the
+    # 50/50 hash-green window (verdict-r15 #1): every in-window row is
+    # hash-oracled again.
     first = set(list(QUERIES)[:CHECK_WINDOW])
-    assert ROWS_ONLY & first == {
-        "pca_project_wide_embeddings",
-        "ivfpq_wide_topk_embeddings",
-    }
+    assert ROWS_ONLY & first == set()
     assert {"field_stats_events", "value_percentiles_events"} <= set(QUERIES)
 
 
