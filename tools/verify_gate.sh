@@ -65,12 +65,13 @@ echo "== [4/4] bench completes under budget and prints one JSON line =="
 # heredoc replace the piped stdin and json.loads('') always fails.
 BENCH_BUDGET_S="${BENCH_BUDGET_S:-1200}"
 T0=$(date +%s)
-# round 14: bench prints TWO JSON lines — the full per-query line, then a
-# compact summary LAST (it survives the driver's front-truncation). Grade
-# the full line; sanity-check the summary.
-BENCH_TAIL="$(timeout "$BENCH_BUDGET_S" python bench.py 2>/dev/null | tail -2)"
-BENCH_OUT="$(printf '%s\n' "$BENCH_TAIL" | head -1)"
-BENCH_SUM="$(printf '%s\n' "$BENCH_TAIL" | tail -1)"
+# round 16: bench prints the full per-query line FIRST, then <=50-row
+# bench_queries chunks (verdict-r15 #2 — they survive the driver's
+# front-truncation), then the compact summary LAST. Grade the full
+# first line; sanity-check the summary last line.
+BENCH_RAW="$(timeout "$BENCH_BUDGET_S" python bench.py 2>/dev/null)"
+BENCH_OUT="$(printf '%s\n' "$BENCH_RAW" | head -1)"
+BENCH_SUM="$(printf '%s\n' "$BENCH_RAW" | tail -1)"
 # persist the per-query timings so tools/bench_compare.py can run a
 # vs-BASELINE regression report on the SAME run the gate graded
 printf '%s\n' "$BENCH_OUT" > .bench_last.json
