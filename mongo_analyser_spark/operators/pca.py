@@ -167,12 +167,19 @@ def pca_project(
     dim: int,
     k: int = 4,
     round_to: int = 6,
+    final_sort: bool = True,
 ) -> DataFrame:
     """(id, proj): each vector's coordinates on the top-k principal
     components. The components travel as ONE broadcast DATA row;
     projection is k sequential fold-dots, shuffle-free. DECLARED
     rows-only in the registry (no SQL eigendecomposition); pytest pins
-    the projections against numpy directly."""
+    the projections against numpy directly.
+
+    ``final_sort=False`` skips the deterministic output sort for
+    consumers that re-shape and sort themselves (the r15
+    tfidf_cosine_pairs(final_sort=False) pattern) — the wide registry
+    row explodes to long form first, and a dead inner sort would cost
+    a range exchange plus a resample of the projection."""
     comps, _ = pca_components(df, id_col, vec_col, dim, k)
     spark = df.sparkSession
     comp_row = spark.createDataFrame(
@@ -184,17 +191,14 @@ def pca_project(
     # per-component lambda and re-builds the O(d) cast array once per
     # component probe (the hof-loop-invariant-producer class, round 15)
     vec = F.col(vec_col)
-    return (
-        df.crossJoin(F.broadcast(comp_row))
-        .select(
-            F.col(id_col),
-            F.transform(
-                F.col("comps"),
-                lambda c: F.round(_fold_dot(vec, c), round_to),
-            ).alias("proj"),
-        )
-        .orderBy(id_col)
+    out = df.crossJoin(F.broadcast(comp_row)).select(
+        F.col(id_col),
+        F.transform(
+            F.col("comps"),
+            lambda c: F.round(_fold_dot(vec, c), round_to),
+        ).alias("proj"),
     )
+    return out.orderBy(id_col) if final_sort else out
 
 
 def _qfloor(x: float, scale: float = 1e9) -> float:
@@ -435,7 +439,17 @@ def pca_project_wide(
     rows-only — eigh has no SQL twin; the quantization-synced 64-dim
     power-iteration row remains the hash-oracled exactness witness."""
     jdf = jl_project_arrow(df, id_col, vec_col, in_dim, jl_dim)
-    return pca_project(jdf, id_col, "jvec", jl_dim, k, round_to)
+    # r16 (guide §1.2 — don't compute things twice): the JL frame feeds
+    # THREE executions per run — the covariance collect inside
+    # pca_components, the projection pass, and (when a sort sits on
+    # top) the range sampler's re-read of the un-materialized pipeline.
+    # One lazy localCheckpoint of the skinny (id, jvec[jl_dim]) rows:
+    # the covariance pass materializes it, everything downstream reads
+    # the materialized partitions instead of re-running widen+JL.
+    # Within-query artifact, same discipline as the dedup fingerprints.
+    jdf = jdf.localCheckpoint(eager=False)
+    return pca_project(jdf, id_col, "jvec", jl_dim, k, round_to,
+                       final_sort=False)
 
 
 def jl_planes(out_dim: int, in_dim: int) -> list[list[float]]:

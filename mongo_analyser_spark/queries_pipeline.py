@@ -3864,13 +3864,37 @@ def q_pca_project_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring of pca_project_wide says so). DECLARED rows-only;
     tests/test_pca.py gates planted-subspace recovery (principal-angle
     cosines >= 0.95, explained-variance share >= 0.9) through these
-    exact operators."""
+    exact operators.
+
+    Round 16 (verdict-r15 #1a): emitted LONG-FORM (vec_id, pos, val)
+    like the hash-oracled 64-dim sibling — the r15 driver canonicalizer
+    crashed on the array column (pandas sort_values: unhashable list),
+    so the row must be scalar-only for its external record to land.
+    The output sort is a bare range sort (sort_plain): the under-sort
+    segment is a 4-way explode over the operator's checkpointed JL
+    frame plus the broadcast fold — the materialized artifact already
+    bounds the sampler's re-read (the r15 decision rule).
+
+    posexplode_OUTER, deliberately (r16, guide §4.4 duplicate
+    evaluation): plain posexplode makes InferFiltersFromGenerate add
+    ``size(proj)>0 AND isnotnull(proj)`` below the Generate, and
+    pushdown lands it in the cross-join condition with ``proj``'s
+    whole k×jl_dim fold substituted — the fold then evaluates 3×
+    per row (twice in the condition, once in the projection).
+    ``proj`` is a transform over the non-null broadcast comps row, so
+    it is never null/empty and OUTER emits the identical rows."""
+    from mongo_analyser_spark.operators.fanout import sort_plain
     from mongo_analyser_spark.operators.pca import pca_project_wide
 
-    return pca_project_wide(
+    proj = pca_project_wide(
         _wide_embeddings(spark, sf_dir), "vec_id", "wvec", _WIDE_DIM,
         jl_dim=EMB_DIM, k=_PCA_K,
     )
+    return proj.select(
+        "vec_id", F.posexplode_outer("proj").alias("pos", "val")
+    ).select(
+        "vec_id", (F.col("pos") + 1).cast("int").alias("pos"), "val"
+    ).transform(sort_plain, "vec_id", "pos")
 
 
 _WIDE_CB_CACHE: dict[str, object] = {}
@@ -3941,13 +3965,19 @@ def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     2003 +/-1 rows, md5-seeded like the SRP planes). Planes ship as one
     broadcast DATA row (constants, reproducible in SQL); per-vector
     fold order is explicit, so every coordinate HASH-MATCHES. At 100 TB
-    this is a shuffle-free projection fused into the scan."""
+    this is a shuffle-free projection fused into the scan.
+
+    posexplode_OUTER (r16, guide §4.4): see q_pca_project_wide — the
+    inferred generate filter otherwise lands the whole 16×64 fold in
+    the cross-join condition and evaluates it 3× per row. ``proj`` is
+    a transform over the non-null broadcast planes row (never
+    null/empty), so OUTER emits identical rows."""
     from mongo_analyser_spark.operators.pca import jl_project
 
     emb = load_table(spark, sf_dir, "embeddings")
     proj = jl_project(emb, "vec_id", "embedding", EMB_DIM, _JL_OUT_DIM)
     return proj.select(
-        "vec_id", F.posexplode("proj").alias("pos", "val")
+        "vec_id", F.posexplode_outer("proj").alias("pos", "val")
     ).select(
         "vec_id", (F.col("pos") + 1).cast("int").alias("pos"), "val"
     ).transform(sort_after_python, "vec_id", "pos")

@@ -278,7 +278,9 @@ def test_pca_project_wide_registry_row_consistent(spark):
     jrows = {r["vec_id"]: np.asarray(r["jvec"]) for r in jdf.collect()}
     comps, _ = pca_components(jdf, "vec_id", "jvec", EMB_DIM, _PCA_K)
     W = np.array(comps)
-    assert len(out) == len(jrows)
-    for r in out[:50]:
+    # round 16: long form (vec_id, pos, val) — driver-canonicalizable
+    # scalars only (verdict-r15 #1a); k rows per vector, 1-based pos
+    assert len(out) == len(jrows) * _PCA_K
+    for r in out[: 50 * _PCA_K]:
         want = np.round(W @ jrows[r["vec_id"]], 6)
-        assert np.allclose(r["proj"], want, atol=1e-9), r["vec_id"]
+        assert abs(r["val"] - want[r["pos"] - 1]) <= 1e-9, r
