@@ -532,6 +532,13 @@ def cosine_near_dup_pairs(
 
     Reference parity: the dedup tier extends mongo_analyser's field-stat
     scans (mongo_analyser/core/analyser.py) to corpus-dedup [EXT].
+
+    ``n_rows``: exact row count of ``df`` — the WHOLE-TABLE contract:
+    pass a parquet-footer count (sources.parquet.table_row_count) only
+    when ``df`` is that table unfiltered/unexploded; a count for a
+    filtered or transformed frame silently mis-sizes the LSH band
+    params (recall degradation with no error). Leave None to pay the
+    one count job on anything derived.
     """
     from mongo_analyser_spark.operators.similarity import (
         as_double_vec,

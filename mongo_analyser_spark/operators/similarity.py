@@ -481,7 +481,6 @@ def _scores_arrow(
     norm fold runs on the vector's own length), __scores is an all-NULL
     array (zip_with pads with nulls, poisoning each fold)."""
     import numpy as np
-    import pandas as pd
 
     import pyarrow as pa
 

@@ -141,13 +141,21 @@ def table_row_count(sf_dir: str, name: str) -> int:
     n = _ROW_COUNT_CACHE.get(key)
     if n is None:
         if os.path.isdir(path):
-            n = sum(
-                pq.read_metadata(os.path.join(path, f)).num_rows
-                for f in sorted(os.listdir(path))
-                if f.endswith(".parquet")
-            )
+            # recursive walk (r16, ADVICE): a Hive-partitioned layout
+            # (key=value subdirectories) would silently count 0 under a
+            # top-level-only listing and mis-size SRP band params
+            n = 0
+            for root, _dirs, files in os.walk(path):
+                for f in sorted(files):
+                    if f.endswith(".parquet"):
+                        n += pq.read_metadata(os.path.join(root, f)).num_rows
         else:
             n = pq.read_metadata(path).num_rows
+        if n <= 0:
+            raise ValueError(
+                f"table_row_count({path}): 0 rows from footer metadata — "
+                "unexpected layout; refusing to mis-size downstream params"
+            )
         _ROW_COUNT_CACHE[key] = n
     return n
 

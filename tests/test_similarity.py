@@ -344,7 +344,9 @@ def test_srp_sig_arrow_matches_expression_bits(spark):
     Arrow kernel; every sign string must equal the interpreted
     _srp_bits form exactly, including the rows it zero-fills (NULL
     vector, null element, ragged length) and NaN propagation
-    (when(NaN >= 0) falls to '0')."""
+    (a NaN fold emits '1': Spark orders NaN greater than any numeric,
+    so when(NaN >= 0) is TRUE — see the kernel docstring in
+    similarity.py)."""
     import random
 
     from pyspark.sql import functions as F
