@@ -42,7 +42,11 @@ from mongo_analyser_spark.operators.fanout import (
 )
 from mongo_analyser_spark.operators.field_stats import TS_FMT
 from mongo_analyser_spark.queries import ORACLE_GENERATORS, register
-from mongo_analyser_spark.sources.parquet import load_table, table_row_count
+from mongo_analyser_spark.sources.parquet import (
+    load_table,
+    table_bytes,
+    table_row_count,
+)
 
 EMB_DIM = 64
 NUM_MINHASH = 8
@@ -473,7 +477,10 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(docs, "doc_id", "text", NUM_MINHASH)
     bands = lsh_band_hashes(sigs, "doc_id", LSH_BANDS, LSH_ROWS)
     pairs = lsh_candidate_pairs(bands, "doc_id")
-    return jaccard_verify(docs, pairs, "doc_id", "text").orderBy("doc_a", "doc_b")
+    return jaccard_verify(
+        docs, pairs, "doc_id", "text",
+        corpus_bytes=table_bytes(sf_dir, "documents"),
+    ).orderBy("doc_a", "doc_b")
 
 
 @register(
@@ -510,6 +517,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_corpus_contamination(
         train, test, "doc_id", "text",
         NUM_MINHASH, LSH_BANDS, LSH_ROWS, min_jaccard=0.5,
+        train_bytes=table_bytes(sf_dir, "documents"),
     ).transform(sort_after_python, "train_id", "test_id")
 
 
@@ -712,7 +720,10 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_match")
         )
     )
-    exact = jaccard_verify(docs, pairs, "doc_id", "text", 3).select(
+    exact = jaccard_verify(
+        docs, pairs, "doc_id", "text", 3,
+        corpus_bytes=table_bytes(sf_dir, "documents"),
+    ).select(
         "doc_a", "doc_b", F.col("jaccard").alias("exact_jaccard")
     )
     est = F.col("n_match").cast("double") / F.lit(NUM_MINHASH)
@@ -752,9 +763,10 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup (north-star): min-shingle-hash blocking
     (the 1-band degenerate of LSH) + exact shingle-set Jaccard ≥ 0.1."""
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.1).orderBy(
-        "doc_a", "doc_b"
-    )
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.1,
+        corpus_bytes=table_bytes(sf_dir, "documents"),
+    ).orderBy("doc_a", "doc_b")
 
 
 @register(
@@ -796,9 +808,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo_analyser_spark.operators.dedup import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.1).select(
-        "doc_a", "doc_b"
-    )
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.1,
+        corpus_bytes=table_bytes(sf_dir, "documents"),
+    ).select("doc_a", "doc_b")
     return dedup_clusters(
         docs, pairs, "doc_id", left="doc_a", right="doc_b"
     ).orderBy("id")

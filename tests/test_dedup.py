@@ -535,3 +535,56 @@ def test_merge_start_intervals_matches_python_union(spark):
     }
     for i, c in enumerate(cases):
         assert got[i] == py_union(c), (i, c)
+
+
+def test_jaccard_semi_filter_parity(spark, docs):
+    """r16 (verdict-r15 #5): the candidate semi-filter path (gate open —
+    pair list checkpointed, per-side ids broadcast-semi-joined onto the
+    corpus scan) must produce the exact rows of the ungated double-pass
+    form, including the threshold filter."""
+    from mongo_analyser_spark.operators.dedup import (
+        cross_corpus_contamination,
+        jaccard_verify,
+        lsh_band_hashes,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    bands = lsh_band_hashes(sigs, "doc_id", bands=4, rows_per_band=2)
+    pairs = lsh_candidate_pairs(bands, "doc_id")
+
+    base = sorted(
+        map(tuple, jaccard_verify(docs, pairs, "doc_id", "text").collect())
+    )
+    # corpus_bytes far above the default 256 MiB threshold → gate open
+    semi = sorted(
+        map(
+            tuple,
+            jaccard_verify(
+                docs, pairs, "doc_id", "text", corpus_bytes=1 << 40
+            ).collect(),
+        )
+    )
+    assert semi == base and len(base) > 0
+
+    train = docs.filter("doc_id % 2 = 1")
+    test = docs.filter("doc_id % 2 = 0")
+    base_c = sorted(
+        map(
+            tuple,
+            cross_corpus_contamination(
+                train, test, "doc_id", "text", min_jaccard=0.0
+            ).collect(),
+        )
+    )
+    semi_c = sorted(
+        map(
+            tuple,
+            cross_corpus_contamination(
+                train, test, "doc_id", "text", min_jaccard=0.0,
+                train_bytes=1 << 40,
+            ).collect(),
+        )
+    )
+    assert semi_c == base_c and len(base_c) > 0
