@@ -69,6 +69,31 @@ def _features(
     ).select(id_col, "__t", md5_bucket(F.col("g"), buckets).alias("b"))
 
 
+def _feats_ckpt_open(corpus_bytes: int | None) -> bool:
+    """Materialize-vs-recompute cost rule for the occurrence-level
+    feature frame (r16, guide §1.2 + the §8 metadata-vs-payload trade):
+    the (id, __t, b) rows are ~17 B per token/bigram occurrence — about
+    5× the source text bytes — and BOTH the bucket histogram and the
+    per-doc weights consume them. Below the threshold, one write+read
+    of that artifact (page-cache cheap) beats re-scanning and
+    re-tokenizing + re-hashing the corpus for the second consumer
+    (measured at sf0.1: dsir_weights 2.51 → 1.48 s min-of-7,
+    value-identical). Above it, pushing a 5×-corpus artifact through
+    local disks loses to recomputing the cheap projection — the
+    jaccard_verify corpus-sized-frame rule, so the default for unknown
+    or big corpora is RECOMPUTE (the 100 TB-safe path).
+    ``SPARK_GRAFT_DSIR_FEATS_CKPT_MAX_BYTES`` (default 1 GiB) tunes the
+    crossover."""
+    if corpus_bytes is None:
+        return False
+    import os
+
+    thr = int(
+        os.environ.get("SPARK_GRAFT_DSIR_FEATS_CKPT_MAX_BYTES", str(1 << 30))
+    )
+    return corpus_bytes <= thr
+
+
 def dsir_weights(
     docs: DataFrame,
     target: Column,
@@ -76,28 +101,43 @@ def dsir_weights(
     text_col: str = "text",
     buckets: int = 4096,
     round_to: int = 6,
+    corpus_bytes: int | None = None,
 ) -> DataFrame:
     """(id, n_feats, dsir_logratio) for every RAW (non-target) document:
     the importance log-ratio of its hashed-n-gram profile under the
     target-vs-raw multinomials. ``target`` is a boolean Column over
-    ``docs`` (e.g. ``F.col("lang") == "en"``)."""
+    ``docs`` (e.g. ``F.col("lang") == "en"``). ``corpus_bytes`` (r16):
+    the corpus table's on-disk size, arming the small-corpus
+    materialization rule — see ``_feats_ckpt_open``."""
     feats = _features(docs, target, id_col, text_col, buckets)
-    # r15 (guide §1.2): the bucket-count table fed THREE consumers
-    # (totals, lam, and transitively the weights join), and each
-    # consumer's subtree re-ran the corpus-wide feature explode +
-    # md5 bucketing. Materialize the <= ``buckets``-row count table
-    # once — the explode now runs twice total (once for counts, once
-    # for the per-doc weights side, which stays deliberately
-    # unmaterialized like jaccard_verify's shingle sets) instead of
-    # three times. Measured at sf0.1: dsir_weights 2.09 s -> ~1.4 s.
-    counts = (
-        feats.groupBy("b")
-        .agg(
+    if _feats_ckpt_open(corpus_bytes):
+        # ONE feature explode total: the occurrence frame itself is
+        # materialized and both consumers (bucket histogram + per-doc
+        # weights) read it. The counts table needs no checkpoint of its
+        # own — its re-aggregation from the materialized frame is two
+        # cheap jobs (totals broadcast + lam broadcast).
+        feats = feats.localCheckpoint()
+        counts = feats.groupBy("b").agg(
             F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("t_b"),
             F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("r_b"),
         )
-        .localCheckpoint()
-    )
+    else:
+        # r15 (guide §1.2): the bucket-count table fed THREE consumers
+        # (totals, lam, and transitively the weights join), and each
+        # consumer's subtree re-ran the corpus-wide feature explode +
+        # md5 bucketing. Materialize the <= ``buckets``-row count table
+        # once — the explode now runs twice total (once for counts, once
+        # for the per-doc weights side, which stays deliberately
+        # unmaterialized like jaccard_verify's shingle sets) instead of
+        # three times. Measured at sf0.1: dsir_weights 2.09 s -> ~1.4 s.
+        counts = (
+            feats.groupBy("b")
+            .agg(
+                F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("t_b"),
+                F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("r_b"),
+            )
+            .localCheckpoint()
+        )
     totals = counts.agg(
         F.sum("t_b").alias("t_total"), F.sum("r_b").alias("r_total")
     )
@@ -126,11 +166,13 @@ def dsir_select(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 4096,
+    corpus_bytes: int | None = None,
 ) -> DataFrame:
     """Deterministic top-k raw documents by importance log-ratio
     (TakeOrdered; ties break on id so the cut is engine-stable)."""
     return (
-        dsir_weights(docs, target, id_col, text_col, buckets)
+        dsir_weights(docs, target, id_col, text_col, buckets,
+                     corpus_bytes=corpus_bytes)
         .orderBy(F.desc("dsir_logratio"), id_col)
         .limit(k)
     )

@@ -2949,7 +2949,10 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo_analyser_spark.operators.dsir import dsir_weights
 
     docs = load_table(spark, sf_dir, "documents")
-    return dsir_weights(docs, F.col("lang") == "en", buckets=_DSIR_B).orderBy(
+    return dsir_weights(
+        docs, F.col("lang") == "en", buckets=_DSIR_B,
+        corpus_bytes=table_bytes(sf_dir, "documents"),
+    ).orderBy(
         "doc_id"
     )
 
@@ -2969,7 +2972,10 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo_analyser_spark.operators.dsir import dsir_select
 
     docs = load_table(spark, sf_dir, "documents")
-    return dsir_select(docs, F.col("lang") == "en", k=200, buckets=_DSIR_B)
+    return dsir_select(
+        docs, F.col("lang") == "en", k=200, buckets=_DSIR_B,
+        corpus_bytes=table_bytes(sf_dir, "documents"),
+    )
 
 
 @register("jpeg_pixel_stats_documents")

@@ -123,3 +123,24 @@ def test_null_target_label_counts_as_raw(spark):
         for r in dsir_weights(df, F.col("is_t"), buckets=B).collect()
     }
     assert with_null[3] != base[3][1]
+
+def test_feats_ckpt_branch_parity(spark):
+    """r16: the small-corpus materialization branch (corpus_bytes under
+    the _feats_ckpt_open threshold → ONE feature explode, consumers
+    read the checkpointed occurrence frame) must produce exactly the
+    recompute branch's rows."""
+    df = spark.createDataFrame(
+        DOCS, "doc_id long, text string, is_t boolean"
+    )
+    base = sorted(
+        map(tuple, dsir_weights(df, F.col("is_t"), buckets=B).collect())
+    )
+    ckpt = sorted(
+        map(
+            tuple,
+            dsir_weights(
+                df, F.col("is_t"), buckets=B, corpus_bytes=1
+            ).collect(),
+        )
+    )
+    assert ckpt == base and len(base) > 0
