@@ -169,6 +169,29 @@ def bloom_member(gram: Column, words: Column, num_hashes: int, num_bits: int) ->
     )
 
 
+def _grams_ckpt_open(train_bytes: int | None) -> bool:
+    """Materialize-vs-recompute rule for the per-doc distinct-gram
+    arrays (r16, the dsir._feats_ckpt_open pattern): the TRAIN corpus
+    feeds TWO passes — the per-doc Bloom probe (array form) and the
+    exact-certification join (exploded form) — and each pass re-runs
+    the scan + n-gram zip_with build. Distinct 8-gram arrays are ~10×
+    the source text, so below the threshold one write+read of the
+    artifact beats the second scan+shingle pass (measured at sf0.1:
+    bloom_decontaminate 1.66 → 1.13 s min-of-7, rows identical), while
+    at corpus scale pushing 10× the text through disks loses to
+    recomputing the cheap projection — recompute stays the default
+    and the 100 TB-safe path.
+    ``SPARK_GRAFT_BLOOM_GRAMS_CKPT_MAX_BYTES`` (default 256 MiB)."""
+    if train_bytes is None:
+        return False
+    import os
+
+    thr = int(
+        os.environ.get("SPARK_GRAFT_BLOOM_GRAMS_CKPT_MAX_BYTES", str(256 << 20))
+    )
+    return train_bytes <= thr
+
+
 def bloom_ngram_contamination(
     train: DataFrame,
     test: DataFrame,
@@ -177,6 +200,7 @@ def bloom_ngram_contamination(
     n: int = 8,
     num_hashes: int = 2,
     num_bits: int = 16384,
+    train_bytes: int | None = None,
 ) -> DataFrame:
     """(train_id, n_grams, n_bloom_hits, n_exact_hits, n_false_pos,
     bloom_flag): every training document's distinct-n-gram count, how
@@ -202,8 +226,14 @@ def bloom_ngram_contamination(
     # bloom-probe filter evaluated the zip_with gram build twice per row
     # (no CSE across HOF consumers; the hof-inline-producer class).
     grams = F.array_distinct(shingles(F.col(text_col), n))
+    gtab = train.select(F.col(id_col).alias("train_id"), grams.alias("__g"))
+    ckpt = _grams_ckpt_open(train_bytes)
+    if ckpt:
+        # ONE scan+shingle pass total: the probe (array form) and the
+        # exact join (exploded form) both read the materialized arrays
+        gtab = gtab.localCheckpoint()
     bloomed = (
-        train.select(F.col(id_col).alias("train_id"), grams.alias("__g"))
+        gtab
         .crossJoin(F.broadcast(words_row))
         .select(
             "train_id",
@@ -230,9 +260,14 @@ def bloom_ngram_contamination(
     # (bounded), so carrying its gram text costs no shuffle; the
     # train-side text is already in flight for the hash.
     te = test.select(gram_src).distinct()
-    tr = train.select(F.col(id_col).alias("train_id"), gram_src).select(
-        "train_id", "g", F.xxhash64("g").alias("gh")
-    )
+    if ckpt:
+        tr = gtab.select("train_id", F.explode("__g").alias("g")).select(
+            "train_id", "g", F.xxhash64("g").alias("gh")
+        )
+    else:
+        tr = train.select(F.col(id_col).alias("train_id"), gram_src).select(
+            "train_id", "g", F.xxhash64("g").alias("gh")
+        )
     exact = (
         tr.join(
             F.broadcast(

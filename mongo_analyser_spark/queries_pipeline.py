@@ -620,7 +620,10 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file scan's ONE partition (the char_entropy/jpeg pattern)
     train = fanout_for_python(docs.filter(F.col("doc_id") % 10 != 0))
     return bloom_ngram_contamination(
-        train, test, "doc_id", "text", n=8, num_hashes=_BLOOM_K, num_bits=_BLOOM_BITS
+        train, test, "doc_id", "text", n=8, num_hashes=_BLOOM_K, num_bits=_BLOOM_BITS,
+        # whole-table size as the cost-gate upper bound for the 90%
+        # train split (operators/bloom._grams_ckpt_open)
+        train_bytes=table_bytes(sf_dir, "documents"),
     )
 
 

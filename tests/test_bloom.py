@@ -145,3 +145,37 @@ def test_bloom_fill_fraction_counts_set_bits(spark):
     # <= 100 positions over 1024 bits, > 0, fill = bits/1024
     assert 0 < row["bits_set"] <= 100
     assert row["fill"] == round(row["bits_set"] / 1024.0, 6)
+
+
+def test_grams_ckpt_branch_parity(spark):
+    """r16: the small-corpus materialization branch (train_bytes under
+    _grams_ckpt_open's threshold → one scan+shingle pass, probe and
+    exact join both read the checkpointed gram arrays) must produce
+    exactly the recompute branch's rows."""
+    rows = [
+        (0, "one two three four five"),
+        (1, "one two three four five"),
+        (2, "p q r s t u v w"),
+        (3, "three four five six seven eight"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    test = docs.filter(F.col("doc_id") == 0)
+    train = docs.filter(F.col("doc_id") > 0)
+    base = sorted(
+        map(
+            tuple,
+            bloom_ngram_contamination(
+                train, test, "doc_id", "text", n=3, num_hashes=K, num_bits=M
+            ).collect(),
+        )
+    )
+    ckpt = sorted(
+        map(
+            tuple,
+            bloom_ngram_contamination(
+                train, test, "doc_id", "text", n=3, num_hashes=K,
+                num_bits=M, train_bytes=1,
+            ).collect(),
+        )
+    )
+    assert ckpt == base and len(base) == 3
