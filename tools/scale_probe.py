@@ -181,7 +181,14 @@ def build_sf1(base_sf: str = "/root/testdata/sf0.1") -> str:
     dimension per copy;
     events shift user_id per copy (10x users, same history depth per
     user). TPC-H tables are symlinked (the flagship set doesn't read
-    them)."""
+    them).
+
+    r16: generated tables are written with ROW_GROUP_SIZE 4096 (the
+    zipf twin already was) so scans SPLIT — a single ~6 MB row group
+    caps every scan at one task and makes core-scaling unmeasurable
+    (the fixture artifact behind the ≈1.0 low/high ratios in
+    PERF_r15's scaling block); a production table has thousands of
+    row groups. Delete .scale/sf1 after changing the layout."""
     import duckdb
 
     os.makedirs(SF1_DIR, exist_ok=True)
@@ -194,7 +201,7 @@ COPY (
          user_id + c.c * 1500 AS user_id, event_type, value, props
   FROM read_parquet('{base_sf}/events.parquet')
   CROSS JOIN generate_series(0, 9) c(c)
-) TO '{ev}' (FORMAT PARQUET)""")
+) TO '{ev}' (FORMAT PARQUET, ROW_GROUP_SIZE 4096)""")
     dc = os.path.join(SF1_DIR, "documents.parquet")
     if not os.path.exists(dc):
         con.execute(f"""
@@ -207,7 +214,7 @@ COPY (
          lang, source, n_chars
   FROM read_parquet('{base_sf}/documents.parquet')
   CROSS JOIN generate_series(0, 9) c(c)
-) TO '{dc}' (FORMAT PARQUET)""")
+) TO '{dc}' (FORMAT PARQUET, ROW_GROUP_SIZE 4096)""")
     em = os.path.join(SF1_DIR, "embeddings.parquet")
     if not os.path.exists(em):
         con.execute(f"""
@@ -220,7 +227,7 @@ COPY (
          label
   FROM read_parquet('{base_sf}/embeddings.parquet')
   CROSS JOIN generate_series(0, 9) c(c)
-) TO '{em}' (FORMAT PARQUET)""")
+) TO '{em}' (FORMAT PARQUET, ROW_GROUP_SIZE 4096)""")
     for f in os.listdir(base_sf):
         dst = os.path.join(SF1_DIR, f)
         if not os.path.exists(dst):
@@ -430,7 +437,7 @@ COPY (
          event_type, value, props
   FROM read_parquet('{base_sf}/events.parquet')
   CROSS JOIN generate_series(0, 9) c(c)
-) TO '{ev}' (FORMAT PARQUET)""")
+) TO '{ev}' (FORMAT PARQUET, ROW_GROUP_SIZE 4096)""")
     dc = os.path.join(SF1_ZIPF_DIR, "documents.parquet")
     if not os.path.exists(dc):
         con.execute(f"""
@@ -446,7 +453,7 @@ COPY (
          n_chars
   FROM read_parquet('{base_sf}/documents.parquet')
   CROSS JOIN generate_series(0, 9) c(c)
-) TO '{dc}' (FORMAT PARQUET)""")
+) TO '{dc}' (FORMAT PARQUET, ROW_GROUP_SIZE 4096)""")
     # embeddings + remaining tables: reuse the uniform tier's artifacts
     uni = build_sf1(base_sf)
     for f in os.listdir(uni):
