@@ -20,7 +20,7 @@ import os
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mongo_analyser_spark.operators.fanout import sort_plain
+from mongo_analyser_spark.operators.fanout import fanout_for_python, sort_plain
 
 from mongo_analyser_spark.functions.text import shingles, tokens
 
@@ -67,7 +67,14 @@ def minhash_signatures(
     One explode + one groupBy(id) with k min-aggregates — a single
     shuffle; signature state is k strings per document regardless of
     document length. Lexicographic min over md5 hex == min over the
-    128-bit integer, so string ordering is portable."""
+    128-bit integer, so string ordering is portable.
+
+    r16: adaptive fanout before the explode — the k md5-per-gram
+    map-side pass is the operator's dominant cost and serialized on
+    the fixture's one-row-group scan task (fanout_for_python docstring;
+    A/B 2.80 → 1.27 s at sf0.1, signatures identical). Auto-skipped
+    when the scan already splits."""
+    df = fanout_for_python(df, id_col)
     sh = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
     )
@@ -187,7 +194,14 @@ def jaccard_verify(
     Shingle sets travel as xxhash64 LONG arrays, not string arrays
     (~3x fewer bytes through both joins — the heaviest payload in the
     verify stage); intersection/union SIZES, hence the Jaccard number
-    the oracle hashes, are invariant to the injective keying."""
+    the oracle hashes, are invariant to the injective keying.
+
+    r16: adaptive fanout before the shingle build — the per-doc
+    tokenize + n-gram zip + xxhash64 chain serialized on the fixture's
+    one-row-group scan task; both join sides read the SAME fanout
+    exchange (ReuseExchange), and the auto probe skips it when the
+    scan already splits (fanout_for_python docstring)."""
+    df = fanout_for_python(df, id_col)
     if _semi_filter_open(corpus_bytes):
         pairs = pairs.localCheckpoint()
 
@@ -289,7 +303,7 @@ def cross_corpus_contamination(
             F.broadcast(cand.select(F.col("train_id").alias(id_col)).distinct()),
             id_col,
         )
-    sets_tr = sets_tr_src.select(
+    sets_tr = fanout_for_python(sets_tr_src, id_col).select(
         F.col(id_col).alias("train_id"),
         hashed_shingles(F.col(text_col), shingle_n, distinct=True).alias("set_a"),
     )
@@ -346,7 +360,12 @@ def exact_ngram_contamination(
     structure here. A 64-bit collision would need ~2^32 DISTINCT grams
     on one side to reach even-odds (billions of grams at 100 TB stay
     ~1e-4); a collision can only ADD a spurious hit-gram, never drop a
-    real one. Output counts are hash-invariant otherwise."""
+    real one. Output counts are hash-invariant otherwise.
+
+    r16: adaptive fanout on the TRAIN side — the tokenize + 8-gram zip
+    + xxhash64 map pass serialized on the one-row-group fixture scan
+    task; auto-skipped when the scan splits (fanout_for_python
+    docstring). The broadcast test side stays un-fanned (bounded)."""
     te_grams = (
         test_df.select(
             F.explode(hashed_shingles(F.col(text_col), n, distinct=True)).alias("g")
@@ -356,7 +375,7 @@ def exact_ngram_contamination(
     )
     if broadcast_test:
         te_grams = F.broadcast(te_grams)
-    tr_grams = train_df.select(
+    tr_grams = fanout_for_python(train_df, id_col).select(
         F.col(id_col).alias("train_id"),
         F.explode(hashed_shingles(F.col(text_col), n, distinct=True)).alias("g"),
     )
@@ -397,7 +416,7 @@ def ngram_jaccard_pairs(
     # pass. The block key ships as xxhash64 of the fingerprint (8 bytes,
     # not the 32-char hex) — it only ever equi-joins, and blocking
     # equality is preserved
-    fp = df.select(
+    fp = fanout_for_python(df, id_col).select(
         F.col(id_col),
         F.xxhash64(fingerprint(F.col(text_col), shingle_n)).alias("block_key"),
     ).localCheckpoint()
@@ -423,7 +442,12 @@ def simhash_bits(
 
     Single explode + one groupBy with num_bits conditional sums —
     one shuffle, fixed-width state. Output (id, simhash string of '0'/'1').
+
+    r16: adaptive fanout before the explode — the md5-per-token + conv
+    map-side pass serialized on the one-row-group fixture scan task;
+    auto-skipped when the scan splits (fanout_for_python docstring).
     """
+    df = fanout_for_python(df, id_col)
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.md5("tok"))
@@ -1019,7 +1043,11 @@ def _repeated_gram_starts(
     # derive both branches from it: measured 2.23 s → 1.41 s including
     # the checkpoint build, byte-identical starts.
     per_doc = (
-        docs.where(F.size(toks) >= n)
+        # r16: adaptive fanout — the tokenize + gram + xxhash64 chain
+        # (this probe's dominant cost) serialized on the one-row-group
+        # fixture scan task; auto-skipped when the scan splits
+        fanout_for_python(docs, id_col)
+        .where(F.size(toks) >= n)
         .select(id_col, hashed.alias("__g"))
         .localCheckpoint()
     )

@@ -56,7 +56,14 @@ def md5_bucket(col: Column, buckets: int) -> Column:
 def _features(
     docs: DataFrame, target: Column, id_col: str, text_col: str, buckets: int
 ) -> DataFrame:
-    """(id, __t, b): one row per unigram/bigram occurrence, bucketed."""
+    """(id, __t, b): one row per unigram/bigram occurrence, bucketed.
+
+    r16: adaptive fanout before the explode — the tokenize + bigram +
+    md5-bucket map pass serialized on the one-row-group fixture scan
+    task; auto-skipped when the scan splits (fanout_for_python)."""
+    from mongo_analyser_spark.operators.fanout import fanout_for_python
+
+    docs = fanout_for_python(docs, id_col)
     c = F.col(text_col)
     return docs.select(
         F.col(id_col),

@@ -4371,7 +4371,9 @@ def q_theta_sketch_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo_analyser_spark.operators.theta import theta_sketches
 
     docs = load_table(spark, sf_dir, "documents")
-    items = docs.select(
+    # r16: adaptive fanout — the shingle-explode + md5-rank map pass
+    # serialized on the one-row-group fixture scan task (fanout_for_python)
+    items = fanout_for_python(docs).select(
         "source", F.explode(shingles(F.col("text"), 3)).alias("sh")
     )
     return (
@@ -4434,7 +4436,8 @@ def q_theta_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongo_analyser_spark.operators.theta import theta_overlap_report
 
     docs = load_table(spark, sf_dir, "documents")
-    items = docs.select(
+    # r16: adaptive fanout (see theta_sketch_sources_documents)
+    items = fanout_for_python(docs).select(
         "source", F.explode(shingles(F.col("text"), 3)).alias("sh")
     )
     return theta_overlap_report(items, "source", F.col("sh"), _THETA_K)
@@ -4504,7 +4507,8 @@ def q_theta_difference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") < 2000
     )
-    items = docs.select(
+    # r16: adaptive fanout (see theta_sketch_sources_documents)
+    items = fanout_for_python(docs).select(
         "source", F.explode(shingles(F.col("text"), 3)).alias("sh")
     )
     return theta_difference_report(items, "source", F.col("sh"), _THETA_K)
