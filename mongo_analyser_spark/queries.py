@@ -31,6 +31,7 @@ from mongo_analyser_spark.operators.field_stats import (
     top_values,
     type_histogram,
 )
+from mongo_analyser_spark.operators.fanout import fanout_for_python
 from mongo_analyser_spark.operators.relational import top_k_per_group
 from mongo_analyser_spark.sources.parquet import (
     EVENTS_PROPS_SCHEMA,
@@ -103,7 +104,10 @@ FROM melt GROUP BY field ORDER BY field
 """,
 )
 def q_field_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # r16: adaptive fanout — the staged from_json parse + explode melt
+    # runs map-side on the one-row-group fixture scan's single task
+    # (fanout_for_python docstring; A/B 1.34 → 0.82 s, rows identical)
+    ev = fanout_for_python(load_table(spark, sf_dir, "events"), "event_id")
     return field_stats(ev, {"props": EVENTS_PROPS_SCHEMA})
 
 
@@ -117,7 +121,8 @@ FROM melt GROUP BY 1, 2 ORDER BY 1, 2
 """,
 )
 def q_type_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # r16: adaptive fanout (see q_field_stats_events)
+    ev = fanout_for_python(load_table(spark, sf_dir, "events"), "event_id")
     return type_histogram(ev, {"props": EVENTS_PROPS_SCHEMA})
 
 
@@ -137,7 +142,8 @@ SELECT field, value, cnt, CAST(rnk AS INTEGER) AS rnk FROM (
 """,
 )
 def q_top_values_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # r16: adaptive fanout (see q_field_stats_events)
+    ev = fanout_for_python(load_table(spark, sf_dir, "events"), "event_id")
     return top_values(ev, {"props": EVENTS_PROPS_SCHEMA})
 
 
@@ -872,7 +878,8 @@ def q_field_stats_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct cascade. Plan pinned ≤2 exchanges in tests/test_plans.py."""
     from mongo_analyser_spark.operators.field_stats import field_stats
 
-    ev = load_table(spark, sf_dir, "events")
+    # r16: adaptive fanout (see q_field_stats_events)
+    ev = fanout_for_python(load_table(spark, sf_dir, "events"), "event_id")
     return field_stats(ev, {"props": EVENTS_PROPS_SCHEMA}, approx=True)
 
 
