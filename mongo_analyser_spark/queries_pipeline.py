@@ -225,7 +225,11 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row broadcast)."""
     from mongo_analyser_spark.operators.quality import bigram_nll
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r16: adaptive fanout before the hashed-bigram map pass (A/B 1.62
+    # → 1.25 s at sf0.1, rows identical; measured per-row — the same
+    # fanout REGRESSED kneser_ney 1.53 → 2.05 and was neutral on
+    # tfidf_cosine_pairs, so those keep their bare scans)
+    docs = fanout_for_python(load_table(spark, sf_dir, "documents"))
     return bigram_nll(docs).orderBy("doc_id")
 
 
