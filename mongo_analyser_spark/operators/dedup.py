@@ -672,6 +672,10 @@ def cosine_near_dup_pairs(
     planes = srp_planes(rows_per_band * num_bands, dim)
     block = [block_col] if block_col else []
 
+    # r16: a fanout here was MEASURED BOTH WAYS and rejected — the bare
+    # operator call read 2.84 → 2.28 s with it, but the registry row
+    # (different band sizing via n_rows) read 1.31 → 2.10 s solo, so
+    # the exchange hurts the shapes that matter; left bare
     vecs = df.select(F.col(id_col), as_double_vec(vec_col).alias("__vec"), *block)
     # data-scaled (r, b) means the plane count grows with the corpus —
     # with_srp_sig ships big plane sets as broadcast data, not plan

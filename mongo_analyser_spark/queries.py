@@ -392,7 +392,13 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape over the synthetic lineitem: grouped multi-aggregate
     with decimal-exact money math (one scan, partial aggs map-side; the
     classic 100 TB-safe reduction)."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    # r16: adaptive fanout — the decimal partial aggregation over the
+    # full lineitem runs map-side on the one-row-group fixture scan's
+    # single task (A/B on the agg segment 0.79 → 0.53 s at sf0.1, rows
+    # identical); auto-skipped when the scan splits
+    li = fanout_for_python(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    ).filter(
         F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp")
     )
     disc_price = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
